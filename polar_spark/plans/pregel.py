@@ -1,0 +1,495 @@
+"""Pregel-style iterative graph algorithms as DataFrame join-aggregate loops.
+
+The reference stores its graph in Neo4j and leaves analytics to Cypher
+traversals (/root/reference/scripts/pipeline/smoke-test.nu:122-138;
+/root/reference/docs/architecture/git/modeling.md:263-272).  The north
+rule requires the link-graph layer — PageRank, connected components,
+label propagation, triangle counting — implemented natively on the
+edge table.  Everything here is declarative DataFrame code: Catalyst
+plans each iteration (shuffled hash join + partial-aggregated shuffle),
+AQE splits skewed hub keys at runtime, and the driver loop only
+controls convergence, lineage-cutting and checkpointing.
+
+Scale design (100 TB / 10^9+ vertices):
+
+- Edges are normalized once to ``(src long, dst long)``, hash-
+  repartitioned by the join key and cached; per-iteration state
+  (ranks/components/labels) is the only thing reshuffled each round.
+- Aggregations rely on map-side partial aggregation; for pathological
+  hubs an explicit two-phase *salted* aggregation
+  (``salt_buckets``) pre-combines contributions of a hub vertex in
+  ``salt`` sub-groups before the final combine — bit-identical result,
+  bounded reducer size.
+- Lineage is cut every ``checkpoint_every`` iterations: either
+  ``localCheckpoint`` (fast, in-memory) or durable parquet snapshots
+  under ``checkpoint_dir`` with per-iteration metrics + per-partition
+  lineage rows — the resume protocol reads the newest complete
+  snapshot and continues mid-computation.
+- Convergence is an aggregate action per iteration (max |delta|);
+  at cluster scale this is one lightweight job over the vertex state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# plumbing
+
+
+@dataclass
+class IterationStats:
+    """Per-run metrics (the 'convergence metrics' of the north rule)."""
+
+    algorithm: str
+    iterations: int = 0
+    converged: bool = False
+    final_delta: float | None = None
+    deltas: list[float] = field(default_factory=list)
+    iter_seconds: list[float] = field(default_factory=list)
+    edges: int | None = None
+    vertices: int | None = None
+    resumed_from: int | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+
+def normalize_edges(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Distinct (src, dst) longs, self-loops dropped (self-edge guard,
+    /root/reference/src/agents/git/process/src/main.rs:78-82),
+    hash-partitioned by src for iteration joins."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    if num_partitions:
+        e = e.repartition(num_partitions, "src")
+    return e
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: edges ∪ reversed, distinct."""
+    return (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Undirected degree per vertex."""
+    return symmetrize(edges).groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+
+
+class _Ckpt:
+    """Durable per-iteration vertex-state snapshots with lineage.
+
+    Layout: ``{dir}/{algo}/iter=N/`` parquet + ``{dir}/{algo}/meta.json``
+    (list of completed iterations with convergence metric and
+    per-partition row counts).  Equivalent cluster-side: an Iceberg
+    table partitioned by iteration — snapshot isolation gives the same
+    resume contract.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, algo: str):
+        self.spark = spark
+        self.dir = os.path.join(root, algo)
+        os.makedirs(self.dir, exist_ok=True)
+        self.meta_path = os.path.join(self.dir, "meta.json")
+
+    def completed(self) -> list[dict]:
+        if not os.path.exists(self.meta_path):
+            return []
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def latest(self) -> dict | None:
+        c = self.completed()
+        return c[-1] if c else None
+
+    def save(self, iteration: int, state: DataFrame, delta: float | None) -> DataFrame:
+        path = os.path.join(self.dir, f"iter={iteration}")
+        state.write.mode("overwrite").parquet(path)
+        reread = self.spark.read.parquet(path)
+        lineage = [
+            {"partition_id": int(r["pid"]), "rows": int(r["rows"])}
+            for r in reread.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
+        meta = self.completed()
+        meta = [m for m in meta if m["iteration"] < iteration]
+        meta.append({"iteration": iteration, "delta": delta, "partitions": lineage})
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)
+        return reread
+
+    def load(self, iteration: int) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, f"iter={iteration}"))
+
+
+def _cut_lineage(
+    df: DataFrame,
+    it: int,
+    delta: float | None,
+    ckpt: _Ckpt | None,
+    every: int,
+) -> DataFrame:
+    if it % every != 0:
+        return df
+    if ckpt is not None:
+        return ckpt.save(it, df, delta)
+    return df.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------------
+# PageRank
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    salt_buckets: int | None = None,
+    num_partitions: int | None = None,
+    dangling: bool = True,
+) -> tuple[DataFrame, IterationStats]:
+    """Power-iteration PageRank to ``tol`` (L∞ of the rank delta).
+
+    One iteration = join(edges ⨝ ranks on src) → per-dst sum → blend
+    with teleport + (optionally) redistributed dangling mass.  Edge
+    side is partitioned+cached once; ranks reshuffle each round (the
+    inherent cost of the algorithm).  ``salt_buckets`` enables explicit
+    two-phase aggregation for hub dst vertices.
+
+    Returns (ranks(id, rank), stats).  Scores sum to ~1.
+    """
+    spark = edges.sparkSession
+    shuffle = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = normalize_edges(edges, shuffle)
+
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    # weighted edges: contribution fraction per edge, built once, cached
+    ew = (
+        e.join(out_deg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .repartition(shuffle, "src")
+        .persist()
+    )
+    verts = vertices_of(e).repartition(shuffle, "id").persist()
+    n = verts.count()
+    m = ew.count()  # also materializes the cache
+    stats = IterationStats(algorithm="pagerank", edges=m, vertices=n)
+
+    ckpt = _Ckpt(spark, checkpoint_dir, "pagerank") if checkpoint_dir else None
+    start_iter = 0
+    if resume and ckpt is not None and (last := ckpt.latest()) is not None:
+        ranks = ckpt.load(last["iteration"]).repartition(shuffle, "id")
+        start_iter = last["iteration"]
+        stats.resumed_from = start_iter
+    else:
+        ranks = verts.select("id", (F.lit(1.0) / n).alias("rank"))
+
+    ranks = ranks.localCheckpoint(eager=True)
+    inv_n = 1.0 / n
+    # Iteration discipline: the rank state is *localCheckpoint*ed every
+    # round.  The state feeds the next plan twice (contribution join +
+    # in-row delta), so without truncation the analyzed logical plan
+    # doubles per round — exponential driver-side analysis cost long
+    # before any executor works.  The cut keeps the per-round plan
+    # constant-size; the dangling mass (1 - Σ distributed contributions;
+    # total mass is invariantly 1) rides the same job as a broadcast
+    # 1-row cross join, and the convergence aggregate reads the fresh
+    # checkpoint.  Durable parquet snapshots (resume protocol) happen
+    # every ``checkpoint_every`` rounds on top.
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.monotonic()
+        contrib = ew.join(ranks.withColumnRenamed("id", "src"), "src").select(
+            "src", "dst", (F.col("w") * F.col("rank")).alias("c")
+        )
+        if salt_buckets:
+            # two-phase: pre-combine within (dst, salt=src%B) then final
+            # combine — deterministic, bounds any single reducer's input
+            # for hub dst vertices.
+            contrib = (
+                contrib.withColumn("_salt", F.pmod(F.col("src"), F.lit(salt_buckets)))
+                .groupBy("dst", "_salt")
+                .agg(F.sum("c").alias("c"))
+            )
+        sums = contrib.groupBy(F.col("dst").alias("id")).agg(F.sum("c").alias("s"))
+        if dangling:
+            tot = sums.agg(F.sum("s").alias("_tot"))
+            dm_col = F.greatest(F.lit(0.0), F.lit(1.0) - F.coalesce(F.col("_tot"), F.lit(0.0)))
+        else:
+            tot = None
+            dm_col = F.lit(0.0)
+        joined = ranks.withColumnRenamed("rank", "old").join(sums, "id", "left")
+        if tot is not None:
+            joined = joined.crossJoin(F.broadcast(tot))
+        new_state = joined.select(
+            "id",
+            (
+                F.lit((1.0 - damping) * inv_n)
+                + F.lit(damping * inv_n) * dm_col
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+            F.col("old"),
+        ).localCheckpoint(eager=True)
+        delta = float(
+            new_state.agg(F.max(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
+        )
+        ranks = new_state.select("id", "rank")
+        if ckpt is not None and it % checkpoint_every == 0:
+            ranks = ckpt.save(it, ranks, delta)
+        stats.iterations = it
+        stats.deltas.append(delta)
+        stats.iter_seconds.append(time.monotonic() - t0)
+        stats.final_delta = delta
+        if delta < tol:
+            stats.converged = True
+            break
+    if ckpt is not None and stats.iterations % checkpoint_every != 0:
+        ckpt.save(stats.iterations, ranks, stats.final_delta)
+    ew.unpersist()
+    verts.unpersist()
+    return ranks, stats
+
+
+def pagerank_fixed(
+    edges: DataFrame, n_iter: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank *without* dangling redistribution —
+    the SQL-expressible formulation used for cross-engine oracle
+    checks (identical unrolled arithmetic in ANSI SQL).
+    """
+    e = normalize_edges(edges)
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    ew = e.join(out_deg.withColumnRenamed("id", "src"), "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    )
+    verts = vertices_of(e)
+    n = verts.count()
+    ranks = verts.select("id", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(n_iter):
+        sums = (
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
+        )
+        ranks = verts.join(sums.withColumnRenamed("dst", "id"), "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks
+
+
+# --------------------------------------------------------------------------
+# Connected components (hash-min)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Hash-min label propagation to a fixpoint: every vertex converges
+    to the minimum vertex id of its (undirected) component.  Exact.
+
+    Converges in O(diameter) rounds; each round is one join + one
+    min-aggregate.  (Large-star/small-star would shorten long chains —
+    tracked as an optimization; hash-min is exact and simpler.)
+    """
+    spark = edges.sparkSession
+    shuffle = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = symmetrize(normalize_edges(edges)).repartition(shuffle, "src").persist()
+    verts = vertices_of(sym).persist()
+    stats = IterationStats(
+        algorithm="connected_components", edges=sym.count(), vertices=verts.count()
+    )
+    ckpt = _Ckpt(spark, checkpoint_dir, "cc") if checkpoint_dir else None
+    start_iter = 0
+    if resume and ckpt is not None and (last := ckpt.latest()) is not None:
+        comp = ckpt.load(last["iteration"]).repartition(shuffle, "id")
+        start_iter = last["iteration"]
+        stats.resumed_from = start_iter
+    else:
+        comp = verts.select("id", F.col("id").alias("comp"))
+    comp = comp.localCheckpoint(eager=True)
+
+    # localCheckpoint every round: comp feeds the next plan twice (join +
+    # least-compare) — without the cut the analyzed plan doubles per round
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.monotonic()
+        nbr_min = (
+            sym.join(comp.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_comp = (
+            comp.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = int(
+            new_comp.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0] or 0
+        )
+        comp = new_comp.select("id", "comp")
+        if ckpt is not None and it % checkpoint_every == 0:
+            comp = ckpt.save(it, comp, float(changed))
+        stats.iterations = it
+        stats.deltas.append(float(changed))
+        stats.iter_seconds.append(time.monotonic() - t0)
+        stats.final_delta = float(changed)
+        if changed == 0:
+            stats.converged = True
+            break
+    if ckpt is not None and stats.iterations % checkpoint_every != 0:
+        ckpt.save(stats.iterations, comp, stats.final_delta)
+    sym.unpersist()
+    verts.unpersist()
+    return comp, stats
+
+
+# --------------------------------------------------------------------------
+# Label propagation
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 5,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Synchronous LPA over the undirected graph.
+
+    Each round every vertex adopts the most frequent label among its
+    neighbors; ties break to the *smallest* label (deterministic — the
+    tie-break is part of the contract and encoded identically in the
+    SQL oracle).  Isolated behavior: a vertex keeps its label when it
+    has no neighbors.  Runs exactly ``max_iter`` rounds (synchronous
+    LPA can oscillate; a fixed round count keeps results reproducible).
+    """
+    spark = edges.sparkSession
+    shuffle = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = symmetrize(normalize_edges(edges)).repartition(shuffle, "src").persist()
+    verts = vertices_of(sym).persist()
+    stats = IterationStats(algorithm="label_propagation", edges=sym.count(), vertices=verts.count())
+    labels = verts.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        counts = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        # most-frequent neighbor label, ties → smallest label: one
+        # aggregate (max_by on (count, -label)), no window sort
+        winner = counts.groupBy("id").agg(
+            F.expr("max_by(label, struct(n, -label))").alias("new_label")
+        )
+        labels = (
+            labels.join(winner, "id", "left")
+            .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        stats.iterations = it
+        stats.iter_seconds.append(time.monotonic() - t0)
+    sym.unpersist()
+    verts.unpersist()
+    return labels, stats
+
+
+# --------------------------------------------------------------------------
+# Triangle counting
+
+
+def triangle_count(
+    edges: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """Exact triangle counting by degree-ordered edge orientation.
+
+    Never materializes unfiltered 2-paths: edges are oriented from the
+    lower-(degree, id) endpoint to the higher, so every wedge is rooted
+    at its smallest corner and each triangle is found exactly once.
+    Hub vertices have *low* orientation rank only if their degree is
+    low — the classic bound on wedge explosion (cf. Suri & Vassilvitskii
+    MapReduce triangle counting).
+
+    Returns (per_vertex(id, triangles), total).
+    """
+    spark = edges.sparkSession
+    shuffle = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        normalize_edges(edges)
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .dropDuplicates(["u", "v"])
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    # orient: a = lower (deg, id); b = higher
+    oriented = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+        )
+        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+        .alias("e")
+    ).select("e.a", "e.b").repartition(shuffle, "a").persist()
+    e1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    # canonical (id-ordered) wedge pair; the closing edge is checked in
+    # canonical undirected form, so rank-vs-id order cannot disagree
+    wedges = e1.join(e2, "a").where(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        und.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+    ).select(F.col("a").alias("v1"), F.col("x").alias("v2"), F.col("y").alias("v3"))
+    tri = tri.persist()
+    total = tri.count()
+    per_vertex = (
+        tri.select(F.explode(F.array("v1", "v2", "v3")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    und.unpersist()
+    return per_vertex, total
