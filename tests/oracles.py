@@ -1,0 +1,112 @@
+"""Pure-python reference implementations used as golden oracles."""
+
+from __future__ import annotations
+
+
+def py_pagerank(
+    edges: list[tuple[int, int]],
+    d: float = 0.85,
+    tol: float = 1e-12,
+    max_iter: int = 1000,
+) -> dict[int, float]:
+    """Power iteration with uniform teleport and dangling-mass
+    redistribution — the textbook formulation our engine must match to
+    allclose 1e-6."""
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    out: dict[int, list[int]] = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    n = len(nodes)
+    r = {x: 1.0 / n for x in nodes}
+    for _ in range(max_iter):
+        dm = sum(r[x] for x in nodes if x not in out)
+        new = {x: (1 - d) / n + d * dm / n for x in nodes}
+        for u, vs in out.items():
+            c = r[u] / len(vs)
+            for v in vs:
+                new[v] += d * c
+        delta = max(abs(new[x] - r[x]) for x in nodes)
+        r = new
+        if delta < tol:
+            break
+    return r
+
+
+def py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find: every vertex → min id of its undirected component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def py_triangles(edges: list[tuple[int, int]]) -> tuple[dict[int, int], int]:
+    """Exact per-vertex + total triangle counts (undirected simple graph)."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    per = {v: 0 for v in adj}
+    total = 0
+    seen = set()
+    for u in adj:
+        for v in adj[u]:
+            if (min(u, v), max(u, v)) in seen:
+                continue
+            seen.add((min(u, v), max(u, v)))
+            for w in adj[u] & adj[v]:
+                if w > max(u, v):
+                    per[u] += 1
+                    per[v] += 1
+                    per[w] += 1
+                    total += 1
+    return per, total
+
+
+def py_lpa(edges: list[tuple[int, int]], max_iter: int) -> dict[int, int]:
+    """Synchronous LPA, most-frequent neighbor label, ties → smallest
+    label — the exact tie-break contract of the engine."""
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    adj: dict[int, set[int]] = {x: set() for x in nodes}
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    labels = {x: x for x in nodes}
+    for _ in range(max_iter):
+        new = {}
+        for x in nodes:
+            if not adj[x]:
+                new[x] = labels[x]
+                continue
+            counts: dict[int, int] = {}
+            for nb in adj[x]:
+                counts[labels[nb]] = counts.get(labels[nb], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[x] = best[0]
+        labels = new
+    return labels
+
+
+def zipf_digraph(n: int = 200, m: int = 1200, seed: int = 7) -> list[tuple[int, int]]:
+    """Skewed random digraph (hub sources via Zipf) for golden tests."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    edges = set()
+    for _ in range(m):
+        u, v = int(rng.zipf(1.5) % n), int(rng.integers(0, n))
+        if u != v:
+            edges.add((u, v))
+    return sorted(edges)

@@ -1,0 +1,122 @@
+"""Golden tests for the iterative engine (north-rule correctness bar:
+PageRank/LPA allclose 1e-6, components + triangles exact, deterministic
+re-runs, checkpoint/resume identity)."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from polar_spark.plans import pregel
+from tests.oracles import py_components, py_lpa, py_pagerank, py_triangles, zipf_digraph
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    edges = zipf_digraph(n=200, m=1200, seed=7)
+    return edges, spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_allclose(graph):
+    edges, edf = graph
+    ranks, stats = pregel.pagerank(edf, tol=1e-8, max_iter=200)
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    exp = py_pagerank(edges)
+    assert stats.converged
+    assert set(got) == set(exp)
+    assert max(abs(got[k] - exp[k]) for k in exp) < 1e-6
+    # mass conservation
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_salted_matches_unsalted(graph):
+    edges, edf = graph
+    plain, _ = pregel.pagerank(edf, tol=1e-8, max_iter=200)
+    salted, _ = pregel.pagerank(edf, tol=1e-8, max_iter=200, salt_buckets=4)
+    p = {r["id"]: r["rank"] for r in plain.collect()}
+    s = {r["id"]: r["rank"] for r in salted.collect()}
+    assert max(abs(p[k] - s[k]) for k in p) < 1e-9
+
+
+def test_pagerank_checkpoint_resume(graph):
+    edges, edf = graph
+    tmp = tempfile.mkdtemp(prefix="polar_ckpt_")
+    try:
+        # full run with durable checkpoints
+        full, fstats = pregel.pagerank(
+            edf, tol=1e-8, max_iter=200, checkpoint_dir=tmp, checkpoint_every=3
+        )
+        fvals = {r["id"]: r["rank"] for r in full.collect()}
+        # fresh dir: run only a few iterations (simulated kill), then resume
+        tmp2 = tempfile.mkdtemp(prefix="polar_ckpt2_")
+        try:
+            pregel.pagerank(edf, tol=0.0, max_iter=6, checkpoint_dir=tmp2, checkpoint_every=3)
+            resumed, rstats = pregel.pagerank(
+                edf, tol=1e-8, max_iter=200, checkpoint_dir=tmp2, checkpoint_every=3, resume=True
+            )
+            assert rstats.resumed_from == 6
+            rvals = {r["id"]: r["rank"] for r in resumed.collect()}
+            exp = py_pagerank(edges)
+            assert max(abs(rvals[k] - exp[k]) for k in exp) < 1e-6
+            assert max(abs(rvals[k] - fvals[k]) for k in fvals) < 1e-6
+        finally:
+            shutil.rmtree(tmp2, ignore_errors=True)
+        # lineage metadata recorded per completed checkpoint
+        ck = pregel._Ckpt(edf.sparkSession, tmp, "pagerank")
+        meta = ck.completed()
+        assert meta and all("partitions" in m and m["partitions"] for m in meta)
+        assert meta[-1]["iteration"] == fstats.iterations
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_connected_components_exact(graph, spark):
+    edges, edf = graph
+    comp, stats = pregel.connected_components(edf)
+    got = {r["id"]: r["comp"] for r in comp.collect()}
+    exp = py_components(edges)
+    assert stats.converged
+    assert got == exp
+
+
+def test_connected_components_disjoint(spark):
+    # 3 known components incl. a long chain (exercises multi-round min-prop)
+    chain = [(i, i + 1) for i in range(10, 20)]
+    ring = [(30, 31), (31, 32), (32, 30)]
+    pair = [(40, 41)]
+    edges = chain + ring + pair
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    comp, stats = pregel.connected_components(edf)
+    got = {r["id"]: r["comp"] for r in comp.collect()}
+    assert {got[i] for i in range(10, 21)} == {10}
+    assert {got[i] for i in (30, 31, 32)} == {30}
+    assert {got[i] for i in (40, 41)} == {40}
+
+
+def test_triangles_exact(graph):
+    edges, edf = graph
+    pv, total = pregel.triangle_count(edf)
+    exp_pv, exp_total = py_triangles(edges)
+    assert total == exp_total
+    got = {r["id"]: r["triangles"] for r in pv.collect()}
+    for k, v in exp_pv.items():
+        assert got.get(k, 0) == v
+
+
+def test_lpa_matches_oracle_and_deterministic(graph):
+    edges, edf = graph
+    l1, stats = pregel.label_propagation(edf, max_iter=3)
+    l2, _ = pregel.label_propagation(edf, max_iter=3)
+    g1 = {r["id"]: r["label"] for r in l1.collect()}
+    g2 = {r["id"]: r["label"] for r in l2.collect()}
+    assert g1 == g2  # bit-identical across runs
+    assert g1 == py_lpa(edges, max_iter=3)
+
+
+def test_self_loops_ignored(spark):
+    edf = spark.createDataFrame([(1, 2), (2, 2), (2, 1)], "src long, dst long")
+    pv, total = pregel.triangle_count(edf)
+    assert total == 0
+    comp, _ = pregel.connected_components(edf)
+    got = {r["id"]: r["comp"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1}
