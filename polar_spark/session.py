@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("POLAR_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # map_concat with duplicate keys: update wins — the graph-store
+        # props-merge (SET semantics) depends on this
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

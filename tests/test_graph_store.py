@@ -1,0 +1,243 @@
+"""Ports of the reference's graph-semantics contract tests
+(/root/reference/src/agents/lib/src/graph/tests.rs — file:line cited
+per test)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.operators.graph_store import GraphStore
+
+
+@pytest.fixture()
+def store(spark):
+    tmp = tempfile.mkdtemp(prefix="polar_store_")
+    yield GraphStore(spark, tmp)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(
+        rows, "label string, key string, props map<string,string>, observed_at string"
+    )
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "src_label string, src_key string, dst_label string, dst_key string, "
+        "rel_type string, props map<string,string>, observed_at string",
+    )
+
+
+def test_upsert_creates_node_with_props(store, spark):
+    # tests.rs:173-216
+    store.upsert_nodes(
+        _nodes(spark, [("BuildJob", "b1", {"status": "running"}, "2026-01-01T00:00:00Z")])
+    )
+    rows = store.vertices.collect()
+    assert len(rows) == 1
+    assert rows[0]["label"] == "BuildJob" and rows[0]["props"]["status"] == "running"
+
+
+def test_upsert_idempotent_three_times_one_node(store, spark):
+    # tests.rs:218-246: same key x3 → exactly 1 node, props updated
+    for status in ("queued", "running", "done"):
+        store.upsert_nodes(_nodes(spark, [("BuildJob", "b1", {"status": status}, None)]))
+    rows = store.vertices.collect()
+    assert len(rows) == 1
+    assert rows[0]["props"]["status"] == "done"
+
+
+def test_upsert_merges_props_not_replaces(store, spark):
+    # SET updates listed props, leaves others (controller.rs:252-276)
+    store.upsert_nodes(_nodes(spark, [("Pod", "p1", {"a": "1", "b": "2"}, None)]))
+    store.upsert_nodes(_nodes(spark, [("Pod", "p1", {"b": "3", "c": "4"}, None)]))
+    props = store.vertices.collect()[0]["props"]
+    assert props == {"a": "1", "b": "3", "c": "4"}
+
+
+def test_ensure_edge_creates_both_endpoints(store, spark):
+    # tests.rs:248-280: cross-vocabulary edge creates stub endpoints
+    store.ensure_edges(
+        _edges(spark, [("GitCommit", "abc", "BuildJob", "b1", "BUILT_BY", None, None)])
+    )
+    vs = {(r["label"], r["key"]) for r in store.vertices.collect()}
+    assert vs == {("GitCommit", "abc"), ("BuildJob", "b1")}
+    assert store.edges.count() == 1
+
+
+def test_ensure_edge_idempotent_three_times_one_edge(store, spark):
+    # tests.rs:282-312
+    for _ in range(3):
+        store.ensure_edges(
+            _edges(spark, [("GitCommit", "abc", "BuildJob", "b1", "BUILT_BY", None, None)])
+        )
+    assert store.edges.count() == 1
+    assert store.vertices.count() == 2
+
+
+def test_stub_then_upsert_fills_props(store, spark):
+    # out-of-order tolerance: stub MERGEd on first reference, props SET
+    # when the authoritative event arrives (linker.rs:402-408)
+    store.ensure_edges(
+        _edges(spark, [("Sbom", "h1", "Package", "pkg:cargo/serde@1.0", "DESCRIBES", None, None)])
+    )
+    store.upsert_nodes(
+        _nodes(spark, [("Package", "pkg:cargo/serde@1.0", {"name": "serde"}, None)])
+    )
+    row = store.vertices.where(F.col("label") == "Package").collect()[0]
+    assert row["props"]["name"] == "serde"
+    assert store.edges.count() == 1
+
+
+def test_batch_dedup_latest_wins(store, spark):
+    # set-oriented replacement for single-writer serialization: duplicate
+    # keys in one batch collapse deterministically, latest observed_at wins
+    store.upsert_nodes(
+        _nodes(
+            spark,
+            [
+                ("Pod", "p1", {"phase": "Pending"}, "2026-01-01T00:00:00Z"),
+                ("Pod", "p1", {"phase": "Running"}, "2026-01-02T00:00:00Z"),
+                ("Pod", "p1", {"phase": "Unknown"}, "2025-12-31T00:00:00Z"),
+            ],
+        )
+    )
+    rows = store.vertices.collect()
+    assert len(rows) == 1
+    assert rows[0]["props"]["phase"] == "Running"
+
+
+def test_replace_edges_latest_pointer(store, spark):
+    # M3 ReplaceEdge (controller.rs:315-337): delete-all-then-one
+    store.ensure_edges(
+        _edges(spark, [("GitRef", "r1", "GitCommit", "c1", "POINTS_TO", None, None)])
+    )
+    store.replace_edges(
+        _edges(spark, [("GitRef", "r1", "GitCommit", "c2", "POINTS_TO", None, None)])
+    )
+    rows = store.edges.where(F.col("rel_type") == "POINTS_TO").collect()
+    assert len(rows) == 1
+    assert rows[0]["dst_key"] == "c2"
+
+
+def test_remove_edges(store, spark):
+    store.ensure_edges(
+        _edges(
+            spark,
+            [
+                ("A", "a", "B", "b1", "T", None, None),
+                ("A", "a", "B", "b2", "T", None, None),
+                ("A", "a", "B", "b3", "OTHER", None, None),
+            ],
+        )
+    )
+    store.remove_edges(
+        spark.createDataFrame(
+            [("A", "a", "T")], "src_label string, src_key string, rel_type string"
+        )
+    )
+    rows = store.edges.collect()
+    assert len(rows) == 1 and rows[0]["rel_type"] == "OTHER"
+
+
+def test_update_state_temporal_chain(store, spark):
+    # tests.rs:314-374: anchor + instance + TRANSITIONED_TO + OF_TYPE + HAS_STATE
+    t = spark.createDataFrame(
+        [("BuildJob", "b1", "BuildJobState", "b1@t1", "2026-01-01T00:00:00Z", {"s": "running"})],
+        "resource_label string, resource_key string, state_type string, "
+        "instance_key string, valid_from string, props map<string,string>",
+    )
+    store.update_state(t)
+    labels = {(r["label"], r["key"]) for r in store.vertices.collect()}
+    assert ("State", "BuildJobState") in labels
+    assert ("BuildJob", "b1") in labels
+    assert ("BuildJobStateState", "b1@t1") in labels
+    rels = {r["rel_type"] for r in store.edges.collect()}
+    assert rels == {"TRANSITIONED_TO", "OF_TYPE", "HAS_STATE"}
+    assert store.state_history.count() == 1
+
+
+def test_update_state_append_only_and_pointer_replaced(store, spark):
+    # tests.rs:376-437: 2 transitions → 2 immutable history rows,
+    # exactly 1 HAS_STATE pointer, pointing at the latest instance
+    schema = (
+        "resource_label string, resource_key string, state_type string, "
+        "instance_key string, valid_from string, props map<string,string>"
+    )
+    store.update_state(
+        spark.createDataFrame(
+            [("Pod", "p1", "PodState", "p1@t1", "2026-01-01T00:00:00Z", {"phase": "Pending"})],
+            schema,
+        )
+    )
+    store.update_state(
+        spark.createDataFrame(
+            [("Pod", "p1", "PodState", "p1@t2", "2026-01-02T00:00:00Z", {"phase": "Running"})],
+            schema,
+        )
+    )
+    assert store.state_history.count() == 2  # append-only
+    has_state = store.edges.where(F.col("rel_type") == "HAS_STATE").collect()
+    assert len(has_state) == 1
+    assert has_state[0]["dst_key"] == "p1@t2"  # points at latest
+    cur = store.current_state.collect()
+    assert len(cur) == 1 and cur[0]["props"]["phase"] == "Running"
+    # replaying transition 1 must NOT move the pointer back (idempotent
+    # replay — controller.rs:458-460) if it is older
+    store.update_state(
+        spark.createDataFrame(
+            [("Pod", "p1", "PodState", "p1@t1", "2026-01-01T00:00:00Z", {"phase": "Pending"})],
+            schema,
+        )
+    )
+    assert store.state_history.count() == 2
+
+
+def test_update_state_replay_keeps_history_immutable(store, spark):
+    schema = (
+        "resource_label string, resource_key string, state_type string, "
+        "instance_key string, valid_from string, props map<string,string>"
+    )
+    t = spark.createDataFrame(
+        [("Job", "j1", "JobState", "j1@t1", "2026-01-01T00:00:00Z", {"x": "1"})], schema
+    )
+    store.update_state(t)
+    # re-delivery with *different* props must not mutate the instance
+    t2 = spark.createDataFrame(
+        [("Job", "j1", "JobState", "j1@t1", "2026-01-01T00:00:00Z", {"x": "CHANGED"})], schema
+    )
+    store.update_state(t2)
+    hist = store.state_history.collect()
+    assert len(hist) == 1
+    assert hist[0]["props"] == {"x": "1"}
+
+
+def test_raw_query(store, spark):
+    store.ensure_edges(
+        _edges(spark, [("A", "a1", "B", "b1", "LINKS", None, None)])
+    )
+    out = store.raw_query(
+        "SELECT count(*) AS n FROM edges JOIN vertices v ON v.label = edges.src_label "
+        "AND v.key = edges.src_key"
+    ).collect()
+    assert out[0]["n"] == 1
+
+
+def test_edge_table_for_analytics(store, spark):
+    store.ensure_edges(
+        _edges(
+            spark,
+            [
+                ("R", "r1", "R", "r2", "DEPENDS_ON", None, None),
+                ("R", "r2", "R", "r3", "DEPENDS_ON", None, None),
+                ("R", "r1", "R", "r1b", "OTHER", None, None),
+            ],
+        )
+    )
+    et = store.edge_table("DEPENDS_ON")
+    assert et.count() == 2
+    assert et.select("src").distinct().count() == 2
