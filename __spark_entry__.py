@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in :mod:`polar_spark.operators.analytics_queries`;
+this module only adapts them to the contract.
 """
 
 from __future__ import annotations
@@ -15,24 +17,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: PageRank centrality of
+    the supplier co-part graph, top-10 with supplier names — the
+    end-to-end slice of the north-star pipeline (edge-table build →
+    iterative rank → dimension join)."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.operators.analytics_queries import copart_edges, _sym
+    from polar_spark.plans import pregel
+    from polar_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = _sym(copart_edges(spark, sf_dir))
+    ranks, _stats = pregel.pagerank(edges, tol=1e-6, max_iter=50)
+    supplier = load_table(spark, "supplier", sf_dir)
+    return (
+        ranks.join(supplier, ranks.id == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("rank", 7).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("s_suppkey"))
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator family from SURVEY.md §2."""
+    from polar_spark.operators.analytics_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column names/types)."""
+    from polar_spark.operators.analytics_queries import ORACLES
+
+    return dict(ORACLES)

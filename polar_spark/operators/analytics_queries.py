@@ -1,0 +1,560 @@
+"""Driver-contract queries: each entry pairs a Spark DataFrame plan with
+an ANSI-SQL oracle (DuckDB) over the same parquet tables.
+
+Graph queries run over edge tables derived from the TPC-H-ish star
+schema (FIXTURES.md §8): the *supplier co-part graph* (suppliers joined
+by sharing a part in ``lineitem``) and the *customer→supplier* demand
+graph (via ``orders ⨝ lineitem``).  These stand in for the repo-
+dependency DEPENDS_ON table of the north star so that every link-graph
+operator has a SQL-expressible cross-engine oracle; the same engine
+functions run on the extracted source-code edge table in the benchmark.
+
+Parity rules (driver compares row count + schema + order-insensitive
+value hash):
+- every computed column is explicitly aliased identically on both sides;
+- aggregates are cast (DuckDB SUM(bigint) is HUGEINT, Spark is long);
+- floating-point results are rounded (7 d.p. for rank scores, 6 for
+  similarities) so cross-engine summation-order noise cannot flip bits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polar_spark.plans import pregel
+from polar_spark.sources.tables import load_table
+
+DAMPING = 0.85
+
+# --------------------------------------------------------------------------
+# derived edge tables
+
+
+def copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected supplier co-part edges: (src < dst) supplier
+    pairs sharing ≥1 part.  The J4-style content-hash identity join of
+    the reference (same key observed in two streams —
+    /root/reference/src/agents/build-processor/src/linker.rs:284-297)
+    re-expressed on the test schema."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a = ps.alias("a")
+    b = ps.alias("b")
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+
+
+_COPART_SQL = """
+pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+und AS (SELECT DISTINCT a.s AS src, b.s AS dst
+        FROM pairs a JOIN pairs b ON a.p = b.p AND a.s < b.s)
+"""
+
+
+def _sym(und: DataFrame) -> DataFrame:
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+_SYM_SQL = "e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)"
+
+
+def demand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer→supplier demand edges via orders ⨝ lineitem."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+
+
+def q_copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return copart_edges(spark, sf_dir).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def q_top_depended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 in-degree ('most depended upon') with deterministic top-10."""
+    e = demand_edges(spark, sf_dir)
+    return (
+        e.groupBy(F.col("dst").alias("s_suppkey"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
+def q_pagerank_fixed5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _sym(copart_edges(spark, sf_dir))
+    ranks = pregel.pagerank_fixed(e, n_iter=5, damping=DAMPING)
+    return ranks.select("id", F.round("rank", 7).alias("rank_r")).orderBy("id")
+
+
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = copart_edges(spark, sf_dir)
+    comp, _ = pregel.connected_components(e)
+    return comp.select(F.col("id").cast("long"), F.col("comp").cast("long")).orderBy("id")
+
+
+def q_lpa_fixed2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = copart_edges(spark, sf_dir)
+    labels, _ = pregel.label_propagation(e, max_iter=2)
+    return labels.select(F.col("id").cast("long"), F.col("label").cast("long")).orderBy("id")
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = copart_edges(spark, sf_dir)
+    per_vertex, _total = pregel.triangle_count(e)
+    return per_vertex.select(
+        F.col("id").cast("long"), F.col("triangles").cast("long")
+    ).orderBy("id")
+
+
+def q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 'current state' pointer as a window view (latest event per
+    user — controller.rs:390-414 analog)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            F.round("value", 2).alias("value_r"),
+        )
+    )
+
+
+def q_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only history rollup per resource (A1/A4 family)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min(F.unix_timestamp("ts")).alias("first_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("last_epoch"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 batch-dedup semantics: duplicate keys in one batch collapse,
+    latest wins, deterministically."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_obs", F.count("*").over(Window.partitionBy("user_id", "event_type")))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("last_value"),
+            F.col("n_obs").cast("long"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (md5 here; the engine's content
+    identity is sha256 per the reference — md5 keeps the oracle cheap)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"[^aeiou]", "")).cast("long").alias("n_vowels"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+            / F.size(toks).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling fingerprint Σ i·ascii(char_i) mod p —
+    document fingerprinting with identical arithmetic in both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    chars = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"), "text"
+    )
+    return (
+        chars.select(
+            "doc_id",
+            (F.col("i").cast("long") * F.ascii(F.substring(F.col("text"), F.col("i"), F.lit(1)))).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg((F.sum("t") % F.lit(1000000007)).cast("long").alias("fingerprint"))
+    )
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for the first 20 query
+    vectors — the exact baseline for ANN; computed in double on both
+    engines, rounded to 6 d.p."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        q.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_r"),
+            F.col("_rn").cast("long").alias("rnk"),
+        )
+    )
+
+
+def q_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup scoring over consecutive doc pairs
+    (word bigrams; distinct-shingle Jaccard)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    grams = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", F.col("a.w"), F.col("b.w")).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = docs.select(F.col("doc_id").alias("doc_a")).join(
+        docs.select(F.col("doc_id").alias("doc_b")),
+        F.col("doc_b") == F.col("doc_a") + 1,
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .where(F.col("g_b") == F.col("g_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("c"), F.lit(0))).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join operator family: customers with no orders, per
+    market segment."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_no_orders"))
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders by totalprice per customer (window family)."""
+    orders = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price_r"),
+            F.col("rk").cast("long"),
+        )
+    )
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (grouping-sets family, native in our engine,
+    absent in the reference — SURVEY §2.6)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-safe ANSI)
+
+_PR_ITER = """
+r{K} AS (
+  SELECT v.id,
+         0.15 * inv.x + 0.85 * COALESCE(s.s, 0) AS r
+  FROM verts v
+  CROSS JOIN inv
+  LEFT JOIN (
+    SELECT w.dst AS id, SUM(w.wt * p.r) AS s
+    FROM w JOIN r{KM1} p ON p.id = w.src
+    GROUP BY w.dst
+  ) s ON s.id = v.id
+)"""
+
+
+def _pagerank_sql(n_iter: int = 5) -> str:
+    iters = "".join(
+        "," + _PR_ITER.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1)
+    )
+    return f"""
+WITH {_COPART_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+inv AS (SELECT 1.0 / COUNT(*) AS x FROM verts),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, 1.0 / deg.d AS wt FROM e JOIN deg ON deg.src = e.src),
+r0 AS (SELECT id, (SELECT x FROM inv) AS r FROM verts)
+{iters}
+SELECT id, ROUND(r, 7) AS rank_r FROM r{n_iter} ORDER BY id
+"""
+
+
+_LPA_ROUND = """
+c{K} AS (SELECT e.dst AS id, p.label AS lbl, COUNT(*) AS c
+         FROM e JOIN l{KM1} p ON p.id = e.src GROUP BY e.dst, p.label),
+w{K} AS (SELECT id, lbl FROM (
+           SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+           FROM c{K}) t WHERE rn = 1),
+l{K} AS (SELECT v.id, CAST(COALESCE(w{K}.lbl, v.id) AS BIGINT) AS label
+         FROM verts v LEFT JOIN w{K} ON w{K}.id = v.id)"""
+
+
+def _lpa_sql(n_iter: int = 2) -> str:
+    rounds = "".join("," + _LPA_ROUND.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH {_COPART_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+l0 AS (SELECT id, id AS label FROM verts)
+{rounds}
+SELECT id, label FROM l{n_iter} ORDER BY id
+"""
+
+
+ORACLES: dict[str, str] = {
+    "copart_edges": f"WITH {_COPART_SQL} SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM und",
+    "top_depended": """
+        WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT dst AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM e GROUP BY dst ORDER BY n_customers DESC, s_suppkey ASC LIMIT 10
+    """,
+    "pagerank_fixed5": _pagerank_sql(5),
+    "components": f"""
+        WITH RECURSIVE {_COPART_SQL}, {_SYM_SQL},
+        verts AS (SELECT DISTINCT src AS id FROM e),
+        reach(id, comp) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id WHERE r.comp < e.dst
+        )
+        SELECT id, CAST(MIN(comp) AS BIGINT) AS comp FROM reach GROUP BY id ORDER BY id
+    """,
+    "lpa_fixed2": _lpa_sql(2),
+    "triangles": f"""
+        WITH {_COPART_SQL},
+        tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+                FROM und a JOIN und b ON b.src = a.dst
+                JOIN und c ON c.src = a.src AND c.dst = b.dst),
+        corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        SELECT CAST(id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM corners GROUP BY id ORDER BY id
+    """,
+    "current_state": """
+        SELECT user_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+               ROUND(value, 2) AS value_r
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+        WHERE rn = 1
+    """,
+    "state_history": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS first_epoch,
+               CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS last_epoch,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    "upsert_latest_wins": """
+        SELECT user_id, event_type, ROUND(value, 2) AS last_value,
+               CAST(n_obs AS BIGINT) AS n_obs
+        FROM (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_obs
+              FROM events) t
+        WHERE rn = 1
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "text_stats": r"""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS INT) AS n_chars_calc,
+               CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+               ROUND(CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                     / CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS DOUBLE), 4) AS avg_token_len
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               CAST(SUM(i * ascii(substr(text, CAST(i AS INT), 1))) % 1000000007 AS BIGINT) AS fingerprint
+        FROM (SELECT doc_id, text, UNNEST(generate_series(1, LENGTH(text))) AS i
+              FROM documents) t
+        GROUP BY doc_id
+    """,
+    "knn_cosine": """
+        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          CAST(UNNEST(embedding) AS DOUBLE) AS x
+                   FROM embeddings),
+        nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS n FROM e GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS d
+                 FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 20 AND a.vec_id != b.vec_id
+                 GROUP BY a.vec_id, b.vec_id),
+        scored AS (SELECT query_id, neighbor_id, d / (na.n * nb.n) AS cos
+                   FROM dots JOIN nrm na ON na.vec_id = query_id
+                             JOIN nrm nb ON nb.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_r, CAST(rn AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+              FROM scored) t
+        WHERE rn <= 3
+    """,
+    "bigram_jaccard": r"""
+        WITH toks AS (SELECT doc_id,
+                             generate_subscripts(regexp_split_to_array(TRIM(text), '\s+'), 1) AS i,
+                             UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+                      FROM documents),
+        grams AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS g
+                  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+                  FROM pairs p
+                  JOIN grams ga ON ga.doc_id = p.doc_a
+                  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+                  GROUP BY p.doc_a, p.doc_b)
+        SELECT p.doc_a, p.doc_b,
+               ROUND(CAST(COALESCE(i.c, 0) AS DOUBLE)
+                     / CAST(na.n + nb.n - COALESCE(i.c, 0) AS DOUBLE), 6) AS jaccard
+        FROM pairs p
+        JOIN sizes na ON na.doc_id = p.doc_a
+        JOIN sizes nb ON nb.doc_id = p.doc_b
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    """,
+    "anti_join_customers": """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_no_orders
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "window_topk": """
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price_r, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders WHERE o_custkey < 100) t
+        WHERE rk <= 2
+    """,
+    "rollup_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "copart_edges": q_copart_edges,
+    "top_depended": q_top_depended,
+    "pagerank_fixed5": q_pagerank_fixed5,
+    "components": q_components,
+    "lpa_fixed2": q_lpa_fixed2,
+    "triangles": q_triangles,
+    "current_state": q_current_state,
+    "state_history": q_state_history,
+    "upsert_latest_wins": q_upsert_latest_wins,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "knn_cosine": q_knn_cosine,
+    "bigram_jaccard": q_bigram_jaccard,
+    "anti_join_customers": q_anti_join_customers,
+    "window_topk": q_window_topk,
+    "rollup_lineitem": q_rollup_lineitem,
+}
