@@ -1,0 +1,278 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, scale-ranked:
+
+- exact:      sha256 hash-groupBy (one shuffle, partial-agg combined)
+- minhash+LSH: shingle → minhash signature → band buckets → bucket join
+               (candidate generation never compares all pairs)
+- simhash:    64-bit sign-of-weighted-sum fingerprint, banded for
+               Hamming-neighbor candidate generation
+- n-gram Jaccard: exact verification joins for candidate pairs
+
+Design for 100 TB: everything before the candidate join is linear in
+the corpus and stays in whole-stage codegen (shingling/hashing are
+``split``/``explode``/``xxhash64``); the only Python is the per-doc
+signature fold, which is a vectorized numpy ``applyInPandas`` over
+pre-hashed shingles (Arrow batches, no per-row Python).  Candidate
+pairs are generated per LSH band bucket — bucket sizes bound reducer
+fan-out, and a ``max_bucket`` guard drops degenerate buckets (all-equal
+content) the way production dedup pipelines do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content sha256 (the reference's content
+    addressing — /root/reference/src/agents/lib/src/events.rs:175-177).
+    Returns (content_sha256, n_docs, keep_id) — keep the smallest id."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("content_sha256"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingle hashes per doc: (id, shingle_hash).
+    Pure JVM: split → slide via expression window on position → xxhash64."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+    )
+    # n-gram via transform over index range: gram_i = concat(t[i..i+n-1])
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("_t") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n)),
+            )
+        ).alias("shingle"),
+    ).where(F.length("shingle") > 0)
+    return grams.select(
+        "_id", F.xxhash64("shingle").alias("shingle_hash")
+    ).dropDuplicates(["_id", "shingle_hash"])
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 64, seed: int = 7
+) -> DataFrame:
+    """(id, sig array<long>) — minhash over universal-hash family
+    h_i(x) = (a_i·x + b_i) mod (2^61-1).  The fold is a vectorized numpy
+    broadcast per Arrow batch (``applyInPandas`` per doc group would
+    shuffle; instead we sort-group within partitions after a single
+    repartition by id)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"_id": pd.Series([], dtype="int64"), "sig": []})
+                continue
+            out_ids, out_sigs = [], []
+            for did, grp in pdf.groupby("_id"):
+                x = grp["shingle_hash"].to_numpy(dtype=np.uint64)
+                # (H, S) broadcast; arithmetic mod 2^61-1 in uint64 space
+                hx = (
+                    (a.astype(np.uint64)[:, None] * (x[None, :] % _MERSENNE)) + b.astype(np.uint64)[:, None]
+                ) % np.uint64(_MERSENNE)
+                out_ids.append(did)
+                out_sigs.append(hx.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"_id": out_ids, "sig": out_sigs})
+
+    # all shingles of a doc must be in one partition/batch
+    part = shingle_df.repartition("_id").sortWithinPartitions("_id")
+    return part.mapInPandas(fold, schema="_id long, sig array<long>")
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs
+    (id_a < id_b, n_shared_bands).  ``max_bucket`` drops degenerate
+    buckets to bound the quadratic blow-up."""
+    banded = sig_df.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    sized = banded.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("_n") <= max_bucket)
+    l = sized.select("band", "bucket", F.col("_id").alias("id_a"))
+    r = sized.select("band", "bucket", F.col("_id").alias("id_b"))
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def minhash_estimate(sig_df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard per candidate pair = fraction of equal minhash
+    slots (zip_with over the two signatures)."""
+    sa = sig_df.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig_df.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    eq = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            (eq.cast("double") / F.size("sig_a")).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → LSH candidates →
+    (optionally) exact Jaccard verification of candidates only.
+    Returns (id_a, id_b, est_jaccard[, jaccard]) above threshold."""
+    sh = shingles(df, text_col, id_col, n).persist()
+    sigs = minhash_signatures(sh, num_hashes).persist()
+    rows_per_band = num_hashes // bands
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    est = minhash_estimate(sigs, cand)
+    if not exact_verify:
+        sh.unpersist()
+        return est.where(F.col("est_jaccard") >= threshold)
+    ga = sh.select(F.col("_id").alias("id_a"), F.col("shingle_hash").alias("h"))
+    gb = sh.select(F.col("_id").alias("id_b"), F.col("shingle_hash").alias("h"))
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        est.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    out = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("c"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of token-hash
+    bits.  Token hashing is JVM (xxhash64); the per-doc bit fold is
+    numpy over Arrow batches."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).select("_id", F.xxhash64("w").alias("h"))
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"_id": pd.Series([], dtype="int64"), "simhash": pd.Series([], dtype="int64")})
+                continue
+            ids, sigs = [], []
+            for did, grp in pdf.groupby("_id"):
+                h = grp["h"].to_numpy(dtype=np.uint64)
+                bitsm = (h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & np.uint64(1)
+                score = (2 * bitsm.astype(np.int64) - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for i in range(bits):
+                    if score[i] > 0:
+                        sig |= np.uint64(1) << np.uint64(i)
+                ids.append(did)
+                sigs.append(np.int64(sig))
+            yield pd.DataFrame({"_id": ids, "simhash": sigs})
+
+    part = toks.repartition("_id").sortWithinPartitions("_id")
+    return part.mapInPandas(fold, schema="_id long, simhash long")
+
+
+def simhash_candidates(sig_df: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Hamming-neighbor candidates: split the 64-bit fingerprint into
+    64/band_bits bands; pairs sharing any band are candidates (catches
+    all pairs with Hamming distance < 64/band_bits).  Returns
+    (id_a, id_b, hamming)."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig_df.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.band", "bb.key")
+    l = banded.select("band", "key", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    r = banded.select("band", "key", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        l.join(r, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

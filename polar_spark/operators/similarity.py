@@ -1,0 +1,232 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk_bruteforce``: exact baseline.  For a bounded query set
+  the query matrix is broadcast and each partition does one numpy
+  matmul over its Arrow batch (``mapInPandas``) — the vectorized scale
+  path; a pure-expression variant backs the SQL oracle.
+- ``cosine_topk_lsh``: random-hyperplane LSH — sign-bit bucket keys,
+  candidates share a bucket in ≥1 of ``n_tables`` tables, rerank
+  exactly within candidates.  Approximate; recall grows with tables.
+- ``ivf_topk``: IVF-style — sampled centroids (deterministic k-means--
+  lite), vectors assigned to nearest centroid, queries probe the
+  ``n_probe`` nearest centroids only.
+
+Scale notes: brute force is O(Q·N) — fine for Q ≤ a few thousand when
+the N side streams through matmul; LSH/IVF bound the candidate set for
+large Q.  All distance math is float64.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("_n", nrm)
+        .where(F.col("_n") > 0)
+        .select("_id", F.transform("v", lambda x: x / F.col("_n")).alias("v"))
+    )
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors.  Queries (bounded set) are collected
+    into a broadcast numpy matrix; candidates stream through one matmul
+    per Arrow batch.  Returns (query_id, neighbor_id, cos, rnk)."""
+    spark = df.sparkSession
+    base = _normalized(df, vec_col, id_col)
+    qdf = base if query_ids is None else base.where(F.col("_id").isin(query_ids))
+    qrows = qdf.collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, cos double, rnk long")
+    qids = np.array([r["_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)  # (Q, D)
+    bq = spark.sparkContext.broadcast((qids, qmat, k))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, kk = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(pdf["v"].tolist(), dtype=np.float64)  # (C, D)
+            sims = mat_b @ cmat.T  # (Q, C)
+            # per-partition partial top-k per query
+            frames = []
+            for qi in range(len(ids_b)):
+                s = sims[qi]
+                mask = cids != ids_b[qi]
+                s, c = s[mask], cids[mask]
+                if len(c) == 0:
+                    continue
+                top = min(kk, len(c))
+                idx = np.argpartition(-s, top - 1)[:top]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": ids_b[qi], "neighbor_id": c[idx], "cos": s[idx]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = base.mapInPandas(score, schema="query_id long, neighbor_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("long"))
+    )
+
+
+def _hyperplane_keys(
+    df: DataFrame, dim: int, n_tables: int, n_planes: int, seed: int
+) -> DataFrame:
+    """(id, table, key) sign-bit bucket keys; planes are a broadcast
+    numpy tensor, key computed per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    spark = df.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+
+    def keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bp.value
+        t, p, _ = pl.shape
+        weights = (1 << np.arange(p, dtype=np.int64))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)  # (C, D)
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            out_id, out_t, out_k = [], [], []
+            for ti in range(t):
+                bits = (mat @ pl[ti].T) > 0  # (C, P)
+                key = (bits.astype(np.int64) * weights).sum(axis=1)
+                out_id.append(ids)
+                out_t.append(np.full(len(ids), ti, dtype=np.int64))
+                out_k.append(key)
+            yield pd.DataFrame(
+                {
+                    "_id": np.concatenate(out_id),
+                    "table": np.concatenate(out_t),
+                    "key": np.concatenate(out_k),
+                }
+            )
+
+    return df.mapInPandas(keys, schema="_id long, table long, key long")
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    n_planes: int = 12,
+    seed: int = 7,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Approximate all-pairs top-k: random-hyperplane buckets generate
+    candidates, exact cosine reranks them.  Returns
+    (query_id, neighbor_id, cos, rnk) — rnk within retrieved set."""
+    base = _normalized(df, vec_col, id_col).persist()
+    dim = len(base.select("v").head()["v"])
+    keys = _hyperplane_keys(base, dim, n_tables, n_planes, seed)
+    keys = keys.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("table", "key"))
+    ).where(F.col("_n") <= max_bucket)
+    l = keys.select("table", "key", F.col("_id").alias("query_id"))
+    r = keys.select("table", "key", F.col("_id").alias("neighbor_id"))
+    cand = (
+        l.join(r, ["table", "key"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    va = base.select(F.col("_id").alias("query_id"), F.col("v").alias("va"))
+    vb = base.select(F.col("_id").alias("neighbor_id"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = cand.join(va, "query_id").join(vb, "neighbor_id").select(
+        "query_id", "neighbor_id", dot.alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("long"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: deterministic sampled centroids (one Lloyd step),
+    inverted lists by nearest centroid, queries probe ``n_probe`` lists.
+    Exact cosine within the probed lists."""
+    spark = df.sparkSession
+    base = _normalized(df, vec_col, id_col).persist()
+    # deterministic centroid seed: first n_centroids ids in order
+    seed_rows = base.orderBy("_id").limit(n_centroids).collect()
+    cmat = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            sims = mat @ c.T
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].to_numpy(np.int64), "cell": sims.argmax(axis=1).astype(np.int64)}
+            )
+
+    cells = base.mapInPandas(assign, schema="_id long, cell long")
+    assigned = base.join(cells, "_id").persist()
+
+    qrows = assigned.where(F.col("_id").isin(query_ids)).collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, cos double, rnk long")
+    # probe lists per query: n_probe nearest centroids
+    out = []
+    for r in qrows:
+        qv = np.array(r["v"], dtype=np.float64)
+        order = np.argsort(-(cmat @ qv))[:n_probe]
+        out.extend((int(r["_id"]), int(c)) for c in order)
+    probes = spark.createDataFrame(out, "query_id long, cell long")
+    qv_df = assigned.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"), F.col("v").alias("va")
+    )
+    cand = (
+        probes.join(assigned.withColumnRenamed("_id", "neighbor_id"), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(qv_df, "query_id")
+    )
+    dot = F.aggregate(F.zip_with("va", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = cand.select("query_id", "neighbor_id", dot.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("long"))
+    )

@@ -1,0 +1,76 @@
+"""Dedup operator tests: planted duplicates, minhash estimate quality,
+simhash Hamming behavior, candidate completeness for near-identical docs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    # 0/1: exact duplicates; 2: near-dup of 0 (one word changed);
+    # 3: half-overlap; 4..9: unrelated
+    rows.append((0, BASE))
+    rows.append((1, BASE))
+    rows.append((2, BASE.replace("lazy", "sleepy")))
+    rows.append((3, BASE[: len(BASE) // 2] + " completely different tail of words here"))
+    for i in range(4, 10):
+        rows.append((i, " ".join(f"w{i}_{j} token{j * i}" for j in range(30))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup(docs).collect()
+    dupg = [g for g in groups if g["n_docs"] > 1]
+    assert len(dupg) == 1
+    assert dupg[0]["n_docs"] == 2 and dupg[0]["keep_id"] == 0
+
+
+def test_shingles_deterministic(docs):
+    a = sorted(map(tuple, dedup.shingles(docs).collect()))
+    b = sorted(map(tuple, dedup.shingles(docs).collect()))
+    assert a == b
+    # identical docs → identical shingle sets
+    sh = dedup.shingles(docs)
+    s0 = {r["shingle_hash"] for r in sh.where(F.col("_id") == 0).collect()}
+    s1 = {r["shingle_hash"] for r in sh.where(F.col("_id") == 1).collect()}
+    assert s0 == s1
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    out = dedup.minhash_lsh_dedup(docs, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)]["jaccard"] == 1.0
+    assert (0, 2) in pairs and (1, 2) in pairs  # near-dup found
+    assert pairs[(0, 2)]["jaccard"] > 0.5
+    # unrelated docs never pass
+    assert all(a <= 3 and b <= 3 for a, b in pairs)
+
+
+def test_minhash_estimate_close_to_exact(docs):
+    out = dedup.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    for r in out:
+        assert abs(r["est_jaccard"] - r["jaccard"]) < 0.25
+
+
+def test_simhash_exact_dup_zero_hamming(docs):
+    sig = dedup.simhash_signatures(docs)
+    cand = dedup.simhash_candidates(sig)
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in cand.collect()}
+    assert ham.get((0, 1)) == 0
+    if (0, 2) in ham:
+        assert ham[(0, 2)] <= 16  # near-dup → small distance
+
+
+def test_simhash_deterministic(docs):
+    s1 = sorted(map(tuple, dedup.simhash_signatures(docs).collect()))
+    s2 = sorted(map(tuple, dedup.simhash_signatures(docs).collect()))
+    assert s1 == s2

@@ -1,0 +1,72 @@
+"""Similarity-search tests: brute force vs numpy oracle; LSH/IVF recall
+against the exact baseline."""
+
+import numpy as np
+import pytest
+
+from polar_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    n, d = 120, 16
+    mat = rng.standard_normal((n, d))
+    # plant 3 tight clusters so ANN has structure to find
+    for c in range(3):
+        mat[c * 30 : c * 30 + 20] = mat[c * 30] + 0.05 * rng.standard_normal((20, d))
+    rows = [(i, mat[i].astype(float).tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, mat
+
+
+def _np_topk(mat, qids, k):
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        sims = nm @ nm[q]
+        sims[q] = -np.inf
+        idx = np.argsort(-sims)[:k]
+        out[q] = list(idx)
+    return out
+
+
+def test_bruteforce_matches_numpy(emb):
+    df, mat = emb
+    qids = [0, 5, 50, 99]
+    got = similarity.cosine_topk_bruteforce(df, query_ids=qids, k=5)
+    rows = got.collect()
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rnk"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    exp = _np_topk(mat, qids, 5)
+    for q in qids:
+        assert by_q[q] == exp[q], f"query {q}: {by_q[q]} vs {exp[q]}"
+
+
+def test_lsh_recall_on_clusters(emb):
+    df, mat = emb
+    got = similarity.cosine_topk_lsh(df, k=5, n_tables=10, n_planes=8)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exp = _np_topk(mat, list(range(0, 20)), 5)
+    # recall@5 over clustered queries should be high
+    hits = sum(len(by_q.get(q, set()) & set(exp[q])) for q in exp)
+    total = sum(len(exp[q]) for q in exp)
+    assert hits / total > 0.6, f"LSH recall too low: {hits}/{total}"
+
+
+def test_ivf_finds_cluster_neighbors(emb):
+    df, mat = emb
+    qids = [0, 30, 60]
+    got = similarity.ivf_topk(df, query_ids=qids, k=5, n_centroids=12, n_probe=4)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exp = _np_topk(mat, qids, 5)
+    hits = sum(len(by_q.get(q, set()) & set(exp[q])) for q in exp)
+    total = sum(len(exp[q]) for q in exp)
+    assert hits / total > 0.6, f"IVF recall too low: {hits}/{total}"

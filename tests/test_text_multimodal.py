@@ -1,0 +1,109 @@
+"""Text-analysis + multimodal plumbing tests."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.operators import multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog are in the garden of the house"),
+        (1, "el perro y el gato de la casa que en los árboles del parque un día"),
+        (2, "le chat et le chien de la maison les oiseaux des arbres en un jour"),
+        (3, "der Hund und die Katze von dem Haus mit den Vögeln ist ein Tag"),
+        (4, "12345 67890 999 000 111 222"),
+        (5, "word " * 100),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in text.language_scores(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "fr"
+    assert out[3] == "de"
+
+
+def test_quality_scores(docs):
+    rows = {r["doc_id"]: r for r in text.quality_scores(docs).collect()}
+    # digit-noise doc scores below natural-language doc
+    assert rows[4]["quality"] < rows[0]["quality"]
+    assert rows[4]["digit_ratio"] > 0.5
+    assert 0.0 <= rows[0]["quality"] <= 1.0
+    assert rows[0]["stopword_ratio"] > 0.2
+
+
+def test_token_counts(docs):
+    rows = {r["doc_id"]: r for r in text.token_counts(docs).collect()}
+    assert rows[0]["ws_tokens"] == 15
+    assert rows[4]["bpe_tokens"] >= rows[4]["ws_tokens"]  # digit chunking splits
+
+
+def test_fingerprints_match_reference_computation(docs):
+    rows = {r["doc_id"]: r for r in text.fingerprints(docs).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, t in src.items():
+        assert rows[did]["content_sha256"] == hashlib.sha256(t.encode()).hexdigest()
+        exp = sum((i + 1) * ord(c) for i, c in enumerate(t)) % 1000000007
+        assert rows[did]["rolling_fp"] == exp
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = multimodal.gen_media_table(spark, n=60).cache()
+    df.count()
+    return df
+
+
+def test_media_schema(media):
+    assert set(media.columns) == {"media_id", "kind", "content", "meta"}
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_image_features_plumbing(media):
+    feats = multimodal.decode_image_features(media, feat_dim=16)
+    rows = feats.collect()
+    assert len(rows) == media.where(F.col("kind") == "image").count()
+    for r in rows[:5]:
+        assert len(r["features"]) == 16
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
+    # deterministic across runs
+    again = {r["media_id"]: r["features"] for r in multimodal.decode_image_features(media, 16).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+
+
+def test_video_frame_sampling(media):
+    frames = multimodal.sample_video_frames(media, every_s=2.0)
+    rows = frames.collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    meta = {r["media_id"]: r["meta"] for r in media.where(F.col("kind") == "video").collect()}
+    for mid, rs in by_media.items():
+        dur, fps = float(meta[mid]["duration_s"]), float(meta[mid]["fps"])
+        assert len(rs) == max(int(dur / 2.0), 1)
+        for r in rs:
+            assert r["frame_idx"] == int(r["t_offset_s"] * fps)
+            assert r["t_offset_s"] < dur
+
+
+def test_audio_chunk_plan(media):
+    chunks = multimodal.audio_chunk_plan(media, chunk_s=5.0)
+    rows = chunks.collect()
+    assert rows
+    for r in rows:
+        assert r["end_s"] > r["start_s"]
+        assert r["n_samples"] == int((r["end_s"] - r["start_s"]) * 16000)
+
+
+def test_audio_decode_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio_features(media)
