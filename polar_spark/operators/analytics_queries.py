@@ -558,3 +558,271 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_topk": q_window_topk,
     "rollup_lineitem": q_rollup_lineitem,
 }
+
+
+# --------------------------------------------------------------------------
+# round-1 extension: as-of / session / pivot / cube / set-op / text / knn ops
+
+
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): for each purchase, the user's latest
+    signup at-or-before it — cogrouped Arrow ``merge_asof`` operator."""
+    from polar_spark.operators.relational import as_of_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    j = as_of_join(purchases, signups, ts="ts", by="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("ts_right").alias("signup_epoch"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag + running sum."""
+    from polar_spark.operators.relational import sessionize
+
+    ev = load_table(spark, "events", sf_dir)
+    out = sessionize(ev, ts="ts", by="user_id", gap_minutes=30.0, order_tiebreak="event_id")
+    return out.select("event_id", "user_id", "session_id")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op family: users with BOTH purchase and error events."""
+    ev = load_table(spark, "events", sf_dir)
+    a = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    return a.intersect(b)
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polar_spark.operators.text import language_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = language_scores(docs)
+    return out.select(
+        "doc_id",
+        F.round("score_en", 6).alias("score_en_r"),
+        F.round("score_es", 6).alias("score_es_r"),
+        F.round("score_de", 6).alias("score_de_r"),
+        "lang_pred",
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polar_spark.operators.text import quality_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = quality_scores(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio_r"),
+        F.round("digit_ratio", 6).alias("digit_ratio_r"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio_r"),
+        F.col("quality").alias("quality_r"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polar_spark.operators.text import token_counts
+
+    docs = load_table(spark, "documents", sf_dir)
+    return token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+def q_knn_bruteforce_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy-matmul brute-force ANN baseline vs the same SQL oracle
+    as q_knn_cosine — validates the vectorized operator end-to-end."""
+    from polar_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = cosine_topk_bruteforce(emb, query_ids=list(range(20)), k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos_r"), F.col("rnk")
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with estimated+exact jaccard — no SQL
+    oracle (numpy signature fold); driver records the rows-only check;
+    cross-validated against exact jaccard in tests/test_dedup.py."""
+    from polar_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = minhash_lsh_dedup(docs, threshold=0.0)
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_j"), F.round("jaccard", 6).alias("j")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming candidates — no SQL oracle (bit fold);
+    rows-only check."""
+    from polar_spark.operators.dedup import simhash_candidates, simhash_signatures
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = simhash_signatures(docs)
+    return simhash_candidates(sig).where(F.col("hamming") <= 12)
+
+
+_STOP_SQL = {
+    "en": "'the','and','of','to','in','is','that','for','with','a'",
+    "es": "'el','la','de','que','y','en','los','del','las','un'",
+    "de": "'der','die','und','das','von','zu','mit','den','ist','ein'",
+    "fr": "'le','la','de','et','les','des','en','un','du','que'",
+    "zh": "'的','了','是','在','我','有','和','就','不','人'",
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL[lang]}))) AS DOUBLE)"
+        " / GREATEST(len(toks), 1)"
+    )
+
+
+ORACLES.update(
+    {
+        "asof_last_signup": """
+            SELECT e1.event_id, e1.user_id,
+                   CAST(FLOOR(epoch(e1.ts)) AS BIGINT) AS ts_epoch,
+                   CAST(FLOOR(epoch((SELECT MAX(e2.ts) FROM events e2
+                                     WHERE e2.user_id = e1.user_id
+                                       AND e2.event_type = 'signup'
+                                       AND e2.ts <= e1.ts))) AS BIGINT) AS signup_epoch
+            FROM events e1 WHERE e1.event_type = 'purchase'
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                            OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(user_id AS VARCHAR) || '#' ||
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
+            FROM g
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "cube_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "intersect_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "langid": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         {_lang_score_sql("de")} AS s_de,
+                         {_lang_score_sql("en")} AS s_en,
+                         {_lang_score_sql("es")} AS s_es,
+                         {_lang_score_sql("fr")} AS s_fr,
+                         {_lang_score_sql("zh")} AS s_zh
+                  FROM t)
+            SELECT doc_id,
+                   ROUND(s_en, 6) AS score_en_r,
+                   ROUND(s_es, 6) AS score_es_r,
+                   ROUND(s_de, 6) AS score_de_r,
+                   CASE WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                        WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                        WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                        WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
+        """,
+        "quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks,
+                     CAST(LENGTH(text) AS DOUBLE) AS n_chr,
+                     CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g')) AS DOUBLE) AS punct,
+                     CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digit
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     punct / GREATEST(n_chr, 1) AS punct_ratio,
+                     digit / GREATEST(n_chr, 1) AS digit_ratio,
+                     CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','a'))) AS DOUBLE)
+                       / GREATEST(len(toks), 1) AS stopword_ratio
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   ROUND(punct_ratio, 6) AS punct_ratio_r,
+                   ROUND(digit_ratio, 6) AS digit_ratio_r,
+                   ROUND(stopword_ratio, 6) AS stopword_ratio_r,
+                   0.4 * LEAST(n_tokens / 64.0, 1.0)
+                         + 0.3 * LEAST(stopword_ratio * 5, 1.0)
+                         + 0.3 * (1.0 - LEAST(digit_ratio * 10, 1.0)) AS quality_r
+            FROM s
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+            FROM documents
+        """,
+    }
+)
+ORACLES["knn_bruteforce_op"] = ORACLES["knn_cosine"]
+
+QUERIES.update(
+    {
+        "asof_last_signup": q_asof_last_signup,
+        "sessionize": q_sessionize,
+        "pivot_events": q_pivot_events,
+        "cube_orders": q_cube_orders,
+        "intersect_users": q_intersect_users,
+        "langid": q_langid,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "knn_bruteforce_op": q_knn_bruteforce_op,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+    }
+)

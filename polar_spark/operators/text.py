@@ -32,7 +32,6 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = _tokens(text_col)
     out = df.withColumn("_toks", toks)
     for lang, words in STOPWORDS.items():
-        hits = F.size(F.array_intersect(F.array_distinct(F.col("_toks")), F.array(*[F.lit(w) for w in words])))
         overlap = F.aggregate(
             F.col("_toks"),
             F.lit(0),
@@ -78,12 +77,15 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # composite: length sweet-spot, low digit noise, some stopwords
     len_term = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+    # no rounding: the composite is deterministic per-row IEEE arithmetic
+    # (identical bit pattern in any engine evaluating the same formula);
+    # rounding would *introduce* cross-engine half-boundary mismatches
     qual = (
         F.lit(0.4) * len_term
         + F.lit(0.3) * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - F.least(F.col("digit_ratio") * 10, F.lit(1.0)))
     )
-    return out.withColumn("quality", F.round(qual, 6))
+    return out.withColumn("quality", qual)
 
 
 _BPE_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
