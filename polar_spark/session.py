@@ -33,6 +33,14 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # Shuffle/local dirs on tmpfs: local-mode shuffles are disk I/O bound
+    # otherwise and stop scaling with cores (cluster equivalent: local
+    # NVMe via spark.local.dir / YARN local dirs).
+    local_dir = os.environ.get("POLAR_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/polar-spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -49,6 +57,8 @@ def get_spark(
         # props-merge (SET semantics) depends on this
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,171 @@
+"""E2E provenance smoke test — the reference's event sequence and its 9
+golden queries (/root/reference/scripts/pipeline/smoke-test.nu:23-139),
+plus git projection semantics (FIXTURES.md §3)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.operators.git_projection import (
+    detect_ref_changes,
+    incremental_walk,
+    project_commits,
+    project_ref_updates,
+)
+from polar_spark.operators.graph_store import GraphStore
+from polar_spark.operators.provenance import EVENT_SCHEMA, SMOKE_QUERIES, project_events
+
+
+def _smoke_events(spark):
+    """The exact sequence of smoke-test.nu:23-120: ExecutionStarted →
+    StageStarted → ArtifactProduced(sbom) → SbomAnalyzed (root polar,
+    components serde+tokio, serde→tokio edge) → ArtifactProduced(bin) →
+    BinaryLinked → ContainerImageCreated(1 layer) → ArtifactProduced
+    (image) → VulnerabilityFound → StageCompleted → ExecutionCompleted."""
+    base = {k: None for k in (
+        "build_id commit_sha ref_name repo_url stage_id stage_name duration_secs outcome "
+        "severity identifier artifact_content_hash artifact_type name root_purl "
+        "sbom_content_hash config_digest layers dep_edges components in_artifact".split()
+    )}
+    root = "pkg:cargo/polar@0.1.0"
+    rows = []
+
+    def ev(t, i, **kw):
+        d = dict(base)
+        d.update(type=t, build_id="b-1", observed_at=f"2026-01-01T00:00:{i:02d}Z", **kw)
+        rows.append(d)
+
+    ev("execution_started", 0, commit_sha="abc123", ref_name="main", repo_url="https://git/x")
+    ev("stage_started", 1, stage_id="s1", stage_name="build")
+    ev("artifact_produced", 2, artifact_content_hash="sbomhash", artifact_type="sbom", name="sbom.json")
+    ev(
+        "sbom_analyzed",
+        3,
+        sbom_content_hash="sbomhash",
+        root_purl=root,
+        components=["pkg:cargo/serde@1.0", "pkg:cargo/tokio@1.38"],
+        dep_edges=[{"from_ref": "pkg:cargo/serde@1.0", "to_refs": ["pkg:cargo/tokio@1.38"]}],
+    )
+    ev("artifact_produced", 4, artifact_content_hash="binhash", artifact_type="elf-binary", name="polar")
+    ev("binary_linked", 5, artifact_content_hash="binhash", root_purl=root, sbom_content_hash="sbomhash")
+    ev("container_image_created", 6, config_digest="cfgdigest", layers=[{"order": 0, "diff_id": "sha256:l0"}])
+    ev("artifact_produced", 7, artifact_content_hash="imghash", artifact_type="oci-image", name="img")
+    ev("vulnerability_found", 8, identifier="CVE-2024-12345", severity="high", in_artifact="binhash")
+    ev("stage_completed", 9, stage_id="s1", duration_secs=42, outcome="success")
+    ev("execution_completed", 10, outcome="success")
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+@pytest.fixture()
+def store(spark):
+    tmp = tempfile.mkdtemp(prefix="polar_smoke_")
+    yield GraphStore(spark, tmp)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_smoke_sequence_golden_queries(spark, store):
+    events = _smoke_events(spark)
+    verts, edges, transitions = project_events(events)
+    store.upsert_nodes(verts)
+    store.ensure_edges(edges)
+    store.update_state(transitions)
+
+    expected = {
+        "build_job_exists": 1,
+        "built_by": 1,
+        "has_stage": 1,
+        "found_vulnerability": 1,
+        "built_from": 1,
+        "describes": 1,
+        # explicit serde→tokio plus flat-fallback root→serde, root→tokio
+        # (the root has no explicit dep entry — linker.rs:166-202)
+        "depends_on": 3,
+        "has_layer": 1,
+        "found_in": 1,
+    }
+    got = {k: store.raw_query(q).collect()[0]["n"] for k, q in SMOKE_QUERIES.items()}
+    assert got == expected
+
+    # replay idempotency: re-applying the whole batch changes nothing
+    before_v, before_e = store.vertices.count(), store.edges.count()
+    store.upsert_nodes(verts)
+    store.ensure_edges(edges)
+    store.update_state(transitions)
+    assert store.vertices.count() == before_v
+    assert store.edges.count() == before_e
+
+    # temporal chain: 2 lifecycle transitions, current = completed
+    assert store.state_history.count() == 2
+    cur = store.current_state.collect()
+    assert len(cur) == 1 and cur[0]["props"]["phase"] == "success"
+
+
+def _commits(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, oid string, ref_name string, committer string, time long, "
+        "message string, parents array<string>, observed_at string",
+    )
+
+
+def test_commit_projection_self_parent_guard(spark, store):
+    c = _commits(
+        spark,
+        [
+            ("https://Host/Repo.git", "c2", "main", "a@x", 2, "m2", ["c1"], "t"),
+            ("https://Host/Repo.git", "c1", "main", "a@x", 1, "m1", ["c1"], "t"),  # self-parent
+        ],
+    )
+    verts, edges = project_commits(c)
+    store.upsert_nodes(verts)
+    store.ensure_edges(edges)
+    parents = store.edges.where(F.col("rel_type") == "PARENT").collect()
+    assert len(parents) == 1 and parents[0]["src_key"] == "c2"
+    # repo identity normalized (lowercased host, .git stripped)
+    repos = {r["key"] for r in store.vertices.where(F.col("label") == "GitRepository").collect()}
+    assert repos == {"https://host/Repo"}
+
+
+def test_incremental_walk_depth_and_watermark(spark):
+    rows = [
+        ("r", f"c{i}", "main", "a@x", i, f"m{i}", [], "t") for i in range(20)
+    ]
+    c = _commits(spark, rows)
+    walked = incremental_walk(c, max_depth=5)
+    got = sorted(r["oid"] for r in walked.collect())
+    assert got == sorted(f"c{i}" for i in range(15, 20))  # newest 5
+    ls = spark.createDataFrame([("r", "main", 17)], "repo string, ref_name string, last_time long")
+    walked2 = incremental_walk(c, last_seen=ls, max_depth=5)
+    assert sorted(r["oid"] for r in walked2.collect()) == ["c18", "c19"]
+
+
+def test_force_push_ref_update(spark, store):
+    prev = spark.createDataFrame(
+        [("r", "main", "tip1", "t0")], "repo string, ref_name string, new string, observed_at string"
+    )
+    cur = spark.createDataFrame(
+        [("r", "main", "tip2", "t1"), ("r", "dev", "d1", "t1")],
+        "repo string, ref_name string, new string, observed_at string",
+    )
+    changes = detect_ref_changes(cur, prev)
+    rows = {(r["ref_name"]): r for r in changes.collect()}
+    assert rows["main"]["old"] == "tip1" and rows["main"]["new"] == "tip2"
+    assert rows["dev"]["old"] is None  # new ref
+    # POINTS_TO is a replace-edge: only the new tip remains
+    v1, e1 = project_ref_updates(
+        spark.createDataFrame(
+            [("r", "main", None, "tip1", "t0")],
+            "repo string, ref_name string, old string, new string, observed_at string",
+        )
+    )
+    store.upsert_nodes(v1)
+    store.replace_edges(e1)
+    v2, e2 = project_ref_updates(changes.where(F.col("ref_name") == "main"))
+    store.upsert_nodes(v2)
+    store.replace_edges(e2)
+    pts = store.edges.where(F.col("rel_type") == "POINTS_TO").collect()
+    assert len(pts) == 1
+    assert pts[0]["dst_key"] == "tip2"
+    assert pts[0]["props"]["old"] == "tip1"  # force-push records old tip
