@@ -32,18 +32,22 @@ def main() -> None:
     from polar_spark.session import get_spark
     from polar_spark.sources.synthetic import gen_zipf_edges
 
+    # 3x waves per stage: with exactly one task wave a single straggler
+    # (hub-dst partition) stalls the stage; oversubscription smooths it —
+    # the same sizing rule as a real cluster (2-3x total cores)
+    parts = 3 * args.cpus
     spark = get_spark(
         master=f"local[{args.cpus}]",
         app_name=f"polar_scaling_{args.cpus}",
-        shuffle_partitions=max(args.cpus, 8),
+        shuffle_partitions=parts,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     edges = gen_zipf_edges(
-        spark, args.edges, args.vertices, seed=args.seed, partitions=max(args.cpus, 8)
+        spark, args.edges, args.vertices, seed=args.seed, partitions=parts
     )
     t0 = time.monotonic()
     _ranks, st = pregel.pagerank(
-        edges, tol=0.0, max_iter=args.iters, num_partitions=max(args.cpus, 8)
+        edges, tol=0.0, max_iter=args.iters, num_partitions=parts
     )
     wall = time.monotonic() - t0
     iter_wall = sum(st.iter_seconds)

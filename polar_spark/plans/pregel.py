@@ -436,7 +436,7 @@ def _cc_loop(spark, sym0, shuffle, max_iter, checkpoint_dir, checkpoint_every, r
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
                 (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the changed-count agg
         )
         changed = int(
             new_comp.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0] or 0
