@@ -86,6 +86,20 @@ def main() -> None:
 
     timed("pagerank_repo_graph", _pr_repo)
 
+    # -- throughput headline: Zipf graph scaled by sf, fixed 8 iterations --
+    def _pr_zipf():
+        from polar_spark.sources.synthetic import gen_zipf_edges
+
+        m_edges = max(1_000_000, int(100_000_000 * sf)) if sf > 0 else 10_000_000
+        zedges = gen_zipf_edges(spark, m_edges, max(m_edges // 10, 1000), partitions=3 * cpus)
+        _r, st = pregel.pagerank(zedges, tol=0.0, max_iter=8, num_partitions=3 * cpus)
+        wall = sum(st.iter_seconds)
+        extra["zipf_edges"] = st.edges
+        extra["zipf_iters_per_sec"] = round(st.iterations / wall, 4) if wall else None
+        extra["zipf_edges_per_sec"] = round(st.edges * st.iterations / wall) if wall else None
+
+    timed("pagerank_zipf_fixed8", _pr_zipf)
+
     # -- derived graphs from the sf tables ---------------------------------
     cop = timed("copart_edge_build", lambda: copart_edges(spark, sf_dir).persist())
     extra["copart_edges"] = cop.count()

@@ -20,11 +20,13 @@ Scale design (100 TB / 10^9+ vertices):
   (``salt_buckets``) pre-combines contributions of a hub vertex in
   ``salt`` sub-groups before the final combine — bit-identical result,
   bounded reducer size.
-- Lineage is cut every ``checkpoint_every`` iterations: either
-  ``localCheckpoint`` (fast, in-memory) or durable parquet snapshots
-  under ``checkpoint_dir`` with per-iteration metrics + per-partition
-  lineage rows — the resume protocol reads the newest complete
-  snapshot and continues mid-computation.
+- Logical lineage is cut EVERY round via ``localCheckpoint`` (the state
+  feeds the next plan twice, so an uncut plan doubles per round —
+  exponential analysis cost); durable parquet snapshots with
+  per-iteration metrics + per-partition lineage rows land every
+  ``checkpoint_every`` rounds under ``checkpoint_dir`` — the resume
+  protocol reads the newest complete snapshot and continues
+  mid-computation.
 - Convergence is an aggregate action per iteration (max |delta|);
   at cluster scale this is one lightweight job over the vertex state.
 """
@@ -245,14 +247,17 @@ def _pagerank_loop(
         .repartition(shuffle, "src")
         .localCheckpoint(eager=True)
     )
-    verts = vertices_of(e).repartition(shuffle, "id").localCheckpoint(eager=True)
-    # static dangling-vertex list: per-iteration dangling mass is a
-    # semi-join of the (cached) rank state against this, NOT a recompute
-    # of the contribution aggregate
-    dang = (
-        verts.join(out_deg, "id", "left_anti").localCheckpoint(eager=True)
-        if dangling
-        else None
+    # dangling flag folded into the vertex state: the per-iteration
+    # dangling mass is then a by-product of the SAME aggregate that
+    # computes the convergence delta — no separate semi-join job, three
+    # fewer stages per round (stage count is the driver-serial floor
+    # that caps strong scaling)
+    verts = (
+        vertices_of(e)
+        .join(out_deg.select("id", F.lit(True).alias("_nd")), "id", "left")
+        .select("id", F.coalesce(F.col("_nd"), F.lit(False)).alias("not_dangling"))
+        .repartition(shuffle, "id")
+        .localCheckpoint(eager=True)
     )
     n = verts.count()
     m = ew.count()
@@ -262,14 +267,24 @@ def _pagerank_loop(
     ckpt = _Ckpt(spark, checkpoint_dir, "pagerank") if checkpoint_dir else None
     start_iter = 0
     if resume and ckpt is not None and (last := ckpt.latest()) is not None:
-        ranks = ckpt.load(last["iteration"]).repartition(shuffle, "id")
+        loaded = ckpt.load(last["iteration"]).repartition(shuffle, "id")
+        ranks = loaded.join(verts, "id").select("id", "rank", "not_dangling")
         start_iter = last["iteration"]
         stats.resumed_from = start_iter
     else:
-        ranks = verts.select("id", (F.lit(1.0) / n).alias("rank"))
+        ranks = verts.select("id", (F.lit(1.0) / n).alias("rank"), "not_dangling")
 
     ranks = ranks.localCheckpoint(eager=True)
     inv_n = 1.0 / n
+    # dangling mass of the CURRENT state (dm enters the next update as a
+    # python literal; recomputed per round by the convergence aggregate)
+    dm = (
+        float(
+            ranks.where(~F.col("not_dangling")).agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+        if dangling
+        else 0.0
+    )
     # Iteration discipline: the rank state is *localCheckpoint*ed every
     # round.  The state feeds the next plan twice (contribution join +
     # in-row delta), so without truncation the analyzed logical plan
@@ -297,39 +312,30 @@ def _pagerank_loop(
                 .agg(F.sum("c").alias("c"))
             )
         sums = contrib.groupBy(F.col("dst").alias("id")).agg(F.sum("c").alias("s"))
-        if dang is not None:
-            # dangling mass: Σ rank over out-degree-0 vertices — reads the
-            # cached rank state, one tiny broadcast row into the plan
-            tot = (
-                ranks.join(dang, "id", "left_semi")
-                .agg(F.sum("rank").alias("_dm"))
-            )
-            dm_col = F.greatest(F.lit(0.0), F.coalesce(F.col("_dm"), F.lit(0.0)))
-        else:
-            tot = None
-            dm_col = F.lit(0.0)
         joined = ranks.withColumnRenamed("rank", "old").join(
             sums.hint("shuffle_hash"), "id", "left"
         )
-        if tot is not None:
-            joined = joined.crossJoin(F.broadcast(tot))
+        base = (1.0 - damping) * inv_n + damping * inv_n * (dm if dangling else 0.0)
         # lazy localCheckpoint: the convergence aggregate below is the
-        # job that materializes it — one job per iteration total
+        # job that materializes it — one job per iteration total; the
+        # same aggregate also yields the next round's dangling mass
         new_state = joined.select(
             "id",
             (
-                F.lit((1.0 - damping) * inv_n)
-                + F.lit(damping * inv_n) * dm_col
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("rank"),
             F.col("old"),
+            F.col("not_dangling"),
         ).localCheckpoint(eager=False)
-        delta = float(
-            new_state.agg(F.max(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
-        )
-        ranks = new_state.select("id", "rank")
+        agg_row = new_state.agg(
+            F.max(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+            F.sum(F.when(~F.col("not_dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias("dm"),
+        ).collect()[0]
+        delta = float(agg_row["delta"])
+        dm = float(agg_row["dm"] or 0.0)
+        ranks = new_state.select("id", "rank", "not_dangling")
         if ckpt is not None and it % checkpoint_every == 0:
-            ranks = ckpt.save(it, ranks, delta)
+            ckpt.save(it, ranks.select("id", "rank"), delta)
         stats.iterations = it
         stats.deltas.append(delta)
         stats.iter_seconds.append(time.monotonic() - t0)
@@ -338,10 +344,10 @@ def _pagerank_loop(
             stats.converged = True
             break
     if ckpt is not None and stats.iterations % checkpoint_every != 0:
-        ckpt.save(stats.iterations, ranks, stats.final_delta)
+        ckpt.save(stats.iterations, ranks.select("id", "rank"), stats.final_delta)
     ew.unpersist()
     verts.unpersist()
-    return ranks, stats
+    return ranks.select("id", "rank"), stats
 
 
 def pagerank_fixed(
@@ -580,6 +586,9 @@ def _triangle_loop(und: DataFrame, shuffle: int) -> tuple[DataFrame, int]:
         tri.select(F.explode(F.array("v1", "v2", "v3")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
+        .localCheckpoint(eager=True)  # materialize so the caches below can go
     )
+    tri.unpersist()
+    oriented.unpersist()
     und.unpersist()
     return per_vertex, total
