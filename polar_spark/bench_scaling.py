@@ -21,7 +21,16 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] thread mode")
+    ap.add_argument(
+        "--executors",
+        type=int,
+        default=None,
+        help="local-cluster[N,cores,mem] mode: N separate executor JVMs "
+        "(the closest single-host analog of N cluster executors)",
+    )
+    ap.add_argument("--cores-per-executor", type=int, default=4)
+    ap.add_argument("--executor-mem-mb", type=int, default=6144)
     ap.add_argument("--edges", type=int, default=10_000_000)
     ap.add_argument("--vertices", type=int, default=1_000_000)
     ap.add_argument("--iters", type=int, default=8)
@@ -32,15 +41,29 @@ def main() -> None:
     from polar_spark.session import get_spark
     from polar_spark.sources.synthetic import gen_zipf_edges
 
+    if args.executors:
+        total_cores = args.executors * args.cores_per_executor
+        master = f"local-cluster[{args.executors},{args.cores_per_executor},{args.executor_mem_mb}]"
+        label = f"local-cluster[{args.executors}x{args.cores_per_executor}]"
+        import os
+
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/polar-spark-local")
+    else:
+        total_cores = args.cpus or 8
+        master = f"local[{total_cores}]"
+        label = master
     # 3x waves per stage: with exactly one task wave a single straggler
     # (hub-dst partition) stalls the stage; oversubscription smooths it —
     # the same sizing rule as a real cluster (2-3x total cores)
-    parts = 3 * args.cpus
+    parts = 3 * total_cores
     spark = get_spark(
-        master=f"local[{args.cpus}]",
-        app_name=f"polar_scaling_{args.cpus}",
+        master=master,
+        app_name=f"polar_scaling_{label}",
         shuffle_partitions=parts,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.executor.memory": f"{args.executor_mem_mb}m",
+        },
     )
     edges = gen_zipf_edges(
         spark, args.edges, args.vertices, seed=args.seed, partitions=parts
@@ -54,6 +77,8 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "mode": label,
+                "total_cores": total_cores,
                 "cpus": args.cpus,
                 "edges": st.edges,
                 "vertices": st.vertices,

@@ -222,6 +222,12 @@ def pagerank(
     spark = edges.sparkSession
     e = normalize_edges(edges).persist()
     m0 = e.count()
+    if m0 == 0:
+        e.unpersist()
+        return (
+            spark.createDataFrame([], "id long, rank double"),
+            IterationStats(algorithm="pagerank", edges=0, vertices=0, converged=True),
+        )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
         return _pagerank_loop(
@@ -403,6 +409,12 @@ def connected_components(
     spark = edges.sparkSession
     sym0 = symmetrize(normalize_edges(edges)).persist()
     m0 = sym0.count()
+    if m0 == 0:
+        sym0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, comp long"),
+            IterationStats(algorithm="connected_components", edges=0, vertices=0, converged=True),
+        )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
         return _cc_loop(spark, sym0, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume)
@@ -485,6 +497,12 @@ def label_propagation(
     spark = edges.sparkSession
     sym0 = symmetrize(normalize_edges(edges)).persist()
     m0 = sym0.count()
+    if m0 == 0:
+        sym0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, label long"),
+            IterationStats(algorithm="label_propagation", edges=0, vertices=0),
+        )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
         return _lpa_loop(spark, sym0, shuffle, max_iter)
