@@ -18,18 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: PageRank centrality of
-    the supplier co-part graph, top-10 with supplier names — the
-    end-to-end slice of the north-star pipeline (edge-table build →
-    iterative rank → dimension join)."""
+    the customer→supplier demand graph, top-10 suppliers with names —
+    the end-to-end slice of the north-star pipeline (edge-table build →
+    iterative rank with dangling handling → dimension join)."""
     from pyspark.sql import functions as F
 
-    from polar_spark.operators.analytics_queries import copart_edges, _sym
+    from polar_spark.operators.analytics_queries import demand_edges
     from polar_spark.plans import pregel
     from polar_spark.sources.tables import load_table
 
     sf_dir = "/root/testdata/sf0.001"
-    edges = _sym(copart_edges(spark, sf_dir))
-    ranks, _stats = pregel.pagerank(edges, tol=1e-6, max_iter=50)
+    ranks, _stats = pregel.pagerank(demand_edges(spark, sf_dir), tol=1e-6, max_iter=50)
     supplier = load_table(spark, "supplier", sf_dir)
     return (
         ranks.join(supplier, ranks.id == supplier.s_suppkey)
