@@ -126,6 +126,29 @@ def incremental_walk(
     )
 
 
+def resolve_default_refs(refs: DataFrame) -> DataFrame:
+    """S3 ref-resolution fallback (/root/reference/src/agents/git/
+    observe/src/lib.rs:538-559): per repo, the symbolic HEAD target if
+    observed, else ``origin/main``.
+
+    ``refs``: (repo, ref_name, new, observed_at) — a row with
+    ref_name='HEAD' carries the symbolic target in ``new``."""
+    head = (
+        refs.where(F.col("ref_name") == "HEAD")
+        .groupBy("repo")
+        .agg(F.max("new").alias("_head_target"))
+    )
+    return (
+        refs.select("repo")
+        .distinct()
+        .join(head, "repo", "left")
+        .select(
+            "repo",
+            F.coalesce(F.col("_head_target"), F.lit("origin/main")).alias("default_ref"),
+        )
+    )
+
+
 def detect_ref_changes(current: DataFrame, previous: DataFrame | None) -> DataFrame:
     """Per-ref change detection (S4, lib.rs:655-704): compare the new
     refs snapshot against the previous; emit RefUpdated rows

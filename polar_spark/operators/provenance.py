@@ -40,7 +40,8 @@ EVENT_SCHEMA = (
     "root_purl string, sbom_content_hash string, config_digest string, "
     "layers array<struct<order:int, diff_id:string>>, "
     "dep_edges array<struct<from_ref:string, to_refs:array<string>>>, "
-    "components array<string>, in_artifact string, observed_at string"
+    "components array<string>, in_artifact string, "
+    "manifest_digest string, registry_host string, observed_at string"
 )
 
 
@@ -198,6 +199,57 @@ def project_events(events: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             layer,
             "ContainerImage",
             F.col("config_digest"),
+            "OCILayer",
+            F.col("l.diff_id"),
+            "HAS_LAYER",
+            F.create_map(F.lit("order"), F.col("l.order").cast("string")),
+        )
+    )
+
+    # J6 config-digest identity: same image content in any registry —
+    # OCIArtifact(manifest digest) INSTANCE_OF ContainerImage(config
+    # digest) (linker.rs:441-463,589-618)
+    img_with_manifest = img.where(F.col("manifest_digest").isNotNull())
+    verts.append(_v(img_with_manifest, "OCIArtifact", F.col("manifest_digest")))
+    edges.append(
+        _e(
+            img_with_manifest,
+            "OCIArtifact",
+            F.col("manifest_digest"),
+            "ContainerImage",
+            F.col("config_digest"),
+            "INSTANCE_OF",
+        )
+    )
+
+    # OCIArtifactResolved (the resolver's enrichment —
+    # /root/reference/src/agents/resolver/src/main.rs:318-415; linker
+    # writes OCIArtifact/OCILayer/OCIRegistry + HAS_LAYER/HOSTED_BY,
+    # linker.rs:650-906); registry identity normalized per
+    # repositories.rs:105-111
+    from polar_spark.functions.normalize import strip_registry_host
+
+    resolved = ev.where(F.col("type") == "oci_artifact_resolved")
+    verts.append(_v(resolved, "OCIArtifact", F.col("manifest_digest")))
+    reg = resolved.where(F.col("registry_host").isNotNull())
+    verts.append(_v(reg, "OCIRegistry", strip_registry_host("registry_host")))
+    edges.append(
+        _e(
+            reg,
+            "OCIArtifact",
+            F.col("manifest_digest"),
+            "OCIRegistry",
+            strip_registry_host("registry_host"),
+            "HOSTED_BY",
+        )
+    )
+    rlayer = resolved.select("observed_at", "manifest_digest", F.explode("layers").alias("l"))
+    verts.append(_v(rlayer, "OCILayer", F.col("l.diff_id")))
+    edges.append(
+        _e(
+            rlayer,
+            "OCIArtifact",
+            F.col("manifest_digest"),
             "OCILayer",
             F.col("l.diff_id"),
             "HAS_LAYER",

@@ -27,7 +27,8 @@ def _smoke_events(spark):
     base = {k: None for k in (
         "build_id commit_sha ref_name repo_url stage_id stage_name duration_secs outcome "
         "severity identifier artifact_content_hash artifact_type name root_purl "
-        "sbom_content_hash config_digest layers dep_edges components in_artifact".split()
+        "sbom_content_hash config_digest layers dep_edges components in_artifact "
+        "manifest_digest registry_host".split()
     )}
     root = "pkg:cargo/polar@0.1.0"
     rows = []
@@ -169,3 +170,76 @@ def test_force_push_ref_update(spark, store):
     assert len(pts) == 1
     assert pts[0]["dst_key"] == "tip2"
     assert pts[0]["props"]["old"] == "tip1"  # force-push records old tip
+
+
+def test_oci_resolution_and_config_digest_identity(spark, store):
+    """J6 + resolver parity: INSTANCE_OF on config digest, HOSTED_BY on
+    normalized registry host, HAS_LAYER with order props."""
+    rows = [
+        {
+            "type": "container_image_created",
+            "build_id": "b-2",
+            "config_digest": "sha256:cfg",
+            "manifest_digest": "sha256:man",
+            "layers": [{"order": 0, "diff_id": "sha256:l0"}],
+            "observed_at": "t1",
+        },
+        {
+            "type": "oci_artifact_resolved",
+            "manifest_digest": "sha256:man",
+            "registry_host": "https://registry.example.com/",
+            "layers": [{"order": 0, "diff_id": "sha256:l0"}, {"order": 1, "diff_id": "sha256:l1"}],
+            "observed_at": "t2",
+        },
+    ]
+    base_cols = EVENT_SCHEMA.replace(" array<struct<order:int, diff_id:string>>", "").split(", ")
+    full = []
+    for r in rows:
+        d = {c.split(" ")[0]: None for c in base_cols}
+        d.update(r)
+        full.append(d)
+    events = spark.createDataFrame(full, EVENT_SCHEMA)
+    verts, edges, _tr = project_events(events)
+    store.upsert_nodes(verts)
+    store.ensure_edges(edges)
+    inst = store.edges.where(F.col("rel_type") == "INSTANCE_OF").collect()
+    assert len(inst) == 1
+    assert (inst[0]["src_key"], inst[0]["dst_key"]) == ("sha256:man", "sha256:cfg")
+    hosted = store.edges.where(F.col("rel_type") == "HOSTED_BY").collect()
+    assert len(hosted) == 1 and hosted[0]["dst_key"] == "registry.example.com"
+    layers = store.edges.where(
+        (F.col("rel_type") == "HAS_LAYER") & (F.col("src_label") == "OCIArtifact")
+    ).collect()
+    assert {(r["dst_key"], r["props"]["order"]) for r in layers} == {
+        ("sha256:l0", "0"),
+        ("sha256:l1", "1"),
+    }
+
+
+def test_uuid5_parity(spark):
+    import uuid as _uuid
+
+    from polar_spark.functions.arrow_udfs import uuid5_url
+
+    url = "https://gitlab.example.com"
+    got = (
+        spark.createDataFrame([(url,)], "u string")
+        .select(uuid5_url("u").alias("id"))
+        .collect()[0]["id"]
+    )
+    assert got == str(_uuid.uuid5(_uuid.NAMESPACE_URL, url))
+
+
+def test_resolve_default_refs(spark):
+    from polar_spark.operators.git_projection import resolve_default_refs
+
+    refs = spark.createDataFrame(
+        [
+            ("r1", "HEAD", "origin/trunk", "t"),
+            ("r1", "main", "c1", "t"),
+            ("r2", "main", "c2", "t"),
+        ],
+        "repo string, ref_name string, new string, observed_at string",
+    )
+    got = {r["repo"]: r["default_ref"] for r in resolve_default_refs(refs).collect()}
+    assert got == {"r1": "origin/trunk", "r2": "origin/main"}
