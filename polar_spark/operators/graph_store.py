@@ -119,11 +119,20 @@ class GraphStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(os.path.join(self.path, name, f"v{v}"))
 
+    # physical layout: vertices partitioned by label, edges by rel_type —
+    # label/rel_type predicates become partition pruning at the scan
+    # (the SURVEY §1.3 schema decision; Iceberg partition spec equivalent)
+    _PARTITION_BY = {"vertices": "label", "edges": "rel_type"}
+
     def _commit(self, name: str, df: DataFrame) -> None:
         m = self._manifest()
         nv = m[name] + 1
         out = os.path.join(self.path, name, f"v{nv}")
-        df.write.mode("overwrite").parquet(out)
+        writer = df.write.mode("overwrite")
+        part = self._PARTITION_BY.get(name)
+        if part:
+            writer = writer.partitionBy(part)
+        writer.parquet(out)
         m[name] = nv
         self._write_manifest(m)
         old = os.path.join(self.path, name, f"v{nv - 2}")
