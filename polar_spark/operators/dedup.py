@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from polar_spark.functions.batching import grouped_batches
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -69,24 +71,27 @@ def shingles(
 def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = 64, seed: int = 7
 ) -> DataFrame:
-    """(id, sig array<long>) — minhash over universal-hash family
-    h_i(x) = (a_i·x + b_i) mod (2^61-1).  The fold is a vectorized numpy
-    broadcast per Arrow batch (``applyInPandas`` per doc group would
-    shuffle; instead we sort-group within partitions after a single
-    repartition by id)."""
+    """(id, sig array<long>) — minhash over the deterministic hash
+    family h_i(x) = ((a_i·(x mod M) + b_i) mod M) with the a·x product
+    wrapping mod 2^64 (numpy uint64 arithmetic; M = 2^61-1 reduces the
+    final value).  Not a true mod-M universal family — the mod-2^64
+    wrap composes in — but a fixed, seeded, uniformly-mixing 64-bit
+    family, which is all MinHash needs.  The fold is a vectorized numpy
+    broadcast per re-chunked Arrow batch (``applyInPandas`` per doc
+    group would add per-group Arrow overhead; instead we sort-group
+    within partitions after a single repartition by id and re-chunk
+    with ``grouped_batches`` so a doc is never split across the Arrow
+    batch boundary)."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                yield pd.DataFrame({"_id": pd.Series([], dtype="int64"), "sig": []})
-                continue
+        for pdf in grouped_batches(batches, ["_id"]):
             out_ids, out_sigs = [], []
             for did, grp in pdf.groupby("_id"):
                 x = grp["shingle_hash"].to_numpy(dtype=np.uint64)
-                # (H, S) broadcast; arithmetic mod 2^61-1 in uint64 space
+                # (H, S) broadcast in uint64 (wraps mod 2^64), reduced mod M
                 hx = (
                     (a.astype(np.uint64)[:, None] * (x[None, :] % _MERSENNE)) + b.astype(np.uint64)[:, None]
                 ) % np.uint64(_MERSENNE)
@@ -94,7 +99,8 @@ def minhash_signatures(
                 out_sigs.append(hx.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"_id": out_ids, "sig": out_sigs})
 
-    # all shingles of a doc must be in one partition/batch
+    # a doc's shingles land in one partition (repartition), are contiguous
+    # (sortWithinPartitions), and grouped_batches keeps them in one frame
     part = shingle_df.repartition("_id").sortWithinPartitions("_id")
     return part.mapInPandas(fold, schema="_id long, sig array<long>")
 
@@ -223,10 +229,7 @@ def simhash_signatures(
     ).select("_id", F.xxhash64("w").alias("h"))
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                yield pd.DataFrame({"_id": pd.Series([], dtype="int64"), "simhash": pd.Series([], dtype="int64")})
-                continue
+        for pdf in grouped_batches(batches, ["_id"]):
             ids, sigs = [], []
             for did, grp in pdf.groupby("_id"):
                 h = grp["h"].to_numpy(dtype=np.uint64)

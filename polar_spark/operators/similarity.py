@@ -43,13 +43,31 @@ def cosine_topk_bruteforce(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors.  Queries (bounded set) are collected
     into a broadcast numpy matrix; candidates stream through one matmul
-    per Arrow batch.  Returns (query_id, neighbor_id, cos, rnk)."""
+    per Arrow batch.  Returns (query_id, neighbor_id, cos, rnk).
+
+    ``query_ids`` is required: the query side is collected to the driver
+    and broadcast, so an unbounded query set would OOM the driver at
+    corpus scale — use ``cosine_topk_lsh`` / ``ivf_topk`` for all-pairs.
+    ``max_queries`` is a second guard on the collected size.
+    """
+    if query_ids is None:
+        raise ValueError(
+            "cosine_topk_bruteforce collects the query set to the driver; "
+            "pass an explicit bounded query_ids (cosine_topk_lsh / ivf_topk "
+            "are the all-pairs scale paths)"
+        )
+    if len(query_ids) > max_queries:
+        raise ValueError(
+            f"{len(query_ids)} query ids exceed max_queries={max_queries}; "
+            "raise the cap explicitly if the driver can hold the matrix"
+        )
     spark = df.sparkSession
     base = _normalized(df, vec_col, id_col)
-    qdf = base if query_ids is None else base.where(F.col("_id").isin(query_ids))
+    qdf = base.where(F.col("_id").isin(query_ids))
     qrows = qdf.collect()
     if not qrows:
         return spark.createDataFrame([], "query_id long, neighbor_id long, cos double, rnk long")

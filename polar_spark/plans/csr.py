@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polar_spark.functions.batching import grouped_batches
 from polar_spark.plans.pregel import (
     IterationStats,
     _auto_partitions,
@@ -49,13 +50,20 @@ BLOCK_SCHEMA = (
 
 
 def build_csr_blocks(edges: DataFrame, n_blocks: int) -> DataFrame:
-    """Pack normalized (src, dst) edges into per-block CSR arrays."""
+    """Pack normalized (src, dst) edges into per-block CSR arrays.
+
+    A block may emit MULTIPLE rows (Arrow slices partitions at
+    ``maxRecordsPerBatch``); that is additively correct in ``spmv``
+    *provided every src's adjacency is whole in one row* — otherwise a
+    chunk-local out_deg would distribute the src's full rank once per
+    chunk.  ``grouped_batches`` on (block, src) guarantees wholeness:
+    rows are sorted by (block, src) within the partition and the
+    trailing src group is carried across batch boundaries.
+    """
     e = normalize_edges(edges).withColumn("block", F.pmod("src", F.lit(n_blocks)).cast("int"))
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        for pdf in grouped_batches(batches, ["block", "src"]):
             for blk, grp in pdf.groupby("block"):
                 src = grp["src"].to_numpy(np.int64)
                 dst = grp["dst"].to_numpy(np.int64)
@@ -74,10 +82,11 @@ def build_csr_blocks(edges: DataFrame, n_blocks: int) -> DataFrame:
                     }
                 )
 
-    # one output row per block: repartition so each block lands whole
+    # a block lands whole in one partition; (block, src) sort keeps each
+    # src's adjacency contiguous for the grouped_batches carry
     return (
         e.repartition(n_blocks, "block")
-        .sortWithinPartitions("block")
+        .sortWithinPartitions("block", "src")
         .mapInPandas(pack, schema=BLOCK_SCHEMA)
     )
 
@@ -94,6 +103,12 @@ def pagerank_csr(
     spark = edges.sparkSession
     e = normalize_edges(edges).persist()
     m0 = e.count()
+    if m0 == 0:  # same contract as pregel.pagerank on the empty graph
+        e.unpersist()
+        return (
+            spark.createDataFrame([], "id long, rank double"),
+            IterationStats(algorithm="pagerank_csr", edges=0, vertices=0, converged=True),
+        )
     blocks_n = n_blocks or _auto_partitions(spark, m0, None)
     with _shuffle_conf(spark, blocks_n):
         return _pagerank_csr_loop(spark, e, m0, blocks_n, damping, tol, max_iter, dangling)

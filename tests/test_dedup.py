@@ -74,3 +74,45 @@ def test_simhash_deterministic(docs):
     s1 = sorted(map(tuple, dedup.simhash_signatures(docs).collect()))
     s2 = sorted(map(tuple, dedup.simhash_signatures(docs).collect()))
     assert s1 == s2
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    # two docs, each >1000 distinct shingles — far beyond the shrunken
+    # Arrow batch below, so each doc MUST straddle batch boundaries
+    rows = [
+        (100, " ".join(f"alpha{j} beta{j}" for j in range(600))),
+        (200, " ".join(f"gamma{j} delta{j}" for j in range(600))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _with_small_batches(spark, fn):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        return fn()
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_minhash_signature_survives_batch_split(spark, big_docs):
+    """Regression: a doc whose shingle rows straddle the Arrow batch
+    boundary must still yield exactly ONE signature, identical to the
+    unsplit run (pre-fix: one partial signature per batch chunk)."""
+    sh = dedup.shingles(big_docs)
+    assert sh.groupBy("_id").count().agg(F.min("count")).collect()[0][0] > 1000
+    ref = {r["_id"]: tuple(r["sig"]) for r in dedup.minhash_signatures(sh).collect()}
+    rows = _with_small_batches(spark, lambda: dedup.minhash_signatures(sh).collect())
+    assert len(rows) == 2  # one row per doc, no partial signatures
+    assert {r["_id"]: tuple(r["sig"]) for r in rows} == ref
+
+
+def test_simhash_signature_survives_batch_split(spark, big_docs):
+    ref = {r["_id"]: r["simhash"] for r in dedup.simhash_signatures(big_docs).collect()}
+    rows = _with_small_batches(
+        spark, lambda: dedup.simhash_signatures(big_docs).collect()
+    )
+    assert len(rows) == 2
+    assert {r["_id"]: r["simhash"] for r in rows} == ref
