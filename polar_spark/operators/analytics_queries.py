@@ -709,6 +709,194 @@ def _lang_score_sql(lang: str) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# round-2 extension: GitLab domain projections driven by sf-table-derived
+# scan inputs — the projection code is the SAME code that a real GitLab
+# scan feeds; the derivation is deterministic so DuckDB can replay it.
+
+
+def _gl_pipelines_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → pipeline-scan shape: project = custkey mod 200, duration
+    = floor(totalprice) mod 86400, urgent orders 'fail'."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        F.lit("gl0").alias("instance_id"),
+        (F.col("o_custkey") % 200).cast("string").alias("project_id"),
+        F.col("o_orderkey").cast("string").alias("pipeline_id"),
+        (F.col("o_orderstatus") == "O").alias("active"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("created_at"),
+        F.lit(None).cast("string").alias("finished_at"),
+        F.lit(None).cast("string").alias("sha"),
+        F.lit(False).alias("child"),
+        (F.col("o_orderstatus") == "F").alias("complete"),
+        (F.floor("o_totalprice").cast("long") % 86400).alias("duration"),
+        F.lit(1).cast("long").alias("total_jobs"),
+        F.lit(None).cast("double").alias("compute_minutes"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("urgent_timeout")).alias(
+            "failure_reason"
+        ),
+        F.lit("push").alias("source"),
+        F.lit(False).alias("trigger"),
+        F.lit(False).alias("latest"),
+        F.lit("t0").alias("observed_at"),
+    )
+
+
+def q_gitlab_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAS_PIPELINE rollup per project over the *projected* vertices —
+    aggregates read back out of the props map (string-typed, as stored),
+    proving the projection carries values end-to-end."""
+    from polar_spark.operators.gitlab_projection import project_pipelines
+
+    verts, edges = project_pipelines(_gl_pipelines_from_orders(spark, sf_dir))
+    pipe = verts.where(F.col("label") == "GitlabPipeline").select("key", "props")
+    he = edges.where(F.col("rel_type") == "HAS_PIPELINE").select("src_key", "dst_key")
+    joined = he.join(pipe, he.dst_key == pipe.key)
+    return joined.groupBy(F.col("src_key").alias("project_key")).agg(
+        F.count("*").alias("n_pipelines"),
+        F.sum(F.col("props")["duration"].cast("long")).alias("total_duration"),
+        F.sum(F.when(F.col("props")["active"] == "true", 1).otherwise(0))
+        .cast("long")
+        .alias("n_active"),
+        F.sum(F.when(F.col("props")["failure_reason"] != "", 1).otherwise(0))
+        .cast("long")
+        .alias("n_failed"),
+    )
+
+
+def q_gitlab_users_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN_GROUP membership count per group via project_group_members
+    (customer → user, nation → group)."""
+    from polar_spark.operators.gitlab_projection import project_group_members
+
+    c = load_table(spark, "customer", sf_dir)
+    members = c.select(
+        F.lit("gl0").alias("instance_id"),
+        F.col("c_nationkey").cast("string").alias("group_id"),
+        F.col("c_custkey").cast("string").alias("user_id"),
+        F.lit("t0").alias("observed_at"),
+    )
+    _v, e = project_group_members(members)
+    return e.groupBy(F.col("dst_key").alias("group_key")).agg(
+        F.countDistinct("src_key").alias("n_users")
+    )
+
+
+def q_gitlab_runner_util(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED_BY utilization per runner (lineitem → jobs; lines ≥5
+    carry no runner, exercising the reference's null guard materially —
+    pipelines.rs:194-206)."""
+    from polar_spark.operators.gitlab_projection import project_jobs
+
+    li = load_table(spark, "lineitem", sf_dir)
+    # distinct job per (order, line): the synthetic lineitem repeats
+    # (orderkey, linenumber), so pre-aggregate deterministically — a
+    # scan re-delivering the same job is the upsert case, not a new job
+    jl = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.floor("l_quantity").cast("long")).alias("dur"),
+        F.min("l_suppkey").alias("supp"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("failed"),
+    )
+    jobs = jl.select(
+        F.lit("gl0").alias("instance_id"),
+        F.col("l_orderkey").cast("string").alias("pipeline_id"),
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("job_id"),
+        F.when(F.col("failed") == 1, "failed").otherwise("success").alias("status"),
+        F.lit("job").alias("name"),
+        F.lit(None).cast("string").alias("created_at"),
+        F.lit("abc").alias("short_sha"),
+        F.col("dur").alias("duration"),
+        F.lit(None).cast("string").alias("failure_message"),
+        F.when(F.col("l_linenumber") < 5, F.col("supp").cast("string")).alias("runner_id"),
+        F.lit("t0").alias("observed_at"),
+    )
+    verts, edges = project_jobs(jobs)
+    jv = verts.select("key", "props")
+    ex = edges.where(F.col("rel_type") == "EXECUTED_BY").select("src_key", "dst_key")
+    joined = ex.join(jv, ex.src_key == jv.key)
+    return joined.groupBy(F.col("dst_key").alias("runner_key")).agg(
+        F.count("*").alias("n_jobs"),
+        F.sum(F.col("props")["duration"].cast("long")).alias("total_duration"),
+        F.sum(F.when(F.col("props")["status"] == "failed", 1).otherwise(0))
+        .cast("long")
+        .alias("n_failed"),
+    )
+
+
+def q_gitlab_member_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEMBER_OF *edge-prop* rollup (access_level lives on the edge, as
+    in users.rs:178-199; created_at is emitted conditionally and counted
+    from the props map)."""
+    from polar_spark.operators.gitlab_projection import project_project_memberships
+
+    c = load_table(spark, "customer", sf_dir)
+    mem = c.select(
+        F.lit("gl0").alias("instance_id"),
+        F.col("c_custkey").cast("string").alias("user_id"),
+        F.col("c_mktsegment").alias("project_id"),
+        (F.col("c_nationkey") % 50 + 10).cast("int").alias("access_level"),
+        F.when(F.col("c_custkey") % 3 != 0, F.lit("2024-01-01")).alias("created_at"),
+        F.lit(None).cast("string").alias("expires_at"),
+        F.lit("t0").alias("observed_at"),
+    )
+    _v, e = project_project_memberships(mem)
+    return e.groupBy(F.col("dst_key").alias("project_key")).agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg(F.col("props")["access_level"].cast("double")), 4).alias("avg_access"),
+        F.sum(F.when(F.col("props").getItem("created_at").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_created"),
+    )
+
+
+ORACLES.update(
+    {
+        "gitlab_pipeline_rollup": """
+            SELECT 'gl0/' || CAST(o_custkey % 200 AS VARCHAR) AS project_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_pipelines,
+                   CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT) % 86400) AS BIGINT) AS total_duration,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+            FROM orders GROUP BY o_custkey % 200
+        """,
+        "gitlab_users_per_group": """
+            SELECT 'gl0/' || CAST(c_nationkey AS VARCHAR) AS group_key,
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_users
+            FROM customer GROUP BY c_nationkey
+        """,
+        "gitlab_runner_util": """
+            WITH jl AS (
+              SELECT l_orderkey, l_linenumber,
+                     SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS dur,
+                     MIN(l_suppkey) AS supp,
+                     MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS failed
+              FROM lineitem GROUP BY l_orderkey, l_linenumber)
+            SELECT 'gl0/' || CAST(supp AS VARCHAR) AS runner_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_jobs,
+                   CAST(SUM(dur) AS BIGINT) AS total_duration,
+                   CAST(SUM(failed) AS BIGINT) AS n_failed
+            FROM jl WHERE l_linenumber < 5 GROUP BY supp
+        """,
+        "gitlab_member_access": """
+            SELECT 'gl0/' || c_mktsegment AS project_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   ROUND(AVG(CAST(c_nationkey % 50 + 10 AS DOUBLE)), 4) AS avg_access,
+                   CAST(SUM(CASE WHEN c_custkey % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_created
+            FROM customer GROUP BY c_mktsegment
+        """,
+    }
+)
+
+QUERIES.update(
+    {
+        "gitlab_pipeline_rollup": q_gitlab_pipeline_rollup,
+        "gitlab_users_per_group": q_gitlab_users_per_group,
+        "gitlab_runner_util": q_gitlab_runner_util,
+        "gitlab_member_access": q_gitlab_member_access,
+    }
+)
+
+
 ORACLES.update(
     {
         "asof_last_signup": """
