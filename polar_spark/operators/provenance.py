@@ -41,7 +41,11 @@ EVENT_SCHEMA = (
     "layers array<struct<order:int, diff_id:string>>, "
     "dep_edges array<struct<from_ref:string, to_refs:array<string>>>, "
     "components array<string>, in_artifact string, "
-    "manifest_digest string, registry_host string, observed_at string"
+    "manifest_digest string, registry_host string, "
+    "backend_label string, backend_id string, "
+    "manifests array<struct<digest:string, media_type:string, size:long, "
+    "platform_os:string, platform_arch:string, platform_variant:string>>, "
+    "observed_at string"
 )
 
 
@@ -93,6 +97,30 @@ def project_events(events: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     verts.append(_v(started, "GitCommit", F.col("commit_sha")))
     edges.append(
         _e(started, "GitCommit", F.col("commit_sha"), "BuildJob", F.col("build_id"), "BUILT_BY")
+    )
+    # EXECUTED_IN → BackendJob: optional, only when the event carries
+    # backend identity; the backend node has a DYNAMIC label (e.g. the
+    # k8s Job uid written by the kube consumer) — the cross-vocabulary
+    # stitch (projection.rs:116-132)
+    backed = started.where(F.col("backend_label").isNotNull() & F.col("backend_id").isNotNull())
+    verts.append(_v(backed, F.col("backend_label"), F.col("backend_id")))
+    edges.append(
+        _e(
+            backed,
+            "BuildJob",
+            F.col("build_id"),
+            F.col("backend_label"),
+            F.col("backend_id"),
+            "EXECUTED_IN",
+            F.create_map(F.lit("at"), F.col("observed_at")),
+        )
+    )
+    # IS → BuildExecution: taxonomy anchor edge, consistent with
+    # OCIArtifact-[:IS]->Artifact in the artifact domain
+    # (projection.rs:134-147)
+    verts.append(_v(started, "BuildExecution", F.lit("BuildExecution")))
+    edges.append(
+        _e(started, "BuildJob", F.col("build_id"), "BuildExecution", F.lit("BuildExecution"), "IS")
     )
 
     # StageStarted/StageCompleted: HAS_STAGE (projection.rs:181; order-
@@ -256,6 +284,47 @@ def project_events(events: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             F.create_map(F.lit("order"), F.col("l.order").cast("string")),
         )
     )
+    # HAS_MANIFEST: index manifest → child manifest stubs (you may not
+    # have fetched the child yet — stub-then-fill), descriptor + platform
+    # props on the EDGE, platform variant conditional (linker.rs:846-904)
+    rman = resolved.select("observed_at", "manifest_digest", F.explode_outer("manifests").alias("m")).where(
+        F.col("m").isNotNull()
+    )
+    verts.append(
+        _v(
+            rman,
+            "OCIArtifact",
+            F.col("m.digest"),
+            F.map_filter(
+                F.create_map(
+                    F.lit("digest"), F.col("m.digest"),
+                    F.lit("media_type"), F.col("m.media_type"),
+                    F.lit("size"), F.col("m.size").cast("string"),
+                ),
+                lambda _k, v: v.isNotNull(),
+            ),
+        )
+    )
+    edges.append(
+        _e(
+            rman,
+            "OCIArtifact",
+            F.col("manifest_digest"),
+            "OCIArtifact",
+            F.col("m.digest"),
+            "HAS_MANIFEST",
+            F.map_filter(
+                F.create_map(
+                    F.lit("descriptor_media_type"), F.col("m.media_type"),
+                    F.lit("descriptor_size"), F.col("m.size").cast("string"),
+                    F.lit("platform_os"), F.col("m.platform_os"),
+                    F.lit("platform_arch"), F.col("m.platform_arch"),
+                    F.lit("platform_variant"), F.col("m.platform_variant"),
+                ),
+                lambda _k, v: v.isNotNull(),
+            ),
+        )
+    )
 
     # VulnerabilityFound: Vulnerability + FOUND_VULNERABILITY + FOUND_IN
     # (projection.rs:255-270)
@@ -333,5 +402,17 @@ SMOKE_QUERIES: dict[str, str] = {
     "found_in": (
         "SELECT count(*) AS n FROM edges WHERE rel_type = 'FOUND_IN' "
         "AND src_label = 'Vulnerability' AND dst_label = 'BuildArtifact'"
+    ),
+    "executed_in": (
+        "SELECT count(*) AS n FROM edges WHERE rel_type = 'EXECUTED_IN' "
+        "AND src_label = 'BuildJob'"
+    ),
+    "is_build_execution": (
+        "SELECT count(*) AS n FROM edges WHERE rel_type = 'IS' "
+        "AND src_label = 'BuildJob' AND dst_label = 'BuildExecution'"
+    ),
+    "has_manifest": (
+        "SELECT count(*) AS n FROM edges WHERE rel_type = 'HAS_MANIFEST' "
+        "AND src_label = 'OCIArtifact' AND dst_label = 'OCIArtifact'"
     ),
 }

@@ -85,6 +85,11 @@ def test_smoke_sequence_golden_queries(spark, store):
         "depends_on": 3,
         "has_layer": 1,
         "found_in": 1,
+        # taxonomy edge always written on execution_started; the smoke
+        # sequence carries no backend identity and no index manifests
+        "is_build_execution": 1,
+        "executed_in": 0,
+        "has_manifest": 0,
     }
     got = {k: store.raw_query(q).collect()[0]["n"] for k, q in SMOKE_QUERIES.items()}
     assert got == expected
@@ -101,6 +106,54 @@ def test_smoke_sequence_golden_queries(spark, store):
     assert store.state_history.count() == 2
     cur = store.current_state.collect()
     assert len(cur) == 1 and cur[0]["props"]["phase"] == "success"
+
+
+def test_executed_in_and_has_manifest(spark, store):
+    """Round-2 build-processor completion: EXECUTED_IN → dynamic-label
+    BackendJob (projection.rs:116-132), IS → BuildExecution taxonomy
+    (projection.rs:134-147), HAS_MANIFEST index→child with platform
+    props on the edge (linker.rs:846-904)."""
+    base = {f.split(" ")[0]: None for f in (
+        "type build_id commit_sha ref_name repo_url stage_id stage_name duration_secs "
+        "outcome severity identifier artifact_content_hash artifact_type name root_purl "
+        "sbom_content_hash config_digest layers dep_edges components in_artifact "
+        "manifest_digest registry_host backend_label backend_id manifests observed_at".split()
+    )}
+    rows = [
+        {**base, "type": "execution_started", "build_id": "b-9", "commit_sha": "c9",
+         "ref_name": "main", "repo_url": "https://git/x",
+         "backend_label": "KubeJob", "backend_id": "uid-77", "observed_at": "t0"},
+        {**base, "type": "execution_started", "build_id": "b-10", "commit_sha": "c9",
+         "ref_name": "main", "repo_url": "https://git/x", "observed_at": "t0"},  # no backend
+        {**base, "type": "oci_artifact_resolved", "manifest_digest": "sha256:idx",
+         "manifests": [
+             {"digest": "sha256:amd", "media_type": "mt", "size": 10,
+              "platform_os": "linux", "platform_arch": "amd64", "platform_variant": None},
+             {"digest": "sha256:arm", "media_type": "mt", "size": 11,
+              "platform_os": "linux", "platform_arch": "arm64", "platform_variant": "v8"},
+         ],
+         "observed_at": "t1"},
+    ]
+    from polar_spark.operators.provenance import EVENT_SCHEMA as ES
+
+    verts, edges, _tr = project_events(spark.createDataFrame(rows, ES))
+    store.upsert_nodes(verts)
+    store.ensure_edges(edges)
+    ex = store.edges.where(F.col("rel_type") == "EXECUTED_IN").collect()
+    assert len(ex) == 1  # backend identity is optional
+    assert (ex[0]["src_key"], ex[0]["dst_label"], ex[0]["dst_key"]) == ("b-9", "KubeJob", "uid-77")
+    assert ex[0]["props"]["at"] == "t0"
+    is_e = store.edges.where(F.col("rel_type") == "IS").collect()
+    assert {r["src_key"] for r in is_e} == {"b-9", "b-10"}
+    assert all(r["dst_label"] == "BuildExecution" for r in is_e)
+    hm = {r["dst_key"]: r for r in store.edges.where(F.col("rel_type") == "HAS_MANIFEST").collect()}
+    assert set(hm) == {"sha256:amd", "sha256:arm"}
+    assert hm["sha256:arm"]["props"]["platform_variant"] == "v8"
+    assert "platform_variant" not in hm["sha256:amd"]["props"]  # conditional
+    assert hm["sha256:amd"]["props"]["descriptor_size"] == "10"
+    # child stubs exist with descriptor props (stub-then-fill)
+    stub = store.vertices.where(F.col("key") == "sha256:amd").collect()[0]
+    assert stub["label"] == "OCIArtifact" and stub["props"]["media_type"] == "mt"
 
 
 def _commits(spark, rows):
