@@ -58,6 +58,32 @@ und AS (SELECT DISTINCT a.s AS src, b.s AS dst
 """
 
 
+def coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected part co-order edges: (src < dst) part pairs
+    appearing in the same order.  Unlike the supplier co-part graph —
+    which is near-COMPLETE at every sf (every supplier pair shares ≥5
+    parts), making triangle counts degenerate — this graph is sparse
+    (~0.6% density at sf0.1, max degree ~200) with real community
+    structure, so the iterative-algorithm benchmarks measure structure,
+    not a clique."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+
+
+_COORDER_SQL = """
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+"""
+
+
 def _sym(und: DataFrame) -> DataFrame:
     return und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -111,6 +137,14 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").cast("long"), F.col("comp").cast("long")).orderBy("id")
 
 
+def q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star CC — same recursive-CTE oracle as the
+    hash-min path (both must be exact-equal)."""
+    e = copart_edges(spark, sf_dir)
+    comp, _ = pregel.connected_components_star(e)
+    return comp.select(F.col("id").cast("long"), F.col("comp").cast("long")).orderBy("id")
+
+
 def q_lpa_fixed2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = copart_edges(spark, sf_dir)
     labels, _ = pregel.label_propagation(e, max_iter=2)
@@ -119,6 +153,22 @@ def q_lpa_fixed2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = copart_edges(spark, sf_dir)
+    per_vertex, _total = pregel.triangle_count(e)
+    return per_vertex.select(
+        F.col("id").cast("long"), F.col("triangles").cast("long")
+    ).orderBy("id")
+
+
+def q_coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return coorder_edges(spark, sf_dir).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def q_triangles_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-vertex triangles on the sparse co-order graph — the
+    non-degenerate counterpart of ``triangles``."""
+    e = coorder_edges(spark, sf_dir)
     per_vertex, _total = pregel.triangle_count(e)
     return per_vertex.select(
         F.col("id").cast("long"), F.col("triangles").cast("long")
@@ -404,6 +454,16 @@ SELECT id, label FROM l{n_iter} ORDER BY id
 
 ORACLES: dict[str, str] = {
     "copart_edges": f"WITH {_COPART_SQL} SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM und",
+    "coorder_edges": f"WITH {_COORDER_SQL} SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM und",
+    "triangles_coorder": f"""
+        WITH {_COORDER_SQL},
+        tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+                FROM und a JOIN und b ON b.src = a.dst
+                JOIN und c ON c.src = a.src AND c.dst = b.dst),
+        corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        SELECT CAST(id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM corners GROUP BY id ORDER BY id
+    """,
     "top_depended": """
         WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
@@ -422,6 +482,16 @@ ORACLES: dict[str, str] = {
         SELECT id, CAST(MIN(comp) AS BIGINT) AS comp FROM reach GROUP BY id ORDER BY id
     """,
     "lpa_fixed2": _lpa_sql(2),
+    "components_star": f"""
+        WITH RECURSIVE {_COPART_SQL}, {_SYM_SQL},
+        verts AS (SELECT DISTINCT src AS id FROM e),
+        reach(id, comp) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id WHERE r.comp < e.dst
+        )
+        SELECT id, CAST(MIN(comp) AS BIGINT) AS comp FROM reach GROUP BY id ORDER BY id
+    """,
     "triangles": f"""
         WITH {_COPART_SQL},
         tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
@@ -541,9 +611,12 @@ ORACLES: dict[str, str] = {
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copart_edges": q_copart_edges,
+    "coorder_edges": q_coorder_edges,
+    "triangles_coorder": q_triangles_coorder,
     "top_depended": q_top_depended,
     "pagerank_fixed5": q_pagerank_fixed5,
     "components": q_components,
+    "components_star": q_components_star,
     "lpa_fixed2": q_lpa_fixed2,
     "triangles": q_triangles,
     "current_state": q_current_state,

@@ -10,9 +10,25 @@ wins — the set-oriented equivalent of replaying serialized SETs), and a
 whole batch commits as one atomic snapshot.  On a cluster these tables
 are Iceberg and each commit is a ``MERGE INTO`` under snapshot
 isolation; in this environment (no Iceberg jars) the same contract is
-provided by a minimal versioned-parquet format: every commit writes a
-new immutable version directory and atomically swaps ``manifest.json``
-(rename is the commit point), readers pin the manifest they opened.
+provided by a minimal versioned-parquet format.
+
+Commit protocol (Iceberg-equivalent, partition-scoped):
+
+- tables are partitioned by label / rel_type / resource_label; a commit
+  writes ONLY the partitions its batch touches into a new immutable
+  ``v{n}`` directory and repoints those partitions in ``manifest.json``
+  (atomic rename is the commit point).  Untouched partitions keep their
+  existing files byte-for-byte — commit I/O is O(touched partitions),
+  not O(|graph|).
+- merges are partition-pruned the same way: the full-outer merge joins
+  the batch against only the touched partitions' current files.
+- the manifest retains the last ``retention`` snapshots (per-partition
+  pointer maps); ``table_at(name, version)`` time-travels to any
+  retained snapshot and readers that pinned a manifest stay valid for
+  the whole retention horizon.  Version directories referenced by no
+  retained snapshot are garbage-collected.
+- ``collect_stats=True`` records per-partition row counts in each
+  snapshot (the manifest-stats used by planners).
 
 Semantics contracts (ported from
 /root/reference/src/agents/lib/src/graph/tests.rs):
@@ -39,6 +55,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,6 +95,8 @@ STATE_SCHEMA = T.StructType(
     ]
 )
 
+_SCHEMAS = {"vertices": VERTEX_SCHEMA, "edges": EDGE_SCHEMA, "state_history": STATE_SCHEMA}
+
 _VKEY = ["label", "key"]
 _EKEY = ["src_label", "src_key", "dst_label", "dst_key", "rel_type"]
 
@@ -93,65 +112,160 @@ def _merge_props(old: F.Column, new: F.Column) -> F.Column:
 class GraphStore:
     """Versioned columnar property-graph store with Polar's write algebra."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    # physical layout: vertices partitioned by label, edges by rel_type,
+    # history by resource_label — label/rel_type predicates become
+    # partition pruning at the scan AND partition-scoped commits at the
+    # write (the SURVEY §1.3 schema decision; Iceberg partition spec
+    # equivalent)
+    _PARTITION_BY = {"vertices": "label", "edges": "rel_type", "state_history": "resource_label"}
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        retention: int = 8,
+        collect_stats: bool = False,
+    ):
         self.spark = spark
         self.path = path
+        self.retention = max(1, retention)
+        self.collect_stats = collect_stats
         os.makedirs(path, exist_ok=True)
         self._manifest_path = os.path.join(path, "manifest.json")
         if not os.path.exists(self._manifest_path):
-            self._write_manifest({"vertices": 0, "edges": 0, "state_history": 0})
+            self._write_manifest(
+                {"version": 0, "tables": {n: {} for n in _SCHEMAS}, "history": []}
+            )
 
     # ---------------------------------------------------------------- io
 
-    def _manifest(self) -> dict[str, int]:
+    def _manifest(self) -> dict:
         with open(self._manifest_path) as f:
             return json.load(f)
 
-    def _write_manifest(self, m: dict[str, int]) -> None:
+    def _write_manifest(self, m: dict) -> None:
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path)  # atomic commit point
 
-    def _table(self, name: str, schema: T.StructType) -> DataFrame:
-        v = self._manifest()[name]
-        if v == 0:
+    def _read_parts(self, name: str, parts: dict[str, dict]) -> DataFrame:
+        schema = _SCHEMAS[name]
+        if not parts:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(os.path.join(self.path, name, f"v{v}"))
+        paths = [
+            os.path.join(self.path, name, f"v{p['v']}", p["dir"]) for p in parts.values()
+        ]
+        df = self.spark.read.parquet(*paths)
+        # fixed column order/types regardless of physical file layout
+        return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
 
-    # physical layout: vertices partitioned by label, edges by rel_type —
-    # label/rel_type predicates become partition pruning at the scan
-    # (the SURVEY §1.3 schema decision; Iceberg partition spec equivalent)
-    _PARTITION_BY = {"vertices": "label", "edges": "rel_type"}
+    def _table(self, name: str, values: list[str] | None = None) -> DataFrame:
+        """Current snapshot of ``name``; ``values`` prunes to the given
+        partition values (label / rel_type / resource_label) — both the
+        scan and any downstream merge then touch only those files."""
+        parts = self._manifest()["tables"][name]
+        if values is not None:
+            want = set(values)
+            parts = {k: v for k, v in parts.items() if k in want}
+        return self._read_parts(name, parts)
 
-    def _commit(self, name: str, df: DataFrame) -> None:
+    def table_at(self, name: str, version: int) -> DataFrame:
+        """Time-travel read: the table exactly as of commit ``version``
+        (must be within the retention horizon)."""
+        for snap in self._manifest()["history"]:
+            if snap["version"] == version:
+                return self._read_parts(name, snap["tables"][name])
+        raise ValueError(
+            f"version {version} not retained (horizon = last {self.retention} commits)"
+        )
+
+    def snapshots(self) -> list[dict]:
+        """Retained commit snapshots, oldest first: version, per-table
+        partition pointers, and (if enabled) per-partition row counts."""
+        return list(self._manifest()["history"])
+
+    @property
+    def version(self) -> int:
+        return self._manifest()["version"]
+
+    def _commit(self, name: str, df: DataFrame, touched: list[str]) -> None:
+        """Write ONLY the ``touched`` partitions of ``name`` into a new
+        version dir and repoint them; everything else is untouched on
+        disk.  A touched partition that ends up empty (e.g. remove_edges
+        drained it) loses its pointer."""
+        if not touched:
+            return
         m = self._manifest()
-        nv = m[name] + 1
+        nv = m["version"] + 1
         out = os.path.join(self.path, name, f"v{nv}")
-        writer = df.write.mode("overwrite")
-        part = self._PARTITION_BY.get(name)
-        if part:
-            writer = writer.partitionBy(part)
-        writer.parquet(out)
-        m[name] = nv
+        pc = self._PARTITION_BY[name]
+        # duplicate the partition column so the data files keep it too —
+        # reads of a single partition dir then need no directory-name
+        # reconstruction
+        df.where(F.col(pc).isin(touched)).withColumn("pv", F.col(pc)).write.mode(
+            "overwrite"
+        ).partitionBy("pv").parquet(out)
+        parts = dict(m["tables"][name])
+        written: dict[str, str] = {}
+        for d in os.listdir(out):
+            if d.startswith("pv="):
+                written[unquote(d[len("pv=") :])] = d
+        for value in touched:
+            if value in written:
+                parts[value] = {"v": nv, "dir": written[value]}
+            else:
+                parts.pop(value, None)  # partition drained
+        m["version"] = nv
+        m["tables"][name] = parts
+        snap = {"version": nv, "tables": {t: dict(m["tables"][t]) for t in _SCHEMAS}}
+        if self.collect_stats:
+            stats = (
+                self._read_parts(name, {v: parts[v] for v in touched if v in parts})
+                .groupBy(pc)
+                .count()
+                .collect()
+                if any(v in parts for v in touched)
+                else []
+            )
+            snap["stats"] = {name: {r[pc]: r["count"] for r in stats}}
+        m["history"] = (m["history"] + [snap])[-self.retention :]
         self._write_manifest(m)
-        old = os.path.join(self.path, name, f"v{nv - 2}")
-        if nv >= 3 and os.path.exists(old):  # retain one old snapshot
-            shutil.rmtree(old, ignore_errors=True)
+        self._gc(m)
+
+    def _gc(self, m: dict) -> None:
+        """Drop version dirs referenced by no retained snapshot — readers
+        pinned to any retained snapshot keep every file they can see."""
+        for name in _SCHEMAS:
+            live = {p["v"] for p in m["tables"][name].values()}
+            for snap in m["history"]:
+                live |= {p["v"] for p in snap["tables"][name].values()}
+            tdir = os.path.join(self.path, name)
+            if not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in live:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+
+    @staticmethod
+    def _touched(df: DataFrame, col: str) -> list[str]:
+        """Distinct partition values in a batch (bounded by the label /
+        rel_type vocabulary — a driver-side list, never data-sized)."""
+        return [r[0] for r in df.select(col).where(F.col(col).isNotNull()).distinct().collect()]
 
     # ------------------------------------------------------------- reads
 
     @property
     def vertices(self) -> DataFrame:
-        return self._table("vertices", VERTEX_SCHEMA)
+        return self._table("vertices")
 
     @property
     def edges(self) -> DataFrame:
-        return self._table("edges", EDGE_SCHEMA)
+        return self._table("edges")
 
     @property
     def state_history(self) -> DataFrame:
-        return self._table("state_history", STATE_SCHEMA)
+        return self._table("state_history")
 
     @property
     def current_state(self) -> DataFrame:
@@ -170,10 +284,8 @@ class GraphStore:
 
     def edge_table(self, rel_type: str | None = None) -> DataFrame:
         """Analytics-ready (src, dst, etype) long-id edge table for the
-        pregel layer."""
-        e = self.edges
-        if rel_type:
-            e = e.where(F.col("rel_type") == rel_type)
+        pregel layer; a rel_type filter reads only that partition."""
+        e = self._table("edges", [rel_type]) if rel_type else self.edges
         return e.select(
             vertex_id("src_label", "src_key").alias("src"),
             vertex_id("dst_label", "dst_key").alias("dst"),
@@ -201,15 +313,11 @@ class GraphStore:
         )
         return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
-    def upsert_nodes(self, updates: DataFrame) -> None:
-        """M1 UpsertNode (controller.rs:171-175,252-276): create-if-
-        absent, merge props if present; empty-props form = ensure-exists.
-
-        ``updates``: (label, key, props?, observed_at?).
-        """
+    def _merged_vertices(self, updates: DataFrame) -> tuple[DataFrame, list[str]]:
         u = self._conform(updates, VERTEX_SCHEMA, with_id=True)
         u = self._dedup_latest(u, _VKEY)
-        cur = self.vertices
+        touched = self._touched(u, "label")
+        cur = self._table("vertices", touched)  # partition-pruned merge
         merged = (
             cur.alias("t")
             .join(u.alias("s"), _VKEY, "full_outer")
@@ -222,17 +330,20 @@ class GraphStore:
                 F.coalesce(F.col("s.observed_at"), F.col("t.observed_at")).alias("observed_at"),
             )
         )
-        self._commit("vertices", merged)
+        return merged, touched
 
-    def ensure_edges(self, new_edges: DataFrame) -> None:
-        """M2 EnsureEdge (controller.rs:178-183,278-314): MERGE both
-        endpoints (stubs if absent) then MERGE the edge; idempotent.
+    def upsert_nodes(self, updates: DataFrame) -> None:
+        """M1 UpsertNode (controller.rs:171-175,252-276): create-if-
+        absent, merge props if present; empty-props form = ensure-exists.
 
-        ``new_edges``: (src_label, src_key, dst_label, dst_key,
-        rel_type, props?, observed_at?).
+        ``updates``: (label, key, props?, observed_at?).
         """
-        e = self._conform(new_edges, EDGE_SCHEMA)
-        stubs = (
+        merged, touched = self._merged_vertices(updates)
+        self._commit("vertices", merged, touched)
+
+    @staticmethod
+    def _endpoint_stubs(e: DataFrame) -> DataFrame:
+        return (
             e.select(F.col("src_label").alias("label"), F.col("src_key").alias("key"))
             .unionByName(
                 e.select(F.col("dst_label").alias("label"), F.col("dst_key").alias("key"))
@@ -241,12 +352,26 @@ class GraphStore:
             .withColumn("props", F.create_map().cast("map<string,string>"))
             .withColumn("observed_at", F.lit(None).cast("string"))
         )
-        self.upsert_nodes(stubs)
-        e = self._dedup_latest(e, _EKEY)
-        cur = self.edges
+
+    def _merged_edges(
+        self, ensure: DataFrame | None, replace: DataFrame | None
+    ) -> tuple[DataFrame, list[str]]:
+        """One-pass edge merge: ``replace`` rows first delete ALL current
+        edges of their (src, rel_type), then both batches MERGE by the
+        full edge key (ensure semantics)."""
+        batches = [b for b in (ensure, replace) if b is not None]
+        s = batches[0]
+        for b in batches[1:]:
+            s = s.unionByName(b)
+        s = self._dedup_latest(s, _EKEY)
+        touched = self._touched(s, "rel_type")
+        cur = self._table("edges", touched)
+        if replace is not None:
+            sel = ["src_label", "src_key", "rel_type"]
+            cur = cur.join(replace.select(*sel).distinct(), sel, "left_anti")
         merged = (
             cur.alias("t")
-            .join(e.alias("s"), _EKEY, "full_outer")
+            .join(s.alias("s"), _EKEY, "full_outer")
             .select(
                 *[F.col(k) for k in _EKEY],
                 F.when(
@@ -257,7 +382,19 @@ class GraphStore:
                 F.coalesce(F.col("s.observed_at"), F.col("t.observed_at")).alias("observed_at"),
             )
         )
-        self._commit("edges", merged)
+        return merged, touched
+
+    def ensure_edges(self, new_edges: DataFrame) -> None:
+        """M2 EnsureEdge (controller.rs:178-183,278-314): MERGE both
+        endpoints (stubs if absent) then MERGE the edge; idempotent.
+
+        ``new_edges``: (src_label, src_key, dst_label, dst_key,
+        rel_type, props?, observed_at?).
+        """
+        e = self._conform(new_edges, EDGE_SCHEMA)
+        self.upsert_nodes(self._endpoint_stubs(e))
+        merged, touched = self._merged_edges(e, None)
+        self._commit("edges", merged, touched)
 
     def replace_edges(self, replacements: DataFrame) -> None:
         """M3 ReplaceEdge (controller.rs:186-192,315-337): atomically
@@ -271,32 +408,24 @@ class GraphStore:
         r = self._dedup_latest(
             self._conform(replacements, EDGE_SCHEMA), ["src_label", "src_key", "rel_type"]
         )
-        sel = ["src_label", "src_key", "rel_type"]
-        kept = self.edges.join(r.select(*sel).distinct(), sel, "left_anti")
-        merged = kept.unionByName(r)
-        # endpoints must exist (MERGE both sides)
-        stubs = (
-            r.select(F.col("src_label").alias("label"), F.col("src_key").alias("key"))
-            .unionByName(
-                r.select(F.col("dst_label").alias("label"), F.col("dst_key").alias("key"))
-            )
-            .distinct()
-            .withColumn("props", F.create_map().cast("map<string,string>"))
-            .withColumn("observed_at", F.lit(None).cast("string"))
-        )
-        self.upsert_nodes(stubs)
-        self._commit("edges", merged)
+        self.upsert_nodes(self._endpoint_stubs(r))
+        merged, touched = self._merged_edges(None, r)
+        self._commit("edges", merged, touched)
 
     def remove_edges(self, selectors: DataFrame) -> None:
         """M4 RemoveEdges (controller.rs:194-198,339-354): delete all
         outgoing ``rel_type`` edges of each (src, rel_type) row."""
         sel = ["src_label", "src_key", "rel_type"]
         s = selectors.select(*sel).distinct()
-        self._commit("edges", self.edges.join(s, sel, "left_anti"))
+        touched = self._touched(s, "rel_type")
+        kept = self._table("edges", touched).join(s, sel, "left_anti")
+        self._commit("edges", kept, touched)
 
     def update_state(self, transitions: DataFrame) -> None:
         """M5 UpdateState (controller.rs:200-212,355-417): the 5-step
-        temporal pattern, set-oriented —
+        temporal pattern, set-oriented and STAGED — the whole batch
+        lands in exactly three partition-scoped commits (history,
+        vertices, edges) instead of one transaction per op:
 
         1. ensure the state-type taxonomy node,
         2. append the *immutable* state instance (history is append-only
@@ -315,11 +444,14 @@ class GraphStore:
         hist_keys = ["resource_label", "resource_key", "state_type", "instance_key"]
         w = Window.partitionBy(*hist_keys).orderBy(F.desc("valid_from"))
         t_dedup = t.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
-        fresh = t_dedup.join(self.state_history.select(*hist_keys), hist_keys, "left_anti")
-        self._commit("state_history", self.state_history.unionByName(fresh))
+        touched_hist = self._touched(t_dedup, "resource_label")
+        hist = self._table("state_history", touched_hist)
+        fresh = t_dedup.join(hist.select(*hist_keys), hist_keys, "left_anti")
+        self._commit("state_history", hist.unionByName(fresh), touched_hist)
 
         inst_label = F.concat(F.col("state_type"), F.lit("State"))
-        # (1) taxonomy node + resource + instance nodes
+        # (1) taxonomy node + resource + instance nodes + instance props
+        # (immutable — only fresh instances carry props), ONE commit
         nodes = (
             t.select(F.lit("State").alias("label"), F.col("state_type").alias("key"))
             .unionByName(t.select(F.col("resource_label").alias("label"), F.col("resource_key").alias("key")))
@@ -327,19 +459,18 @@ class GraphStore:
             .distinct()
             .withColumn("props", F.create_map().cast("map<string,string>"))
             .withColumn("observed_at", F.lit(None).cast("string"))
-        )
-        self.upsert_nodes(nodes)
-        # instance props live on the instance vertex (immutable — only
-        # fresh instances carry props here)
-        self.upsert_nodes(
-            fresh.select(
-                F.concat(F.col("state_type"), F.lit("State")).alias("label"),
-                F.col("instance_key").alias("key"),
-                F.col("props"),
-                F.col("valid_from").alias("observed_at"),
+            .unionByName(
+                fresh.select(
+                    F.concat(F.col("state_type"), F.lit("State")).alias("label"),
+                    F.col("instance_key").alias("key"),
+                    F.col("props"),
+                    F.col("valid_from").alias("observed_at"),
+                )
             )
         )
-        # (3) + (4): append-only edges
+        self.upsert_nodes(nodes)
+
+        # (3) + (4) ensure-batch, (5) replace-batch — ONE edges commit
         trans = t.select(
             F.col("resource_label").alias("src_label"),
             F.col("resource_key").alias("src_key"),
@@ -358,23 +489,21 @@ class GraphStore:
             F.lit(None).cast("map<string,string>").alias("props"),
             F.lit(None).cast("string").alias("observed_at"),
         )
-        self.ensure_edges(trans.unionByName(of_type))
-        # (5) pointer replace: newest instance per resource in this batch
         wp = Window.partitionBy("resource_label", "resource_key").orderBy(
             F.desc("valid_from"), F.desc("instance_key")
         )
         latest = t.withColumn("_rn", F.row_number().over(wp)).where(F.col("_rn") == 1).drop("_rn")
-        self.replace_edges(
-            latest.select(
-                F.col("resource_label").alias("src_label"),
-                F.col("resource_key").alias("src_key"),
-                F.concat(F.col("state_type"), F.lit("State")).alias("dst_label"),
-                F.col("instance_key").alias("dst_key"),
-                F.lit("HAS_STATE").alias("rel_type"),
-                F.lit(None).cast("map<string,string>").alias("props"),
-                F.col("valid_from").alias("observed_at"),
-            )
+        has_state = latest.select(
+            F.col("resource_label").alias("src_label"),
+            F.col("resource_key").alias("src_key"),
+            F.concat(F.col("state_type"), F.lit("State")).alias("dst_label"),
+            F.col("instance_key").alias("dst_key"),
+            F.lit("HAS_STATE").alias("rel_type"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+            F.col("valid_from").alias("observed_at"),
         )
+        merged, touched = self._merged_edges(trans.unionByName(of_type), has_state)
+        self._commit("edges", merged, touched)
 
     # ---------------------------------------------------------- helpers
 

@@ -216,6 +216,88 @@ def test_update_state_replay_keeps_history_immutable(store, spark):
     assert hist[0]["props"] == {"x": "1"}
 
 
+def _nodefile_state(store, label):
+    """(version-dir, {file: mtime+size}) for one vertex partition."""
+    import os
+
+    part = store._manifest()["tables"]["vertices"][label]
+    d = os.path.join(store.path, "vertices", f"v{part['v']}", part["dir"])
+    return part["v"], {
+        f: (os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+        for f in os.listdir(d)
+    }
+
+
+def test_partition_scoped_commit_leaves_untouched_files(store, spark):
+    """Commit I/O is O(touched partitions): writing label B must not
+    rewrite (or even version-bump) label A's files."""
+    store.upsert_nodes(_nodes(spark, [("A", "a1", {"x": "1"}, None)]))
+    va, files_a = _nodefile_state(store, "A")
+    store.upsert_nodes(_nodes(spark, [("B", "b1", {"y": "2"}, None)]))
+    store.upsert_nodes(_nodes(spark, [("B", "b2", {"y": "3"}, None)]))
+    va2, files_a2 = _nodefile_state(store, "A")
+    assert va2 == va and files_a2 == files_a  # byte-untouched across commits
+    assert store.vertices.count() == 3
+    # ensure_edges between B and C: its stub upsert touches B/C but
+    # must still leave A's files alone
+    store.ensure_edges(_edges(spark, [("B", "b1", "C", "c1", "T", None, None)]))
+    va3, files_a3 = _nodefile_state(store, "A")
+    assert va3 == va and files_a3 == files_a
+
+
+def test_time_travel_and_retention(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "tt"), retention=3)
+    store.upsert_nodes(_nodes(spark, [("Pod", "p1", {"phase": "Pending"}, "t1")]))
+    v1 = store.version
+    store.upsert_nodes(_nodes(spark, [("Pod", "p1", {"phase": "Running"}, "t2")]))
+    v2 = store.version
+    store.upsert_nodes(_nodes(spark, [("Pod", "p2", {"phase": "Pending"}, "t3")]))
+    # read an OLDER snapshot after two later commits (the reader-pin
+    # contract: retained snapshots stay readable)
+    old = store.table_at("vertices", v1).collect()
+    assert len(old) == 1 and old[0]["props"]["phase"] == "Pending"
+    mid = store.table_at("vertices", v2).collect()
+    assert len(mid) == 1 and mid[0]["props"]["phase"] == "Running"
+    assert store.vertices.count() == 2
+    # beyond the horizon → explicit error
+    for _ in range(4):
+        store.upsert_nodes(_nodes(spark, [("Pod", "p2", {"n": "x"}, None)]))
+    with pytest.raises(ValueError, match="not retained"):
+        store.table_at("vertices", v1)
+
+
+def test_manifest_stats(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "st"), collect_stats=True)
+    store.upsert_nodes(
+        _nodes(spark, [("Pod", "p1", None, None), ("Pod", "p2", None, None), ("Job", "j1", None, None)])
+    )
+    snap = store.snapshots()[-1]
+    assert snap["stats"]["vertices"] == {"Pod": 2, "Job": 1}
+
+
+def test_remove_edges_drains_partition(store, spark):
+    store.ensure_edges(_edges(spark, [("A", "a", "B", "b", "ONLY", None, None)]))
+    store.remove_edges(
+        spark.createDataFrame([("A", "a", "ONLY")], "src_label string, src_key string, rel_type string")
+    )
+    assert store.edges.count() == 0
+    assert "ONLY" not in store._manifest()["tables"]["edges"]  # pointer dropped
+
+
+def test_update_state_is_three_commits(store, spark):
+    """The staged M5 lands in exactly 3 commits (history, vertices,
+    edges) instead of ~6 chained full-table rewrites."""
+    before = store.version
+    store.update_state(
+        spark.createDataFrame(
+            [("Pod", "p1", "PodState", "p1@t1", "2026-01-01", {"phase": "Pending"})],
+            "resource_label string, resource_key string, state_type string, "
+            "instance_key string, valid_from string, props map<string,string>",
+        )
+    )
+    assert store.version - before == 3
+
+
 def test_raw_query(store, spark):
     store.ensure_edges(
         _edges(spark, [("A", "a1", "B", "b1", "LINKS", None, None)])

@@ -93,6 +93,39 @@ def test_connected_components_disjoint(spark):
     assert {got[i] for i in (40, 41)} == {40}
 
 
+def test_cc_star_matches_hashmin_and_oracle(graph, spark):
+    """Large-star/small-star CC is exact-equal to hash-min and the
+    union-find oracle on the skewed random graph."""
+    edges, edf = graph
+    star, st = pregel.connected_components_star(edf)
+    hashmin, _ = pregel.connected_components(edf)
+    a = {r["id"]: r["comp"] for r in star.collect()}
+    b = {r["id"]: r["comp"] for r in hashmin.collect()}
+    assert a == b
+    exp = py_components(edges)
+    assert a == exp
+    assert st.converged
+
+
+def test_cc_star_long_chain(spark):
+    """A 400-vertex path: hash-min needs O(diameter)=400 rounds; star
+    converges in O(log² n) — and is still exact."""
+    chain = [(i, i + 1) for i in range(400)]
+    edf = spark.createDataFrame(chain, "src long, dst long")
+    comp, st = pregel.connected_components_star(edf, max_iter=30)
+    rows = comp.collect()
+    assert len(rows) == 401
+    assert all(r["comp"] == 0 for r in rows)
+    assert st.converged and st.iterations <= 15  # far below diameter
+    # two disjoint chains keep distinct minima
+    two = chain + [(1000 + i, 1001 + i) for i in range(50)]
+    comp2, _ = pregel.connected_components_star(
+        spark.createDataFrame(two, "src long, dst long")
+    )
+    comps = {r["comp"] for r in comp2.collect()}
+    assert comps == {0, 1000}
+
+
 def test_triangles_exact(graph):
     edges, edf = graph
     pv, total = pregel.triangle_count(edf)
