@@ -31,10 +31,23 @@ def main() -> None:
     )
     ap.add_argument("--cores-per-executor", type=int, default=4)
     ap.add_argument("--executor-mem-mb", type=int, default=6144)
+    ap.add_argument(
+        "--partitions",
+        type=int,
+        default=None,
+        help="pin the shuffle/graph partition count (default 3x total cores); "
+        "pass the SAME value to both legs for a bit-identical-plan comparison",
+    )
     ap.add_argument("--edges", type=int, default=10_000_000)
     ap.add_argument("--vertices", type=int, default=1_000_000)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--no-fuse",
+        action="store_true",
+        help="force the classic one-job-per-iteration loop instead of the "
+        "fused lazily-chained fixed-iteration path",
+    )
     args = ap.parse_args()
 
     from polar_spark.plans import pregel
@@ -55,7 +68,7 @@ def main() -> None:
     # 3x waves per stage: with exactly one task wave a single straggler
     # (hub-dst partition) stalls the stage; oversubscription smooths it —
     # the same sizing rule as a real cluster (2-3x total cores)
-    parts = 3 * total_cores
+    parts = args.partitions or (3 * total_cores)
     spark = get_spark(
         master=master,
         app_name=f"polar_scaling_{label}",
@@ -63,6 +76,13 @@ def main() -> None:
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             "spark.executor.memory": f"{args.executor_mem_mb}m",
+            # AQE's stage-by-stage replanning is a per-stage DRIVER-serial
+            # round trip — measured ~2x the per-iteration wall on this
+            # loop.  The scaling job pins partition counts explicitly
+            # (identical plans across parallelism levels is part of the
+            # protocol), so adaptive replanning buys nothing here; leave
+            # AQE on for ad-hoc queries, off for the pinned iteration loop.
+            "spark.sql.adaptive.enabled": "false",
         },
     )
     edges = gen_zipf_edges(
@@ -70,7 +90,11 @@ def main() -> None:
     )
     t0 = time.monotonic()
     _ranks, st = pregel.pagerank(
-        edges, tol=0.0, max_iter=args.iters, num_partitions=parts
+        edges,
+        tol=0.0,
+        max_iter=args.iters,
+        num_partitions=parts,
+        fuse=False if args.no_fuse else None,
     )
     wall = time.monotonic() - t0
     iter_wall = sum(st.iter_seconds)

@@ -59,6 +59,9 @@ class IterationStats:
     edges: int | None = None
     vertices: int | None = None
     resumed_from: int | None = None
+    # fused fixed-iteration mode: iterations ran as one lazily-chained
+    # job, so iter_seconds entries are the chunk wall divided evenly
+    fused: bool = False
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -208,8 +211,14 @@ def pagerank(
     salt_buckets: int | None = None,
     num_partitions: int | None = None,
     dangling: bool = True,
+    fuse: bool | None = None,
 ) -> tuple[DataFrame, IterationStats]:
     """Power-iteration PageRank to ``tol`` (L∞ of the rank delta).
+
+    ``fuse=None`` (default) chains rounds lazily into one job per
+    checkpoint chunk whenever ``tol == 0`` (fixed-iteration mode needs
+    no per-round convergence decision); pass False to force the classic
+    one-job-per-round loop.
 
     One iteration = join(edges ⨝ ranks on src) → per-dst sum → blend
     with teleport + (optionally) redistributed dangling mass.  Edge
@@ -232,13 +241,13 @@ def pagerank(
     with _shuffle_conf(spark, shuffle):
         return _pagerank_loop(
             spark, e, m0, shuffle, damping, tol, max_iter, checkpoint_dir,
-            checkpoint_every, resume, salt_buckets, dangling,
+            checkpoint_every, resume, salt_buckets, dangling, fuse,
         )
 
 
 def _pagerank_loop(
     spark, e, m0, shuffle, damping, tol, max_iter, checkpoint_dir,
-    checkpoint_every, resume, salt_buckets, dangling,
+    checkpoint_every, resume, salt_buckets, dangling, fuse=None,
 ):
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     # weighted edges: contribution fraction per edge, built once.
@@ -282,15 +291,34 @@ def _pagerank_loop(
 
     ranks = ranks.localCheckpoint(eager=True)
     inv_n = 1.0 / n
+    # dangling-free detection: one setup count on the checkpointed
+    # vertex state; graphs where every vertex has out-edges (most link
+    # graphs after normalization) then skip the dangling-mass branch of
+    # every iteration — one less aggregate input per round, and the
+    # fused path needs no per-iteration broadcast at all
+    n_dang = verts.where(~F.col("not_dangling")).count() if dangling else 0
+    dangling_on = dangling and n_dang > 0
+    if (fuse is None and tol == 0.0) or fuse:
+        # fixed-iteration mode: no convergence decision is needed
+        # between rounds, so iterations chain LAZILY and materialize as
+        # ONE job per checkpoint chunk — per-round driver round-trips
+        # (collect + eager checkpoint + Py4J) drop out of the serial
+        # floor, and adjacent rounds' final-agg/update-join/next-exchange
+        # fuse into single stages at shuffle boundaries
+        return _pagerank_fused(
+            ew, verts, ranks, n, damping, max_iter, start_iter, ckpt,
+            checkpoint_every, salt_buckets, dangling_on, stats,
+        )
     # dangling mass of the CURRENT state (dm enters the next update as a
     # python literal; recomputed per round by the convergence aggregate)
     dm = (
         float(
             ranks.where(~F.col("not_dangling")).agg(F.sum("rank")).collect()[0][0] or 0.0
         )
-        if dangling
+        if dangling_on
         else 0.0
     )
+    dangling = dangling_on
     # Iteration discipline: the rank state is *localCheckpoint*ed every
     # round.  The state feeds the next plan twice (contribution join +
     # in-row delta), so without truncation the analyzed logical plan
@@ -351,6 +379,79 @@ def _pagerank_loop(
             break
     if ckpt is not None and stats.iterations % checkpoint_every != 0:
         ckpt.save(stats.iterations, ranks.select("id", "rank"), stats.final_delta)
+    ew.unpersist()
+    verts.unpersist()
+    return ranks.select("id", "rank"), stats
+
+
+def _pagerank_fused(
+    ew, verts, ranks, n, damping, max_iter, start_iter, ckpt,
+    checkpoint_every, salt_buckets, dangling_on, stats,
+):
+    """Fixed-iteration PageRank with lazily-chained rounds.
+
+    Each round is built but NOT acted on; the chunk's single action (the
+    delta aggregate, which doubles as the materializer for every lazy
+    localCheckpoint in the chain) runs all rounds back-to-back.  Stage
+    shape per round: [state exchange by src → contribution join +
+    partial agg] + [final agg + update join + next round's projection]
+    — the update join and the next exchange share a stage, and there is
+    no per-round collect.  Dangling mass (when the graph has dangling
+    vertices at all) rides a per-round 1-row broadcast aggregate instead
+    of a driver literal."""
+    inv_n = 1.0 / n
+    it = start_iter
+    while it < max_iter:
+        chunk = min(checkpoint_every if ckpt is not None else max_iter - it, max_iter - it)
+        t0 = time.monotonic()
+        last = None
+        for _ in range(chunk):
+            contrib = ew.join(
+                ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            ).select("src", "dst", (F.col("w") * F.col("rank")).alias("c"))
+            if salt_buckets:
+                contrib = (
+                    contrib.withColumn("_salt", F.pmod(F.col("src"), F.lit(salt_buckets)))
+                    .groupBy("dst", "_salt")
+                    .agg(F.sum("c").alias("c"))
+                )
+            sums = contrib.groupBy(F.col("dst").alias("id")).agg(F.sum("c").alias("s"))
+            joined = ranks.withColumnRenamed("rank", "old").join(
+                sums.hint("shuffle_hash"), "id", "left"
+            )
+            if dangling_on:
+                dmagg = ranks.agg(
+                    F.coalesce(
+                        F.sum(F.when(~F.col("not_dangling"), F.col("rank"))), F.lit(0.0)
+                    ).alias("_dm")
+                )
+                joined = joined.crossJoin(F.broadcast(dmagg))
+                rank_expr = (
+                    F.lit((1.0 - damping) * inv_n)
+                    + F.lit(damping * inv_n) * F.col("_dm")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                )
+            else:
+                rank_expr = F.lit((1.0 - damping) * inv_n) + F.lit(damping) * F.coalesce(
+                    F.col("s"), F.lit(0.0)
+                )
+            last = joined.select(
+                "id", rank_expr.alias("rank"), F.col("old"), "not_dangling"
+            ).localCheckpoint(eager=False)
+            ranks = last.select("id", "rank", "not_dangling")
+        delta = float(
+            last.agg(F.max(F.abs(F.col("rank") - F.col("old")))).collect()[0][0]
+        )
+        wall = time.monotonic() - t0
+        it += chunk
+        stats.iterations = it
+        stats.deltas.append(delta)  # the chunk's LAST round's delta
+        stats.iter_seconds.extend([wall / chunk] * chunk)
+        stats.final_delta = delta
+        if ckpt is not None:
+            ckpt.save(it, ranks.select("id", "rank"), delta)
+        ranks = ranks.localCheckpoint(eager=True)  # lineage cut between chunks
+    stats.fused = True
     ew.unpersist()
     verts.unpersist()
     return ranks.select("id", "rank"), stats

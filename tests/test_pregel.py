@@ -70,6 +70,44 @@ def test_pagerank_checkpoint_resume(graph):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_pagerank_fused_fixed_matches_classic(graph):
+    """tol=0 triggers the fused lazily-chained fixed-iteration path; it
+    must produce the SAME ranks as the classic per-round loop (tol so
+    small it never converges → same 12 rounds), dangling mass included
+    (the zipf digraph has dangling vertices)."""
+    edges, edf = graph
+    fused, st_f = pregel.pagerank(edf, tol=0.0, max_iter=12)
+    classic, st_c = pregel.pagerank(edf, tol=1e-300, max_iter=12)
+    assert st_f.fused and not st_c.fused
+    assert st_f.iterations == st_c.iterations == 12
+    a = {r["id"]: r["rank"] for r in fused.collect()}
+    b = {r["id"]: r["rank"] for r in classic.collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) == 0.0  # bit-identical arithmetic
+    assert abs(st_f.final_delta - st_c.final_delta) == 0.0
+    assert abs(sum(a.values()) - 1.0) < 1e-9  # mass conserved (dangling folded)
+
+
+def test_pagerank_fused_salted_and_chunked(graph, spark):
+    edges, edf = graph
+    plain, _ = pregel.pagerank(edf, tol=0.0, max_iter=6)
+    salted, _ = pregel.pagerank(edf, tol=0.0, max_iter=6, salt_buckets=4)
+    a = {r["id"]: r["rank"] for r in plain.collect()}
+    b = {r["id"]: r["rank"] for r in salted.collect()}
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+    # durable checkpoints chunk the fused chain without changing results
+    tmp = tempfile.mkdtemp(prefix="polar_fused_ckpt_")
+    try:
+        chunked, st = pregel.pagerank(
+            edf, tol=0.0, max_iter=6, checkpoint_dir=tmp, checkpoint_every=2
+        )
+        c = {r["id"]: r["rank"] for r in chunked.collect()}
+        assert max(abs(a[k] - c[k]) for k in a) < 1e-15
+        assert st.iterations == 6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_connected_components_exact(graph, spark):
     edges, edf = graph
     comp, stats = pregel.connected_components(edf)
