@@ -247,6 +247,16 @@ class GraphStore:
                 if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in live:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
 
+    def compact(self, name: str) -> None:
+        """Rewrite every current partition of ``name`` into one new
+        version directory — bounds the small-file accumulation of many
+        partition-scoped commits (the Iceberg rewrite-data-files
+        maintenance action).  Old versions age out with retention."""
+        parts = self._manifest()["tables"][name]
+        if not parts:
+            return
+        self._commit(name, self._read_parts(name, parts), list(parts.keys()))
+
     @staticmethod
     def _touched(df: DataFrame, col: str) -> list[str]:
         """Distinct partition values in a batch (bounded by the label /

@@ -212,6 +212,7 @@ def pagerank(
     num_partitions: int | None = None,
     dangling: bool = True,
     fuse: bool | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, IterationStats]:
     """Power-iteration PageRank to ``tol`` (L∞ of the rank delta).
 
@@ -219,6 +220,16 @@ def pagerank(
     checkpoint chunk whenever ``tol == 0`` (fixed-iteration mode needs
     no per-round convergence decision); pass False to force the classic
     one-job-per-round loop.
+
+    ``init_ranks`` (id, rank) warm-starts the iteration — the
+    incremental-update path for streaming edge deltas: pass the
+    converged ranks of the previous graph version and the loop
+    converges in the few rounds the perturbation needs instead of a
+    cold start's O(log(1/tol)/log(1/d)).  Vertices absent from
+    ``init_ranks`` seed at 1/n; the warm vector is renormalized to
+    total mass 1 so convergence semantics are unchanged (power
+    iteration has a unique fixpoint — warm and cold starts agree to
+    tolerance).
 
     One iteration = join(edges ⨝ ranks on src) → per-dst sum → blend
     with teleport + (optionally) redistributed dangling mass.  Edge
@@ -241,13 +252,13 @@ def pagerank(
     with _shuffle_conf(spark, shuffle):
         return _pagerank_loop(
             spark, e, m0, shuffle, damping, tol, max_iter, checkpoint_dir,
-            checkpoint_every, resume, salt_buckets, dangling, fuse,
+            checkpoint_every, resume, salt_buckets, dangling, fuse, init_ranks,
         )
 
 
 def _pagerank_loop(
     spark, e, m0, shuffle, damping, tol, max_iter, checkpoint_dir,
-    checkpoint_every, resume, salt_buckets, dangling, fuse=None,
+    checkpoint_every, resume, salt_buckets, dangling, fuse=None, init_ranks=None,
 ):
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     # weighted edges: contribution fraction per edge, built once.
@@ -286,6 +297,20 @@ def _pagerank_loop(
         ranks = loaded.join(verts, "id").select("id", "rank", "not_dangling")
         start_iter = last["iteration"]
         stats.resumed_from = start_iter
+    elif init_ranks is not None:
+        # warm start from a previous graph version's converged ranks:
+        # new vertices seed at 1/n, then renormalize total mass to 1
+        warm = verts.join(
+            init_ranks.select("id", F.col("rank").alias("_warm")), "id", "left"
+        ).select(
+            "id",
+            F.coalesce(F.col("_warm"), F.lit(1.0 / n)).alias("rank"),
+            "not_dangling",
+        )
+        total = float(warm.agg(F.sum("rank")).collect()[0][0])
+        ranks = warm.select(
+            "id", (F.col("rank") / F.lit(total)).alias("rank"), "not_dangling"
+        ).repartition(shuffle, "id")
     else:
         ranks = verts.select("id", (F.lit(1.0) / n).alias("rank"), "not_dangling")
 

@@ -298,6 +298,18 @@ def test_update_state_is_three_commits(store, spark):
     assert store.version - before == 3
 
 
+def test_compaction_preserves_data(store, spark):
+    for i in range(3):
+        store.upsert_nodes(_nodes(spark, [("Pod", f"p{i}", {"n": str(i)}, None)]))
+        store.upsert_nodes(_nodes(spark, [("Job", f"j{i}", None, None)]))
+    before = sorted(map(tuple, store.vertices.select("label", "key").collect()))
+    store.compact("vertices")
+    parts = store._manifest()["tables"]["vertices"]
+    assert len({p["v"] for p in parts.values()}) == 1  # one version dir
+    after = sorted(map(tuple, store.vertices.select("label", "key").collect()))
+    assert after == before
+
+
 def test_raw_query(store, spark):
     store.ensure_edges(
         _edges(spark, [("A", "a1", "B", "b1", "LINKS", None, None)])

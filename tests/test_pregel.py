@@ -70,6 +70,25 @@ def test_pagerank_checkpoint_resume(graph):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_pagerank_incremental_warm_start(graph, spark):
+    """Edge-delta update path: warm-starting from the previous graph's
+    converged ranks reaches the new fixpoint in fewer rounds than a
+    cold start, with the same result (unique fixpoint)."""
+    edges, edf = graph
+    base, st0 = pregel.pagerank(edf, tol=1e-9, max_iter=300)
+    delta = [(7, 191), (191, 3), (42, 7), (150, 151)]
+    new_edges = spark.createDataFrame(sorted(set(edges) | set(delta)), "src long, dst long")
+    cold, st_cold = pregel.pagerank(new_edges, tol=1e-9, max_iter=300)
+    warm, st_warm = pregel.pagerank(new_edges, tol=1e-9, max_iter=300, init_ranks=base)
+    assert st_warm.converged and st_cold.converged
+    assert st_warm.iterations < st_cold.iterations  # the perturbation is small
+    a = {r["id"]: r["rank"] for r in cold.collect()}
+    b = {r["id"]: r["rank"] for r in warm.collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-6
+    assert abs(sum(b.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_fused_fixed_matches_classic(graph):
     """tol=0 triggers the fused lazily-chained fixed-iteration path; it
     must produce the SAME ranks as the classic per-round loop (tol so
