@@ -2,14 +2,22 @@
 
 The north rule requires throughput scaling efficiency ≥ 0.8 from N to 4N
 executors; in this sandbox (single host) the evidence is the same job on
-the same deterministic input at ``local[N]`` vs ``local[4N]``
-(BASELINE.md, task-driver note).  Run via::
+the same deterministic input at N vs 4N separate executor JVMs
+(``local-cluster`` mode — BASELINE.md, task-driver note).  The round-2
+protocol (see BENCH/BASELINE.md) pins the SAME partition count on both
+legs so the physical plans are identical::
 
-    python -m polar_spark.bench_scaling --cpus 8  --edges 10000000
-    python -m polar_spark.bench_scaling --cpus 32 --edges 10000000
+    python -m polar_spark.bench_scaling --executors 1 --cores-per-executor 4 \
+        --partitions 48 --edges 40000000 --vertices 200000
+    python -m polar_spark.bench_scaling --executors 4 --cores-per-executor 4 \
+        --partitions 48 --edges 40000000 --vertices 200000
 
-Each invocation is its own JVM (fresh scheduler, no warm-cache bleed)
-and prints one JSON line with edges/sec over fixed PageRank iterations.
+Each invocation is its own JVM set (fresh scheduler, no warm-cache
+bleed) and prints one JSON line with edges/sec over fixed PageRank
+iterations (the fused lazily-chained loop by default).  Host
+interference varies identical runs up to 3x between minutes —
+interleave legs and take best-of-N (the capability estimator least
+distorted by shared-host neighbors).
 """
 
 from __future__ import annotations
@@ -45,8 +53,17 @@ def main() -> None:
     ap.add_argument(
         "--no-fuse",
         action="store_true",
-        help="force the classic one-job-per-iteration loop instead of the "
-        "fused lazily-chained fixed-iteration path",
+        help="force the classic one-job-per-iteration loop; the fused "
+        "lazily-chained path (default) removes per-round driver round "
+        "trips and measured fastest on both legs in quiet windows",
+    )
+    ap.add_argument(
+        "--warmup-iters",
+        type=int,
+        default=0,
+        help="untimed PageRank iterations run first on the same session/graph "
+        "so JIT/codegen/executor-registration warmup is excluded from the "
+        "steady-state throughput of BOTH legs (0 disables)",
     )
     args = ap.parse_args()
 
@@ -88,6 +105,10 @@ def main() -> None:
     edges = gen_zipf_edges(
         spark, args.edges, args.vertices, seed=args.seed, partitions=parts
     )
+    if args.warmup_iters > 0:
+        pregel.pagerank(
+            edges, tol=0.0, max_iter=args.warmup_iters, num_partitions=parts, fuse=False
+        )
     t0 = time.monotonic()
     _ranks, st = pregel.pagerank(
         edges,
