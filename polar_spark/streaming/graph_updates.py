@@ -1,0 +1,130 @@
+"""Incremental link-graph maintenance from streaming edge deltas.
+
+The reference rebuilds its graph by replaying scan events; analytics
+then re-run from scratch.  This module closes the streaming loop for
+the link-graph layer: edge deltas (adds/removes) arrive as a stream,
+each micro-batch folds them into a durable versioned edge table and
+recomputes PageRank *warm-started from the previous converged ranks*
+(``pregel.pagerank(init_ranks=...)``) — a small perturbation converges
+in a handful of rounds instead of a cold start's O(log(1/tol)/log(1/d)).
+
+Durability layout under ``work_dir``::
+
+    edges/v{n}/   immutable edge-table versions
+    ranks/v{n}/   converged ranks per version
+    state.json    atomic pointer {version, iterations, delta}
+
+The same at-least-once contract as ingestion: replaying a delta batch
+is idempotent (adds merge by key, removes are anti-joins), and the
+streaming checkpoint tracks source offsets across restarts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from polar_spark.plans import pregel
+
+DELTA_SCHEMA = "src long, dst long, op string"  # op ∈ {add, remove}
+
+
+class RankMaintainer:
+    """Versioned (edges, ranks) state with warm-start recompute."""
+
+    def __init__(self, spark: SparkSession, work_dir: str, tol: float = 1e-6, max_iter: int = 100):
+        self.spark = spark
+        self.work_dir = work_dir
+        self.tol = tol
+        self.max_iter = max_iter
+        os.makedirs(work_dir, exist_ok=True)
+        self._state_path = os.path.join(work_dir, "state.json")
+
+    def state(self) -> dict | None:
+        if not os.path.exists(self._state_path):
+            return None
+        with open(self._state_path) as f:
+            return json.load(f)
+
+    def edges(self) -> DataFrame | None:
+        s = self.state()
+        if s is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.work_dir, "edges", f"v{s['version']}"))
+
+    def ranks(self) -> DataFrame | None:
+        s = self.state()
+        if s is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.work_dir, "ranks", f"v{s['version']}"))
+
+    def apply_deltas(self, deltas: DataFrame) -> dict:
+        """Fold one delta batch into the edge table and warm-start the
+        rank recompute.  Returns the new state dict (version,
+        iterations, final_delta, edges)."""
+        adds = deltas.where(F.col("op") == "add").select("src", "dst")
+        removes = deltas.where(F.col("op") == "remove").select("src", "dst")
+        cur = self.edges()
+        new_edges = adds if cur is None else cur.unionByName(adds)
+        new_edges = new_edges.join(removes, ["src", "dst"], "left_anti").dropDuplicates(
+            ["src", "dst"]
+        )
+        s = self.state()
+        nv = (s["version"] + 1) if s else 1
+        epath = os.path.join(self.work_dir, "edges", f"v{nv}")
+        new_edges.write.mode("overwrite").parquet(epath)
+        new_edges = self.spark.read.parquet(epath)
+
+        prev_ranks = self.ranks()
+        ranks, st = pregel.pagerank(
+            new_edges, tol=self.tol, max_iter=self.max_iter, init_ranks=prev_ranks
+        )
+        rpath = os.path.join(self.work_dir, "ranks", f"v{nv}")
+        ranks.write.mode("overwrite").parquet(rpath)
+        new_state = {
+            "version": nv,
+            "iterations": st.iterations,
+            "first_delta": st.deltas[0] if st.deltas else None,
+            "final_delta": st.final_delta,
+            "edges": st.edges,
+            "warm_start": prev_ranks is not None,
+        }
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_state, f)
+        os.replace(tmp, self._state_path)  # atomic pointer swap
+        return new_state
+
+
+def read_delta_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(DELTA_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def start_rank_maintenance(
+    deltas: DataFrame,
+    maintainer: RankMaintainer,
+    checkpoint_dir: str,
+    query_name: str = "polar_rank_maintenance",
+) -> StreamingQuery:
+    """Delta stream → warm-started rank recompute per micro-batch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        maintainer.apply_deltas(batch_df)
+
+    return (
+        deltas.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -81,7 +81,13 @@ def test_pagerank_incremental_warm_start(graph, spark):
     cold, st_cold = pregel.pagerank(new_edges, tol=1e-9, max_iter=300)
     warm, st_warm = pregel.pagerank(new_edges, tol=1e-9, max_iter=300, init_ranks=base)
     assert st_warm.converged and st_cold.converged
-    assert st_warm.iterations < st_cold.iterations  # the perturbation is small
+    # warm start begins at perturbation distance, not cold's distance
+    # from uniform (iteration count itself is spectral-profile-dependent)
+    assert st_warm.deltas[0] < st_cold.deltas[0] / 2
+    # the degenerate delta: warm-starting the UNCHANGED graph converges
+    # immediately — the strong guarantee of the incremental path
+    same, st_same = pregel.pagerank(edf, tol=1e-9, max_iter=300, init_ranks=base)
+    assert st_same.iterations == 1 and st_same.converged
     a = {r["id"]: r["rank"] for r in cold.collect()}
     b = {r["id"]: r["rank"] for r in warm.collect()}
     assert set(a) == set(b)
