@@ -175,6 +175,24 @@ def q_triangles_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_ppr_fixed3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from supplier seeds {1,2} (fixed 3 rounds,
+    SQL-expressible teleport-to-seeds formulation)."""
+    e = _sym(copart_edges(spark, sf_dir))
+    ranks = pregel.personalized_pagerank_fixed(e, sources=[1, 2], n_iter=3, damping=DAMPING)
+    return ranks.select("id", F.round("rank", 7).alias("rank_r")).orderBy("id")
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability (Cypher's ``-[*1..k]->``): BFS hop
+    distances from the smallest part id over the undirected co-order
+    graph, depth-bounded at 8."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    src0 = e.agg(F.min("src")).collect()[0][0]
+    dist, _ = pregel.bfs_distances(e, sources=[int(src0)], max_depth=8)
+    return dist.select(F.col("id").cast("long"), F.col("dist").cast("int")).orderBy("id")
+
+
 def q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 'current state' pointer as a window view (latest event per
     user — controller.rs:390-414 analog)."""
@@ -441,6 +459,32 @@ l{K} AS (SELECT v.id, CAST(COALESCE(w{K}.lbl, v.id) AS BIGINT) AS label
          FROM verts v LEFT JOIN w{K} ON w{K}.id = v.id)"""
 
 
+_PPR_ITER = """
+p{K} AS (
+  SELECT v.id,
+         0.15 * (CASE WHEN v.id IN (1, 2) THEN 0.5 ELSE 0.0 END) + 0.85 * COALESCE(s.s, 0) AS r
+  FROM verts v
+  LEFT JOIN (
+    SELECT w.dst AS id, SUM(w.wt * p.r) AS s
+    FROM w JOIN p{KM1} p ON p.id = w.src
+    GROUP BY w.dst
+  ) s ON s.id = v.id
+)"""
+
+
+def _ppr_sql(n_iter: int = 3) -> str:
+    iters = "".join("," + _PPR_ITER.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH {_COPART_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, 1.0 / deg.d AS wt FROM e JOIN deg ON deg.src = e.src),
+p0 AS (SELECT id, CASE WHEN id IN (1, 2) THEN 0.5 ELSE 0.0 END AS r FROM verts)
+{iters}
+SELECT id, ROUND(r, 7) AS rank_r FROM p{n_iter} ORDER BY id
+"""
+
+
 def _lpa_sql(n_iter: int = 2) -> str:
     rounds = "".join("," + _LPA_ROUND.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
     return f"""
@@ -471,6 +515,18 @@ ORACLES: dict[str, str] = {
         FROM e GROUP BY dst ORDER BY n_customers DESC, s_suppkey ASC LIMIT 10
     """,
     "pagerank_fixed5": _pagerank_sql(5),
+    "ppr_fixed3": _ppr_sql(3),
+    "bfs_hops": f"""
+        WITH RECURSIVE {_COORDER_SQL}, {_SYM_SQL},
+        s0 AS (SELECT MIN(src) AS id FROM e),
+        reach(id, d) AS (
+            SELECT id, 0 FROM s0
+            UNION
+            SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.d < 8
+        )
+        SELECT CAST(id AS BIGINT) AS id, CAST(MIN(d) AS INT) AS dist
+        FROM reach GROUP BY id ORDER BY id
+    """,
     "components": f"""
         WITH RECURSIVE {_COPART_SQL}, {_SYM_SQL},
         verts AS (SELECT DISTINCT src AS id FROM e),
@@ -615,6 +671,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangles_coorder": q_triangles_coorder,
     "top_depended": q_top_depended,
     "pagerank_fixed5": q_pagerank_fixed5,
+    "ppr_fixed3": q_ppr_fixed3,
+    "bfs_hops": q_bfs_hops,
     "components": q_components,
     "components_star": q_components_star,
     "lpa_fixed2": q_lpa_fixed2,

@@ -513,6 +513,90 @@ def pagerank_fixed(
     return ranks
 
 
+def personalized_pagerank_fixed(
+    edges: DataFrame,
+    sources: list[int],
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration personalized PageRank: the teleport distribution
+    concentrates on ``sources`` (uniform over them) instead of all
+    vertices — the "related to these seeds" ranking Cypher users build
+    with weighted traversals.  SQL-expressible (no dangling term), so
+    the driver oracle replays identical unrolled arithmetic.
+
+    r_0 = e_S;  r_{k+1} = (1-d)·e_S + d·Pᵀ r_k,  e_S uniform on S.
+    """
+    e = normalize_edges(edges)
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    ew = e.join(out_deg.withColumnRenamed("id", "src"), "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    )
+    verts = vertices_of(e)
+    inv_s = 1.0 / len(sources)
+    seed = F.when(F.col("id").isin(sources), F.lit(inv_s)).otherwise(F.lit(0.0))
+    ranks = verts.select("id", seed.alias("rank"))
+    for _ in range(n_iter):
+        sums = (
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
+        )
+        ranks = verts.join(sums.withColumnRenamed("dst", "id"), "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping) * seed
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[int],
+    max_depth: int = 20,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Multi-source BFS hop distances over the directed edge table —
+    the variable-length-path reachability Cypher expresses as
+    ``-[:REL*1..k]->``.  Exact: every reachable vertex gets its minimum
+    hop count.  Frontier-based: each round expands only the *new*
+    frontier (anti-join against visited), so total work is O(E) across
+    all rounds, not O(E·depth)."""
+    spark = edges.sparkSession
+    e0 = normalize_edges(edges).persist()
+    m0 = e0.count()
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e0.unpersist()
+        stats = IterationStats(algorithm="bfs", edges=m0)
+        frontier = spark.createDataFrame(
+            [(int(s), 0) for s in sources], "id long, dist int"
+        ).localCheckpoint(eager=True)
+        visited = frontier
+        for depth in range(1, max_depth + 1):
+            t0 = time.monotonic()
+            nxt = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), F.lit(depth).alias("dist"))
+                .dropDuplicates(["id"])
+                .join(visited.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            n = nxt.count()
+            stats.iterations = depth
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(n))
+            if n == 0:
+                stats.converged = True
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited, stats
+
+
 # --------------------------------------------------------------------------
 # Connected components (hash-min)
 

@@ -209,6 +209,55 @@ def test_lpa_matches_oracle_and_deterministic(graph):
     assert g1 == py_lpa(edges, max_iter=3)
 
 
+def test_bfs_distances_exact(graph, spark):
+    edges, edf = graph
+    sources = [0, 5]
+    dist, st = pregel.bfs_distances(edf, sources=sources, max_depth=30)
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    # python BFS oracle
+    from collections import deque
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    exp = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in exp:
+                exp[v] = exp[u] + 1
+                q.append(v)
+    assert got == exp
+    assert st.converged
+
+
+def test_personalized_pagerank_matches_python(graph):
+    edges, edf = graph
+    sources = [0, 3]
+    got = {
+        r["id"]: r["rank"]
+        for r in pregel.personalized_pagerank_fixed(edf, sources, n_iter=4).collect()
+    }
+    # python oracle: r_{k+1} = 0.15 e_S + 0.85 P^T r_k
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    seed = {x: (0.5 if x in sources else 0.0) for x in nodes}
+    r = dict(seed)
+    for _ in range(4):
+        new = {x: 0.15 * seed[x] for x in nodes}
+        for u, vs in out.items():
+            c = 0.85 * r[u] / len(vs)
+            for v in vs:
+                new[v] += c
+        r = new
+    assert max(abs(got[x] - r[x]) for x in nodes) < 1e-12
+    # mass concentrates near the seeds
+    assert got[0] > max(got[x] for x in nodes if x not in sources and x > 50)
+
+
 def test_self_loops_ignored(spark):
     edf = spark.createDataFrame([(1, 2), (2, 2), (2, 1)], "src long, dst long")
     pv, total = pregel.triangle_count(edf)
