@@ -193,6 +193,44 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(F.col("id").cast("long"), F.col("dist").cast("int")).orderBy("id")
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-order graph (A4 family: the first
+    thing anyone profiles about a link graph)."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    return deg.groupBy("deg").agg(F.count("*").alias("n_vertices"))
+
+
+def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction features per existing edge: common-neighbor count
+    and Adamic-Adar score (Σ 1/ln(deg w) over common neighbors w) on the
+    sparse co-order graph — the neighborhood-overlap primitives used to
+    score candidate links at corpus scale.  Restricted to pairs < 400 to
+    keep the oracle cheap."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    sym = _sym(coorder_edges(spark, sf_dir))
+    deg = sym.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
+    su = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    sv = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    pairs = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    common = (
+        pairs.join(su, "u")
+        .join(sv, ["v", "w"])
+        .join(deg, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("dw").cast("double"))), 6).alias("adamic_adar"),
+        )
+    )
+    return pairs.join(common, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce(F.col("common_neighbors"), F.lit(0)).alias("common_neighbors"),
+        F.coalesce(F.col("adamic_adar"), F.lit(0.0)).alias("adamic_adar"),
+    )
+
+
 def q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 'current state' pointer as a window view (latest event per
     user — controller.rs:390-414 analog)."""
@@ -516,6 +554,29 @@ ORACLES: dict[str, str] = {
     """,
     "pagerank_fixed5": _pagerank_sql(5),
     "ppr_fixed3": _ppr_sql(3),
+    "degree_histogram": f"""
+        WITH {_COORDER_SQL}, {_SYM_SQL},
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src)
+        SELECT CAST(deg AS BIGINT) AS deg, CAST(COUNT(*) AS BIGINT) AS n_vertices
+        FROM deg GROUP BY deg
+    """,
+    "edge_embeddedness": f"""
+        WITH {_COORDER_SQL}, {_SYM_SQL},
+        p AS (SELECT src AS u, dst AS v FROM und WHERE src < 400 AND dst < 400),
+        deg AS (SELECT src AS w, COUNT(*) AS dw FROM e GROUP BY src),
+        common AS (
+          SELECT p.u, p.v, CAST(COUNT(*) AS BIGINT) AS cn,
+                 ROUND(SUM(1.0 / LN(CAST(deg.dw AS DOUBLE))), 6) AS aa
+          FROM p
+          JOIN e su ON su.src = p.u
+          JOIN e sv ON sv.src = p.v AND sv.dst = su.dst
+          JOIN deg ON deg.w = su.dst
+          GROUP BY p.u, p.v)
+        SELECT p.u, p.v,
+               CAST(COALESCE(common.cn, 0) AS BIGINT) AS common_neighbors,
+               COALESCE(common.aa, 0.0) AS adamic_adar
+        FROM p LEFT JOIN common ON common.u = p.u AND common.v = p.v
+    """,
     "bfs_hops": f"""
         WITH RECURSIVE {_COORDER_SQL}, {_SYM_SQL},
         s0 AS (SELECT MIN(src) AS id FROM e),
@@ -673,6 +734,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_fixed5": q_pagerank_fixed5,
     "ppr_fixed3": q_ppr_fixed3,
     "bfs_hops": q_bfs_hops,
+    "degree_histogram": q_degree_histogram,
+    "edge_embeddedness": q_edge_embeddedness,
     "components": q_components,
     "components_star": q_components_star,
     "lpa_fixed2": q_lpa_fixed2,
