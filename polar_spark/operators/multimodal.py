@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment — clearly marked below); everything Spark-side is
-real and tested: schemas, Arrow batch shapes, ``mapInPandas``
+The IMAGE decode kernel is STUBBED (no Pillow/libjpeg in this
+environment — clearly marked below); the AUDIO path is REAL: canonical
+PCM WAV (RIFF) encode/decode and frame-level DSP features (RMS,
+zero-crossing rate, spectral centroid, band energies) are pure
+numpy — no external library needed.  Everything Spark-side is real and
+tested for all modalities: schemas, Arrow batch shapes, ``mapInPandas``
 signatures, partition sizing, frame-sampling arithmetic.  Swapping the
-deterministic fake decoder for Pillow/libav is a one-function change
+deterministic fake image decoder for Pillow is a one-function change
 on the executors.
 
 Schema convention:
@@ -21,6 +24,7 @@ store).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,12 +44,21 @@ def gen_media_table(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFr
             rows = []
             for mid in pdf["id"].tolist():
                 kind = ["image", "audio", "video"][mid % 3]
-                content = hashlib.sha256(f"{seed}:{mid}".encode()).digest() * (4 + mid % 7)
-                meta = {
-                    "image": {"width": str(32 + mid % 64), "height": str(32 + (mid * 3) % 64)},
-                    "audio": {"sample_rate": "16000", "duration_s": str(1 + mid % 30)},
-                    "video": {"fps": "24", "duration_s": str(1 + mid % 120)},
-                }[kind]
+                if kind == "audio":
+                    # REAL canonical PCM16 WAV: seeded tone + noise
+                    sr, dur = 8000, 1 + mid % 3
+                    rng = np.random.default_rng([seed, mid])
+                    t = np.arange(sr * dur) / sr
+                    f0 = 200.0 + (mid % 10) * 100.0
+                    wave = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.standard_normal(len(t))
+                    content = encode_wav_pcm16(wave, sr)
+                    meta = {"sample_rate": str(sr), "duration_s": str(dur)}
+                else:
+                    content = hashlib.sha256(f"{seed}:{mid}".encode()).digest() * (4 + mid % 7)
+                    meta = {
+                        "image": {"width": str(32 + mid % 64), "height": str(32 + (mid * 3) % 64)},
+                        "video": {"fps": "24", "duration_s": str(1 + mid % 120)},
+                    }[kind]
                 rows.append((mid, kind, content, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
@@ -147,11 +160,86 @@ def audio_chunk_plan(media: DataFrame, chunk_s: float = 5.0) -> DataFrame:
     )
 
 
-def decode_audio_features(media: DataFrame) -> DataFrame:
-    """STUB endpoint for audio feature extraction.  The Spark plumbing
-    (batch iterator, schema) is real; the DSP kernel is not available in
-    this environment."""
-    raise NotImplementedError(
-        "audio decode requires an audio library not present in this "
-        "environment; plumbing mirrors decode_image_features"
+# ------------------------------------------------------------------ audio
+# Canonical PCM WAV is a trivial RIFF container — encode/decode and the
+# frame-level DSP below are pure numpy, no external audio library.
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float samples in [-1, 1] → canonical mono PCM16 WAV bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    data = (pcm * 32767.0).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(content: bytes) -> tuple[int, np.ndarray]:
+    """Canonical mono PCM16 WAV bytes → (sample_rate, float64 in [-1,1]).
+    Walks RIFF chunks (fmt may be followed by LIST etc. before data)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(f"only mono PCM16 supported, got {(fmt, channels, bits)}")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2").astype(np.float64) / 32767.0
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, data
+
+
+def decode_audio_features(
+    media: DataFrame, frame_s: float = 0.025, n_bands: int = 8
+) -> DataFrame:
+    """audio rows → (media_id, sample_rate, n_samples, rms, zcr,
+    spectral_centroid_hz, band_energies array<double>).
+
+    REAL DSP over Arrow batches: WAV decode (numpy), per-file RMS,
+    zero-crossing rate (crossings/sec), spectral centroid via rfft, and
+    ``n_bands`` linear band log-energies — the compact fingerprint a
+    curation pipeline filters/clusters on.  Same mapInPandas shape as
+    the image path; no external library."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                sr, x = decode_wav_pcm16(bytes(row["content"]))
+                n = len(x)
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                zcr = float(np.sum(np.abs(np.diff(np.signbit(x)))) * sr / max(n, 1))
+                spec = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                power = spec * spec
+                tot = power.sum()
+                centroid = float((freqs * power).sum() / tot) if tot > 0 else 0.0
+                bands = np.array_split(power, n_bands)
+                be = [float(np.log1p(b.sum())) for b in bands]
+                out.append((int(row["media_id"]), sr, n, rms, zcr, centroid, be))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "rms", "zcr",
+                    "spectral_centroid_hz", "band_energies",
+                ],
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        run,
+        schema=(
+            "media_id long, sample_rate int, n_samples long, rms double, "
+            "zcr double, spectral_centroid_hz double, band_energies array<double>"
+        ),
     )

@@ -101,9 +101,49 @@ def test_audio_chunk_plan(media):
     assert rows
     for r in rows:
         assert r["end_s"] > r["start_s"]
-        assert r["n_samples"] == int((r["end_s"] - r["start_s"]) * 16000)
+        assert r["n_samples"] == int((r["end_s"] - r["start_s"]) * 8000)
 
 
-def test_audio_decode_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio_features(media)
+def test_wav_roundtrip():
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = 0.3 * np.sin(2 * np.pi * 440.0 * t)
+    sr2, y = multimodal.decode_wav_pcm16(multimodal.encode_wav_pcm16(x, sr))
+    assert sr2 == sr and len(y) == len(x)
+    assert float(abs(y - x).max()) < 1e-4  # 16-bit quantization only
+
+
+def test_audio_features_of_pure_tone(spark):
+    """REAL DSP check: a 440 Hz sine's spectral centroid lands at
+    ~440 Hz, zero-crossing rate at ~2x440/s, RMS at amp/sqrt(2)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sr, amp, f0 = 8000, 0.5, 440.0
+    t = np.arange(2 * sr) / sr
+    wav = multimodal.encode_wav_pcm16(amp * np.sin(2 * np.pi * f0 * t), sr)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), {"sample_rate": str(sr)})],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    r = multimodal.decode_audio_features(df).collect()[0]
+    assert r["sample_rate"] == sr and r["n_samples"] == 2 * sr
+    assert abs(r["rms"] - amp / 2**0.5) < 1e-3
+    assert abs(r["spectral_centroid_hz"] - f0) < 5.0
+    assert abs(r["zcr"] - 2 * f0) < 10.0
+    assert len(r["band_energies"]) == 8
+    # a 440 Hz tone at sr=8000 lives in the lowest of 8 linear bands
+    assert r["band_energies"][0] == max(r["band_energies"])
+
+
+def test_audio_features_over_generated_table(media):
+    from pyspark.sql import functions as F
+
+    feats = multimodal.decode_audio_features(media).collect()
+    assert feats
+    for r in feats:
+        # generated tones are 200-1100 Hz + small noise
+        assert 100.0 < r["spectral_centroid_hz"] < 2500.0
+        assert 0.2 < r["rms"] < 0.5
