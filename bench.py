@@ -159,6 +159,37 @@ def main() -> None:
 
     timed("pagerank_demand", _demand_pr)
 
+    # -- domain projection + graph-store mutation throughput ---------------
+    # (the reference's write path is one Cypher tx per op through a
+    # single actor; this measures the set-oriented batch equivalent)
+    def _gitlab_rollup():
+        from polar_spark.operators.analytics_queries import q_gitlab_pipeline_rollup
+
+        extra["gitlab_projects"] = q_gitlab_pipeline_rollup(spark, sf_dir).count()
+
+    timed("gitlab_pipeline_rollup", _gitlab_rollup)
+
+    def _store_ingest():
+        import shutil
+        import tempfile
+
+        from polar_spark.operators.analytics_queries import _gl_pipelines_from_orders
+        from polar_spark.operators.gitlab_projection import project_pipelines
+        from polar_spark.operators.graph_store import GraphStore
+
+        tmp = tempfile.mkdtemp(prefix="polar_bench_store_")
+        try:
+            verts, edges = project_pipelines(_gl_pipelines_from_orders(spark, sf_dir))
+            store = GraphStore(spark, tmp)
+            store.upsert_nodes(verts)
+            store.ensure_edges(edges)
+            extra["store_vertices"] = store.vertices.count()
+            extra["store_edges"] = store.edges.count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    timed("graph_store_ingest", _store_ingest)
+
     # -- training-data ops --------------------------------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     timed(
