@@ -68,12 +68,20 @@ class IterationStats:
 
 
 class _shuffle_conf:
-    """Temporarily pin ``spark.sql.shuffle.partitions`` for an iterative
-    run.  Iteration shuffles are sized to the *graph*, not the session
-    default: tiny graphs on 200-partition defaults spend 10x more time
-    scheduling empty tasks than computing (measured 0.55s vs 7s per
-    iteration).  At cluster scale the cap is the session default, so
-    big inputs keep full parallelism."""
+    """Temporarily pin ``spark.sql.shuffle.partitions`` AND disable AQE
+    for an iterative run; both restored on exit.
+
+    Partitions: iteration shuffles are sized to the *graph*, not the
+    session default — tiny graphs on 200-partition defaults spend 10x
+    more time scheduling empty tasks than computing (measured 0.55s vs
+    7s per iteration).  At cluster scale the cap is the session
+    default, so big inputs keep full parallelism.
+
+    AQE: its stage-by-stage replanning is a driver-serial round trip
+    per stage — measured ~2x the per-iteration wall on pinned-partition
+    loops (BENCH/BASELINE.md).  The loop pins its partition counts and
+    handles skew explicitly (salting), so adaptive replanning buys
+    nothing here; AQE stays on for everything outside iterative runs."""
 
     def __init__(self, spark: SparkSession, n: int):
         self.spark = spark
@@ -81,11 +89,14 @@ class _shuffle_conf:
 
     def __enter__(self):
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.old_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         return self
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.old_aqe)
 
 
 def _auto_partitions(spark: SparkSession, m: int, requested: int | None) -> int:
