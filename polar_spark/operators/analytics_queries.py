@@ -193,6 +193,20 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(F.col("id").cast("long"), F.col("dist").cast("int")).orderBy("id")
 
 
+def q_pagerank_weighted4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank on the demand graph: weight = number of
+    order lines tying customer to supplier (dependency strength)."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count("*").alias("weight"))
+    )
+    ranks = pregel.pagerank_weighted_fixed(e, n_iter=4, damping=DAMPING)
+    return ranks.select("id", F.round("rank", 7).alias("rank_r")).orderBy("id")
+
+
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-order graph (A4 family: the first
     thing anyone profiles about a link graph)."""
@@ -554,6 +568,26 @@ ORACLES: dict[str, str] = {
     """,
     "pagerank_fixed5": _pagerank_sql(5),
     "ppr_fixed3": _ppr_sql(3),
+    "pagerank_weighted4": """
+        WITH e AS (SELECT o_custkey AS src, l_suppkey AS dst, CAST(COUNT(*) AS DOUBLE) AS wt
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   WHERE o_custkey != l_suppkey
+                   GROUP BY o_custkey, l_suppkey),
+        wsum AS (SELECT src, SUM(wt) AS ws FROM e GROUP BY src),
+        w AS (SELECT e.src, e.dst, e.wt / wsum.ws AS wt FROM e JOIN wsum ON wsum.src = e.src),
+        verts AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        inv AS (SELECT 1.0 / COUNT(*) AS x FROM verts),
+        r0 AS (SELECT id, (SELECT x FROM inv) AS r FROM verts),
+        r1 AS (SELECT v.id, 0.15 * inv.x + 0.85 * COALESCE(s.s, 0) AS r FROM verts v CROSS JOIN inv
+               LEFT JOIN (SELECT w.dst AS id, SUM(w.wt * p.r) AS s FROM w JOIN r0 p ON p.id = w.src GROUP BY w.dst) s ON s.id = v.id),
+        r2 AS (SELECT v.id, 0.15 * inv.x + 0.85 * COALESCE(s.s, 0) AS r FROM verts v CROSS JOIN inv
+               LEFT JOIN (SELECT w.dst AS id, SUM(w.wt * p.r) AS s FROM w JOIN r1 p ON p.id = w.src GROUP BY w.dst) s ON s.id = v.id),
+        r3 AS (SELECT v.id, 0.15 * inv.x + 0.85 * COALESCE(s.s, 0) AS r FROM verts v CROSS JOIN inv
+               LEFT JOIN (SELECT w.dst AS id, SUM(w.wt * p.r) AS s FROM w JOIN r2 p ON p.id = w.src GROUP BY w.dst) s ON s.id = v.id),
+        r4 AS (SELECT v.id, 0.15 * inv.x + 0.85 * COALESCE(s.s, 0) AS r FROM verts v CROSS JOIN inv
+               LEFT JOIN (SELECT w.dst AS id, SUM(w.wt * p.r) AS s FROM w JOIN r3 p ON p.id = w.src GROUP BY w.dst) s ON s.id = v.id)
+        SELECT id, ROUND(r, 7) AS rank_r FROM r4 ORDER BY id
+    """,
     "degree_histogram": f"""
         WITH {_COORDER_SQL}, {_SYM_SQL},
         deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src)
@@ -734,6 +768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_fixed5": q_pagerank_fixed5,
     "ppr_fixed3": q_ppr_fixed3,
     "bfs_hops": q_bfs_hops,
+    "pagerank_weighted4": q_pagerank_weighted4,
     "degree_histogram": q_degree_histogram,
     "edge_embeddedness": q_edge_embeddedness,
     "components": q_components,

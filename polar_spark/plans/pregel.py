@@ -563,6 +563,49 @@ def personalized_pagerank_fixed(
     return ranks
 
 
+def pagerank_weighted_fixed(
+    edges: DataFrame,
+    n_iter: int = 4,
+    damping: float = 0.85,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Fixed-iteration PageRank with edge-weighted transition
+    probabilities: each src distributes rank proportionally to
+    ``weight`` instead of uniformly (the strength-of-dependency
+    semantics — e.g. how many order lines tie a customer to a
+    supplier).  SQL-expressible; the driver oracle replays identical
+    unrolled arithmetic."""
+    e = (
+        edges.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col(weight_col).cast("double").alias("wt"),
+        )
+        .where((F.col("src") != F.col("dst")) & (F.col("wt") > 0))
+        .groupBy("src", "dst")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    wsum = e.groupBy(F.col("src")).agg(F.sum("wt").alias("ws"))
+    ew = e.join(wsum, "src").select("src", "dst", (F.col("wt") / F.col("ws")).alias("w"))
+    verts = vertices_of(e)
+    n = verts.count()
+    ranks = verts.select("id", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(n_iter):
+        sums = (
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
+        )
+        ranks = verts.join(sums.withColumnRenamed("dst", "id"), "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: list[int],

@@ -258,6 +258,31 @@ def test_personalized_pagerank_matches_python(graph):
     assert got[0] > max(got[x] for x in nodes if x not in sources and x > 50)
 
 
+def test_pagerank_weighted_uniform_equals_unweighted(graph, spark):
+    """Uniform weights reduce exactly to the unweighted transition
+    matrix; skewed weights shift mass toward the heavy edge's dst."""
+    from pyspark.sql import functions as F
+
+    edges, edf = graph
+    a = {r["id"]: r["rank"] for r in pregel.pagerank_fixed(edf, n_iter=4).collect()}
+    b = {
+        r["id"]: r["rank"]
+        for r in pregel.pagerank_weighted_fixed(
+            edf.withColumn("weight", F.lit(2.5)), n_iter=4
+        ).collect()
+    }
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+    # skew: all weight of vertex u onto one edge → that dst gains
+    u = edges[0][0]
+    heavy_dst = edges[0][1]
+    wdf = edf.withColumn(
+        "weight",
+        F.when((F.col("src") == u) & (F.col("dst") == heavy_dst), 1000.0).otherwise(1.0),
+    )
+    c = {r["id"]: r["rank"] for r in pregel.pagerank_weighted_fixed(wdf, n_iter=4).collect()}
+    assert c[heavy_dst] > b[heavy_dst]
+
+
 def test_self_loops_ignored(spark):
     edf = spark.createDataFrame([(1, 2), (2, 2), (2, 1)], "src long, dst long")
     pv, total = pregel.triangle_count(edf)
