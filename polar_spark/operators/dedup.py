@@ -185,8 +185,13 @@ def minhash_lsh_dedup(
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
     est = minhash_estimate(sigs, cand)
     if not exact_verify:
+        # materialize before releasing the caches (the result is tiny —
+        # pairs above threshold — while sh/sigs are corpus-sized; leaving
+        # them cached would accumulate across queries in one session)
+        out = est.where(F.col("est_jaccard") >= threshold).localCheckpoint(eager=True)
+        sigs.unpersist()
         sh.unpersist()
-        return est.where(F.col("est_jaccard") >= threshold)
+        return out
     ga = sh.select(F.col("_id").alias("id_a"), F.col("shingle_hash").alias("h"))
     gb = sh.select(F.col("_id").alias("id_b"), F.col("shingle_hash").alias("h"))
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
@@ -213,7 +218,10 @@ def minhash_lsh_dedup(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)  # materialize, then release the caches
     )
+    sigs.unpersist()
+    sh.unpersist()
     return out
 
 

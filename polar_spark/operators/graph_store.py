@@ -518,12 +518,31 @@ class GraphStore:
     # ---------------------------------------------------------- helpers
 
     def _conform(self, df: DataFrame, schema: T.StructType, with_id: bool = False) -> DataFrame:
-        cols = []
+        # Required (non-nullable) string columns — labels, keys, rel_type —
+        # are normalized: null/empty becomes the '__unset__' sentinel.
+        # Dynamic labels from scan data (kube owner_refs.kind, provenance
+        # backend labels) CAN be null/''; without this, Spark writes '' as
+        # pv=__HIVE_DEFAULT_PARTITION__ (never matching the touched value,
+        # so the partition pointer is popped as drained) and null-valued
+        # rows silently miss the isin(touched) commit filter.  Normalizing
+        # also keeps merge-join keys non-null (null keys never equi-match).
+        def _required(c: F.Column) -> F.Column:
+            return F.when(c.isNull() | (c == ""), F.lit("__unset__")).otherwise(c)
+
+        exprs: dict[str, F.Column] = {}
         for f in schema.fields:
             if f.name == "id" and with_id:
-                cols.append(vertex_id("label", "key").alias("id"))
-            elif f.name in df.columns:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-            else:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        return df.select(*cols)
+                continue
+            c = (
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType)
+            )
+            if not f.nullable and isinstance(f.dataType, T.StringType):
+                c = _required(c)
+            exprs[f.name] = c
+        if with_id:
+            # id derives from the NORMALIZED label/key so sentinel rows
+            # hash consistently with how they are stored
+            exprs["id"] = vertex_id(exprs["label"], exprs["key"])
+        return df.select(*[exprs[f.name].alias(f.name) for f in schema.fields])

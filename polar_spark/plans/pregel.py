@@ -122,6 +122,28 @@ def normalize_edges(edges: DataFrame, num_partitions: int | None = None) -> Data
     return e
 
 
+def compact_ids(e: DataFrame, m0: int, cols: tuple[str, str] = ("src", "dst")) -> DataFrame:
+    """Cast (src, dst) to int32 when every id fits (|V| < 2³¹ and ids
+    are small) — every per-iteration shuffle row in the loops (rank
+    exchange, partial-aggregated contributions, component labels) then
+    carries 4-byte keys instead of 8.  One setup aggregate over the
+    already-persisted edge set decides; xxhash64-derived ids (full
+    64-bit — ``GraphStore.edge_table``) keep long and the loops are
+    type-agnostic either way.  Dense re-mapping of large ids is NOT done
+    here: it would cost two extra joins per run (map + unmap), which
+    only pays off past ~50 iterations."""
+    if m0 == 0:
+        return e
+    a, b_ = cols
+    r = e.agg(
+        F.min(F.least(a, b_)).alias("lo"),
+        F.max(F.greatest(a, b_)).alias("hi"),
+    ).collect()[0]
+    if r["lo"] is not None and r["lo"] >= -(2**31) and r["hi"] < 2**31:
+        return e.select(F.col(a).cast("int"), F.col(b_).cast("int"))
+    return e
+
+
 def vertices_of(edges: DataFrame) -> DataFrame:
     return (
         edges.select(F.col("src").alias("id"))
@@ -251,26 +273,28 @@ def pagerank(
     Returns (ranks(id, rank), stats).  Scores sum to ~1.
     """
     spark = edges.sparkSession
-    e = normalize_edges(edges).persist()
-    m0 = e.count()
+    e0 = normalize_edges(edges).persist()
+    m0 = e0.count()
     if m0 == 0:
-        e.unpersist()
+        e0.unpersist()
         return (
             spark.createDataFrame([], "id long, rank double"),
             IterationStats(algorithm="pagerank", edges=0, vertices=0, converged=True),
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
+    e = compact_ids(e0, m0)
     with _shuffle_conf(spark, shuffle):
         return _pagerank_loop(
-            spark, e, m0, shuffle, damping, tol, max_iter, checkpoint_dir,
+            spark, e, e0, m0, shuffle, damping, tol, max_iter, checkpoint_dir,
             checkpoint_every, resume, salt_buckets, dangling, fuse, init_ranks,
         )
 
 
 def _pagerank_loop(
-    spark, e, m0, shuffle, damping, tol, max_iter, checkpoint_dir,
+    spark, e, e_base, m0, shuffle, damping, tol, max_iter, checkpoint_dir,
     checkpoint_every, resume, salt_buckets, dangling, fuse=None, init_ranks=None,
 ):
+    id_type = dict(e.dtypes)["src"]  # 'int' when compact_ids applied
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     # weighted edges: contribution fraction per edge, built once.
     # localCheckpoint (not persist): the input may carry an arbitrarily
@@ -298,13 +322,19 @@ def _pagerank_loop(
     )
     n = verts.count()
     m = ew.count()
-    e.unpersist()
+    e_base.unpersist()
     stats = IterationStats(algorithm="pagerank", edges=m, vertices=n)
 
     ckpt = _Ckpt(spark, checkpoint_dir, "pagerank") if checkpoint_dir else None
     start_iter = 0
     if resume and ckpt is not None and (last := ckpt.latest()) is not None:
-        loaded = ckpt.load(last["iteration"]).repartition(shuffle, "id")
+        # checkpoints store id as long (stable resume contract); cast to
+        # the loop's id type so the join stays type-homogeneous
+        loaded = (
+            ckpt.load(last["iteration"])
+            .select(F.col("id").cast(id_type).alias("id"), "rank")
+            .repartition(shuffle, "id")
+        )
         ranks = loaded.join(verts, "id").select("id", "rank", "not_dangling")
         start_iter = last["iteration"]
         stats.resumed_from = start_iter
@@ -312,7 +342,11 @@ def _pagerank_loop(
         # warm start from a previous graph version's converged ranks:
         # new vertices seed at 1/n, then renormalize total mass to 1
         warm = verts.join(
-            init_ranks.select("id", F.col("rank").alias("_warm")), "id", "left"
+            init_ranks.select(
+                F.col("id").cast(id_type).alias("id"), F.col("rank").alias("_warm")
+            ),
+            "id",
+            "left",
         ).select(
             "id",
             F.coalesce(F.col("_warm"), F.lit(1.0 / n)).alias("rank"),
@@ -342,7 +376,7 @@ def _pagerank_loop(
         # floor, and adjacent rounds' final-agg/update-join/next-exchange
         # fuse into single stages at shuffle boundaries
         return _pagerank_fused(
-            ew, verts, ranks, n, damping, max_iter, start_iter, ckpt,
+            ew, verts, ranks, n, damping, tol, max_iter, start_iter, ckpt,
             checkpoint_every, salt_buckets, dangling_on, stats,
         )
     # dangling mass of the CURRENT state (dm enters the next update as a
@@ -405,7 +439,7 @@ def _pagerank_loop(
         dm = float(agg_row["dm"] or 0.0)
         ranks = new_state.select("id", "rank", "not_dangling")
         if ckpt is not None and it % checkpoint_every == 0:
-            ckpt.save(it, ranks.select("id", "rank"), delta)
+            ckpt.save(it, ranks.select(F.col("id").cast("long").alias("id"), "rank"), delta)
         stats.iterations = it
         stats.deltas.append(delta)
         stats.iter_seconds.append(time.monotonic() - t0)
@@ -414,14 +448,18 @@ def _pagerank_loop(
             stats.converged = True
             break
     if ckpt is not None and stats.iterations % checkpoint_every != 0:
-        ckpt.save(stats.iterations, ranks.select("id", "rank"), stats.final_delta)
+        ckpt.save(
+            stats.iterations,
+            ranks.select(F.col("id").cast("long").alias("id"), "rank"),
+            stats.final_delta,
+        )
     ew.unpersist()
     verts.unpersist()
-    return ranks.select("id", "rank"), stats
+    return ranks.select(F.col("id").cast("long").alias("id"), "rank"), stats
 
 
 def _pagerank_fused(
-    ew, verts, ranks, n, damping, max_iter, start_iter, ckpt,
+    ew, verts, ranks, n, damping, tol, max_iter, start_iter, ckpt,
     checkpoint_every, salt_buckets, dangling_on, stats,
 ):
     """Fixed-iteration PageRank with lazily-chained rounds.
@@ -438,7 +476,13 @@ def _pagerank_fused(
     inv_n = 1.0 / n
     it = start_iter
     while it < max_iter:
-        chunk = min(checkpoint_every if ckpt is not None else max_iter - it, max_iter - it)
+        # chunk size: checkpoint cadence if checkpointing, else — when a
+        # tolerance is active — the convergence-check cadence; tol=0
+        # with no checkpointing chains ALL rounds into one job
+        chunk = min(
+            checkpoint_every if (ckpt is not None or tol > 0.0) else max_iter - it,
+            max_iter - it,
+        )
         t0 = time.monotonic()
         last = None
         for _ in range(chunk):
@@ -485,12 +529,18 @@ def _pagerank_fused(
         stats.iter_seconds.extend([wall / chunk] * chunk)
         stats.final_delta = delta
         if ckpt is not None:
-            ckpt.save(it, ranks.select("id", "rank"), delta)
+            ckpt.save(it, ranks.select(F.col("id").cast("long").alias("id"), "rank"), delta)
         ranks = ranks.localCheckpoint(eager=True)  # lineage cut between chunks
+        # fuse=True with a tolerance: the chunk delta is already computed,
+        # so honor it — convergence granularity is the chunk, not the
+        # round (tol=0 keeps pure fixed-iteration behavior)
+        if tol > 0.0 and delta < tol:
+            stats.converged = True
+            break
     stats.fused = True
     ew.unpersist()
     verts.unpersist()
-    return ranks.select("id", "rank"), stats
+    return ranks.select(F.col("id").cast("long").alias("id"), "rank"), stats
 
 
 def pagerank_fixed(
@@ -622,13 +672,17 @@ def bfs_distances(
     e0 = normalize_edges(edges).persist()
     m0 = e0.count()
     shuffle = _auto_partitions(spark, m0, num_partitions)
+    e_c = compact_ids(e0, m0)
+    id_type = dict(e_c.dtypes)["src"]
     with _shuffle_conf(spark, shuffle):
-        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = e_c.repartition(shuffle, "src").localCheckpoint(eager=True)
         e0.unpersist()
         stats = IterationStats(algorithm="bfs", edges=m0)
-        frontier = spark.createDataFrame(
-            [(int(s), 0) for s in sources], "id long, dist int"
-        ).localCheckpoint(eager=True)
+        frontier = (
+            spark.createDataFrame([(int(s), 0) for s in sources], "id long, dist int")
+            .select(F.col("id").cast(id_type).alias("id"), "dist")
+            .localCheckpoint(eager=True)
+        )
         visited = frontier
         for depth in range(1, max_depth + 1):
             t0 = time.monotonic()
@@ -648,7 +702,7 @@ def bfs_distances(
                 break
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
-        return visited, stats
+        return visited.select(F.col("id").cast("long").alias("id"), "dist"), stats
 
 
 # --------------------------------------------------------------------------
@@ -680,22 +734,30 @@ def connected_components(
             IterationStats(algorithm="connected_components", edges=0, vertices=0, converged=True),
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
+    sym_c = compact_ids(sym0, m0)
     with _shuffle_conf(spark, shuffle):
-        return _cc_loop(spark, sym0, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume)
+        return _cc_loop(
+            spark, sym_c, sym0, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume
+        )
 
 
-def _cc_loop(spark, sym0, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume):
+def _cc_loop(spark, sym_in, sym_base, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume):
+    id_type = dict(sym_in.dtypes)["src"]  # 'int' when compact_ids applied
     # lineage cut: referenced by every iteration (see _pagerank_loop)
-    sym = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+    sym = sym_in.repartition(shuffle, "src").localCheckpoint(eager=True)
     verts = vertices_of(sym).localCheckpoint(eager=True)
     stats = IterationStats(
         algorithm="connected_components", edges=sym.count(), vertices=verts.count()
     )
-    sym0.unpersist()
+    sym_base.unpersist()
     ckpt = _Ckpt(spark, checkpoint_dir, "cc") if checkpoint_dir else None
     start_iter = 0
     if resume and ckpt is not None and (last := ckpt.latest()) is not None:
-        comp = ckpt.load(last["iteration"]).repartition(shuffle, "id")
+        comp = (
+            ckpt.load(last["iteration"])
+            .select(F.col("id").cast(id_type).alias("id"), F.col("comp").cast(id_type).alias("comp"))
+            .repartition(shuffle, "id")
+        )
         start_iter = last["iteration"]
         stats.resumed_from = start_iter
     else:
@@ -737,7 +799,12 @@ def _cc_loop(spark, sym0, shuffle, max_iter, checkpoint_dir, checkpoint_every, r
         ckpt.save(stats.iterations, comp, stats.final_delta)
     sym.unpersist()
     verts.unpersist()
-    return comp, stats
+    return (
+        comp.select(
+            F.col("id").cast("long").alias("id"), F.col("comp").cast("long").alias("comp")
+        ),
+        stats,
+    )
 
 
 def connected_components_star(
@@ -868,16 +935,17 @@ def label_propagation(
             IterationStats(algorithm="label_propagation", edges=0, vertices=0),
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
+    sym_c = compact_ids(sym0, m0)
     with _shuffle_conf(spark, shuffle):
-        return _lpa_loop(spark, sym0, shuffle, max_iter)
+        return _lpa_loop(spark, sym_c, sym0, shuffle, max_iter)
 
 
-def _lpa_loop(spark, sym0, shuffle, max_iter):
+def _lpa_loop(spark, sym_in, sym_base, shuffle, max_iter):
     # lineage cut: referenced by every iteration (see _pagerank_loop)
-    sym = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+    sym = sym_in.repartition(shuffle, "src").localCheckpoint(eager=True)
     verts = vertices_of(sym).localCheckpoint(eager=True)
     stats = IterationStats(algorithm="label_propagation", edges=sym.count(), vertices=verts.count())
-    sym0.unpersist()
+    sym_base.unpersist()
     labels = verts.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
@@ -900,7 +968,12 @@ def _lpa_loop(spark, sym0, shuffle, max_iter):
         stats.iter_seconds.append(time.monotonic() - t0)
     sym.unpersist()
     verts.unpersist()
-    return labels, stats
+    return (
+        labels.select(
+            F.col("id").cast("long").alias("id"), F.col("label").cast("long").alias("label")
+        ),
+        stats,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -930,11 +1003,12 @@ def triangle_count(
     )
     m0 = und.count()
     shuffle = _auto_partitions(spark, m0, num_partitions)
+    und_c = compact_ids(und, m0, cols=("u", "v"))
     with _shuffle_conf(spark, shuffle):
-        return _triangle_loop(und, shuffle)
+        return _triangle_loop(und_c, und, shuffle)
 
 
-def _triangle_loop(und: DataFrame, shuffle: int) -> tuple[DataFrame, int]:
+def _triangle_loop(und: DataFrame, und_base: DataFrame, shuffle: int) -> tuple[DataFrame, int]:
     deg = (
         und.select(F.col("u").alias("id"))
         .unionByName(und.select(F.col("v").alias("id")))
@@ -966,11 +1040,12 @@ def _triangle_loop(und: DataFrame, shuffle: int) -> tuple[DataFrame, int]:
     total = tri.count()
     per_vertex = (
         tri.select(F.explode(F.array("v1", "v2", "v3")).alias("id"))
+        .select(F.col("id").cast("long").alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
         .localCheckpoint(eager=True)  # materialize so the caches below can go
     )
     tri.unpersist()
     oriented.unpersist()
-    und.unpersist()
+    und_base.unpersist()
     return per_vertex, total

@@ -36,13 +36,36 @@ DELTA_SCHEMA = "src long, dst long, op string"  # op ∈ {add, remove}
 class RankMaintainer:
     """Versioned (edges, ranks) state with warm-start recompute."""
 
-    def __init__(self, spark: SparkSession, work_dir: str, tol: float = 1e-6, max_iter: int = 100):
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        tol: float = 1e-6,
+        max_iter: int = 100,
+        retention: int = 4,
+    ):
         self.spark = spark
         self.work_dir = work_dir
         self.tol = tol
         self.max_iter = max_iter
+        self.retention = max(1, retention)
         os.makedirs(work_dir, exist_ok=True)
         self._state_path = os.path.join(work_dir, "state.json")
+
+    def _gc(self, current_version: int) -> None:
+        """Drop edges/ranks version dirs older than the retention window
+        (mirrors GraphStore._gc) — a long-running delta stream otherwise
+        grows disk without bound, one immutable version per micro-batch."""
+        import shutil
+
+        floor = current_version - self.retention
+        for sub in ("edges", "ranks"):
+            d = os.path.join(self.work_dir, sub)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= floor:
+                    shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
     def state(self) -> dict | None:
         if not os.path.exists(self._state_path):
@@ -97,6 +120,7 @@ class RankMaintainer:
         with open(tmp, "w") as f:
             json.dump(new_state, f)
         os.replace(tmp, self._state_path)  # atomic pointer swap
+        self._gc(nv)
         return new_state
 
 

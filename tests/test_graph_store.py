@@ -335,3 +335,27 @@ def test_edge_table_for_analytics(store, spark):
     et = store.edge_table("DEPENDS_ON")
     assert et.count() == 2
     assert et.select("src").distinct().count() == 2
+
+
+def test_null_and_empty_partition_values_preserved(store, spark):
+    """Null/'' label or rel_type (reachable via dynamic labels from scan
+    data) must not be dropped or misclassified as a drained partition
+    (ADVICE r2): they normalize to the '__unset__' sentinel."""
+    store.upsert_nodes(
+        _nodes(spark, [(None, "k1", {"a": "1"}, "t0"), ("", "k2", None, "t0"),
+                       ("Pod", "p1", None, "t0")])
+    )
+    got = sorted(map(tuple, store.vertices.select("label", "key").collect()))
+    assert got == [("Pod", "p1"), ("__unset__", "k1"), ("__unset__", "k2")]
+    # a later commit on another label must not pop the sentinel partition
+    store.upsert_nodes(_nodes(spark, [("Job", "j1", None, "t0")]))
+    assert store.vertices.where(F.col("label") == "__unset__").count() == 2
+    # edges with null rel_type follow the same rule
+    store.ensure_edges(_edges(spark, [("A", "a1", "B", "b1", None, None, "t0")]))
+    assert store.edges.where(F.col("rel_type") == "__unset__").count() == 1
+    # idempotent replay of the normalized batch
+    store.upsert_nodes(_nodes(spark, [(None, "k1", {"a": "2"}, "t1")]))
+    row = store.vertices.where(
+        (F.col("label") == "__unset__") & (F.col("key") == "k1")
+    ).collect()
+    assert len(row) == 1 and row[0]["props"]["a"] == "2"

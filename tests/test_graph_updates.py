@@ -67,3 +67,23 @@ def test_rank_maintenance_two_batches(spark, tmp_path):
     # edge table matches exactly
     got = sorted(map(tuple, m.edges().select("src", "dst").collect()))
     assert got == final_edges
+
+
+def test_rank_maintainer_retention_gc(spark, tmp_path):
+    """Old edges/ranks version dirs are garbage-collected past the
+    retention window (ADVICE r2): a long delta stream must not grow
+    disk one immutable version per micro-batch forever."""
+    work = str(tmp_path / "gc_work")
+    m = RankMaintainer(spark, work, tol=1e-6, max_iter=50, retention=2)
+    for i in range(5):
+        deltas = spark.createDataFrame(
+            [(i, i + 100, "add"), (i + 100, (i + 1) % 5, "add")],
+            "src long, dst long, op string",
+        )
+        m.apply_deltas(deltas)
+    vs = sorted(int(d[1:]) for d in os.listdir(os.path.join(work, "edges")))
+    assert vs == [4, 5]  # only the retention window survives
+    assert sorted(int(d[1:]) for d in os.listdir(os.path.join(work, "ranks"))) == [4, 5]
+    # current pointer still fully readable
+    assert m.edges().count() == 10
+    assert m.ranks().count() > 0

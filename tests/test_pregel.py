@@ -290,3 +290,39 @@ def test_self_loops_ignored(spark):
     comp, _ = pregel.connected_components(edf)
     got = {r["id"]: r["comp"] for r in comp.collect()}
     assert got == {1: 1, 2: 1}
+
+def test_pagerank_fused_honors_tolerance(graph):
+    """fuse=True with tol>0 must stop at convergence (chunk granularity)
+    instead of silently running max_iter rounds (ADVICE r2)."""
+    edges, edf = graph
+    fused, st_f = pregel.pagerank(edf, tol=1e-8, max_iter=200, fuse=True)
+    classic, st_c = pregel.pagerank(edf, tol=1e-8, max_iter=200, fuse=False)
+    assert st_f.converged and st_f.fused
+    assert st_f.iterations < 200
+    # chunk-granular stop: within one checkpoint_every (5) of the classic
+    assert st_c.iterations <= st_f.iterations <= st_c.iterations + 5
+    a = {r["id"]: r["rank"] for r in fused.collect()}
+    b = {r["id"]: r["rank"] for r in classic.collect()}
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-7
+
+def test_compact_ids_int32_and_long_paths_agree(graph, spark):
+    """compact_ids casts loop keys to int32 when ids fit; 64-bit ids
+    (e.g. xxhash64 vertex ids) keep long.  Both paths must agree and the
+    public schema stays (id long)."""
+    edges, edf = graph
+    small, _ = pregel.pagerank(edf, tol=1e-10, max_iter=300)
+    assert dict(small.dtypes)["id"] == "bigint"
+    shifted = spark.createDataFrame(
+        [(s + 2**40, d + 2**40) for s, d in edges], "src long, dst long"
+    )
+    big, _ = pregel.pagerank(shifted, tol=1e-10, max_iter=300)
+    assert dict(big.dtypes)["id"] == "bigint"
+    a = {r["id"]: r["rank"] for r in small.collect()}
+    b = {r["id"] - 2**40: r["rank"] for r in big.collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-9
+    # CC and LPA public schemas survive compaction too
+    comp, _ = pregel.connected_components(edf)
+    assert dict(comp.dtypes) == {"id": "bigint", "comp": "bigint"}
+    lab, _ = pregel.label_propagation(edf, max_iter=1)
+    assert dict(lab.dtypes) == {"id": "bigint", "label": "bigint"}
