@@ -1243,3 +1243,382 @@ QUERIES.update(
         "simhash_pairs": q_simhash_pairs,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round-3 extension: provenance + kube domain projections under driver
+# oracles (VERDICT r2 #2) — deterministic scan inputs derived from the sf
+# tables feed the SAME projection code a real scan feeds; DuckDB replays
+# the derivation arithmetic directly over the base tables.
+
+
+def _conform_events(df: DataFrame) -> DataFrame:
+    """Pad a partial provenance-event frame to the full EVENT_SCHEMA."""
+    from polar_spark.operators.provenance import EVENT_SCHEMA
+
+    schema = df.sparkSession.createDataFrame([], EVENT_SCHEMA).schema
+    return df.select(
+        *[
+            (F.col(f.name).cast(f.dataType) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def _prov_stage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → StageCompleted provenance events: build = order, stage
+    = line number (deduped — a scan re-delivering a stage is the upsert
+    case), duration from quantity, outcome from the return flag."""
+    li = load_table(spark, "lineitem", sf_dir)
+    jl = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.floor("l_quantity").cast("long")).alias("dur"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("failed"),
+    )
+    return _conform_events(
+        jl.select(
+            F.lit("stage_completed").alias("type"),
+            F.col("l_orderkey").cast("string").alias("build_id"),
+            F.col("l_linenumber").cast("string").alias("stage_id"),
+            F.col("dur").alias("duration_secs"),
+            F.when(F.col("failed") == 1, "failed").otherwise("success").alias("outcome"),
+            F.lit("t0").alias("observed_at"),
+        )
+    )
+
+
+def q_prov_stage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-duration rollup per BuildJob over the *projected* HAS_STAGE
+    edges + BuildStage props (projection.rs:98-181 semantics: stage
+    vertices carry outcome/duration, the job aggregates them)."""
+    from polar_spark.operators.provenance import project_events
+
+    verts, edges, _trans = project_events(_prov_stage_events(spark, sf_dir))
+    stages = verts.where(F.col("label") == "BuildStage").select("key", "props")
+    hs = edges.where(F.col("rel_type") == "HAS_STAGE").select("src_key", "dst_key")
+    joined = hs.join(stages, hs.dst_key == stages.key)
+    return joined.groupBy(F.col("src_key").alias("build_key")).agg(
+        F.count("*").alias("n_stages"),
+        F.sum(F.col("props")["duration_secs"].cast("long")).alias("total_duration"),
+        F.sum(F.when(F.col("props")["outcome"] == "failed", 1).otherwise(0))
+        .cast("long")
+        .alias("n_failed"),
+    )
+
+
+def q_prov_depends_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPENDS_ON fan-out per root package over the projected SBOM tree
+    (linker.rs:154-223), exercising BOTH branches materially: even part
+    groups carry an explicit root dep entry (restricted to every 3rd
+    member), odd groups carry none and take the flat fallback (root →
+    every component)."""
+    from polar_spark.operators.provenance import project_events
+
+    p = load_table(spark, "part", sf_dir).select(
+        (F.col("p_partkey") % 100).alias("g"), F.col("p_partkey").alias("k")
+    )
+    grp = p.groupBy("g").agg(
+        F.collect_list(F.concat(F.lit("pkg:p/"), F.col("k"))).alias("comps"),
+        # collect_list drops nulls → only every-3rd member
+        F.collect_list(
+            F.when(F.col("k") % 3 == 0, F.concat(F.lit("pkg:p/"), F.col("k")))
+        ).alias("evens"),
+    )
+    root = F.concat(F.lit("pkg:root/"), F.col("g"))
+    events = _conform_events(
+        grp.select(
+            F.lit("sbom_analyzed").alias("type"),
+            root.alias("root_purl"),
+            F.concat(F.lit("sb"), F.col("g")).alias("sbom_content_hash"),
+            F.col("comps").alias("components"),
+            F.when(
+                F.col("g") % 2 == 0,
+                F.array(F.struct(root.alias("from_ref"), F.col("evens").alias("to_refs"))),
+            ).alias("dep_edges"),
+            F.lit("t0").alias("observed_at"),
+        )
+    )
+    _v, edges, _t = project_events(events)
+    dep = edges.where(F.col("rel_type") == "DEPENDS_ON")
+    return dep.groupBy(F.col("src_key").alias("root_purl")).agg(
+        F.countDistinct("dst_key").alias("n_deps")
+    )
+
+
+def _kube_deployments_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → deployment status observations: uid per user, counters
+    and conditions derived from the event timestamp/type so duplicate
+    (user, ts) observations carry identical values (deterministic
+    latest-wins)."""
+    ev = load_table(spark, "events", sf_dir)
+    ts_epoch = F.unix_timestamp("ts")
+    return ev.select(
+        F.concat(F.lit("d"), F.col("user_id")).alias("uid"),
+        F.lit("dep").alias("name"),
+        F.lit(None).cast("string").alias("namespace"),
+        (ts_epoch % 5).cast("int").alias("available_replicas"),
+        F.lit(None).cast("int").alias("updated_replicas"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).cast("int").alias("unavailable_replicas"),
+        F.lit(None).cast("string").alias("progressing_condition"),
+        F.when(ts_epoch % 2 == 0, "True").otherwise("False").alias("available_condition"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("observed_at"),
+    )
+
+
+def q_kube_deploy_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeploymentState transition rollup per deployment over the
+    *projected* transitions (lib.rs:697-882): instance count, unavailable
+    total, latest condition — the per-kind state vocabulary end-to-end."""
+    from polar_spark.operators.kube_resources import project_deployments
+
+    _verts, trans = project_deployments(_kube_deployments_from_events(spark, sf_dir))
+    w = Window.partitionBy("resource_key").orderBy(
+        F.desc("valid_from"), F.desc("instance_key")
+    )
+    latest = (
+        trans.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("resource_key", F.col("props")["available_condition"].alias("last_avail"))
+    )
+    agg = trans.groupBy("resource_key").agg(
+        F.countDistinct("instance_key").alias("n_transitions"),
+        F.sum(F.col("props")["unavailable_replicas"].cast("long")).alias("n_unavailable"),
+        F.max(F.col("props")["available_replicas"].cast("long")).alias("max_available"),
+    )
+    return agg.join(latest, "resource_key").select(
+        F.col("resource_key").alias("deploy_key"),
+        "n_transitions",
+        "n_unavailable",
+        "max_available",
+        "last_avail",
+    )
+
+
+def q_kube_owns_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop OWNS chain Deployment → ReplicaSet → Pod over projected
+    owner-ref edges (dynamic src labels, lib.rs:85-296): pods per
+    deployment."""
+    from polar_spark.operators.kube_resources import project_pods, project_replicasets
+
+    orders = load_table(spark, "orders", sf_dir)
+    rs = orders.select(
+        F.concat(F.lit("rs"), F.col("o_orderkey")).alias("uid"),
+        F.lit("rs").alias("name"),
+        F.lit(None).cast("string").alias("namespace"),
+        F.lit(1).alias("replicas"),
+        F.lit(1).alias("ready_replicas"),
+        F.lit(1).alias("available_replicas"),
+        F.array(
+            F.struct(
+                F.lit("KubeDeployment").alias("kind"),
+                F.concat(F.lit("d"), F.col("o_custkey")).alias("uid"),
+            )
+        ).alias("owner_refs"),
+        F.lit("t0").alias("valid_from"),
+        F.lit("t0").alias("observed_at"),
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber").distinct()
+    pods = li.select(
+        F.concat_ws("-", F.concat(F.lit("p"), F.col("l_orderkey")), F.col("l_linenumber")).alias("uid"),
+        F.lit("pod").alias("name"),
+        F.lit(None).cast("string").alias("namespace"),
+        F.lit(None).cast("string").alias("sa_name"),
+        F.lit("Running").alias("phase"),
+        F.lit(True).alias("ready"),
+        F.array(
+            F.struct(
+                F.lit("KubeReplicaSet").alias("kind"),
+                F.concat(F.lit("rs"), F.col("l_orderkey")).alias("uid"),
+            )
+        ).alias("owner_refs"),
+        F.lit("t0").alias("valid_from"),
+        F.lit("t0").alias("observed_at"),
+    )
+    _rv, rs_edges, _rt = project_replicasets(rs)
+    _pv, pod_edges, _pt = project_pods(pods)
+    d_rs = rs_edges.where(
+        (F.col("rel_type") == "OWNS") & (F.col("src_label") == "KubeDeployment")
+    ).select(F.col("src_key").alias("deploy_key"), F.col("dst_key").alias("rs_key"))
+    rs_pod = pod_edges.where(
+        (F.col("rel_type") == "OWNS") & (F.col("src_label") == "KubeReplicaSet")
+    ).select(F.col("src_key").alias("rs_key"), F.col("dst_key").alias("pod_key"))
+    return d_rs.join(rs_pod, "rs_key").groupBy("deploy_key").agg(
+        F.countDistinct("pod_key").alias("n_pods"),
+        F.countDistinct("rs_key").alias("n_replicasets"),
+    )
+
+
+def q_kube_containers_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAS_CONTAINER per pod with the image null guard exercised
+    materially (lines ≥6 carry no image and must be skipped —
+    lib.rs:389-391)."""
+    from polar_spark.operators.kube_resources import project_pod_containers
+
+    li = load_table(spark, "lineitem", sf_dir)
+    jl = li.groupBy("l_orderkey", "l_linenumber").agg(F.min("l_suppkey").alias("supp"))
+    containers = jl.select(
+        F.concat(F.lit("p"), F.col("l_orderkey")).alias("pod_uid"),
+        F.lit(None).cast("string").alias("namespace"),
+        F.concat(F.lit("c"), F.col("l_linenumber")).alias("name"),
+        F.when(
+            F.col("l_linenumber") < 6, F.concat(F.lit("img:"), F.col("supp"))
+        ).alias("image"),
+        F.lit(None).cast("string").alias("image_pull_policy"),
+        F.lit(None).cast("string").alias("restart_policy"),
+        F.lit(None).cast("string").alias("working_dir"),
+        F.lit(None).cast("string").alias("stdin"),
+        F.lit(None).cast("string").alias("tty"),
+        F.lit(None).cast(
+            "array<struct<name:string,value:string,config_map:string,secret:string>>"
+        ).alias("env"),
+        F.lit(None).cast("array<struct<name:string,container_port:int>>").alias("ports"),
+        F.lit(None).cast("struct<cpu:string,memory:string>").alias("resources"),
+        F.lit("t0").alias("observed_at"),
+    )
+    verts, edges = project_pod_containers(containers)
+    hc = edges.where(F.col("rel_type") == "HAS_CONTAINER")
+    return hc.groupBy(F.col("src_key").alias("pod_key")).agg(
+        F.countDistinct("dst_key").alias("n_containers")
+    )
+
+
+def q_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ 0.2 over the (bounded, ≤500-doc)
+    documents slice — the SQL-expressible ground truth that brackets the
+    MinHash-LSH rows-only queries (VERDICT r2 #8); recall vs this set is
+    pinned in tests/test_dedup.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w")
+    )
+    a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
+    grams = (
+        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("b.i") == F.col("a.i") + 1))
+        .join(c, (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.i") == F.col("a.i") + 2))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", F.col("a.w"), F.col("b.w"), F.col("c.w")).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g"))
+    inter = (
+        ga.join(gb, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    raw = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        # filter on the RAW ratio (exact int inputs → IEEE-identical in
+        # both engines); round only the emitted column
+        .where(raw >= 0.2)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard_r"))
+    )
+
+
+ORACLES.update(
+    {
+        "prov_stage_rollup": """
+            WITH jl AS (
+              SELECT l_orderkey, l_linenumber,
+                     SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS dur,
+                     MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS failed
+              FROM lineitem GROUP BY l_orderkey, l_linenumber)
+            SELECT CAST(l_orderkey AS VARCHAR) AS build_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_stages,
+                   CAST(SUM(dur) AS BIGINT) AS total_duration,
+                   CAST(SUM(failed) AS BIGINT) AS n_failed
+            FROM jl GROUP BY l_orderkey
+        """,
+        "prov_depends_fanout": """
+            WITH p AS (SELECT p_partkey AS k, p_partkey % 100 AS g FROM part),
+            deps AS (
+              SELECT 'pkg:root/' || CAST(g AS VARCHAR) AS root,
+                     'pkg:p/' || CAST(k AS VARCHAR) AS dep
+              FROM p WHERE g % 2 = 0 AND k % 3 = 0
+              UNION ALL
+              SELECT 'pkg:root/' || CAST(g AS VARCHAR),
+                     'pkg:p/' || CAST(k AS VARCHAR)
+              FROM p WHERE g % 2 = 1
+            )
+            SELECT root AS root_purl, CAST(COUNT(DISTINCT dep) AS BIGINT) AS n_deps
+            FROM deps GROUP BY root
+        """,
+        "kube_deploy_transitions": """
+            WITH obs AS (
+              SELECT 'd' || CAST(user_id AS VARCHAR) AS uid,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S') AS vf,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) % 5 AS avail,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS unavail,
+                     CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) % 2 = 0
+                          THEN 'True' ELSE 'False' END AS cond
+              FROM events),
+            latest AS (
+              SELECT uid, cond FROM (
+                SELECT uid, cond,
+                       ROW_NUMBER() OVER (PARTITION BY uid
+                                          ORDER BY vf DESC, uid || '@' || vf DESC) AS rn
+                FROM obs) t WHERE rn = 1)
+            SELECT o.uid AS deploy_key,
+                   CAST(COUNT(DISTINCT o.uid || '@' || o.vf) AS BIGINT) AS n_transitions,
+                   CAST(SUM(o.unavail) AS BIGINT) AS n_unavailable,
+                   CAST(MAX(o.avail) AS BIGINT) AS max_available,
+                   MAX(latest.cond) AS last_avail
+            FROM obs o JOIN latest ON latest.uid = o.uid
+            GROUP BY o.uid
+        """,
+        "kube_owns_chain": """
+            WITH pods AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+            SELECT 'd' || CAST(o_custkey AS VARCHAR) AS deploy_key,
+                   CAST(COUNT(DISTINCT 'p' || CAST(p.l_orderkey AS VARCHAR) || '-'
+                              || CAST(p.l_linenumber AS VARCHAR)) AS BIGINT) AS n_pods,
+                   CAST(COUNT(DISTINCT 'rs' || CAST(o.o_orderkey AS VARCHAR)) AS BIGINT) AS n_replicasets
+            FROM orders o JOIN pods p ON p.l_orderkey = o.o_orderkey
+            GROUP BY o_custkey
+        """,
+        "kube_containers_guard": """
+            SELECT 'p' || CAST(l_orderkey AS VARCHAR) AS pod_key,
+                   CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_containers
+            FROM lineitem WHERE l_linenumber < 6
+            GROUP BY l_orderkey
+        """,
+        "exact_jaccard_pairs": r"""
+            WITH toks AS (SELECT doc_id,
+                                 generate_subscripts(regexp_split_to_array(TRIM(text), '\s+'), 1) AS i,
+                                 UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+                          FROM documents),
+            grams AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+                      FROM toks a
+                      JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                      JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS c
+                      FROM grams ga JOIN grams gb ON gb.g = ga.g AND ga.doc_id < gb.doc_id
+                      GROUP BY ga.doc_id, gb.doc_id)
+            SELECT i.id_a, i.id_b,
+                   ROUND(CAST(i.c AS DOUBLE) / CAST(na.n + nb.n - i.c AS DOUBLE), 6) AS jaccard_r
+            FROM inter i
+            JOIN sizes na ON na.doc_id = i.id_a
+            JOIN sizes nb ON nb.doc_id = i.id_b
+            WHERE CAST(i.c AS DOUBLE) / CAST(na.n + nb.n - i.c AS DOUBLE) >= 0.2
+        """,
+    }
+)
+
+QUERIES.update(
+    {
+        "prov_stage_rollup": q_prov_stage_rollup,
+        "prov_depends_fanout": q_prov_depends_fanout,
+        "kube_deploy_transitions": q_kube_deploy_transitions,
+        "kube_owns_chain": q_kube_owns_chain,
+        "kube_containers_guard": q_kube_containers_guard,
+        "exact_jaccard_pairs": q_exact_jaccard_pairs,
+    }
+)
