@@ -12,21 +12,31 @@ are Iceberg and each commit is a ``MERGE INTO`` under snapshot
 isolation; in this environment (no Iceberg jars) the same contract is
 provided by a minimal versioned-parquet format.
 
-Commit protocol (Iceberg-equivalent, partition-scoped):
+Commit protocol (Iceberg-equivalent, bucket-scoped):
 
-- tables are partitioned by label / rel_type / resource_label; a commit
-  writes ONLY the partitions its batch touches into a new immutable
-  ``v{n}`` directory and repoints those partitions in ``manifest.json``
-  (atomic rename is the commit point).  Untouched partitions keep their
-  existing files byte-for-byte — commit I/O is O(touched partitions),
-  not O(|graph|).
-- merges are partition-pruned the same way: the full-outer merge joins
-  the batch against only the touched partitions' current files.
-- the manifest retains the last ``retention`` snapshots (per-partition
+- tables are partitioned by label / rel_type / resource_label AND
+  sub-bucketed by ``hash(entity key) % buckets`` — a commit writes ONLY
+  the (partition, bucket) cells its batch touches into a new immutable
+  ``v{n}`` directory and repoints those cells in ``manifest.json``
+  (atomic rename is the commit point).  Untouched cells keep their
+  existing files byte-for-byte — commit I/O is O(touched buckets), so a
+  hot rel_type (all CONTAINS edges of a big scan) rewrites 1/B of its
+  partition per batch, not the whole partition.
+- a multi-table write (``ensure_edges``' endpoint stubs + edges,
+  ``update_state``'s history + vertices + edges) lands as ONE snapshot:
+  a reader can never observe stub vertices without their edges
+  (cross-table atomicity, matching the reference's per-op transaction).
+- merges are bucket-pruned the same way: the full-outer merge joins the
+  batch against only the touched cells' current files (keys hash to
+  their bucket, so a key's current row is always co-located).
+- the manifest retains the last ``retention`` snapshots (per-cell
   pointer maps); ``table_at(name, version)`` time-travels to any
   retained snapshot and readers that pinned a manifest stay valid for
   the whole retention horizon.  Version directories referenced by no
   retained snapshot are garbage-collected.
+- every ``compact_every`` commits, tables whose live pointers span many
+  version directories are auto-compacted (rewrite-data-files); manual
+  ``compact()`` remains available.
 - ``collect_stats=True`` records per-partition row counts in each
   snapshot (the manifest-stats used by planners).
 
@@ -116,8 +126,16 @@ class GraphStore:
     # history by resource_label — label/rel_type predicates become
     # partition pruning at the scan AND partition-scoped commits at the
     # write (the SURVEY §1.3 schema decision; Iceberg partition spec
-    # equivalent)
+    # equivalent).  Each partition is sub-bucketed by the hash of the
+    # MUTATION key — the key every write operator addresses rows by —
+    # so a commit rewrites O(touched buckets), never a whole hot
+    # partition, and replace/remove selectors prune to single buckets.
     _PARTITION_BY = {"vertices": "label", "edges": "rel_type", "state_history": "resource_label"}
+    _BUCKET_BY = {
+        "vertices": ["key"],
+        "edges": ["src_label", "src_key"],  # replace/remove address (src, rel_type)
+        "state_history": ["resource_key"],
+    }
 
     def __init__(
         self,
@@ -125,17 +143,29 @@ class GraphStore:
         path: str,
         retention: int = 8,
         collect_stats: bool = False,
+        buckets: int = 8,
+        compact_every: int = 64,
     ):
         self.spark = spark
         self.path = path
         self.retention = max(1, retention)
         self.collect_stats = collect_stats
+        self.compact_every = compact_every
         os.makedirs(path, exist_ok=True)
         self._manifest_path = os.path.join(path, "manifest.json")
         if not os.path.exists(self._manifest_path):
             self._write_manifest(
-                {"version": 0, "tables": {n: {} for n in _SCHEMAS}, "history": []}
+                {
+                    "version": 0,
+                    "buckets": max(1, buckets),
+                    "last_compact": 0,
+                    "tables": {n: {} for n in _SCHEMAS},
+                    "history": [],
+                }
             )
+        # bucket count is a physical layout constant per store — reopening
+        # with a different value would mis-route merge pruning
+        self.buckets = int(self._manifest().get("buckets", max(1, buckets)))
 
     # ---------------------------------------------------------------- io
 
@@ -149,6 +179,19 @@ class GraphStore:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path)  # atomic commit point
 
+    def _bucket_expr(self, name: str) -> F.Column:
+        return F.pmod(F.xxhash64(*self._BUCKET_BY[name]), F.lit(self.buckets))
+
+    @staticmethod
+    def _cell_key(value: str, bucket: int) -> str:
+        # bucket first: value may contain any character, the int prefix
+        # and first '|' make the composite unambiguous
+        return f"{bucket}|{value}"
+
+    @staticmethod
+    def _cell_value(cell: str) -> str:
+        return cell.split("|", 1)[1]
+
     def _read_parts(self, name: str, parts: dict[str, dict]) -> DataFrame:
         schema = _SCHEMAS[name]
         if not parts:
@@ -160,15 +203,18 @@ class GraphStore:
         # fixed column order/types regardless of physical file layout
         return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
 
+    def _parts_for(self, name: str, values: list[str] | None = None) -> dict[str, dict]:
+        parts = self._manifest()["tables"][name]
+        if values is None:
+            return parts
+        want = set(values)
+        return {k: v for k, v in parts.items() if self._cell_value(k) in want}
+
     def _table(self, name: str, values: list[str] | None = None) -> DataFrame:
         """Current snapshot of ``name``; ``values`` prunes to the given
         partition values (label / rel_type / resource_label) — both the
         scan and any downstream merge then touch only those files."""
-        parts = self._manifest()["tables"][name]
-        if values is not None:
-            want = set(values)
-            parts = {k: v for k, v in parts.items() if k in want}
-        return self._read_parts(name, parts)
+        return self._read_parts(name, self._parts_for(name, values))
 
     def table_at(self, name: str, version: int) -> DataFrame:
         """Time-travel read: the table exactly as of commit ``version``
@@ -182,56 +228,83 @@ class GraphStore:
 
     def snapshots(self) -> list[dict]:
         """Retained commit snapshots, oldest first: version, per-table
-        partition pointers, and (if enabled) per-partition row counts."""
+        cell pointers, and (if enabled) per-partition row counts."""
         return list(self._manifest()["history"])
 
     @property
     def version(self) -> int:
         return self._manifest()["version"]
 
-    def _commit(self, name: str, df: DataFrame, touched: list[str]) -> None:
-        """Write ONLY the ``touched`` partitions of ``name`` into a new
-        version dir and repoint them; everything else is untouched on
-        disk.  A touched partition that ends up empty (e.g. remove_edges
-        drained it) loses its pointer."""
-        if not touched:
+    def _commit_many(
+        self,
+        writes: list[tuple[str, DataFrame, list[tuple[str, int]]]],
+        _auto: bool = True,
+    ) -> None:
+        """Atomically commit one or more tables: write ONLY each batch's
+        touched (partition value, bucket) cells into a shared new version
+        dir, then repoint every touched cell in ONE manifest swap —
+        readers see all tables move together (the reference's per-op
+        transaction, controller.rs:432-461, as a snapshot).  A touched
+        cell that ends up empty (e.g. remove_edges drained it) loses its
+        pointer."""
+        writes = [(n, df, t) for n, df, t in writes if t]
+        if not writes:
             return
         m = self._manifest()
         nv = m["version"] + 1
-        out = os.path.join(self.path, name, f"v{nv}")
-        pc = self._PARTITION_BY[name]
-        # duplicate the partition column so the data files keep it too —
-        # reads of a single partition dir then need no directory-name
-        # reconstruction
-        df.where(F.col(pc).isin(touched)).withColumn("pv", F.col(pc)).write.mode(
-            "overwrite"
-        ).partitionBy("pv").parquet(out)
-        parts = dict(m["tables"][name])
-        written: dict[str, str] = {}
-        for d in os.listdir(out):
-            if d.startswith("pv="):
-                written[unquote(d[len("pv=") :])] = d
-        for value in touched:
-            if value in written:
-                parts[value] = {"v": nv, "dir": written[value]}
-            else:
-                parts.pop(value, None)  # partition drained
+        sep = "\x1f"
+        for name, df, touched in writes:
+            out = os.path.join(self.path, name, f"v{nv}")
+            pc = self._PARTITION_BY[name]
+            cell = F.concat_ws(sep, F.col(pc), self._bucket_expr(name).cast("string"))
+            keys = [f"{v}{sep}{b}" for v, b in touched]
+            # duplicate partition/bucket cols so data files keep them —
+            # single-cell reads need no directory-name reconstruction
+            (
+                df.where(cell.isin(keys))
+                .withColumn("pv", F.col(pc))
+                .withColumn("pb", self._bucket_expr(name))
+                .write.mode("overwrite")
+                .partitionBy("pv", "pb")
+                .parquet(out)
+            )
+            written: dict[str, str] = {}
+            for d1 in os.listdir(out):
+                if not d1.startswith("pv="):
+                    continue
+                for d2 in os.listdir(os.path.join(out, d1)):
+                    if d2.startswith("pb="):
+                        written[self._cell_key(unquote(d1[3:]), int(d2[3:]))] = os.path.join(d1, d2)
+            parts = dict(m["tables"][name])
+            for value, bucket in touched:
+                ck = self._cell_key(value, bucket)
+                if ck in written:
+                    parts[ck] = {"v": nv, "dir": written[ck]}
+                else:
+                    parts.pop(ck, None)  # cell drained
+            m["tables"][name] = parts
         m["version"] = nv
-        m["tables"][name] = parts
         snap = {"version": nv, "tables": {t: dict(m["tables"][t]) for t in _SCHEMAS}}
         if self.collect_stats:
-            stats = (
-                self._read_parts(name, {v: parts[v] for v in touched if v in parts})
-                .groupBy(pc)
-                .count()
-                .collect()
-                if any(v in parts for v in touched)
-                else []
-            )
-            snap["stats"] = {name: {r[pc]: r["count"] for r in stats}}
+            snap["stats"] = {}
+            for name, _df, touched in writes:
+                pc = self._PARTITION_BY[name]
+                values = sorted({v for v, _b in touched})
+                cur = self._read_parts(name, self._parts_for_m(m, name, values))
+                stats = cur.groupBy(pc).count().collect()
+                snap["stats"][name] = {r[pc]: r["count"] for r in stats}
         m["history"] = (m["history"] + [snap])[-self.retention :]
         self._write_manifest(m)
         self._gc(m)
+        if _auto and self.compact_every and nv - m.get("last_compact", 0) >= self.compact_every:
+            self._auto_compact(nv)
+
+    def _parts_for_m(self, m: dict, name: str, values: list[str]) -> dict[str, dict]:
+        want = set(values)
+        return {k: v for k, v in m["tables"][name].items() if self._cell_value(k) in want}
+
+    def _commit(self, name: str, df: DataFrame, touched: list[tuple[str, int]]) -> None:
+        self._commit_many([(name, df, touched)])
 
     def _gc(self, m: dict) -> None:
         """Drop version dirs referenced by no retained snapshot — readers
@@ -247,21 +320,45 @@ class GraphStore:
                 if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in live:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
 
-    def compact(self, name: str) -> None:
-        """Rewrite every current partition of ``name`` into one new
-        version directory — bounds the small-file accumulation of many
-        partition-scoped commits (the Iceberg rewrite-data-files
-        maintenance action).  Old versions age out with retention."""
+    def compact(self, name: str, _auto: bool = False) -> None:
+        """Rewrite every current cell of ``name`` into one new version
+        directory — bounds the version-dir sprawl of many bucket-scoped
+        commits (the Iceberg rewrite-data-files maintenance action).
+        Old versions age out with retention.  Runs automatically every
+        ``compact_every`` commits for fragmented tables."""
         parts = self._manifest()["tables"][name]
         if not parts:
             return
-        self._commit(name, self._read_parts(name, parts), list(parts.keys()))
+        touched = []
+        for ck in parts:
+            bucket, value = ck.split("|", 1)
+            touched.append((value, int(bucket)))
+        self._commit_many([(name, self._read_parts(name, parts), touched)], _auto=_auto)
 
-    @staticmethod
-    def _touched(df: DataFrame, col: str) -> list[str]:
-        """Distinct partition values in a batch (bounded by the label /
-        rel_type vocabulary — a driver-side list, never data-sized)."""
-        return [r[0] for r in df.select(col).where(F.col(col).isNotNull()).distinct().collect()]
+    def _auto_compact(self, nv: int) -> None:
+        """Compact tables whose live pointers span many version dirs;
+        record the sweep so the next one is ``compact_every`` away."""
+        m = self._manifest()
+        for name in _SCHEMAS:
+            versions = {p["v"] for p in m["tables"][name].values()}
+            if len(versions) > 4:
+                self.compact(name, _auto=False)
+        m = self._manifest()
+        m["last_compact"] = m["version"]
+        self._write_manifest(m)
+
+    def _touched(self, df: DataFrame, name: str) -> list[tuple[str, int]]:
+        """Distinct (partition value, bucket) cells a batch addresses —
+        bounded by label/rel_type vocabulary × bucket count, a
+        driver-side list, never data-sized."""
+        pc = self._PARTITION_BY[name]
+        rows = (
+            df.select(F.col(pc).alias("_pv"), self._bucket_expr(name).alias("_pb"))
+            .where(F.col("_pv").isNotNull())
+            .distinct()
+            .collect()
+        )
+        return [(r["_pv"], int(r["_pb"])) for r in rows]
 
     # ------------------------------------------------------------- reads
 
@@ -323,11 +420,16 @@ class GraphStore:
         )
         return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
-    def _merged_vertices(self, updates: DataFrame) -> tuple[DataFrame, list[str]]:
+    def _merged_vertices(self, updates: DataFrame) -> tuple[DataFrame, list[tuple[str, int]]]:
         u = self._conform(updates, VERTEX_SCHEMA, with_id=True)
         u = self._dedup_latest(u, _VKEY)
-        touched = self._touched(u, "label")
-        cur = self._table("vertices", touched)  # partition-pruned merge
+        touched = self._touched(u, "vertices")
+        # bucket-pruned merge: only the touched cells' current rows join
+        cells = {self._cell_key(v, b) for v, b in touched}
+        cur = self._read_parts(
+            "vertices",
+            {ck: p for ck, p in self._manifest()["tables"]["vertices"].items() if ck in cells},
+        )
         merged = (
             cur.alias("t")
             .join(u.alias("s"), _VKEY, "full_outer")
@@ -365,17 +467,23 @@ class GraphStore:
 
     def _merged_edges(
         self, ensure: DataFrame | None, replace: DataFrame | None
-    ) -> tuple[DataFrame, list[str]]:
+    ) -> tuple[DataFrame, list[tuple[str, int]]]:
         """One-pass edge merge: ``replace`` rows first delete ALL current
         edges of their (src, rel_type), then both batches MERGE by the
-        full edge key (ensure semantics)."""
+        full edge key (ensure semantics).  The bucket hash covers only
+        (src_label, src_key), so the replace deletion prunes to exactly
+        the touched cells."""
         batches = [b for b in (ensure, replace) if b is not None]
         s = batches[0]
         for b in batches[1:]:
             s = s.unionByName(b)
         s = self._dedup_latest(s, _EKEY)
-        touched = self._touched(s, "rel_type")
-        cur = self._table("edges", touched)
+        touched = self._touched(s, "edges")
+        cells = {self._cell_key(v, b) for v, b in touched}
+        cur = self._read_parts(
+            "edges",
+            {ck: p for ck, p in self._manifest()["tables"]["edges"].items() if ck in cells},
+        )
         if replace is not None:
             sel = ["src_label", "src_key", "rel_type"]
             cur = cur.join(replace.select(*sel).distinct(), sel, "left_anti")
@@ -396,21 +504,23 @@ class GraphStore:
 
     def ensure_edges(self, new_edges: DataFrame) -> None:
         """M2 EnsureEdge (controller.rs:178-183,278-314): MERGE both
-        endpoints (stubs if absent) then MERGE the edge; idempotent.
+        endpoints (stubs if absent) then MERGE the edge, in ONE atomic
+        snapshot — no reader can observe the stubs without the edges
+        (the reference bundles both in one tx); idempotent.
 
         ``new_edges``: (src_label, src_key, dst_label, dst_key,
         rel_type, props?, observed_at?).
         """
         e = self._conform(new_edges, EDGE_SCHEMA)
-        self.upsert_nodes(self._endpoint_stubs(e))
-        merged, touched = self._merged_edges(e, None)
-        self._commit("edges", merged, touched)
+        mv, tv = self._merged_vertices(self._endpoint_stubs(e))
+        me, te = self._merged_edges(e, None)
+        self._commit_many([("vertices", mv, tv), ("edges", me, te)])
 
     def replace_edges(self, replacements: DataFrame) -> None:
         """M3 ReplaceEdge (controller.rs:186-192,315-337): atomically
         delete ALL outgoing ``rel_type`` edges of each (src, rel_type)
         in the batch, then create the single new edge — the
-        latest-pointer pattern.
+        latest-pointer pattern.  One snapshot (stubs + edges).
 
         ``replacements``: same shape as ensure_edges input; one row per
         (src, rel_type) after dedup (latest observed_at wins).
@@ -418,24 +528,29 @@ class GraphStore:
         r = self._dedup_latest(
             self._conform(replacements, EDGE_SCHEMA), ["src_label", "src_key", "rel_type"]
         )
-        self.upsert_nodes(self._endpoint_stubs(r))
-        merged, touched = self._merged_edges(None, r)
-        self._commit("edges", merged, touched)
+        mv, tv = self._merged_vertices(self._endpoint_stubs(r))
+        me, te = self._merged_edges(None, r)
+        self._commit_many([("vertices", mv, tv), ("edges", me, te)])
 
     def remove_edges(self, selectors: DataFrame) -> None:
         """M4 RemoveEdges (controller.rs:194-198,339-354): delete all
-        outgoing ``rel_type`` edges of each (src, rel_type) row."""
+        outgoing ``rel_type`` edges of each (src, rel_type) row.  The
+        selector addresses exactly one bucket per (src, rel_type)."""
         sel = ["src_label", "src_key", "rel_type"]
         s = selectors.select(*sel).distinct()
-        touched = self._touched(s, "rel_type")
-        kept = self._table("edges", touched).join(s, sel, "left_anti")
+        touched = self._touched(s, "edges")
+        cells = {self._cell_key(v, b) for v, b in touched}
+        kept = self._read_parts(
+            "edges",
+            {ck: p for ck, p in self._manifest()["tables"]["edges"].items() if ck in cells},
+        ).join(s, sel, "left_anti")
         self._commit("edges", kept, touched)
 
     def update_state(self, transitions: DataFrame) -> None:
         """M5 UpdateState (controller.rs:200-212,355-417): the 5-step
-        temporal pattern, set-oriented and STAGED — the whole batch
-        lands in exactly three partition-scoped commits (history,
-        vertices, edges) instead of one transaction per op:
+        temporal pattern, set-oriented — the whole batch lands in ONE
+        atomic snapshot spanning history, vertices and edges (the
+        reference wraps the five steps in one transaction):
 
         1. ensure the state-type taxonomy node,
         2. append the *immutable* state instance (history is append-only
@@ -454,14 +569,18 @@ class GraphStore:
         hist_keys = ["resource_label", "resource_key", "state_type", "instance_key"]
         w = Window.partitionBy(*hist_keys).orderBy(F.desc("valid_from"))
         t_dedup = t.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
-        touched_hist = self._touched(t_dedup, "resource_label")
-        hist = self._table("state_history", touched_hist)
+        touched_hist = self._touched(t_dedup, "state_history")
+        cells = {self._cell_key(v, b) for v, b in touched_hist}
+        hist = self._read_parts(
+            "state_history",
+            {ck: p for ck, p in self._manifest()["tables"]["state_history"].items() if ck in cells},
+        )
         fresh = t_dedup.join(hist.select(*hist_keys), hist_keys, "left_anti")
-        self._commit("state_history", hist.unionByName(fresh), touched_hist)
+        hist_merged = hist.unionByName(fresh)
 
         inst_label = F.concat(F.col("state_type"), F.lit("State"))
         # (1) taxonomy node + resource + instance nodes + instance props
-        # (immutable — only fresh instances carry props), ONE commit
+        # (immutable — only fresh instances carry props)
         nodes = (
             t.select(F.lit("State").alias("label"), F.col("state_type").alias("key"))
             .unionByName(t.select(F.col("resource_label").alias("label"), F.col("resource_key").alias("key")))
@@ -478,9 +597,9 @@ class GraphStore:
                 )
             )
         )
-        self.upsert_nodes(nodes)
+        mv, tv = self._merged_vertices(nodes)
 
-        # (3) + (4) ensure-batch, (5) replace-batch — ONE edges commit
+        # (3) + (4) ensure-batch, (5) replace-batch — one edges merge
         trans = t.select(
             F.col("resource_label").alias("src_label"),
             F.col("resource_key").alias("src_key"),
@@ -512,8 +631,14 @@ class GraphStore:
             F.lit(None).cast("map<string,string>").alias("props"),
             F.col("valid_from").alias("observed_at"),
         )
-        merged, touched = self._merged_edges(trans.unionByName(of_type), has_state)
-        self._commit("edges", merged, touched)
+        me, te = self._merged_edges(trans.unionByName(of_type), has_state)
+        self._commit_many(
+            [
+                ("state_history", hist_merged, touched_hist),
+                ("vertices", mv, tv),
+                ("edges", me, te),
+            ]
+        )
 
     # ---------------------------------------------------------- helpers
 
@@ -524,7 +649,7 @@ class GraphStore:
         # backend labels) CAN be null/''; without this, Spark writes '' as
         # pv=__HIVE_DEFAULT_PARTITION__ (never matching the touched value,
         # so the partition pointer is popped as drained) and null-valued
-        # rows silently miss the isin(touched) commit filter.  Normalizing
+        # rows silently miss the touched-cell commit filter.  Normalizing
         # also keeps merge-join keys non-null (null keys never equi-match).
         def _required(c: F.Column) -> F.Column:
             return F.when(c.isNull() | (c == ""), F.lit("__unset__")).otherwise(c)

@@ -86,9 +86,25 @@ class RankMaintainer:
         return self.spark.read.parquet(os.path.join(self.work_dir, "ranks", f"v{s['version']}"))
 
     def apply_deltas(self, deltas: DataFrame) -> dict:
-        """Fold one delta batch into the edge table and warm-start the
-        rank recompute.  Returns the new state dict (version,
-        iterations, final_delta, edges)."""
+        """Fold one delta batch into the edge table and bring the ranks
+        to the new fixpoint.  Two paths (VERDICT r2 #3):
+
+        - **scoped** (the delta path): when the perturbation leaves the
+          vertex set, the source set and dangling-freeness unchanged,
+          the new ranks are r₀ + x where x solves x = c + M·x with
+          M = d·Pᵀ_new and c = (M_new − M_old)·r₀ — and c is supported
+          ONLY on out-neighbors of changed sources.  The Jacobi series
+          x = Σ M^k c is iterated as sparse DataFrames: round k touches
+          the k-hop out-neighborhood of the perturbation, so per-batch
+          cost scales with the delta neighborhood, not O(E)·rounds.
+        - **warm_full**: everything else (new/removed vertices change n,
+          a dangling-set change makes M_new − M_old dense through the
+          uniform redistribution row) falls back to the full-graph
+          recompute warm-started from r₀.
+
+        Returns the new state dict (version, mode, iterations,
+        final_delta, edges, support_rows).
+        """
         adds = deltas.where(F.col("op") == "add").select("src", "dst")
         removes = deltas.where(F.col("op") == "remove").select("src", "dst")
         cur = self.edges()
@@ -103,18 +119,29 @@ class RankMaintainer:
         new_edges = self.spark.read.parquet(epath)
 
         prev_ranks = self.ranks()
-        ranks, st = pregel.pagerank(
-            new_edges, tol=self.tol, max_iter=self.max_iter, init_ranks=prev_ranks
-        )
+        scoped = None
+        if prev_ranks is not None and cur is not None:
+            scoped = self._scoped_update(cur, new_edges, adds, removes, prev_ranks)
+        if scoped is not None:
+            ranks, meta = scoped
+        else:
+            ranks, st = pregel.pagerank(
+                new_edges, tol=self.tol, max_iter=self.max_iter, init_ranks=prev_ranks
+            )
+            meta = {
+                "mode": "warm_full" if prev_ranks is not None else "cold",
+                "iterations": st.iterations,
+                "first_delta": st.deltas[0] if st.deltas else None,
+                "final_delta": st.final_delta,
+                "edges": st.edges,
+                "support_rows": None,
+            }
         rpath = os.path.join(self.work_dir, "ranks", f"v{nv}")
         ranks.write.mode("overwrite").parquet(rpath)
         new_state = {
             "version": nv,
-            "iterations": st.iterations,
-            "first_delta": st.deltas[0] if st.deltas else None,
-            "final_delta": st.final_delta,
-            "edges": st.edges,
             "warm_start": prev_ranks is not None,
+            **meta,
         }
         tmp = self._state_path + ".tmp"
         with open(tmp, "w") as f:
@@ -122,6 +149,120 @@ class RankMaintainer:
         os.replace(tmp, self._state_path)  # atomic pointer swap
         self._gc(nv)
         return new_state
+
+    def _scoped_update(
+        self,
+        old_edges: DataFrame,
+        new_edges: DataFrame,
+        adds: DataFrame,
+        removes: DataFrame,
+        r0: DataFrame,
+    ) -> tuple[DataFrame, dict] | None:
+        """Residual (Jacobi-series) rank update scoped to the perturbed
+        neighborhood; None when the delta is not eligible (see
+        apply_deltas).  Exactness: the returned ranks equal the new
+        fixpoint within tol — the truncated tail Σ_{k>K} M^k c has
+        L∞ ≤ ‖M^K c‖∞ · d/(1−d), so the loop stops at
+        ‖term‖∞ < tol·(1−d)/d."""
+        damping = 0.85  # pregel.pagerank default — the operator being maintained
+        eo = pregel.normalize_edges(old_edges)
+        en = pregel.normalize_edges(new_edges)
+
+        # eligibility: same vertex set, same source set (⇒ same dangling
+        # set), and no dangling vertices at all (a residual landing on a
+        # dangling vertex redistributes uniformly — dense)
+        vo, vn = pregel.vertices_of(eo), pregel.vertices_of(en)
+        so = eo.select(F.col("src").alias("id")).distinct()
+        sn = en.select(F.col("src").alias("id")).distinct()
+        if (
+            vn.join(vo, "id", "left_anti").limit(1).count() > 0
+            or vo.join(vn, "id", "left_anti").limit(1).count() > 0
+            or sn.join(so, "id", "left_anti").limit(1).count() > 0
+            or so.join(sn, "id", "left_anti").limit(1).count() > 0
+            or vn.join(sn, "id", "left_anti").limit(1).count() > 0  # dangling exists
+        ):
+            return None
+
+        spark = new_edges.sparkSession
+        m = en.count()
+        shuffle = pregel._auto_partitions(spark, m, None)
+        with pregel._shuffle_conf(spark, shuffle):
+            # full new weighted operator, built once for the loop
+            deg_n = en.groupBy("src").agg(F.count("*").alias("dn"))
+            ew = (
+                en.join(deg_n, "src")
+                .select("src", "dst", (F.lit(damping) / F.col("dn")).alias("w"))
+                .repartition(shuffle, "src")
+                .localCheckpoint(eager=True)
+            )
+            # c = d·Σ_u [w_new(u,v) − w_old(u,v)]·r0(u), u ∈ changed srcs —
+            # changed srcs gain/lose edges OR change out-degree
+            changed = (
+                adds.select("src").unionByName(removes.select("src")).distinct()
+            )
+            wn = en.join(changed, "src").join(deg_n, "src").select(
+                "src", "dst", (F.lit(1.0) / F.col("dn")).alias("wn")
+            )
+            deg_o = eo.groupBy("src").agg(F.count("*").alias("do"))
+            wo = eo.join(changed, "src").join(deg_o, "src").select(
+                "src", "dst", (F.lit(1.0) / F.col("do")).alias("wo")
+            )
+            diff = wn.join(wo, ["src", "dst"], "full_outer").select(
+                "src",
+                "dst",
+                (F.coalesce(F.col("wn"), F.lit(0.0)) - F.coalesce(F.col("wo"), F.lit(0.0))).alias("dw"),
+            ).where(F.col("dw") != 0.0)
+            c = (
+                diff.join(r0.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg((F.lit(damping) * F.sum(F.col("dw") * F.col("rank"))).alias("x"))
+                .where(F.col("x") != 0.0)
+                .localCheckpoint(eager=True)
+            )
+
+            eps = self.tol * (1.0 - damping) / damping
+            term = c
+            x = c
+            support_rows = 0
+            iterations = 0
+            push_norm = float(
+                term.agg(F.coalesce(F.max(F.abs("x")), F.lit(0.0))).collect()[0][0]
+            )
+            while push_norm >= eps and iterations < self.max_iter:
+                iterations += 1
+                support_rows += term.count()
+                term = (
+                    ew.join(term.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum(F.col("w") * F.col("x")).alias("x"))
+                    .localCheckpoint(eager=True)
+                )
+                x = (
+                    x.unionByName(term)
+                    .groupBy("id")
+                    .agg(F.sum("x").alias("x"))
+                    .localCheckpoint(eager=True)
+                )
+                push_norm = float(
+                    term.agg(F.coalesce(F.max(F.abs("x")), F.lit(0.0))).collect()[0][0]
+                )
+            ranks = (
+                r0.join(x, "id", "left")
+                .select(
+                    "id",
+                    (F.col("rank") + F.coalesce(F.col("x"), F.lit(0.0))).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            ew.unpersist()
+            return ranks, {
+                "mode": "scoped",
+                "iterations": iterations,
+                "first_delta": None,
+                "final_delta": push_norm,
+                "edges": m,
+                "support_rows": support_rows,
+            }
 
 
 def read_delta_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 16) -> DataFrame:

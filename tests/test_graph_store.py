@@ -217,15 +217,18 @@ def test_update_state_replay_keeps_history_immutable(store, spark):
 
 
 def _nodefile_state(store, label):
-    """(version-dir, {file: mtime+size}) for one vertex partition."""
+    """({cell: version}, {file: mtime+size}) for one vertex partition
+    (all of its buckets)."""
     import os
 
-    part = store._manifest()["tables"]["vertices"][label]
-    d = os.path.join(store.path, "vertices", f"v{part['v']}", part["dir"])
-    return part["v"], {
-        f: (os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
-        for f in os.listdir(d)
-    }
+    parts = store._parts_for("vertices", [label])
+    files = {}
+    for ck, part in parts.items():
+        d = os.path.join(store.path, "vertices", f"v{part['v']}", part["dir"])
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            files[(ck, f)] = (os.path.getmtime(p), os.path.getsize(p))
+    return {ck: p["v"] for ck, p in parts.items()}, files
 
 
 def test_partition_scoped_commit_leaves_untouched_files(store, spark):
@@ -281,12 +284,14 @@ def test_remove_edges_drains_partition(store, spark):
         spark.createDataFrame([("A", "a", "ONLY")], "src_label string, src_key string, rel_type string")
     )
     assert store.edges.count() == 0
-    assert "ONLY" not in store._manifest()["tables"]["edges"]  # pointer dropped
+    assert store._parts_for("edges", ["ONLY"]) == {}  # pointer dropped
 
 
-def test_update_state_is_three_commits(store, spark):
-    """The staged M5 lands in exactly 3 commits (history, vertices,
-    edges) instead of ~6 chained full-table rewrites."""
+def test_update_state_is_one_atomic_commit(store, spark):
+    """The staged M5 lands in ONE snapshot spanning history, vertices
+    and edges (round 2: 3 commits; the reference wraps the five steps
+    in one transaction) — a reader can never see the instance vertex
+    without its TRANSITIONED_TO/HAS_STATE edges."""
     before = store.version
     store.update_state(
         spark.createDataFrame(
@@ -295,7 +300,7 @@ def test_update_state_is_three_commits(store, spark):
             "instance_key string, valid_from string, props map<string,string>",
         )
     )
-    assert store.version - before == 3
+    assert store.version - before == 1
 
 
 def test_compaction_preserves_data(store, spark):
@@ -359,3 +364,80 @@ def test_null_and_empty_partition_values_preserved(store, spark):
         (F.col("label") == "__unset__") & (F.col("key") == "k1")
     ).collect()
     assert len(row) == 1 and row[0]["props"]["a"] == "2"
+
+
+def _cellfile_state(store, name):
+    """{(cell, file): (mtime, size)} across every current cell of a table."""
+    import os
+
+    out = {}
+    for ck, part in store._manifest()["tables"][name].items():
+        d = os.path.join(store.path, name, f"v{part['v']}", part["dir"])
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            out[(ck, f)] = (os.path.getmtime(p), os.path.getsize(p))
+    return out
+
+
+def test_bucket_scoped_commit_leaves_untouched_buckets(spark, tmp_path):
+    """A commit into a HOT partition (one rel_type) rewrites only the
+    buckets its batch's source keys hash to — untouched buckets of the
+    SAME partition stay byte-identical (VERDICT r2 #5)."""
+    store = GraphStore(spark, str(tmp_path / "bk"), buckets=8)
+    seed = _edges(
+        spark,
+        [("A", f"a{i}", "B", f"b{i}", "CONTAINS", None, "t0") for i in range(64)],
+    )
+    store.ensure_edges(seed)
+    before = _cellfile_state(store, "edges")
+    n_cells = len(store._parts_for("edges", ["CONTAINS"]))
+    assert n_cells > 1  # the hot partition is actually spread over buckets
+    # a single-edge batch touches exactly the buckets of its keys
+    store.ensure_edges(_edges(spark, [("A", "a3", "B", "bX", "CONTAINS", None, "t1")]))
+    after = _cellfile_state(store, "edges")
+    untouched_same = [
+        k for k in before if k in after and after[k] == before[k] and k[0].endswith("|CONTAINS")
+    ]
+    changed = [k[0] for k in before if k not in after or after[k] != before[k]]
+    assert untouched_same, "every bucket of the hot partition was rewritten"
+    # only the stub-vertex + edge buckets of 'a3' moved, not all 8
+    touched_buckets = {c for c in changed}
+    assert len({c.split("|", 1)[0] for c in touched_buckets}) <= 2
+    assert store.edges.count() == 65
+
+
+def test_ensure_edges_single_snapshot(store, spark):
+    """ensure_edges lands stubs + edges in ONE version bump — no
+    intermediate state with stub vertices and no edges."""
+    before = store.version
+    store.ensure_edges(_edges(spark, [("X", "x1", "Y", "y1", "LINKS", None, "t0")]))
+    assert store.version - before == 1
+    # the snapshot at that version shows both tables moved together
+    snap = store.table_at("vertices", store.version).count()
+    edges = store.table_at("edges", store.version).count()
+    assert snap >= 2 and edges >= 1
+
+
+def test_replace_edges_single_snapshot(store, spark):
+    before = store.version
+    store.replace_edges(_edges(spark, [("X", "x1", "Y", "y2", "POINTS", None, "t0")]))
+    assert store.version - before == 1
+
+
+def test_auto_compaction_bounds_version_dirs(spark, tmp_path):
+    """With compact_every=8, repeated commits to one partition keep the
+    on-disk version-dir count bounded (VERDICT r2 #9) and lose no data."""
+    import os
+
+    store = GraphStore(
+        spark, str(tmp_path / "ac"), retention=2, buckets=4, compact_every=8
+    )
+    for i in range(20):
+        store.upsert_nodes(_nodes(spark, [("Pod", f"p{i % 6}", {"i": str(i)}, f"t{i:03d}")]))
+    vdirs = [d for d in os.listdir(os.path.join(str(tmp_path / "ac"), "vertices")) if d.startswith("v")]
+    # without compaction+gc this would approach 20; bounded well below
+    assert len(vdirs) <= 8, vdirs
+    assert store.vertices.count() == 6
+    got = {r["key"]: r["props"]["i"] for r in store.vertices.collect()}
+    # latest wins per key: max i < 20 with i % 6 == k
+    assert got == {f"p{k}": str(max(i for i in range(20) if i % 6 == k)) for k in range(6)}
