@@ -1622,3 +1622,153 @@ QUERIES.update(
         "exact_jaccard_pairs": q_exact_jaccard_pairs,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 3: k-core, landmark harmonic centrality, embedding near-dup
+
+
+def q_kcore10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=10) of the undirected demand graph:
+    iterative degree-peel to fixpoint (pregel.kcore) — the densest-
+    region extraction used to focus crawl/centrality budgets.  The SQL
+    oracle unrolls 6 peel rounds; peeling is idempotent after the
+    fixpoint (reached in 2 rounds at sf0.01, asserted in pytest), so
+    the fixed-round oracle is exact."""
+    e = demand_edges(spark, sf_dir)
+    core, _stats = pregel.kcore(e, k=10)
+    return core.select(
+        F.col("id").cast("long"), F.col("deg").cast("long")
+    ).orderBy("id")
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic centrality on the co-order graph: per-source
+    BFS from the 4 smallest vertex ids, H(v) = Σ_s 1/dist(s,v), depth-
+    bounded at 6 (matches the recursive-CTE oracle's bound)."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    lm = [int(r[0]) for r in e.select("src").distinct().orderBy("src").limit(4).collect()]
+    h, _stats = pregel.harmonic_centrality(e, lm, max_depth=6)
+    return h.select(
+        F.col("id").cast("long"), F.round("harmonic", 6).alias("harmonic")
+    ).orderBy("id")
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos ≥ 0.35): the verify
+    stage of embedding near-dup as a JVM expression (zip_with +
+    aggregate over normalized doubles).  Threshold sits ≥ 2.8e-5 from
+    every pair at sf0.01, so float64 association-order differences
+    (~1e-15) cannot flip membership vs DuckDB's list_cosine_similarity."""
+    from polar_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        cosine_pairs(emb, threshold=0.35, max_rows=500_000)
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.round("cos", 7).alias("cos_r"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate clustering end-to-end: threshold
+    pair graph → connected components (single-link clusters) → keep
+    rep_id = min(vec_id); every vector mapped (singletons to
+    themselves).  Exact verification here (oracle-checkable); the LSH-
+    bucketed candidate path of the same operator is recall-tested in
+    pytest (tests/test_similarity.py)."""
+    from polar_spark.operators.similarity import cosine_neardup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        cosine_neardup(emb, threshold=0.35, exact=True)
+        .select(F.col("vec_id").cast("long"), F.col("rep_id").cast("long"))
+        .orderBy("vec_id")
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled fixed-round peel over the symmetrized demand graph.
+    UNION (distinct) matches pregel.symmetrize's dropDuplicates — a
+    (a,b)/(b,a) pair in the directed input must not double-count."""
+    parts = [
+        "und AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey)",
+        "e0 AS (SELECT src, dst FROM und UNION SELECT dst, src FROM und)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS (SELECT src AS id FROM e{i} GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS (SELECT e.src, e.dst FROM e{i} e "
+            f"JOIN d{i} a ON a.id = e.src JOIN d{i} b ON b.id = e.dst)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(src AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS deg"
+        f"\nFROM e{rounds} GROUP BY src ORDER BY id"
+    )
+
+
+ORACLES.update(
+    {
+        "kcore10": _kcore_sql(10, 6),
+        "harmonic_centrality": f"""
+            WITH RECURSIVE {_COORDER_SQL}, {_SYM_SQL},
+            lm AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 4),
+            reach(s, id, d) AS (
+                SELECT id, id, 0 FROM lm
+                UNION
+                SELECT r.s, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
+                WHERE r.d < 6
+            ),
+            dmin AS (SELECT s, id, MIN(d) AS d FROM reach GROUP BY s, id)
+            SELECT CAST(id AS BIGINT) AS id, ROUND(SUM(1.0 / d), 6) AS harmonic
+            FROM dmin WHERE d > 0 GROUP BY id ORDER BY id
+        """,
+        "cosine_pairs": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings)
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+                   CAST(b.vec_id AS BIGINT) AS id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 7) AS cos_r
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "embed_neardup": """
+            WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                                   FROM embeddings),
+            p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+            e AS (SELECT ia AS src, ib AS dst FROM p
+                  UNION SELECT ib, ia FROM p),
+            verts AS (SELECT vec_id AS id FROM emb),
+            reach(id, comp) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+                WHERE r.comp < e.dst
+            )
+            SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(comp) AS BIGINT) AS rep_id
+            FROM reach GROUP BY id ORDER BY id
+        """,
+    }
+)
+
+QUERIES.update(
+    {
+        "kcore10": q_kcore10,
+        "harmonic_centrality": q_harmonic_centrality,
+        "cosine_pairs": q_cosine_pairs,
+        "embed_neardup": q_embed_neardup,
+    }
+)

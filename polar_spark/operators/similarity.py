@@ -248,3 +248,101 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("long"))
     )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Exact cosine-similar pairs ``(id_a < id_b, cos ≥ threshold)`` —
+    the verify stage of embedding near-dup.  The dot product over
+    normalized vectors is a JVM expression (``zip_with`` + ``aggregate``,
+    whole-stage codegen), no Python in the hot path.
+
+    This is the O(N²)-pairs EXACT formulation: use it on bounded inputs
+    (oracles, golden tests) or on a pre-bucketed candidate set; at
+    corpus scale generate candidates with :func:`cosine_neardup`'s LSH
+    stage instead.  ``max_rows`` guards against accidentally running the
+    quadratic form on an unbounded input (None disables)."""
+    if max_rows is not None:
+        n = df.count()
+        if n * (n - 1) // 2 > max_rows:
+            raise ValueError(
+                f"{n} vectors -> {n*(n-1)//2} candidate pairs exceed "
+                f"max_rows={max_rows}; bucket candidates first "
+                "(cosine_neardup) or raise the cap explicitly"
+            )
+    base = _normalized(df, vec_col, id_col)
+    a = base.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def cosine_neardup(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    n_planes: int = 8,
+    seed: int = 7,
+    max_bucket: int = 5000,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate clustering: pairs with
+    ``cos ≥ threshold`` form a graph; connected components (single-link
+    clusters) pick ``rep_id = min(vec_id)`` per cluster.  Returns
+    ``(vec_id, rep_id)`` for EVERY input vector (singletons map to
+    themselves) — the keep/drop decision of a near-dup pipeline.
+
+    ``exact=False`` (scale path): candidates come from random-hyperplane
+    LSH buckets (linear, bounded by ``max_bucket``), then exact cosine
+    verification — recall < 1 is possible and grows with ``n_tables``.
+    ``exact=True``: all-pairs verification via :func:`cosine_pairs`
+    (bounded inputs only) — this is the oracle-checkable configuration.
+    """
+    from polar_spark.plans import pregel
+
+    if exact:
+        # the caller opted into the quadratic form explicitly
+        pairs = cosine_pairs(df, threshold, vec_col, id_col, max_rows=None)
+    else:
+        base = _normalized(df, vec_col, id_col).persist()
+        dim = len(base.select("v").head()["v"])
+        keys = _hyperplane_keys(base, dim, n_tables, n_planes, seed)
+        keys = keys.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("table", "key"))
+        ).where(F.col("_n") <= max_bucket)
+        l = keys.select("table", "key", F.col("_id").alias("id_a"))
+        r = keys.select("table", "key", F.col("_id").alias("id_b"))
+        cand = (
+            l.join(r, ["table", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
+        va = base.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
+        vb = base.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+        )
+        pairs = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", dot.alias("cos"))
+            .where(F.col("cos") >= threshold)
+        )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp, _stats = pregel.connected_components(edges)
+    ids = df.select(F.col(id_col).cast("long").alias("vec_id"))
+    return ids.join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left").select(
+        "vec_id", F.coalesce(F.col("comp"), F.col("vec_id")).alias("rep_id")
+    )

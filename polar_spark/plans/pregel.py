@@ -705,6 +705,155 @@ def bfs_distances(
         return visited.select(F.col("id").cast("long").alias("id"), "dist"), stats
 
 
+def bfs_per_source(
+    edges: DataFrame,
+    sources: list[int],
+    max_depth: int = 20,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Per-source BFS hop distances: ``(source, id, dist)`` for every
+    (landmark, reachable vertex) pair — the primitive behind landmark
+    centralities (harmonic/closeness estimates sample a landmark set
+    instead of all-pairs BFS, the only tractable form at 10^9 vertices).
+    Same frontier discipline as :func:`bfs_distances` but state is keyed
+    on (source, id), so total work is O(|landmarks| · E)."""
+    spark = edges.sparkSession
+    e0 = normalize_edges(edges).persist()
+    m0 = e0.count()
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    e_c = compact_ids(e0, m0)
+    id_type = dict(e_c.dtypes)["src"]
+    with _shuffle_conf(spark, shuffle):
+        e = e_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e0.unpersist()
+        stats = IterationStats(algorithm="bfs_per_source", edges=m0)
+        frontier = (
+            spark.createDataFrame(
+                [(int(s), int(s), 0) for s in sources], "source long, id long, dist int"
+            )
+            .select(
+                F.col("source").cast(id_type).alias("source"),
+                F.col("id").cast(id_type).alias("id"),
+                "dist",
+            )
+            .localCheckpoint(eager=True)
+        )
+        visited = frontier
+        for depth in range(1, max_depth + 1):
+            t0 = time.monotonic()
+            nxt = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select("source", F.col("dst").alias("id"), F.lit(depth).alias("dist"))
+                .dropDuplicates(["source", "id"])
+                .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            n = nxt.count()
+            stats.iterations = depth
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(n))
+            if n == 0:
+                stats.converged = True
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return (
+            visited.select(
+                F.col("source").cast("long").alias("source"),
+                F.col("id").cast("long").alias("id"),
+                "dist",
+            ),
+            stats,
+        )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    landmarks: list[int],
+    max_depth: int = 20,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Landmark harmonic centrality: ``H(v) = Σ_s 1/dist(s, v)`` over the
+    landmark set (dist > 0).  Exact for the given landmarks; sampling
+    landmarks uniformly gives the standard unbiased estimator of full
+    harmonic centrality (Boldi & Vigna, "Axioms for centrality", 2014)
+    without the O(V·E) all-pairs cost."""
+    dist, stats = bfs_per_source(edges, landmarks, max_depth, num_partitions)
+    h = (
+        dist.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.lit(1.0) / F.col("dist").cast("double")).alias("harmonic"))
+    )
+    return h, stats
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """k-core of the undirected graph: the maximal subgraph in which
+    every vertex has degree ≥ k.  Iteratively peels vertices with
+    degree < k until a fixpoint — each round is one degree aggregate
+    plus two semi-joins filtering the edge set, all shuffles pinned on
+    the vertex key.  Returns ``(id, deg)`` — core members with their
+    within-core degree — plus stats (``converged`` is always True at
+    return unless ``max_iter`` was hit; extra rounds after the fixpoint
+    are no-ops, which is what makes a fixed-round unrolled-SQL oracle
+    exact).  Peeling is the standard distributed formulation (each
+    round removable in O(E) with map-side combine); the sequential
+    min-degree ordering used by single-node implementations does not
+    distribute."""
+    spark = edges.sparkSession
+    sym0 = symmetrize(normalize_edges(edges)).persist()
+    m0 = sym0.count()
+    if m0 == 0:
+        sym0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, deg long"),
+            IterationStats(algorithm="kcore", edges=0, vertices=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    sym_c = compact_ids(sym0, m0)
+    with _shuffle_conf(spark, shuffle):
+        e = sym_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        sym0.unpersist()
+        stats = IterationStats(algorithm="kcore", edges=m0)
+        prev_m = e.count()
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            keep = (
+                e.groupBy("src")
+                .agg(F.count("*").alias("deg"))
+                .where(F.col("deg") >= k)
+                .select(F.col("src").alias("id"))
+            )
+            e_next = (
+                e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            m = e_next.count()
+            stats.iterations = it
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(prev_m - m))
+            e = e_next
+            if m == prev_m:
+                stats.converged = True
+                break
+            prev_m = m
+        core = e.groupBy(F.col("src").cast("long").alias("id")).agg(
+            F.count("*").alias("deg")
+        )
+        return core, stats
+
+
 # --------------------------------------------------------------------------
 # Connected components (hash-min)
 

@@ -110,3 +110,40 @@ def zipf_digraph(n: int = 200, m: int = 1200, seed: int = 7) -> list[tuple[int, 
         if u != v:
             edges.add((u, v))
     return sorted(edges)
+
+
+def py_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Peel to fixpoint: vertices of the k-core → within-core degree."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        drop = [v for v, ns in adj.items() if len(ns) < k]
+        changed = bool(drop)
+        for v in drop:
+            for w in adj[v]:
+                adj[w].discard(v)
+            del adj[v]
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def py_bfs(edges: list[tuple[int, int]], source: int) -> dict[int, int]:
+    """Hop distances from source over the directed edge list."""
+    out: dict[int, list[int]] = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    dist = {source: 0}
+    frontier = [source]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in out.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist

@@ -326,3 +326,65 @@ def test_compact_ids_int32_and_long_paths_agree(graph, spark):
     assert dict(comp.dtypes) == {"id": "bigint", "comp": "bigint"}
     lab, _ = pregel.label_propagation(edf, max_iter=1)
     assert dict(lab.dtypes) == {"id": "bigint", "label": "bigint"}
+
+
+# --------------------------------------------------------------------------
+# round 3: k-core, per-source BFS / harmonic centrality
+
+
+def test_kcore_matches_python_peel(graph):
+    edges, edf = graph
+    from tests.oracles import py_kcore
+
+    for k in (2, 4):
+        core, stats = pregel.kcore(edf, k=k)
+        got = {r["id"]: r["deg"] for r in core.collect()}
+        exp = py_kcore(edges, k)
+        assert stats.converged
+        assert got == exp, f"k={k}: {len(got)} vs {len(exp)} core vertices"
+
+
+def test_kcore_fixpoint_idempotent(graph, spark):
+    """Re-peeling the core changes nothing — the property that makes a
+    fixed-round unrolled-SQL oracle exact once rounds >= fixpoint."""
+    edges, edf = graph
+    core, stats = pregel.kcore(edf, k=4)
+    members = {r["id"] for r in core.collect()}
+    sub = [(u, v) for u, v in edges if u in members and v in members]
+    core2, stats2 = pregel.kcore(
+        spark.createDataFrame(sub, "src long, dst long"), k=4
+    )
+    got2 = {r["id"]: r["deg"] for r in core2.collect()}
+    got1 = {r["id"]: r["deg"] for r in core.collect()}
+    assert got2 == got1
+    assert stats2.iterations == 1  # already at the fixpoint
+
+
+def test_bfs_per_source_matches_single_source(graph):
+    edges, edf = graph
+    from tests.oracles import py_bfs
+
+    sources = [0, 1, 5]
+    dist, stats = pregel.bfs_per_source(edf, sources=sources, max_depth=30)
+    got = {(r["source"], r["id"]): r["dist"] for r in dist.collect()}
+    assert stats.converged
+    exp = {}
+    for s in sources:
+        for v, d in py_bfs(edges, s).items():
+            exp[(s, v)] = d
+    assert got == exp
+
+
+def test_harmonic_centrality_path_graph(spark):
+    # path 1-2-3-4 (undirected), landmarks {1, 4}
+    und = [(1, 2), (2, 3), (3, 4)]
+    sym = und + [(b, a) for a, b in und]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    h, _ = pregel.harmonic_centrality(edf, landmarks=[1, 4], max_depth=10)
+    got = {r["id"]: round(r["harmonic"], 9) for r in h.collect()}
+    assert got == {
+        1: round(1 / 3, 9),        # from 4 only (dist 3)
+        2: round(1 / 1 + 1 / 2, 9),
+        3: round(1 / 2 + 1 / 1, 9),
+        4: round(1 / 3, 9),
+    }

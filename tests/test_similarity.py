@@ -70,3 +70,66 @@ def test_ivf_finds_cluster_neighbors(emb):
     hits = sum(len(by_q.get(q, set()) & set(exp[q])) for q in exp)
     total = sum(len(exp[q]) for q in exp)
     assert hits / total > 0.6, f"IVF recall too low: {hits}/{total}"
+
+
+def test_cosine_pairs_guard_and_exactness(emb):
+    df, mat = emb
+    with pytest.raises(ValueError, match="candidate pairs exceed"):
+        similarity.cosine_pairs(df, threshold=0.8, max_rows=100)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.cosine_pairs(df, threshold=0.8, max_rows=None).collect()
+    }
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    exp = {
+        (i, j): sims[i, j]
+        for i in range(len(mat))
+        for j in range(i + 1, len(mat))
+        if sims[i, j] >= 0.8
+    }
+    assert set(got) == set(exp)
+    assert max(abs(got[k] - exp[k]) for k in got) < 1e-12
+
+
+def test_cosine_neardup_exact_reps_match_unionfind(emb):
+    df, mat = emb
+    from tests.oracles import py_components
+
+    reps = {
+        r["vec_id"]: r["rep_id"]
+        for r in similarity.cosine_neardup(df, threshold=0.8, exact=True).collect()
+    }
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    pairs = [
+        (i, j)
+        for i in range(len(mat))
+        for j in range(i + 1, len(mat))
+        if sims[i, j] >= 0.8
+    ]
+    comp = py_components(pairs)
+    exp = {i: comp.get(i, i) for i in range(len(mat))}
+    assert reps == exp
+    # the three planted clusters collapse to their smallest member
+    for c in range(3):
+        members = [reps[i] for i in range(c * 30, c * 30 + 20)]
+        assert set(members) == {c * 30}
+
+
+def test_cosine_neardup_lsh_matches_exact_on_planted_clusters(emb):
+    df, _mat = emb
+    exact = {
+        r["vec_id"]: r["rep_id"]
+        for r in similarity.cosine_neardup(df, threshold=0.8, exact=True).collect()
+    }
+    lsh = {
+        r["vec_id"]: r["rep_id"]
+        for r in similarity.cosine_neardup(
+            df, threshold=0.8, n_tables=12, n_planes=8, seed=3
+        ).collect()
+    }
+    # near-identical planted vectors share sign-bit buckets w.h.p.; with
+    # 12 tables the LSH path recovers every exact cluster here
+    agree = sum(1 for k in exact if lsh[k] == exact[k])
+    assert agree / len(exact) >= 0.95
