@@ -1706,7 +1706,7 @@ def _kcore_sql(k: int, rounds: int) -> str:
             f"d{i} AS (SELECT src AS id FROM e{i} GROUP BY src HAVING COUNT(*) >= {k})"
         )
         parts.append(
-            f"e{i + 1} AS (SELECT e.src, e.dst FROM e{i} e "
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
             f"JOIN d{i} a ON a.id = e.src JOIN d{i} b ON b.id = e.dst)"
         )
     return (
@@ -1772,3 +1772,110 @@ QUERIES.update(
         "embed_neardup": q_embed_neardup,
     }
 )
+
+
+def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition of the demand graph: coreness per
+    vertex via the H-index fixpoint (pregel.core_numbers).  The SQL
+    oracle unrolls 20 H-index rounds (fixpoint at 15 on sf0.01, 2 on
+    sf0.001; rounds past the fixpoint are no-ops)."""
+    e = demand_edges(spark, sf_dir)
+    core, _stats = pregel.core_numbers(e)
+    return core.select(
+        F.col("id").cast("long"), F.col("core").cast("long")
+    ).orderBy("id")
+
+
+def _coreness_sql(rounds: int) -> str:
+    """Unrolled H-index iteration over the symmetrized demand graph."""
+    parts = [
+        "und AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey)",
+        "e AS (SELECT src, dst FROM und UNION SELECT dst, src FROM und)",
+        "h0 AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS h FROM e GROUP BY src)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"h{i + 1} AS (SELECT id, MAX(LEAST(rn, hv)) AS h FROM ("
+            f"SELECT e.src AS id, h{i}.h AS hv, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY h{i}.h DESC) AS rn "
+            f"FROM e JOIN h{i} ON h{i}.id = e.dst) t{i} GROUP BY id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(id AS BIGINT) AS id, CAST(h AS BIGINT) AS core"
+        f"\nFROM h{rounds} ORDER BY id"
+    )
+
+
+ORACLES.update({"core_numbers": _coreness_sql(20)})
+QUERIES.update({"core_numbers": q_core_numbers})
+
+
+def q_ktruss6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-truss (every edge in ≥4 triangles within the subgraph) of the
+    co-order graph restricted to parts < 600 — the same oracle-cost cap
+    as edge_embeddedness: the full graph converges identically but its
+    unrolled oracle costs minutes in DuckDB.  Simultaneous-drop support
+    peeling (pregel.ktruss); SQL oracle unrolls 8 peel rounds (fixpoint
+    at 5 on sf0.01, 1 on sf0.001; rounds past the fixpoint are no-ops);
+    emitted support is recomputed on the final edge set by both
+    engines."""
+    e = coorder_edges(spark, sf_dir).where(
+        (F.col("src") < 600) & (F.col("dst") < 600)
+    )
+    truss, _stats = pregel.ktruss(e, k=6)
+    return truss.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("support")
+    ).orderBy("src", "dst")
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled simultaneous-drop truss peel over the co-order graph.
+    Support per canonical edge (u<v) counts common neighbors over the
+    undirected closure of the CURRENT edge set each round."""
+    # MATERIALIZED: every e{i}/s{i} is referenced several times; without
+    # it DuckDB inlines the whole prefix per reference (4^rounds scans)
+    parts = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 600)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+    ]
+    sup = (
+        "SELECT c.src AS u, c.dst AS v, COUNT(*) AS s "
+        "FROM e{i} c "
+        "JOIN s{i} a ON a.src = c.src "
+        "JOIN s{i} b ON b.src = c.dst AND b.dst = a.dst "
+        "GROUP BY c.src, c.dst"
+    )
+    for i in range(rounds):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT src, dst FROM e{i} UNION ALL SELECT dst, src FROM e{i})"
+        )
+        parts.append(f"sup{i} AS MATERIALIZED ({sup.format(i=i)})")
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
+            f"JOIN sup{i} ON sup{i}.u = e.src AND sup{i}.v = e.dst "
+            f"WHERE sup{i}.s >= {k - 2})"
+        )
+    parts.append(
+        f"s{rounds} AS MATERIALIZED (SELECT src, dst FROM e{rounds} "
+        f"UNION ALL SELECT dst, src FROM e{rounds})"
+    )
+    parts.append(f"sup{rounds} AS MATERIALIZED ({sup.format(i=rounds)})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst,
+               CAST(COALESCE(sup{rounds}.s, 0) AS BIGINT) AS support
+        FROM e{rounds} e
+        LEFT JOIN sup{rounds} ON sup{rounds}.u = e.src AND sup{rounds}.v = e.dst
+        ORDER BY e.src, e.dst"""
+    )
+
+
+ORACLES.update({"ktruss6": _ktruss_sql(6, 8)})
+QUERIES.update({"ktruss6": q_ktruss6})

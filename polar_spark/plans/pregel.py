@@ -854,6 +854,154 @@ def kcore(
         return core, stats
 
 
+def core_numbers(
+    edges: DataFrame,
+    max_iter: int = 200,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Full k-core decomposition: every vertex → its coreness (the max k
+    such that it belongs to the k-core).  H-index fixpoint iteration
+    (Lü, Zhou, Zhang & Stanley, "The H-index of a network node", 2016):
+    h₀(v) = degree(v); each round h(v) ← H-index of its neighbors'
+    h-values; the fixpoint is exactly the coreness.  Monotone
+    non-increasing, so convergence is detected with one count of changed
+    vertices per round; the H-index is a per-vertex sort-window +
+    max(least(rank, value)) — both engines compute it identically, and
+    rounds past the fixpoint are no-ops (what makes the unrolled-SQL
+    oracle exact).  Unlike sequential min-degree peeling this is a
+    per-round O(E) data-parallel sweep — the distributable formulation."""
+    spark = edges.sparkSession
+    from pyspark.sql.window import Window
+
+    sym0 = symmetrize(normalize_edges(edges)).persist()
+    m0 = sym0.count()
+    if m0 == 0:
+        sym0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, core long"),
+            IterationStats(algorithm="core_numbers", edges=0, vertices=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    sym_c = compact_ids(sym0, m0)
+    with _shuffle_conf(spark, shuffle):
+        e = sym_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        sym0.unpersist()
+        h = (
+            e.groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").cast("long").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        stats = IterationStats(algorithm="core_numbers", edges=m0, vertices=h.count())
+        w = Window.partitionBy("id").orderBy(F.desc("hv"), F.asc("rnd"))
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            nbr = e.join(h.withColumnRenamed("id", "dst"), "dst").select(
+                F.col("src").alias("id"), F.col("h").alias("hv")
+            )
+            h_next = (
+                # rnd breaks window ties deterministically; the H-index
+                # is tie-order-invariant, this only stabilizes the sort
+                nbr.withColumn("rnd", F.monotonically_increasing_id())
+                .withColumn("rn", F.row_number().over(w).cast("long"))
+                .groupBy("id")
+                .agg(F.max(F.least(F.col("rn"), F.col("hv"))).alias("h"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                h.withColumnRenamed("h", "h_old")
+                .join(h_next, "id")
+                .where(F.col("h_old") != F.col("h"))
+                .count()
+            )
+            h = h_next
+            stats.iterations = it
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(changed))
+            if changed == 0:
+                stats.converged = True
+                break
+        return (
+            h.select(F.col("id").cast("long").alias("id"), F.col("h").alias("core")),
+            stats,
+        )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """k-truss of the undirected graph: the maximal subgraph in which
+    every edge participates in ≥ k−2 triangles.  Simultaneous-drop
+    peeling (the standard distributed formulation): each round computes
+    per-edge triangle support and removes every under-supported edge at
+    once, until a fixpoint.  Support is computed by id-ordered triangle
+    enumeration over canonical (src<dst) edges — each triangle found
+    exactly once and attributed to its three edges — so per-round cost
+    is the triangle-join cost, not the hub-squared wedge cost.  Returns
+    the surviving edges with their within-truss support.  Rounds past
+    the fixpoint are no-ops (unrolled-SQL-oracle exactness)."""
+    if k < 3:
+        raise ValueError("k-truss is defined for k >= 3 (k-2 triangles per edge)")
+    spark = edges.sparkSession
+    und0 = (
+        symmetrize(normalize_edges(edges))
+        .where(F.col("src") < F.col("dst"))
+        .persist()
+    )
+    m0 = und0.count()
+    if m0 == 0:
+        und0.unpersist()
+        return (
+            spark.createDataFrame([], "src long, dst long, support long"),
+            IterationStats(algorithm="ktruss", edges=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    e_c = compact_ids(und0, m0)
+    with _shuffle_conf(spark, shuffle):
+        cur = e_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        und0.unpersist()
+        stats = IterationStats(algorithm="ktruss", edges=m0)
+        prev_m = cur.count()
+
+        def support(e: DataFrame) -> DataFrame:
+            ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+            ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+            tri = ab.join(bc, "b").join(ac, ["a", "c"])
+            per_edge = (
+                tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+                .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+            )
+            return per_edge.groupBy("src", "dst").agg(
+                F.count("*").cast("long").alias("support")
+            )
+
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            sup = support(cur)
+            nxt = cur.join(
+                sup.where(F.col("support") >= k - 2), ["src", "dst"], "left_semi"
+            ).localCheckpoint(eager=True)
+            m = nxt.count()
+            stats.iterations = it
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(prev_m - m))
+            cur = nxt
+            if m == prev_m:
+                stats.converged = True
+                break
+            prev_m = m
+        out = cur.join(support(cur), ["src", "dst"], "left").select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+        )
+        return out, stats
+
+
 # --------------------------------------------------------------------------
 # Connected components (hash-min)
 

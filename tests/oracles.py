@@ -147,3 +147,51 @@ def py_bfs(edges: list[tuple[int, int]], source: int) -> dict[int, int]:
                     nxt.append(v)
         frontier = nxt
     return dist
+
+
+def py_core_numbers(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Sequential min-degree peel (Batagelj-Zaveršnik) → coreness."""
+    import heapq
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    removed: set[int] = set()
+    core: dict[int, int] = {}
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in removed or d != deg[v]:
+            continue
+        k = max(k, d)
+        core[v] = k
+        removed.add(v)
+        for w in adj[v]:
+            if w not in removed:
+                deg[w] -= 1
+                heapq.heappush(heap, (deg[w], w))
+    return core
+
+
+def py_ktruss(edges: list[tuple[int, int]], k: int) -> dict[tuple[int, int], int]:
+    """Simultaneous-drop truss peel; surviving canonical edge → support."""
+    cur = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    while True:
+        adj: dict[int, set[int]] = {}
+        for u, v in cur:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {
+            (u, v): len(adj[u] & adj[v])
+            for u, v in cur
+        }
+        nxt = {e for e in cur if sup[e] >= k - 2}
+        if nxt == cur:
+            return sup
+        cur = nxt

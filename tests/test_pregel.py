@@ -388,3 +388,32 @@ def test_harmonic_centrality_path_graph(spark):
         3: round(1 / 2 + 1 / 1, 9),
         4: round(1 / 3, 9),
     }
+
+
+def test_core_numbers_match_sequential_peel(graph):
+    edges, edf = graph
+    from tests.oracles import py_core_numbers, py_kcore
+
+    core, stats = pregel.core_numbers(edf)
+    got = {r["id"]: r["core"] for r in core.collect()}
+    exp = py_core_numbers(edges)
+    assert stats.converged
+    assert got == exp
+    # cross-consistency: coreness >= k exactly for k-core members
+    for k in (2, 4):
+        members = set(py_kcore(edges, k))
+        assert {v for v, c in got.items() if c >= k} == members
+
+
+def test_ktruss_matches_python_peel(graph, spark):
+    edges, edf = graph
+    from tests.oracles import py_ktruss
+
+    for k in (3, 4):
+        truss, stats = pregel.ktruss(edf, k=k)
+        got = {(r["src"], r["dst"]): r["support"] for r in truss.collect()}
+        exp = py_ktruss(edges, k)
+        assert stats.converged
+        assert got == exp, f"k={k}: {len(got)} vs {len(exp)} edges"
+    with pytest.raises(ValueError, match="k >= 3"):
+        pregel.ktruss(edf, k=2)
