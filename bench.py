@@ -194,6 +194,17 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def _coreness():
+        _c, st = pregel.core_numbers(cop)
+        _c.count()
+        return {"coreness_iters": st.iterations, "coreness_converged": st.converged}
+
+    def _neardup():
+        from polar_spark.operators.dedup import minhash_lsh_dedup
+
+        pairs = minhash_lsh_dedup(docs, threshold=0.5)
+        return {"neardup_pairs": pairs.count()}
+
     def _dedup():
         n = (
             docs.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("h"))
@@ -222,6 +233,8 @@ def main() -> None:
         ("pagerank_demand", _demand_pr, REPS),
         ("gitlab_pipeline_rollup", _gitlab_rollup, REPS),
         ("graph_store_ingest", _store_ingest, 1),
+        ("core_numbers_coorder", _coreness, min(REPS, 2)),
+        ("minhash_neardup", _neardup, min(REPS, 2)),
         ("dedup_exact", _dedup, REPS),
         ("knn_cosine_top3", _knn, REPS),
     ]

@@ -73,3 +73,14 @@ def test_graph_store_partition_pruned_read(spark, tmp_path):
     ]
     assert files and all("pv=Pod" in f for f in files)
     assert pruned.count() == 5
+
+
+def test_cosine_pairs_stays_jvm(spark):
+    """The near-dup verify stage must be whole-stage-codegen JVM
+    expressions — no Python (row or Arrow) in the O(pairs) hot path."""
+    from polar_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    plan = _plan(cosine_pairs(emb, 0.35, max_rows=None))
+    assert "EvalPython" not in plan
+    assert "WholeStageCodegen" in plan
