@@ -1879,3 +1879,46 @@ def _ktruss_sql(k: int, rounds: int) -> str:
 
 ORACLES.update({"ktruss6": _ktruss_sql(6, 8)})
 QUERIES.update({"ktruss6": q_ktruss6})
+
+
+def q_random_walks4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk corpus over the demand graph (node2vec/DeepWalk
+    input): 4 deterministic steps per start vertex, neighbor picked by
+    (cur·31 + step·17 + seed) mod out-degree over the id-ranked
+    adjacency — identical arithmetic in the unrolled SQL oracle."""
+    e = demand_edges(spark, sf_dir)
+    walks = pregel.random_walks(e, walk_length=4, seed=42)
+    return walks.orderBy("start", "step")
+
+
+def _walks_sql(walk_length: int, seed: int) -> str:
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey)",
+        "nbr AS MATERIALIZED (SELECT src, dst, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rnk, "
+        "CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg FROM e)",
+        "w0 AS (SELECT src AS start, src AS cur FROM nbr GROUP BY src)",
+    ]
+    for s in range(1, walk_length + 1):
+        parts.append(
+            f"w{s} AS MATERIALIZED (SELECT w{s - 1}.start, nbr.dst AS cur "
+            f"FROM w{s - 1} JOIN nbr ON nbr.src = w{s - 1}.cur "
+            f"AND nbr.rnk = ((w{s - 1}.cur * 31 + {s * 17} + {seed}) % nbr.deg) + 1)"
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT start, {s} AS step, cur FROM w{s}" for s in range(walk_length + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(start AS BIGINT) AS start, CAST(step AS INT) AS step,
+               CAST(cur AS BIGINT) AS vertex
+        FROM ({union}) u ORDER BY start, step"""
+    )
+
+
+ORACLES.update({"random_walks4": _walks_sql(4, 42)})
+QUERIES.update({"random_walks4": q_random_walks4})

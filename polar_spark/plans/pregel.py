@@ -1002,6 +1002,54 @@ def ktruss(
         return out, stats
 
 
+def random_walks(
+    edges: DataFrame,
+    walk_length: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic random-walk corpus generation (the node2vec /
+    DeepWalk input): one walk per vertex with out-edges, advanced
+    ``walk_length`` steps by picking the neighbor at index
+    ``(cur·31 + step·17 + seed) mod out_degree`` in the id-ordered
+    adjacency list.  The pick function is plain integer arithmetic so
+    the walks are (a) reproducible across runs and engines — the SQL
+    oracle unrolls the same steps — and (b) resumable/shardable with no
+    RNG state.  Walks stop early at sinks.  Returns
+    ``(start, step, vertex)`` rows; each step is one join against the
+    ranked adjacency list, so the whole corpus is O(L·V) join rows —
+    no Python in the path.  For training-embedding corpora swap the
+    arithmetic pick for ``xxhash64`` (same shape, better mixing);
+    kept linear here for cross-engine oracle equality."""
+    from pyspark.sql.window import Window
+
+    e = normalize_edges(edges)
+    nbr = e.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long")
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nbr = nbr.join(deg, "src")
+    walk = deg.select(
+        F.col("src").alias("start"), F.lit(0).alias("step"), F.col("src").alias("cur")
+    )
+    out = walk
+    for step in range(1, walk_length + 1):
+        pick = (
+            (F.col("cur") * F.lit(31) + F.lit(step * 17) + F.lit(seed)) % F.col("deg")
+        ) + F.lit(1)
+        walk = (
+            walk.join(nbr, walk.cur == nbr.src)
+            .where(F.col("rnk") == pick)
+            .select("start", F.lit(step).alias("step"), F.col("dst").alias("cur"))
+        )
+        out = out.unionByName(walk)
+    return out.select(
+        F.col("start").cast("long"),
+        F.col("step").cast("int"),
+        F.col("cur").cast("long").alias("vertex"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Connected components (hash-min)
 

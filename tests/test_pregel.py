@@ -417,3 +417,30 @@ def test_ktruss_matches_python_peel(graph, spark):
         assert got == exp, f"k={k}: {len(got)} vs {len(exp)} edges"
     with pytest.raises(ValueError, match="k >= 3"):
         pregel.ktruss(edf, k=2)
+
+
+def test_random_walks_match_python_simulation(graph):
+    edges, edf = graph
+    walks = pregel.random_walks(edf, walk_length=3, seed=9)
+    got = {(r["start"], r["step"]): r["vertex"] for r in walks.collect()}
+    # python simulation of the same deterministic pick
+    out: dict[int, list[int]] = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    for vs in out.values():
+        vs.sort()
+    exp = {}
+    for s in out:
+        cur = s
+        exp[(s, 0)] = s
+        for step in range(1, 4):
+            ns = out.get(cur)
+            if not ns:
+                break
+            cur = ns[(cur * 31 + step * 17 + 9) % len(ns)]
+            exp[(s, step)] = cur
+    assert got == exp
+    # determinism across runs
+    again = {(r["start"], r["step"]): r["vertex"]
+             for r in pregel.random_walks(edf, walk_length=3, seed=9).collect()}
+    assert again == got
