@@ -1061,6 +1061,7 @@ def connected_components(
     checkpoint_every: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
+    init_components: DataFrame | None = None,
 ) -> tuple[DataFrame, IterationStats]:
     """Hash-min label propagation to a fixpoint: every vertex converges
     to the minimum vertex id of its (undirected) component.  Exact.
@@ -1068,6 +1069,16 @@ def connected_components(
     Converges in O(diameter) rounds; each round is one join + one
     min-aggregate.  (Large-star/small-star would shorten long chains —
     tracked as an optimization; hash-min is exact and simpler.)
+
+    ``init_components`` warm-starts the labels — exact for EDGE-ADD
+    deltas when seeded with the previous fixpoint: every seed label is
+    the id of a vertex inside the (grown) component, so the hash-min
+    fixpoint is still the true minimum, reached in rounds proportional
+    to the merge diameter instead of the full graph diameter.  Edge
+    REMOVALS can split components and make old labels stale-low —
+    callers must cold-start in that case (ComponentsMaintainer does).
+    Unseeded vertices fall back to their own id; ignored when resuming
+    from a checkpoint.
     """
     spark = edges.sparkSession
     sym0 = symmetrize(normalize_edges(edges)).persist()
@@ -1082,11 +1093,15 @@ def connected_components(
     sym_c = compact_ids(sym0, m0)
     with _shuffle_conf(spark, shuffle):
         return _cc_loop(
-            spark, sym_c, sym0, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume
+            spark, sym_c, sym0, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume,
+            init_components,
         )
 
 
-def _cc_loop(spark, sym_in, sym_base, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume):
+def _cc_loop(
+    spark, sym_in, sym_base, shuffle, max_iter, checkpoint_dir, checkpoint_every, resume,
+    init_components=None,
+):
     id_type = dict(sym_in.dtypes)["src"]  # 'int' when compact_ids applied
     # lineage cut: referenced by every iteration (see _pagerank_loop)
     sym = sym_in.repartition(shuffle, "src").localCheckpoint(eager=True)
@@ -1105,6 +1120,14 @@ def _cc_loop(spark, sym_in, sym_base, shuffle, max_iter, checkpoint_dir, checkpo
         )
         start_iter = last["iteration"]
         stats.resumed_from = start_iter
+    elif init_components is not None:
+        seed = init_components.select(
+            F.col("id").cast(id_type).alias("id"),
+            F.col("comp").cast(id_type).alias("_seed"),
+        )
+        comp = verts.join(seed, "id", "left").select(
+            "id", F.coalesce(F.col("_seed"), F.col("id")).alias("comp")
+        )
     else:
         comp = verts.select("id", F.col("id").alias("comp"))
     comp = comp.localCheckpoint(eager=True)

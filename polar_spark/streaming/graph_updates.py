@@ -265,6 +265,106 @@ class RankMaintainer:
             }
 
 
+class ComponentsMaintainer:
+    """Versioned (edges, comps) state: connected components maintained
+    over streaming edge deltas.
+
+    Edge ADDS only merge components, so hash-min warm-started from the
+    previous fixpoint is exact (every seed label is an id inside the
+    grown component) and converges in rounds proportional to the merge
+    diameter, not the graph diameter.  Edge REMOVES can split a
+    component — stale-low labels would survive a warm start — so a
+    batch containing removes cold-starts the recompute.  Same layout
+    and at-least-once replay contract as :class:`RankMaintainer`:
+    ``edges/v{n}``, ``comps/v{n}``, atomic ``state.json`` pointer,
+    retention GC."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        max_iter: int = 100,
+        retention: int = 4,
+    ):
+        self.spark = spark
+        self.work_dir = work_dir
+        self.max_iter = max_iter
+        self.retention = max(1, retention)
+        os.makedirs(work_dir, exist_ok=True)
+        self._state_path = os.path.join(work_dir, "state.json")
+
+    def _gc(self, current_version: int) -> None:
+        import shutil
+
+        floor = current_version - self.retention
+        for sub in ("edges", "comps"):
+            d = os.path.join(self.work_dir, sub)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= floor:
+                    shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+
+    def state(self) -> dict | None:
+        if not os.path.exists(self._state_path):
+            return None
+        with open(self._state_path) as f:
+            return json.load(f)
+
+    def edges(self) -> DataFrame | None:
+        s = self.state()
+        if s is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.work_dir, "edges", f"v{s['version']}"))
+
+    def comps(self) -> DataFrame | None:
+        s = self.state()
+        if s is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.work_dir, "comps", f"v{s['version']}"))
+
+    def apply_deltas(self, deltas: DataFrame) -> dict:
+        """Fold one delta batch into the edge table and bring the
+        component labels to the new fixpoint (warm for add-only batches,
+        cold when the batch removes edges).  Returns the new state."""
+        adds = deltas.where(F.col("op") == "add").select("src", "dst")
+        removes = deltas.where(F.col("op") == "remove").select("src", "dst")
+        n_removes = removes.count()
+        cur = self.edges()
+        new_edges = adds if cur is None else cur.unionByName(adds)
+        new_edges = new_edges.join(removes, ["src", "dst"], "left_anti").dropDuplicates(
+            ["src", "dst"]
+        )
+        s = self.state()
+        nv = (s["version"] + 1) if s else 1
+        epath = os.path.join(self.work_dir, "edges", f"v{nv}")
+        new_edges.write.mode("overwrite").parquet(epath)
+        new_edges = self.spark.read.parquet(epath)
+
+        prev = self.comps()
+        warm = prev is not None and n_removes == 0
+        comp, st = pregel.connected_components(
+            new_edges,
+            max_iter=self.max_iter,
+            init_components=prev if warm else None,
+        )
+        cpath = os.path.join(self.work_dir, "comps", f"v{nv}")
+        comp.write.mode("overwrite").parquet(cpath)
+        new_state = {
+            "version": nv,
+            "mode": "warm_adds" if warm else ("cold_removes" if prev is not None else "cold"),
+            "iterations": st.iterations,
+            "edges": st.edges,
+            "vertices": st.vertices,
+        }
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_state, f)
+        os.replace(tmp, self._state_path)
+        self._gc(nv)
+        return new_state
+
+
 def read_delta_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 16) -> DataFrame:
     return (
         spark.readStream.schema(DELTA_SCHEMA)
@@ -280,6 +380,28 @@ def start_rank_maintenance(
     query_name: str = "polar_rank_maintenance",
 ) -> StreamingQuery:
     """Delta stream → warm-started rank recompute per micro-batch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        maintainer.apply_deltas(batch_df)
+
+    return (
+        deltas.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_components_maintenance(
+    deltas: DataFrame,
+    maintainer: ComponentsMaintainer,
+    checkpoint_dir: str,
+    query_name: str = "polar_components_maintenance",
+) -> StreamingQuery:
+    """Delta stream → warm-started component recompute per micro-batch."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

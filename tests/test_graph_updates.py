@@ -139,3 +139,58 @@ def test_scoped_delta_update_exact_and_delta_sized(spark, tmp_path):
     a2 = {r["id"]: r["rank"] for r in cold2.collect()}
     b2 = {r["id"]: r["rank"] for r in m.ranks().collect()}
     assert max(abs(a2[k] - b2[k]) for k in a2) < 1e-6
+
+
+def test_components_maintainer_warm_adds_and_cold_removes(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from polar_spark.streaming.graph_updates import (
+        ComponentsMaintainer,
+        read_delta_stream,
+        start_components_maintenance,
+    )
+    from polar_spark.plans import pregel
+    from tests.oracles import py_components
+
+    work = str(tmp_path / "work")
+    delta_dir = str(tmp_path / "deltas")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(delta_dir)
+
+    # batch 1: two long chains (separate components)
+    b1 = [(i, i + 1, "add") for i in range(0, 40)] + [
+        (i, i + 1, "add") for i in range(100, 140)
+    ]
+    with open(_os.path.join(delta_dir, "b1.json"), "w") as f:
+        f.write("\n".join(_json.dumps({"src": s_, "dst": d, "op": o}) for s_, d, o in b1))
+    m = ComponentsMaintainer(spark, work, retention=2)
+    start_components_maintenance(read_delta_stream(spark, delta_dir), m, ckpt).awaitTermination()
+    s1 = m.state()
+    assert s1["mode"] == "cold"
+
+    # batch 2: one bridging edge merges the two chains — warm start must
+    # be exact and much cheaper than the cold O(diameter) sweep
+    with open(_os.path.join(delta_dir, "b2.json"), "w") as f:
+        f.write(_json.dumps({"src": 40, "dst": 100, "op": "add"}))
+    start_components_maintenance(read_delta_stream(spark, delta_dir), m, ckpt).awaitTermination()
+    s2 = m.state()
+    assert s2["mode"] == "warm_adds"
+    got = {r["id"]: r["comp"] for r in m.comps().collect()}
+    edges_now = [(r["src"], r["dst"]) for r in m.edges().collect()]
+    assert got == py_components(edges_now)
+    cold, cold_st = pregel.connected_components(m.edges())
+    assert {r["id"]: r["comp"] for r in cold.collect()} == got
+    assert s2["iterations"] < cold_st.iterations
+
+    # batch 3: removing the bridge splits the component again — must
+    # cold-start (stale-low labels would otherwise survive) and be exact
+    with open(_os.path.join(delta_dir, "b3.json"), "w") as f:
+        f.write(_json.dumps({"src": 40, "dst": 100, "op": "remove"}))
+    start_components_maintenance(read_delta_stream(spark, delta_dir), m, ckpt).awaitTermination()
+    s3 = m.state()
+    assert s3["mode"] == "cold_removes"
+    got3 = {r["id"]: r["comp"] for r in m.comps().collect()}
+    edges3 = [(r["src"], r["dst"]) for r in m.edges().collect()]
+    assert got3 == py_components(edges3)
+    assert len(set(got3.values())) == 2
