@@ -869,7 +869,17 @@ def core_numbers(
     max(least(rank, value)) — both engines compute it identically, and
     rounds past the fixpoint are no-ops (what makes the unrolled-SQL
     oracle exact).  Unlike sequential min-degree peeling this is a
-    per-round O(E) data-parallel sweep — the distributable formulation."""
+    per-round O(E) data-parallel sweep — the distributable formulation.
+
+    Frontier-scoped: h(v) only changes when a neighbor's h changed, so
+    after the first sweep each round recomputes ONLY vertices adjacent
+    to the previous round's changed set — identical fixpoint, and the
+    long convergence tail (dozens of rounds with a handful of changes)
+    costs per-round work proportional to the shrinking frontier's
+    neighborhood instead of O(E).  At sf0.1 (1.2M edges) wall is bound
+    by the per-round driver action, not the sweep, so scoping is
+    roughly wall-neutral there — it is the 100×-scale posture, where an
+    O(E) sort-window per tail round would dominate."""
     spark = edges.sparkSession
     from pyspark.sql.window import Window
 
@@ -893,33 +903,55 @@ def core_numbers(
         )
         stats = IterationStats(algorithm="core_numbers", edges=m0, vertices=h.count())
         w = Window.partitionBy("id").orderBy(F.desc("hv"), F.asc("rnd"))
+        cand = None  # None = all vertices (first sweep)
         for it in range(1, max_iter + 1):
             t0 = time.monotonic()
-            nbr = e.join(h.withColumnRenamed("id", "dst"), "dst").select(
+            scope = e if cand is None else e.join(
+                cand.withColumnRenamed("id", "src"), "src", "left_semi"
+            )
+            nbr = scope.join(h.withColumnRenamed("id", "dst"), "dst").select(
                 F.col("src").alias("id"), F.col("h").alias("hv")
             )
-            h_next = (
+            h_cand = (
                 # rnd breaks window ties deterministically; the H-index
                 # is tie-order-invariant, this only stabilizes the sort
                 nbr.withColumn("rnd", F.monotonically_increasing_id())
                 .withColumn("rn", F.row_number().over(w).cast("long"))
                 .groupBy("id")
-                .agg(F.max(F.least(F.col("rn"), F.col("hv"))).alias("h"))
-                .localCheckpoint(eager=True)
+                .agg(F.max(F.least(F.col("rn"), F.col("hv"))).alias("h_new"))
             )
-            changed = (
-                h.withColumnRenamed("h", "h_old")
-                .join(h_next, "id")
-                .where(F.col("h_old") != F.col("h"))
-                .count()
+            merged = (
+                h.join(h_cand, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("h_new"), F.col("h")).alias("h"),
+                    (F.coalesce(F.col("h_new"), F.col("h")) != F.col("h")).alias("_chg"),
+                )
+                # one action per round: the changed-count agg materializes it
+                .localCheckpoint(eager=False)
             )
-            h = h_next
+            changed = int(
+                merged.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0] or 0
+            )
+            h = merged.select("id", "h")
             stats.iterations = it
             stats.iter_seconds.append(time.monotonic() - t0)
             stats.deltas.append(float(changed))
             if changed == 0:
                 stats.converged = True
                 break
+            # next round: only neighbors of changed vertices can move;
+            # lazy — it re-reads the checkpointed `merged`, plan depth
+            # stays bounded
+            cand = (
+                e.join(
+                    merged.where(F.col("_chg")).select("id").withColumnRenamed("id", "src"),
+                    "src",
+                    "left_semi",
+                )
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
         return (
             h.select(F.col("id").cast("long").alias("id"), F.col("h").alias("core")),
             stats,
