@@ -1922,3 +1922,55 @@ def _walks_sql(walk_length: int, seed: int) -> str:
 
 ORACLES.update({"random_walks4": _walks_sql(4, 42)})
 QUERIES.update({"random_walks4": q_random_walks4})
+
+
+def q_scc_custgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of a deterministic functional-ish
+    directed graph over customers: c → (31c+7) mod n, plus
+    c → (17c+3) mod n for c ≡ 0 (mod 3) — cycles with trees hanging off
+    them, so SCCs are non-trivial.  Labels = min member id; vertices
+    outside any cycle are singleton SCCs (mapped to themselves).  Oracle
+    = transitive closure + mutual-reachability in SQL."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    n = cust.count()
+    c = F.col("c_custkey")
+    e = (
+        cust.select(c.alias("src"), ((c * 31 + 7) % n).alias("dst"))
+        .unionByName(
+            cust.where(c % 3 == 0).select(c.alias("src"), ((c * 17 + 3) % n).alias("dst"))
+        )
+    )
+    scc, _stats = pregel.strongly_connected_components(e)
+    verts = cust.select(c.cast("long").alias("id"))
+    return (
+        verts.join(scc, "id", "left")
+        .select("id", F.coalesce(F.col("scc"), F.col("id")).alias("scc"))
+        .orderBy("id")
+    )
+
+
+ORACLES.update(
+    {
+        "scc_custgraph": """
+            WITH RECURSIVE
+            nn AS (SELECT COUNT(*) AS n FROM customer),
+            verts AS (SELECT c_custkey AS id FROM customer),
+            e0 AS (SELECT id AS src, (id * 31 + 7) % nn.n AS dst FROM verts CROSS JOIN nn
+                   UNION
+                   SELECT id, (id * 17 + 3) % nn.n FROM verts CROSS JOIN nn WHERE id % 3 = 0),
+            e AS (SELECT src, dst FROM e0 WHERE src != dst),
+            reach(a, b) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+            ),
+            mutual AS (SELECT r1.a AS a, r1.b AS b
+                       FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+            SELECT CAST(v.id AS BIGINT) AS id,
+                   CAST(COALESCE(MIN(m.b), v.id) AS BIGINT) AS scc
+            FROM verts v LEFT JOIN mutual m ON m.a = v.id
+            GROUP BY v.id ORDER BY v.id
+        """,
+    }
+)
+QUERIES.update({"scc_custgraph": q_scc_custgraph})

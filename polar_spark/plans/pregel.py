@@ -1082,6 +1082,123 @@ def random_walks(
     )
 
 
+def strongly_connected_components(
+    edges: DataFrame,
+    max_outer: int = 100,
+    max_iter: int = 500,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Exact SCCs of the directed graph by iterative coloring (Orzan;
+    the FW-BW decomposition in its data-parallel form):
+
+    1. forward max-propagation to a fixpoint — color(v) = max id that
+       can reach v;
+    2. every v with color(v) == v is a root; the SCC of root r is
+       exactly the set of vertices with color r from which r is
+       backward-reachable through color-r vertices (collected with a
+       frontier sweep);
+    3. peel all discovered SCCs (every root's, simultaneously) and
+       repeat on the remainder.
+
+    Each outer round is a handful of join-aggregate sweeps; all SCCs
+    whose max vertex dominates their neighborhood extract in round 1,
+    so outer depth is small on real graphs.  Labels are remapped to
+    min(member id) — the same contract as connected_components and the
+    transitive-closure SQL oracle.  Returns (id, scc) for every vertex
+    appearing in the (self-loop-stripped) edge set."""
+    spark = edges.sparkSession
+    e0 = normalize_edges(edges).persist()
+    m0 = e0.count()
+    if m0 == 0:
+        e0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, scc long"),
+            IterationStats(algorithm="scc", edges=0, vertices=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    e_c = compact_ids(e0, m0)
+    id_type = dict(e_c.dtypes)["src"]
+    with _shuffle_conf(spark, shuffle):
+        e = e_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e0.unpersist()
+        remaining = vertices_of(e).localCheckpoint(eager=True)
+        stats = IterationStats(algorithm="scc", edges=m0, vertices=remaining.count())
+        assigned = spark.createDataFrame([], f"id {id_type}, root {id_type}")
+        for outer in range(1, max_outer + 1):
+            if remaining.count() == 0:
+                stats.converged = True
+                break
+            stats.iterations = outer
+            t0 = time.monotonic()
+            # 1. forward max coloring to fixpoint
+            color = remaining.select("id", F.col("id").alias("color")).localCheckpoint(
+                eager=True
+            )
+            for _ in range(max_iter):
+                nbr = (
+                    e.join(color.withColumnRenamed("id", "src"), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.max("color").alias("nbr_color"))
+                )
+                new_color = (
+                    color.join(nbr, "id", "left")
+                    .select(
+                        "id",
+                        F.greatest(
+                            F.col("color"), F.coalesce(F.col("nbr_color"), F.col("color"))
+                        ).alias("color"),
+                        (F.coalesce(F.col("nbr_color"), F.col("color")) > F.col("color")).alias(
+                            "_chg"
+                        ),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                chg = int(
+                    new_color.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0] or 0
+                )
+                color = new_color.select("id", "color")
+                if chg == 0:
+                    break
+            # 2. backward sweep from roots within same color
+            frontier = color.where(F.col("color") == F.col("id")).localCheckpoint(eager=True)
+            members = frontier
+            while True:
+                nxt = (
+                    e.join(frontier.withColumnRenamed("id", "dst"), "dst")
+                    .select(F.col("src").alias("id"), "color")
+                    .dropDuplicates(["id", "color"])
+                    .join(color.withColumnRenamed("color", "_c"), "id")
+                    .where(F.col("_c") == F.col("color"))
+                    .select("id", "color")
+                    .join(members, ["id", "color"], "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.count() == 0:
+                    break
+                members = members.unionByName(nxt).localCheckpoint(eager=True)
+                frontier = nxt
+            # 3. peel
+            assigned = assigned.unionByName(
+                members.select("id", F.col("color").alias("root"))
+            ).localCheckpoint(eager=True)
+            remaining = remaining.join(members.select("id"), "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            e = (
+                e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(remaining.count()))
+        # remap root → min member id (stable, engine-agnostic label)
+        label = assigned.groupBy("root").agg(F.min("id").alias("scc"))
+        out = assigned.join(label, "root").select(
+            F.col("id").cast("long").alias("id"), F.col("scc").cast("long").alias("scc")
+        )
+        return out, stats
+
+
 # --------------------------------------------------------------------------
 # Connected components (hash-min)
 

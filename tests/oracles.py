@@ -195,3 +195,62 @@ def py_ktruss(edges: list[tuple[int, int]], k: int) -> dict[tuple[int, int], int
         if nxt == cur:
             return sup
         cur = nxt
+
+
+def py_scc(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan; vertex → min id of its SCC."""
+    out: dict[int, list[int]] = {}
+    verts: set[int] = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        out.setdefault(u, []).append(v)
+        verts.add(u)
+        verts.add(v)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    result: dict[int, int] = {}
+    counter = [0]
+
+    for s in verts:
+        if s in index:
+            continue
+        work = [(s, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recursed = False
+            ns = out.get(v, [])
+            for i in range(pi, len(ns)):
+                w = ns[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recursed = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recursed:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    result[w] = m
+    return result

@@ -444,3 +444,24 @@ def test_random_walks_match_python_simulation(graph):
     again = {(r["start"], r["step"]): r["vertex"]
              for r in pregel.random_walks(edf, walk_length=3, seed=9).collect()}
     assert again == got
+
+
+def test_scc_hand_graph(spark):
+    # two 3-cycles bridged by a one-way path, plus a dangling tail
+    e = [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 12), (12, 10), (12, 20)]
+    edf = spark.createDataFrame(e, "src long, dst long")
+    scc, stats = pregel.strongly_connected_components(edf)
+    got = {r["id"]: r["scc"] for r in scc.collect()}
+    assert stats.converged
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_scc_matches_tarjan(graph):
+    edges, edf = graph
+    from tests.oracles import py_scc
+
+    scc, stats = pregel.strongly_connected_components(edf)
+    got = {r["id"]: r["scc"] for r in scc.collect()}
+    exp = py_scc(edges)
+    assert stats.converged
+    assert got == exp
