@@ -1974,3 +1974,56 @@ ORACLES.update(
     }
 )
 QUERIES.update({"scc_custgraph": q_scc_custgraph})
+
+
+def q_anf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function (2 hops) on the demand graph:
+    Flajolet-Martin registers OR-merged along edges (pregel.anf).  The
+    sketch is deterministic (overflow-safe xorshift-multiply hash), so
+    the SQL oracle reproduces the registers and estimates exactly."""
+    e = demand_edges(spark, sf_dir)
+    est, _stats = pregel.anf(e, rounds=2, replicas=8, seed=1)
+    return est.select(
+        F.col("id").cast("long"), F.round("est", 6).alias("est_r")
+    ).orderBy("id")
+
+
+def _anf_sql(rounds: int, replicas: int, seed: int) -> str:
+    parts = [
+        "e AS MATERIALIZED (SELECT src, dst FROM ("
+        "SELECT DISTINCT o_custkey AS src, l_suppkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) "
+        "WHERE src != dst)",
+        "verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        f"js AS (SELECT UNNEST(range({replicas})) AS j)",
+        f"""m AS (SELECT id, CAST(j AS INT) AS j,
+              (v.id * 2654435761 + j * 97 + {seed}) % 2147483648 AS x0
+            FROM verts v CROSS JOIN js)""",
+        "m1 AS (SELECT id, j, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM m)",
+        "m2 AS (SELECT id, j, xor(x1, x1 >> 17) AS h FROM m1)",
+        "r0 AS MATERIALIZED (SELECT id, j, "
+        "CAST(1 AS BIGINT) << LEAST(bit_count(((h & -h) - 1)), 62) AS reg FROM m2)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT e.src AS id, r.j, bit_or(r.reg) AS nreg "
+            f"FROM e JOIN r{i} r ON r.id = e.dst GROUP BY e.src, r.j)"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT r.id, r.j, "
+            f"r.reg | COALESCE(n.nreg, 0) AS reg "
+            f"FROM r{i} r LEFT JOIN n{i} n ON n.id = r.id AND n.j = r.j)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id,
+               ROUND(POW(2.0, AVG(CAST(bit_count((((~reg) & (reg + 1)) - 1)) AS DOUBLE)))
+                     / 0.77351, 6) AS est_r
+        FROM r{rounds} GROUP BY id ORDER BY id"""
+    )
+
+
+ORACLES.update({"anf2": _anf_sql(2, 8, 1)})
+QUERIES.update({"anf2": q_anf2})

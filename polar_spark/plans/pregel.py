@@ -1199,6 +1199,104 @@ def strongly_connected_components(
         return out, stats
 
 
+def anf(
+    edges: DataFrame,
+    rounds: int,
+    replicas: int = 8,
+    seed: int = 1,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Approximate neighborhood function (ANF / HyperANF family,
+    Palmer-Gibbons-Faloutsos KDD'02; Boldi-Rosa-Vigna WWW'11): per
+    vertex, an estimate of how many vertices are reachable within
+    ``rounds`` hops, from Flajolet-Martin bit registers OR-merged along
+    edges — the sketch that answers reachability-cardinality questions
+    at 10^9-vertex scale where exact per-source BFS is O(V·E).
+
+    Everything is JVM expressions: register init is
+    ``1 << ρ(h(v, j))`` with the deterministic arithmetic hash
+    ``h = (v·2654435761 + j·97 + seed) mod 2³¹`` and ρ = trailing-zero
+    count via ``bit_count((h & -h) - 1)``; each round OR-merges
+    out-neighbor registers (``bit_or`` aggregate — partial-aggregatable,
+    one shuffle per round); the estimate is ``2^(mean_j ρ₀)/0.77351``
+    with ρ₀ the lowest unset bit.  Deterministic ⇒ the unrolled-SQL
+    oracle computes the identical registers and estimates; accuracy is
+    governed by ``replicas`` (stddev ≈ 1.1/√R as usual for FM).
+    Returns (id, est) plus per-round stats."""
+    spark = edges.sparkSession
+    e0 = normalize_edges(edges).persist()
+    m0 = e0.count()
+    if m0 == 0:
+        e0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, est double"),
+            IterationStats(algorithm="anf", edges=0, vertices=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        verts = vertices_of(e).localCheckpoint(eager=True)
+        e0.unpersist()
+        stats = IterationStats(algorithm="anf", edges=m0, vertices=verts.count())
+        # xorshift-multiply mix, every intermediate kept < 2^31 so the
+        # <2^62 products are overflow-safe in engines that error on
+        # int64 overflow (DuckDB) — the SQL oracle repeats it verbatim
+        j = F.col("j")
+        x0 = (F.col("id") * F.lit(2654435761) + j * F.lit(97) + F.lit(seed)) % F.lit(
+            2**31
+        )
+        x1 = (
+            x0.bitwiseXOR(F.shiftright(x0, 13)) * F.lit(1274126177)
+        ) % F.lit(2**31)
+        h = x1.bitwiseXOR(F.shiftright(x1, 17))
+        rho = F.least(
+            F.bit_count((h.bitwiseAND(-h)) - F.lit(1)), F.lit(62)
+        )
+        reg = (
+            verts.crossJoin(
+                spark.range(replicas).select(F.col("id").cast("int").alias("j"))
+            )
+            .select("id", "j", rho.alias("rho"))
+            .select(
+                "id", "j", F.expr("shiftleft(CAST(1 AS BIGINT), rho)").alias("reg")
+            )
+            .localCheckpoint(eager=True)
+        )
+        for it in range(1, rounds + 1):
+            t0 = time.monotonic()
+            nbr = (
+                e.join(reg.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"), "j")
+                .agg(F.expr("bit_or(reg)").alias("nbr_reg"))
+            )
+            reg = (
+                reg.join(nbr, ["id", "j"], "left")
+                .select(
+                    "id",
+                    "j",
+                    F.col("reg")
+                    .bitwiseOR(F.coalesce(F.col("nbr_reg"), F.lit(0)))
+                    .alias("reg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            stats.iterations = it
+            stats.iter_seconds.append(time.monotonic() - t0)
+        stats.converged = True
+        # ρ₀ = position of the lowest UNSET bit: isolate with ~reg & (reg+1)
+        rho0 = F.bit_count(
+            (F.bitwise_not(F.col("reg")).bitwiseAND(F.col("reg") + F.lit(1))) - F.lit(1)
+        )
+        est = (
+            reg.select("id", rho0.cast("double").alias("r0"))
+            .groupBy("id")
+            .agg(
+                (F.pow(F.lit(2.0), F.avg("r0")) / F.lit(0.77351)).alias("est")
+            )
+        )
+        return est.select(F.col("id").cast("long"), "est"), stats
+
+
 # --------------------------------------------------------------------------
 # Connected components (hash-min)
 

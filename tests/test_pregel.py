@@ -465,3 +465,59 @@ def test_scc_matches_tarjan(graph):
     exp = py_scc(edges)
     assert stats.converged
     assert got == exp
+
+
+def test_anf_matches_python_sketch_and_is_sane(graph, spark):
+    edges, edf = graph
+    est, stats = pregel.anf(edf, rounds=2, replicas=8, seed=1)
+    got = {r["id"]: r["est"] for r in est.collect()}
+    # python simulation of the identical deterministic sketch
+    out: dict[int, list[int]] = {}
+    verts = set()
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+        verts.add(u)
+        verts.add(v)
+
+    def rho(vid, j):
+        x0 = (vid * 2654435761 + j * 97 + 1) % 2**31
+        x1 = ((x0 ^ (x0 >> 13)) * 1274126177) % 2**31
+        h = x1 ^ (x1 >> 17)
+        if h == 0:
+            return 62
+        return min((h & -h).bit_length() - 1, 62)
+
+    reg = {(v, j): 1 << rho(v, j) for v in verts for j in range(8)}
+    for _ in range(2):
+        new = dict(reg)
+        for u, vs in out.items():
+            for j in range(8):
+                acc = reg[(u, j)]
+                for w in vs:
+                    acc |= reg[(w, j)]
+                new[(u, j)] = acc
+        reg = new
+
+    def rho0(x):
+        p = 0
+        while x & (1 << p):
+            p += 1
+        return p
+
+    exp = {}
+    for v in verts:
+        mean = sum(rho0(reg[(v, j)]) for j in range(8)) / 8.0
+        exp[v] = 2.0**mean / 0.77351
+    assert set(got) == set(exp)
+    assert max(abs(got[v] - exp[v]) for v in verts) < 1e-9
+    # estimator sanity: the mean estimate tracks the mean true 2-hop
+    # ball size within FM's expected error at 8 replicas
+    from tests.oracles import py_bfs
+
+    truth = {}
+    for v in verts:
+        d = py_bfs(edges, v)
+        truth[v] = sum(1 for x in d.values() if x <= 2)
+    mean_est = sum(got.values()) / len(got)
+    mean_true = sum(truth.values()) / len(truth)
+    assert 0.5 < mean_est / mean_true < 2.0, (mean_est, mean_true)
