@@ -2027,3 +2027,73 @@ def _anf_sql(rounds: int, replicas: int, seed: int) -> str:
 
 ORACLES.update({"anf2": _anf_sql(2, 8, 1)})
 QUERIES.update({"anf2": q_anf2})
+
+
+def q_betweenness4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark betweenness (bounded-depth Brandes, 4 landmarks, depth
+    4) on the co-order graph restricted to parts < 400 (oracle-cost cap,
+    same as edge_embeddedness).  Forward σ sweep + backward δ
+    accumulation, level-synchronous; the unrolled SQL oracle runs the
+    identical truncated recursion."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    sym = _sym(und)
+    lm = [int(r[0]) for r in sym.select("src").distinct().orderBy("src").limit(4).collect()]
+    bc, _stats = pregel.betweenness_landmarks(sym, lm, max_depth=4)
+    return bc.select(
+        F.col("id").cast("long"), F.round("bc", 6).alias("bc_r")
+    ).orderBy("id")
+
+
+def _betweenness_sql(depth: int) -> str:
+    parts = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_partkey < 400)",
+        "und AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "e AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)",
+        "verts AS (SELECT DISTINCT src AS id FROM e)",
+        "lm AS (SELECT id FROM verts ORDER BY id LIMIT 4)",
+        "l0 AS MATERIALIZED (SELECT id AS source, id, CAST(1 AS BIGINT) AS sigma FROM lm)",
+        "v0 AS (SELECT source, id FROM l0)",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"l{d} AS MATERIALIZED (SELECT t.source, t.id, SUM(t.sigma) AS sigma FROM ("
+            f"SELECT p.source, e.dst AS id, p.sigma FROM l{d - 1} p "
+            f"JOIN e ON e.src = p.id) t "
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{d - 1} v "
+            f"WHERE v.source = t.source AND v.id = t.id) "
+            f"GROUP BY t.source, t.id)"
+        )
+        parts.append(
+            f"v{d} AS MATERIALIZED (SELECT source, id FROM v{d - 1} "
+            f"UNION ALL SELECT source, id FROM l{d})"
+        )
+    parts.append(f"dd{depth} AS (SELECT source, id, 0.0 AS delta FROM l{depth})")
+    for d in range(depth - 1, 0, -1):
+        parts.append(
+            f"dd{d} AS MATERIALIZED (SELECT l.source, l.id, "
+            f"COALESCE(c.delta, 0.0) AS delta FROM l{d} l LEFT JOIN ("
+            f"SELECT p.source, p.id, "
+            f"SUM(CAST(p.sigma AS DOUBLE) / w.sigma * (1.0 + dw.delta)) AS delta "
+            f"FROM l{d} p JOIN e ON e.src = p.id "
+            f"JOIN l{d + 1} w ON w.source = p.source AND w.id = e.dst "
+            f"JOIN dd{d + 1} dw ON dw.source = p.source AND dw.id = e.dst "
+            f"GROUP BY p.source, p.id) c ON c.source = l.source AND c.id = l.id)"
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT id, delta FROM dd{d}" for d in range(1, depth)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(v.id AS BIGINT) AS id,
+               ROUND(COALESCE(SUM(u.delta), 0.0), 6) AS bc_r
+        FROM verts v LEFT JOIN ({union}) u ON u.id = v.id
+        GROUP BY v.id ORDER BY v.id"""
+    )
+
+
+ORACLES.update({"betweenness4": _betweenness_sql(4)})
+QUERIES.update({"betweenness4": q_betweenness4})

@@ -1297,6 +1297,108 @@ def anf(
         return est.select(F.col("id").cast("long"), "est"), stats
 
 
+def betweenness_landmarks(
+    edges: DataFrame,
+    landmarks: list[int],
+    max_depth: int = 4,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Bounded-depth Brandes betweenness from a landmark set over the
+    undirected graph: forward level-synchronous sweep accumulates
+    shortest-path counts σ(s,v); the backward sweep accumulates
+    dependencies δ(s,v) = Σ_w σv/σw·(1+δw) level by level; bc(v) =
+    Σ_s δ(s,v).  Landmark sampling is the standard unbiased estimator
+    (Brandes-Pich 2007) — exact all-sources Brandes is O(V·E) and does
+    not exist at 10^9 vertices; ``max_depth`` truncates to paths of
+    ≤ max_depth hops (k-betweenness), which both this and the unrolled
+    SQL oracle implement identically.  All phases are keyed on
+    (source, vertex), so every landmark advances in the same
+    join-aggregate sweep."""
+    spark = edges.sparkSession
+    sym0 = symmetrize(normalize_edges(edges)).persist()
+    m0 = sym0.count()
+    if m0 == 0:
+        sym0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, bc double"),
+            IterationStats(algorithm="betweenness", edges=0, vertices=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        verts = vertices_of(e).localCheckpoint(eager=True)
+        sym0.unpersist()
+        stats = IterationStats(algorithm="betweenness", edges=m0, vertices=verts.count())
+        levels: list[DataFrame] = [
+            spark.createDataFrame(
+                [(int(s), int(s), 1) for s in landmarks], "source long, id long, sigma long"
+            ).localCheckpoint(eager=True)
+        ]
+        visited = levels[0].select("source", "id")
+        for _d in range(1, max_depth + 1):
+            t0 = time.monotonic()
+            nxt = (
+                e.join(levels[-1].withColumnRenamed("id", "src"), "src")
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(visited, ["source", "id"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                break
+            levels.append(nxt)
+            visited = visited.unionByName(nxt.select("source", "id")).localCheckpoint(
+                eager=True
+            )
+            stats.iterations += 1
+            stats.iter_seconds.append(time.monotonic() - t0)
+        # backward dependency accumulation (deepest level has δ = 0)
+        deep = len(levels) - 1
+        delta = levels[deep].select("source", "id", F.lit(0.0).alias("delta"))
+        acc: DataFrame | None = None
+        for d in range(deep - 1, -1, -1):
+            t0 = time.monotonic()
+            succ = delta.join(
+                levels[d + 1].select("source", "id", F.col("sigma").alias("sigma_w")),
+                ["source", "id"],
+            ).select(
+                "source", F.col("id").alias("dst"), "sigma_w", F.col("delta").alias("delta_w")
+            )
+            contrib = (
+                levels[d]
+                .withColumnRenamed("id", "src")
+                .join(e, "src")
+                .join(succ, ["source", "dst"])
+                .groupBy("source", F.col("src").alias("id"))
+                .agg(
+                    F.sum(
+                        F.col("sigma").cast("double")
+                        / F.col("sigma_w").cast("double")
+                        * (F.lit(1.0) + F.col("delta_w"))
+                    ).alias("delta")
+                )
+            )
+            delta = (
+                levels[d]
+                .select("source", "id")
+                .join(contrib, ["source", "id"], "left")
+                .select("source", "id", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+            if d >= 1:  # the source itself (level 0) is excluded from bc
+                acc = delta if acc is None else acc.unionByName(delta)
+            stats.iter_seconds.append(time.monotonic() - t0)
+        stats.converged = True
+        if acc is None:
+            bc = verts.select("id", F.lit(0.0).alias("bc"))
+        else:
+            per_vertex = acc.groupBy("id").agg(F.sum("delta").alias("bc"))
+            bc = verts.join(per_vertex, "id", "left").select(
+                "id", F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc")
+            )
+        return bc.select(F.col("id").cast("long"), "bc"), stats
+
+
 # --------------------------------------------------------------------------
 # Connected components (hash-min)
 

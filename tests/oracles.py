@@ -254,3 +254,46 @@ def py_scc(edges: list[tuple[int, int]]) -> dict[int, int]:
                 for w in comp:
                     result[w] = m
     return result
+
+
+def py_betweenness(
+    edges: list[tuple[int, int]], sources: list[int], max_depth: int
+) -> dict[int, float]:
+    """Bounded-depth Brandes from a landmark set (undirected)."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    bc = {v: 0.0 for v in adj}
+    for s in sources:
+        if s not in adj:
+            continue
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = [[s]]
+        for d in range(1, max_depth + 1):
+            nxt: dict[int, int] = {}
+            for u in levels[d - 1]:
+                for w in adj[u]:
+                    if w not in dist:
+                        nxt[w] = nxt.get(w, 0) + sigma[u]
+            if not nxt:
+                break
+            for w, sg in nxt.items():
+                dist[w] = d
+                sigma[w] = sg
+            levels.append(sorted(nxt))
+        delta = {v: 0.0 for v in dist}
+        for d in range(len(levels) - 2, -1, -1):
+            for v in levels[d]:
+                tot = 0.0
+                for w in adj[v]:
+                    if dist.get(w) == d + 1:
+                        tot += sigma[v] / sigma[w] * (1.0 + delta[w])
+                delta[v] = tot
+            if d >= 1:
+                for v in levels[d]:
+                    bc[v] += delta[v]
+    return bc

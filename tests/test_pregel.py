@@ -521,3 +521,16 @@ def test_anf_matches_python_sketch_and_is_sane(graph, spark):
     mean_est = sum(got.values()) / len(got)
     mean_true = sum(truth.values()) / len(truth)
     assert 0.5 < mean_est / mean_true < 2.0, (mean_est, mean_true)
+
+
+def test_betweenness_matches_python_brandes(graph):
+    edges, edf = graph
+    from tests.oracles import py_betweenness
+
+    sources = [0, 1, 5, 9]
+    bcdf, stats = pregel.betweenness_landmarks(edf, sources, max_depth=4)
+    got = {r["id"]: r["bc"] for r in bcdf.collect()}
+    exp = py_betweenness(edges, sources, max_depth=4)
+    assert stats.converged
+    assert set(got) == set(exp)
+    assert max(abs(got[v] - exp[v]) for v in exp) < 1e-9
