@@ -2097,3 +2097,61 @@ def _betweenness_sql(depth: int) -> str:
 
 ORACLES.update({"betweenness4": _betweenness_sql(4)})
 QUERIES.update({"betweenness4": q_betweenness4})
+
+
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from the smallest vertex over the
+    undirected demand graph (edge weight = total order lines between
+    the pair): frontier-scoped Bellman-Ford relaxation (pregel.sssp).
+    SQL oracle unrolls 8 relaxation rounds (fixpoint at 4 on both
+    sf0.001 and sf0.01; relaxation past the fixpoint is a no-op)."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    dir_w = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_custkey") != F.col("l_suppkey"))
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    und = dir_w.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.sum("w").alias("w"))
+    e = und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    src0 = int(e.agg(F.min("src")).collect()[0][0])
+    dist, _stats = pregel.sssp(e, sources=[src0])
+    return dist.orderBy("id")
+
+
+def _sssp_sql(rounds: int) -> str:
+    parts = [
+        "dw AS MATERIALIZED (SELECT o_custkey AS src, l_suppkey AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey GROUP BY 1, 2)",
+        "und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "CAST(SUM(w) AS BIGINT) AS w FROM dw GROUP BY 1, 2)",
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM und "
+        "UNION ALL SELECT b, a, w FROM und)",
+        "d0 AS (SELECT MIN(src) AS id, CAST(0 AS BIGINT) AS dist FROM e)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{i} "
+            f"UNION ALL "
+            f"SELECT e.dst AS id, d.dist + e.w FROM d{i} d JOIN e ON e.src = d.id"
+            f") t GROUP BY id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
+        FROM d{rounds} ORDER BY id"""
+    )
+
+
+ORACLES.update({"sssp_weighted": _sssp_sql(8)})
+QUERIES.update({"sssp_weighted": q_sssp_weighted})

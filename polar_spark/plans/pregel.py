@@ -1399,6 +1399,76 @@ def betweenness_landmarks(
         return bc.select(F.col("id").cast("long"), "bc"), stats
 
 
+def sssp(
+    edges: DataFrame,
+    sources: list[int],
+    max_iter: int = 200,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Weighted single-source (multi-source) shortest paths by
+    frontier-scoped Bellman-Ford relaxation over a directed
+    ``(src, dst, w)`` edge table with non-negative integer weights:
+    each round relaxes only edges out of vertices whose distance
+    improved last round, so total work is O(E · hop-depth-of-change),
+    and the loop converges when no distance improves.  Relaxation past
+    the fixpoint is a no-op — the unrolled-SQL-oracle property shared
+    by the peel/H-index operators.  Returns (id, dist) for reached
+    vertices."""
+    spark = edges.sparkSession
+    e0 = (
+        edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("long")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    m0 = e0.count()
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e0.unpersist()
+        stats = IterationStats(algorithm="sssp", edges=m0)
+        dist = spark.createDataFrame(
+            [(int(s), 0) for s in sources], "id long, dist long"
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            cand = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+            )
+            merged = (
+                dist.join(cand, "id", "full")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce(F.col("dist"), F.col("nd")),
+                        F.coalesce(F.col("nd"), F.col("dist")),
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.coalesce(F.col("nd"), F.col("dist")) < F.col("dist"))
+                    ).alias("_imp"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            improved = int(
+                merged.agg(F.sum(F.col("_imp").cast("long"))).collect()[0][0] or 0
+            )
+            frontier = merged.where(F.col("_imp")).select("id", "dist")
+            dist = merged.select("id", "dist")
+            stats.iterations = it
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(improved))
+            if improved == 0:
+                stats.converged = True
+                break
+        return dist.select(F.col("id").cast("long"), F.col("dist").cast("long")), stats
+
+
 # --------------------------------------------------------------------------
 # Connected components (hash-min)
 

@@ -297,3 +297,27 @@ def py_betweenness(
                 for v in levels[d]:
                     bc[v] += delta[v]
     return bc
+
+
+def py_sssp(
+    edges: list[tuple[int, int, int]], sources: list[int]
+) -> dict[int, int]:
+    """Dijkstra over the directed weighted edge list."""
+    import heapq
+
+    out: dict[int, list[tuple[int, int]]] = {}
+    for u, v, w in edges:
+        if u == v:
+            continue
+        out.setdefault(u, []).append((v, w))
+    dist: dict[int, int] = {}
+    heap = [(0, s) for s in sources]
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in dist:
+            continue
+        dist[v] = d
+        for w_, wt in out.get(v, []):
+            if w_ not in dist:
+                heapq.heappush(heap, (d + wt, w_))
+    return dist

@@ -534,3 +534,17 @@ def test_betweenness_matches_python_brandes(graph):
     assert stats.converged
     assert set(got) == set(exp)
     assert max(abs(got[v] - exp[v]) for v in exp) < 1e-9
+
+
+def test_sssp_matches_dijkstra(graph, spark):
+    edges, _edf = graph
+    # deterministic weights derived from endpoints
+    we = [(u, v, (u + 2 * v) % 7 + 1) for u, v in edges]
+    edf = spark.createDataFrame(we, "src long, dst long, w long")
+    dist, stats = pregel.sssp(edf, sources=[0, 3])
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    from tests.oracles import py_sssp
+
+    exp = py_sssp(we, [0, 3])
+    assert stats.converged
+    assert got == exp
