@@ -18,6 +18,13 @@ iterations (the fused lazily-chained loop by default).  Host
 interference varies identical runs up to 3x between minutes —
 interleave legs and take best-of-N (the capability estimator least
 distorted by shared-host neighbors).
+
+``--study N`` runs the whole interleaved protocol in ONE process:
+N repetitions of (leg₁, leg₂, …) back-to-back — each leg still gets a
+fresh SparkSession/scheduler, but consecutive legs now share the same
+measurement window as tightly as the host allows — and prints one JSON
+line per run plus a summary line with same-rep and pooled-best-of
+efficiencies.
 """
 
 from __future__ import annotations
@@ -58,6 +65,21 @@ def main() -> None:
         "trips and measured fastest on both legs in quiet windows",
     )
     ap.add_argument(
+        "--study",
+        type=int,
+        default=0,
+        metavar="REPS",
+        help="run REPS interleaved repetitions of --study-legs in one "
+        "process (fresh session per leg) and print a summary with "
+        "same-rep + pooled-best-of scaling efficiencies",
+    )
+    ap.add_argument(
+        "--study-legs",
+        type=str,
+        default="1,4",
+        help="comma-separated executor counts for --study (default 1,4)",
+    )
+    ap.add_argument(
         "--warmup-iters",
         type=int,
         default=0,
@@ -67,14 +89,50 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    if args.study:
+        legs = [int(x) for x in args.study_legs.split(",")]
+        runs: list[dict] = []
+        for rep in range(1, args.study + 1):
+            for ex in legs:
+                out = run_leg(args, executors=ex)
+                out["rep"] = rep
+                print(json.dumps(out), flush=True)
+                runs.append(out)
+        by_leg = {ex: [r for r in runs if r["executors"] == ex] for ex in legs}
+        lo, hi = min(legs), max(legs)
+        ratio = hi / lo
+        best = {ex: max(r["edges_per_sec"] for r in by_leg[ex]) for ex in legs}
+        same_rep = [
+            round(b["edges_per_sec"] / a["edges_per_sec"] / ratio, 3)
+            for a, b in zip(by_leg[lo], by_leg[hi])
+        ]
+        print(
+            json.dumps(
+                {
+                    "summary": "scaling_study",
+                    "legs": legs,
+                    "reps": args.study,
+                    "best_eps": best,
+                    "pooled_best_of_efficiency": round(best[hi] / best[lo] / ratio, 3),
+                    "same_rep_efficiencies": same_rep,
+                }
+            )
+        )
+        return
+
+    out = run_leg(args, executors=args.executors)
+    print(json.dumps(out))
+
+
+def run_leg(args, executors: int | None) -> dict:
     from polar_spark.plans import pregel
     from polar_spark.session import get_spark
     from polar_spark.sources.synthetic import gen_zipf_edges
 
-    if args.executors:
-        total_cores = args.executors * args.cores_per_executor
-        master = f"local-cluster[{args.executors},{args.cores_per_executor},{args.executor_mem_mb}]"
-        label = f"local-cluster[{args.executors}x{args.cores_per_executor}]"
+    if executors:
+        total_cores = executors * args.cores_per_executor
+        master = f"local-cluster[{executors},{args.cores_per_executor},{args.executor_mem_mb}]"
+        label = f"local-cluster[{executors}x{args.cores_per_executor}]"
         import os
 
         os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/polar-spark-local")
@@ -119,24 +177,22 @@ def main() -> None:
     )
     wall = time.monotonic() - t0
     iter_wall = sum(st.iter_seconds)
-    print(
-        json.dumps(
-            {
-                "mode": label,
-                "total_cores": total_cores,
-                "cpus": args.cpus,
-                "edges": st.edges,
-                "vertices": st.vertices,
-                "iterations": st.iterations,
-                "wall_sec": round(wall, 3),
-                "iter_sec": round(iter_wall, 3),
-                "iters_per_sec": round(st.iterations / iter_wall, 4),
-                "edges_per_sec": round(st.edges * st.iterations / iter_wall),
-                "final_delta": st.final_delta,
-            }
-        )
-    )
+    out = {
+        "mode": label,
+        "executors": executors,
+        "total_cores": total_cores,
+        "cpus": args.cpus,
+        "edges": st.edges,
+        "vertices": st.vertices,
+        "iterations": st.iterations,
+        "wall_sec": round(wall, 3),
+        "iter_sec": round(iter_wall, 3),
+        "iters_per_sec": round(st.iterations / iter_wall, 4),
+        "edges_per_sec": round(st.edges * st.iterations / iter_wall),
+        "final_delta": st.final_delta,
+    }
     spark.stop()
+    return out
 
 
 if __name__ == "__main__":
