@@ -2155,3 +2155,102 @@ def _sssp_sql(rounds: int) -> str:
 
 ORACLES.update({"sssp_weighted": _sssp_sql(8)})
 QUERIES.update({"sssp_weighted": q_sssp_weighted})
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the co-order graph:
+    cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2 — the
+    neighborhood-density profile, composed from the existing per-vertex
+    triangle count and undirected degree primitives."""
+    e = coorder_edges(spark, sf_dir)
+    per_vertex, _total = pregel.triangle_count(e)
+    deg = pregel.degrees(e)
+    return (
+        deg.join(per_vertex, "id", "left")
+        .select(
+            F.col("id").cast("long"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("cc_r"),
+        )
+        .orderBy("id")
+    )
+
+
+ORACLES.update(
+    {
+        "clustering_coeff": f"""
+            WITH {_COORDER_SQL},
+            tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+                    FROM und a JOIN und b ON b.src = a.dst
+                    JOIN und c ON c.src = a.src AND c.dst = b.dst),
+            corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri),
+            pv AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id),
+            {_SYM_SQL},
+            deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src)
+            SELECT CAST(deg.id AS BIGINT) AS id,
+                   ROUND(CASE WHEN deg.d >= 2
+                         THEN 2.0 * COALESCE(pv.t, 0) / (deg.d * (deg.d - 1))
+                         ELSE 0.0 END, 6) AS cc_r
+            FROM deg LEFT JOIN pv ON pv.id = deg.id
+            ORDER BY deg.id
+        """,
+    }
+)
+QUERIES.update({"clustering_coeff": q_clustering_coeff})
+
+
+def q_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set (deterministic Luby) on the co-order
+    graph — the symmetry-breaking primitive behind distributed coloring
+    and scheduling.  Unrolled-SQL oracle computes the identical set
+    (10 rounds; fixpoint at 7 on sf0.01, 3 on sf0.001)."""
+    e = coorder_edges(spark, sf_dir)
+    mis, _stats = pregel.maximal_independent_set(e, seed=11)
+    return mis.orderBy("id")
+
+
+def _mis_sql(rounds: int, seed: int) -> str:
+    parts = [
+        _COORDER_SQL.strip(),
+        "e AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)",
+        "v AS (SELECT DISTINCT src AS id FROM e)",
+        f"h0 AS (SELECT id, (id * 2654435761 + {seed}) % 2147483648 AS x0 FROM v)",
+        "h1 AS (SELECT id, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM h0)",
+        "pri AS MATERIALIZED (SELECT id, xor(x1, x1 >> 17) * 2097152 + id AS p FROM h1)",
+        "u0 AS (SELECT id, p FROM pri)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT u.id FROM u{i} u LEFT JOIN ("
+            f"SELECT e.src AS id, MIN(p2.p) AS minp FROM e "
+            f"JOIN u{i} u2 ON u2.id = e.dst JOIN u{i} u1 ON u1.id = e.src "
+            f"JOIN pri p2 ON p2.id = e.dst GROUP BY e.src) n ON n.id = u.id "
+            f"JOIN pri ON pri.id = u.id "
+            f"WHERE n.minp IS NULL OR pri.p < n.minp)"
+        )
+        parts.append(
+            f"u{i + 1} AS MATERIALIZED (SELECT u.id, u.p FROM u{i} u "
+            f"WHERE u.id NOT IN (SELECT id FROM m{i}) "
+            f"AND u.id NOT IN (SELECT e.dst FROM e JOIN m{i} m ON m.id = e.src))"
+        )
+    union = "\nUNION ALL ".join(f"SELECT id FROM m{i}" for i in range(rounds))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(v.id AS BIGINT) AS id, (mis.id IS NOT NULL) AS in_mis
+        FROM v LEFT JOIN ({union}) mis ON mis.id = v.id
+        ORDER BY v.id"""
+    )
+
+
+ORACLES.update({"mis_luby": _mis_sql(10, 11)})
+QUERIES.update({"mis_luby": q_mis_luby})

@@ -1469,6 +1469,86 @@ def sssp(
         return dist.select(F.col("id").cast("long"), F.col("dist").cast("long")), stats
 
 
+def maximal_independent_set(
+    edges: DataFrame,
+    seed: int = 11,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Maximal independent set by Luby's algorithm with DETERMINISTIC
+    unique priorities: an undecided vertex enters the set when its
+    priority beats every undecided neighbor's; it and its neighbors
+    then leave the undecided pool; repeat to exhaustion (O(log n)
+    rounds w.h.p.).  Priority = xorshift-mixed hash of the id shifted
+    left 21 bits plus the id — unique (coorder/part ids < 2²¹) and
+    reproducible, so runs are idempotent, shards agree, and the
+    unrolled-SQL oracle computes the identical set.  Returns
+    ``(id, in_mis)`` for every vertex of the undirected graph."""
+    spark = edges.sparkSession
+    sym0 = symmetrize(normalize_edges(edges)).persist()
+    m0 = sym0.count()
+    if m0 == 0:
+        sym0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, in_mis boolean"),
+            IterationStats(algorithm="mis", edges=0, vertices=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        verts = vertices_of(e).localCheckpoint(eager=True)
+        sym0.unpersist()
+        stats = IterationStats(algorithm="mis", edges=m0, vertices=verts.count())
+        x0 = (F.col("id") * F.lit(2654435761) + F.lit(seed)) % F.lit(2**31)
+        x1 = (x0.bitwiseXOR(F.shiftright(x0, 13)) * F.lit(1274126177)) % F.lit(2**31)
+        p = x1.bitwiseXOR(F.shiftright(x1, 17)) * F.lit(2**21) + F.col("id")
+        pri = verts.select("id", p.alias("p")).localCheckpoint(eager=True)
+        undecided = pri
+        mis = spark.createDataFrame([], "id long")
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            nbr_min = (
+                e.join(undecided.select("id").withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(
+                    undecided.select(F.col("id").alias("dst"), F.col("p").alias("p_n")), "dst"
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("p_n").alias("min_nbr"))
+            )
+            winners = (
+                undecided.join(nbr_min, "id", "left")
+                .where(F.col("min_nbr").isNull() | (F.col("p") < F.col("min_nbr")))
+                .select("id")
+                .localCheckpoint(eager=True)
+            )
+            n_w = winners.count()
+            stats.iterations = it
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(n_w))
+            if n_w == 0:
+                stats.converged = True
+                break
+            mis = mis.unionByName(winners).localCheckpoint(eager=True)
+            excluded = (
+                e.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+            undecided = (
+                undecided.join(winners, "id", "left_anti")
+                .join(excluded, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if undecided.count() == 0:
+                stats.converged = True
+                break
+        out = verts.join(mis.withColumn("in_mis", F.lit(True)), "id", "left").select(
+            F.col("id").cast("long"),
+            F.coalesce(F.col("in_mis"), F.lit(False)).alias("in_mis"),
+        )
+        return out, stats
+
+
 # --------------------------------------------------------------------------
 # Connected components (hash-min)
 

@@ -548,3 +548,27 @@ def test_sssp_matches_dijkstra(graph, spark):
     exp = py_sssp(we, [0, 3])
     assert stats.converged
     assert got == exp
+
+
+def test_mis_is_independent_and_maximal(graph):
+    edges, edf = graph
+    mis, stats = pregel.maximal_independent_set(edf, seed=11)
+    got = {r["id"]: r["in_mis"] for r in mis.collect()}
+    assert stats.converged
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    in_set = {v for v, m in got.items() if m}
+    # independence: no two set members adjacent
+    assert not any(w in in_set for v in in_set for w in adj.get(v, ()))
+    # maximality: every non-member has a member neighbor
+    for v, m in got.items():
+        if not m:
+            assert adj.get(v, set()) & in_set, f"{v} could join the set"
+    # determinism
+    again = {r["id"]: r["in_mis"]
+             for r in pregel.maximal_independent_set(edf, seed=11)[0].collect()}
+    assert again == got
