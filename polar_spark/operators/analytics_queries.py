@@ -2224,7 +2224,8 @@ def _mis_sql(rounds: int, seed: int) -> str:
         "v AS (SELECT DISTINCT src AS id FROM e)",
         f"h0 AS (SELECT id, (id * 2654435761 + {seed}) % 2147483648 AS x0 FROM v)",
         "h1 AS (SELECT id, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM h0)",
-        "pri AS MATERIALIZED (SELECT id, xor(x1, x1 >> 17) * 2097152 + id AS p FROM h1)",
+        "pri AS MATERIALIZED (SELECT id, (xor(x1, x1 >> 17) % 1073741824)"
+        " * 8589934592 + id AS p FROM h1)",
         "u0 AS (SELECT id, p FROM pri)",
     ]
     for i in range(rounds):

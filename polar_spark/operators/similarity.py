@@ -161,31 +161,43 @@ def cosine_topk_lsh(
     candidates, exact cosine reranks them.  Returns
     (query_id, neighbor_id, cos, rnk) — rnk within retrieved set."""
     base = _normalized(df, vec_col, id_col).persist()
-    dim = len(base.select("v").head()["v"])
-    keys = _hyperplane_keys(base, dim, n_tables, n_planes, seed)
-    keys = keys.withColumn(
-        "_n", F.count("*").over(Window.partitionBy("table", "key"))
-    ).where(F.col("_n") <= max_bucket)
-    l = keys.select("table", "key", F.col("_id").alias("query_id"))
-    r = keys.select("table", "key", F.col("_id").alias("neighbor_id"))
-    cand = (
-        l.join(r, ["table", "key"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates()
-    )
-    va = base.select(F.col("_id").alias("query_id"), F.col("v").alias("va"))
-    vb = base.select(F.col("_id").alias("neighbor_id"), F.col("v").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    scored = cand.join(va, "query_id").join(vb, "neighbor_id").select(
-        "query_id", "neighbor_id", dot.alias("cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("long"))
-    )
+    try:
+        first = base.select("v").head()
+        if first is None:  # empty input (or all zero-norm vectors)
+            return df.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cos double, rnk long"
+            )
+        dim = len(first["v"])
+        keys = _hyperplane_keys(base, dim, n_tables, n_planes, seed)
+        keys = keys.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("table", "key"))
+        ).where(F.col("_n") <= max_bucket)
+        l = keys.select("table", "key", F.col("_id").alias("query_id"))
+        r = keys.select("table", "key", F.col("_id").alias("neighbor_id"))
+        cand = (
+            l.join(r, ["table", "key"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .dropDuplicates()
+        )
+        va = base.select(F.col("_id").alias("query_id"), F.col("v").alias("va"))
+        vb = base.select(F.col("_id").alias("neighbor_id"), F.col("v").alias("vb"))
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        scored = cand.join(va, "query_id").join(vb, "neighbor_id").select(
+            "query_id", "neighbor_id", dot.alias("cos")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        # materialize (top-k — output-sized) before releasing the cache
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
 
 
 def ivf_topk(
@@ -205,6 +217,9 @@ def ivf_topk(
     base = _normalized(df, vec_col, id_col).persist()
     # deterministic centroid seed: first n_centroids ids in order
     seed_rows = base.orderBy("_id").limit(n_centroids).collect()
+    if not seed_rows:
+        base.unpersist()
+        return spark.createDataFrame([], "query_id long, neighbor_id long, cos double, rnk long")
     cmat = np.array([r["v"] for r in seed_rows], dtype=np.float64)
     bc = spark.sparkContext.broadcast(cmat)
 
@@ -221,33 +236,42 @@ def ivf_topk(
 
     cells = base.mapInPandas(assign, schema="_id long, cell long")
     assigned = base.join(cells, "_id").persist()
-
-    qrows = assigned.where(F.col("_id").isin(query_ids)).collect()
-    if not qrows:
-        return spark.createDataFrame([], "query_id long, neighbor_id long, cos double, rnk long")
-    # probe lists per query: n_probe nearest centroids
-    out = []
-    for r in qrows:
-        qv = np.array(r["v"], dtype=np.float64)
-        order = np.argsort(-(cmat @ qv))[:n_probe]
-        out.extend((int(r["_id"]), int(c)) for c in order)
-    probes = spark.createDataFrame(out, "query_id long, cell long")
-    qv_df = assigned.where(F.col("_id").isin(query_ids)).select(
-        F.col("_id").alias("query_id"), F.col("v").alias("va")
-    )
-    cand = (
-        probes.join(assigned.withColumnRenamed("_id", "neighbor_id"), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(qv_df, "query_id")
-    )
-    dot = F.aggregate(F.zip_with("va", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    scored = cand.select("query_id", "neighbor_id", dot.alias("cos"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("long"))
-    )
+    try:
+        qrows = assigned.where(F.col("_id").isin(query_ids)).collect()
+        if not qrows:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cos double, rnk long"
+            )
+        # probe lists per query: n_probe nearest centroids
+        out = []
+        for r in qrows:
+            qv = np.array(r["v"], dtype=np.float64)
+            order = np.argsort(-(cmat @ qv))[:n_probe]
+            out.extend((int(r["_id"]), int(c)) for c in order)
+        probes = spark.createDataFrame(out, "query_id long, cell long")
+        qv_df = assigned.where(F.col("_id").isin(query_ids)).select(
+            F.col("_id").alias("query_id"), F.col("v").alias("va")
+        )
+        cand = (
+            probes.join(assigned.withColumnRenamed("_id", "neighbor_id"), "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .join(qv_df, "query_id")
+        )
+        dot = F.aggregate(
+            F.zip_with("va", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        scored = cand.select("query_id", "neighbor_id", dot.alias("cos"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        # materialize (top-k — output-sized) before releasing the caches
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        assigned.unpersist()
+        base.unpersist()
 
 
 def cosine_pairs(
@@ -311,12 +335,18 @@ def cosine_neardup(
     """
     from polar_spark.plans import pregel
 
+    ids = df.select(F.col(id_col).cast("long").alias("vec_id"))
     if exact:
         # the caller opted into the quadratic form explicitly
         pairs = cosine_pairs(df, threshold, vec_col, id_col, max_rows=None)
+        base = None
     else:
         base = _normalized(df, vec_col, id_col).persist()
-        dim = len(base.select("v").head()["v"])
+        first = base.select("v").head()
+        if first is None:  # empty input (or all zero-norm): all singletons
+            base.unpersist()
+            return ids.select("vec_id", F.col("vec_id").alias("rep_id"))
+        dim = len(first["v"])
         keys = _hyperplane_keys(base, dim, n_tables, n_planes, seed)
         keys = keys.withColumn(
             "_n", F.count("*").over(Window.partitionBy("table", "key"))
@@ -340,9 +370,14 @@ def cosine_neardup(
             .select("id_a", "id_b", dot.alias("cos"))
             .where(F.col("cos") >= threshold)
         )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp, _stats = pregel.connected_components(edges)
-    ids = df.select(F.col(id_col).cast("long").alias("vec_id"))
+    try:
+        edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        # connected_components materializes its input up front, so the
+        # normalized cache is safe to release once it returns
+        comp, _stats = pregel.connected_components(edges)
+    finally:
+        if base is not None:
+            base.unpersist()
     return ids.join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left").select(
         "vec_id", F.coalesce(F.col("comp"), F.col("vec_id")).alias("rep_id")
     )

@@ -1130,35 +1130,51 @@ def strongly_connected_components(
                 break
             stats.iterations = outer
             t0 = time.monotonic()
-            # 1. forward max coloring to fixpoint
+            # 1. forward max coloring to fixpoint.  Rounds chain LAZILY
+            # in chunks of `_chunk` with ONE changed-count action per
+            # chunk (the _pagerank_fused pattern): max-propagation is
+            # monotone, so "last round of the chunk changed nothing" is
+            # a sound fixpoint test, and the convergence tail pays one
+            # driver round-trip per chunk instead of per round.
             color = remaining.select("id", F.col("id").alias("color")).localCheckpoint(
                 eager=True
             )
-            for _ in range(max_iter):
-                nbr = (
-                    e.join(color.withColumnRenamed("id", "src"), "src")
-                    .groupBy(F.col("dst").alias("id"))
-                    .agg(F.max("color").alias("nbr_color"))
-                )
-                new_color = (
-                    color.join(nbr, "id", "left")
-                    .select(
-                        "id",
-                        F.greatest(
-                            F.col("color"), F.coalesce(F.col("nbr_color"), F.col("color"))
-                        ).alias("color"),
-                        (F.coalesce(F.col("nbr_color"), F.col("color")) > F.col("color")).alias(
-                            "_chg"
-                        ),
+            _chunk = 4
+            done = 0
+            chg = -1
+            while done < max_iter and chg != 0:
+                new_color = None
+                for _ in range(min(_chunk, max_iter - done)):
+                    nbr = (
+                        e.join(color.withColumnRenamed("id", "src"), "src")
+                        .groupBy(F.col("dst").alias("id"))
+                        .agg(F.max("color").alias("nbr_color"))
                     )
-                    .localCheckpoint(eager=False)
-                )
+                    new_color = (
+                        color.join(nbr, "id", "left")
+                        .select(
+                            "id",
+                            F.greatest(
+                                F.col("color"), F.coalesce(F.col("nbr_color"), F.col("color"))
+                            ).alias("color"),
+                            (
+                                F.coalesce(F.col("nbr_color"), F.col("color")) > F.col("color")
+                            ).alias("_chg"),
+                        )
+                        .localCheckpoint(eager=False)
+                    )
+                    color = new_color.select("id", "color")
+                    done += 1
                 chg = int(
                     new_color.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0] or 0
                 )
-                color = new_color.select("id", "color")
-                if chg == 0:
-                    break
+            if chg != 0:
+                # proceeding with partially propagated colors would
+                # produce WRONG SCC labels — refuse instead
+                raise RuntimeError(
+                    f"scc forward coloring did not converge in {max_iter} rounds "
+                    f"({chg} colors still changing) — raise max_iter"
+                )
             # 2. backward sweep from roots within same color
             frontier = color.where(F.col("color") == F.col("id")).localCheckpoint(eager=True)
             members = frontier
@@ -1420,7 +1436,11 @@ def sssp(
             F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("long")
         )
         .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
+        # parallel edges: keep the MINIMUM weight deterministically (a
+        # dropDuplicates here would keep an arbitrary one — wrong
+        # distances on multigraph inputs)
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
         .persist()
     )
     m0 = e0.count()
@@ -1479,11 +1499,15 @@ def maximal_independent_set(
     unique priorities: an undecided vertex enters the set when its
     priority beats every undecided neighbor's; it and its neighbors
     then leave the undecided pool; repeat to exhaustion (O(log n)
-    rounds w.h.p.).  Priority = xorshift-mixed hash of the id shifted
-    left 21 bits plus the id — unique (coorder/part ids < 2²¹) and
-    reproducible, so runs are idempotent, shards agree, and the
-    unrolled-SQL oracle computes the identical set.  Returns
-    ``(id, in_mis)`` for every vertex of the undirected graph."""
+    rounds w.h.p.).  Priority = 30-bit xorshift-mixed hash of the id
+    shifted left 33 bits plus the id — provably unique for any
+    id < 2³³ (≈8.6e9, past the 1e9-vertex target; inputs beyond that
+    are rejected) and reproducible, so runs are idempotent, shards
+    agree, and the unrolled-SQL oracle computes the identical set.
+    Unique priorities guarantee ≥1 winner per round; if ``max_iter``
+    is still exhausted the function RAISES rather than silently
+    returning a non-maximal set.  Returns ``(id, in_mis)`` for every
+    vertex of the undirected graph."""
     spark = edges.sparkSession
     sym0 = symmetrize(normalize_edges(edges)).persist()
     m0 = sym0.count()
@@ -1498,10 +1522,21 @@ def maximal_independent_set(
         e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
         verts = vertices_of(e).localCheckpoint(eager=True)
         sym0.unpersist()
-        stats = IterationStats(algorithm="mis", edges=m0, vertices=verts.count())
+        vrow = verts.agg(
+            F.count("*").alias("n"), F.max("id").alias("mx"), F.min("id").alias("mn")
+        ).collect()[0]
+        if int(vrow["mx"]) >= 2**33 or int(vrow["mn"]) < 0:
+            raise ValueError(
+                "maximal_independent_set priorities are unique only for "
+                f"0 <= id < 2^33; got id range [{vrow['mn']}, {vrow['mx']}] — "
+                "compact ids first (plans.pregel.compact_ids)"
+            )
+        stats = IterationStats(algorithm="mis", edges=m0, vertices=int(vrow["n"]))
         x0 = (F.col("id") * F.lit(2654435761) + F.lit(seed)) % F.lit(2**31)
         x1 = (x0.bitwiseXOR(F.shiftright(x0, 13)) * F.lit(1274126177)) % F.lit(2**31)
-        p = x1.bitwiseXOR(F.shiftright(x1, 17)) * F.lit(2**21) + F.col("id")
+        # 30-bit mix << 33 | id: strictly unique for id < 2^33 and fits
+        # signed int64 ((2^30-1)*2^33 + 2^33-1 < 2^63)
+        p = (x1.bitwiseXOR(F.shiftright(x1, 17)) % F.lit(2**30)) * F.lit(2**33) + F.col("id")
         pri = verts.select("id", p.alias("p")).localCheckpoint(eager=True)
         undecided = pri
         mis = spark.createDataFrame([], "id long")
@@ -1542,6 +1577,11 @@ def maximal_independent_set(
             if undecided.count() == 0:
                 stats.converged = True
                 break
+        if not stats.converged:
+            raise RuntimeError(
+                f"maximal_independent_set did not exhaust the undecided pool in "
+                f"{max_iter} rounds — the result would be non-maximal; raise max_iter"
+            )
         out = verts.join(mis.withColumn("in_mis", F.lit(True)), "id", "left").select(
             F.col("id").cast("long"),
             F.coalesce(F.col("in_mis"), F.lit(False)).alias("in_mis"),
