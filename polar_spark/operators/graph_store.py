@@ -259,11 +259,16 @@ class GraphStore:
             cell = F.concat_ws(sep, F.col(pc), self._bucket_expr(name).cast("string"))
             keys = [f"{v}{sep}{b}" for v, b in touched]
             # duplicate partition/bucket cols so data files keep them —
-            # single-cell reads need no directory-name reconstruction
+            # single-cell reads need no directory-name reconstruction.
+            # Repartition to ~one task per touched cell so every cell
+            # lands as ONE file (dynamic partitionBy otherwise sprays a
+            # file per task × cell — the small-file overhead that made
+            # bucket-scoped commits slower than partition-scoped ones).
             (
                 df.where(cell.isin(keys))
                 .withColumn("pv", F.col(pc))
                 .withColumn("pb", self._bucket_expr(name))
+                .repartition(max(1, len(keys)), "pv", "pb")
                 .write.mode("overwrite")
                 .partitionBy("pv", "pb")
                 .parquet(out)
@@ -422,7 +427,10 @@ class GraphStore:
 
     def _merged_vertices(self, updates: DataFrame) -> tuple[DataFrame, list[tuple[str, int]]]:
         u = self._conform(updates, VERTEX_SCHEMA, with_id=True)
-        u = self._dedup_latest(u, _VKEY)
+        # materialize the (batch-sized) deduped updates once: the touched
+        # collect and every downstream table write would otherwise each
+        # re-run the caller's whole upstream pipeline
+        u = self._dedup_latest(u, _VKEY).localCheckpoint(eager=True)
         touched = self._touched(u, "vertices")
         # bucket-pruned merge: only the touched cells' current rows join
         cells = {self._cell_key(v, b) for v, b in touched}
@@ -477,7 +485,8 @@ class GraphStore:
         s = batches[0]
         for b in batches[1:]:
             s = s.unionByName(b)
-        s = self._dedup_latest(s, _EKEY)
+        # materialized once for the same reason as _merged_vertices
+        s = self._dedup_latest(s, _EKEY).localCheckpoint(eager=True)
         touched = self._touched(s, "edges")
         cells = {self._cell_key(v, b) for v, b in touched}
         cur = self._read_parts(
@@ -511,7 +520,9 @@ class GraphStore:
         ``new_edges``: (src_label, src_key, dst_label, dst_key,
         rel_type, props?, observed_at?).
         """
-        e = self._conform(new_edges, EDGE_SCHEMA)
+        # one materialization feeds both the endpoint stubs and the edge
+        # merge (the caller's pipeline runs once, not once per table job)
+        e = self._conform(new_edges, EDGE_SCHEMA).localCheckpoint(eager=True)
         mv, tv = self._merged_vertices(self._endpoint_stubs(e))
         me, te = self._merged_edges(e, None)
         self._commit_many([("vertices", mv, tv), ("edges", me, te)])
@@ -527,7 +538,7 @@ class GraphStore:
         """
         r = self._dedup_latest(
             self._conform(replacements, EDGE_SCHEMA), ["src_label", "src_key", "rel_type"]
-        )
+        ).localCheckpoint(eager=True)
         mv, tv = self._merged_vertices(self._endpoint_stubs(r))
         me, te = self._merged_edges(None, r)
         self._commit_many([("vertices", mv, tv), ("edges", me, te)])
@@ -563,7 +574,7 @@ class GraphStore:
         ``transitions``: (resource_label, resource_key, state_type,
         instance_key, valid_from, props?).
         """
-        t = self._conform(transitions, STATE_SCHEMA)
+        t = self._conform(transitions, STATE_SCHEMA).localCheckpoint(eager=True)
         # (2) append-only history: only genuinely new instances append;
         # re-delivery of an already-recorded instance must not mutate it
         hist_keys = ["resource_label", "resource_key", "state_type", "instance_key"]
