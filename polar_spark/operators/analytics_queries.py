@@ -900,26 +900,27 @@ def q_knn_bruteforce_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs with estimated+exact jaccard — no SQL
-    oracle (numpy signature fold); driver records the rows-only check;
-    cross-validated against exact jaccard in tests/test_dedup.py."""
-    from polar_spark.operators.dedup import minhash_lsh_dedup
+    """MinHash+LSH candidate pairs (n_shared_bands + estimated jaccard)
+    over the SQL-replayable hash family — the 64-slot signature fold is
+    64 MIN aggregates in one groupBy (whole-stage codegen, one shuffle),
+    and DuckDB recomputes the identical signatures as the oracle.  The
+    xxhash64/numpy production variant is cross-validated against exact
+    jaccard in tests/test_dedup.py and benched as minhash_neardup."""
+    from polar_spark.operators.dedup import minhash_pairs_arith
 
     docs = load_table(spark, "documents", sf_dir)
-    out = minhash_lsh_dedup(docs, threshold=0.0)
-    return out.select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_j"), F.round("jaccard", 6).alias("j")
-    )
+    return minhash_pairs_arith(docs)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded Hamming candidates — no SQL oracle (bit fold);
-    rows-only check."""
-    from polar_spark.operators.dedup import simhash_candidates, simhash_signatures
+    """SimHash banded Hamming candidates over the SQL-replayable family
+    (60-bit fingerprint = signs of 60 affine-permutation parity sums;
+    the fold is 60 SUM aggregates in one groupBy) — DuckDB replays the
+    fingerprints bit-for-bit as the oracle."""
+    from polar_spark.operators.dedup import simhash_pairs_arith
 
     docs = load_table(spark, "documents", sf_dir)
-    sig = simhash_signatures(docs)
-    return simhash_candidates(sig).where(F.col("hamming") <= 12)
+    return simhash_pairs_arith(docs)
 
 
 _STOP_SQL = {
@@ -1227,6 +1228,18 @@ ORACLES.update(
     }
 )
 ORACLES["knn_bruteforce_op"] = ORACLES["knn_cosine"]
+
+
+def _neardup_oracles() -> dict[str, str]:
+    from polar_spark.operators.dedup import minhash_pairs_arith_sql, simhash_pairs_arith_sql
+
+    return {
+        "minhash_pairs": minhash_pairs_arith_sql(),
+        "simhash_pairs": simhash_pairs_arith_sql(),
+    }
+
+
+ORACLES.update(_neardup_oracles())
 
 QUERIES.update(
     {

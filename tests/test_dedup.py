@@ -182,3 +182,23 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert got <= truth  # exact-verify ⇒ no false positives
     recall = len(truth & got) / len(truth)
     assert recall >= 0.95, f"recall {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_minhash_arith_finds_planted_pairs_and_estimates(docs):
+    """The SQL-replayable minhash family behaves like the xxhash64 one:
+    exact dups estimate 1.0, planted near-dups surface, unrelated docs
+    never pair."""
+    out = {(r["id_a"], r["id_b"]): r for r in dedup.minhash_pairs_arith(docs).collect()}
+    assert out[(0, 1)]["est_j"] == 1.0
+    assert out[(0, 1)]["n_shared_bands"] == 16
+    assert (0, 2) in out and out[(0, 2)]["est_j"] > 0.5
+    assert all(a <= 3 and b <= 3 for a, b in out)
+
+
+def test_simhash_arith_exact_dup_zero_hamming(docs):
+    ham = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs_arith(docs).collect()
+    }
+    assert ham.get((0, 1)) == 0
+    assert all(h <= 12 for h in ham.values())

@@ -61,8 +61,8 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches: {mismatches[:5]}"
 
 
-# non-SQL-expressible ops (numpy hash folds): driver records rows-only
-ROWS_ONLY = {"minhash_pairs", "simhash_pairs"}
+# every registered query now carries a SQL oracle
+ROWS_ONLY: set[str] = set()
 
 
 def test_all_queries_have_oracles():
@@ -72,12 +72,6 @@ def test_all_queries_have_oracles():
     assert q - o == ROWS_ONLY, f"unexpected oracle-less queries: {q - o - ROWS_ONLY}"
 
 
-@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
-def test_rows_only_queries_run_and_deterministic(spark, name):
-    qfn = entry_mod.queries()[name]
-    a = sorted(map(tuple, qfn(spark, SF_DIR).collect()), key=repr)
-    b = sorted(map(tuple, qfn(spark, SF_DIR).collect()), key=repr)
-    assert a == b
 
 
 def test_entry_smoke(spark):
