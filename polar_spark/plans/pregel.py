@@ -949,8 +949,9 @@ def core_numbers(
                     "src",
                     "left_semi",
                 )
+                # no .distinct(): a semi-join probe needs no dedup, and
+                # the distinct was a full extra shuffle per round
                 .select(F.col("dst").alias("id"))
-                .distinct()
             )
         return (
             h.select(F.col("id").cast("long").alias("id"), F.col("h").alias("core")),
