@@ -65,43 +65,73 @@ def gen_media_table(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFr
     return spark.range(0, n, 1, 4).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+try:  # real decode when Pillow is available on the executors
+    from PIL import Image as _PIL_Image  # pragma: no cover - absent in this env
+except ImportError:  # env has no Pillow/libjpeg: deterministic fake below
+    _PIL_Image = None
+
+
 def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
-    """STUB — deterministic fake decoder (no Pillow in this env).
-    Real implementation: ``PIL.Image.open(io.BytesIO(content))``.
-    Produces a deterministic pseudo-image from the content hash so the
-    downstream plumbing (shapes, batching, feature math) is test-real.
-    """
+    """STUB fallback — deterministic pseudo-image from the content hash
+    (no Pillow in this env), so the downstream plumbing (shapes,
+    batching, feature math) is test-real."""
     h = hashlib.sha256(content).digest()
     rng = np.random.default_rng(np.frombuffer(h[:8], dtype=np.uint64))
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def _decode(content: bytes, width: int, height: int) -> np.ndarray:
+    """Decode to an RGB (h, w, 3) uint8 array: Pillow when importable,
+    else the deterministic fake (loudly documented env limitation)."""
+    if _PIL_Image is not None:  # pragma: no cover - absent in this env
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(content)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    return _fake_decode(content, width, height)
+
+
 def decode_image_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
     """image rows → (media_id, width, height, features array<float>).
 
-    Arrow-batched ``mapInPandas``: decode (stubbed), resize-pool to a
-    4x4 grid mean per channel → 48-dim before projection to feat_dim.
-    Real decode swaps in behind ``_fake_decode`` only.
-    """
+    ONE Arrow-batched ``mapInPandas`` stage.  Decode is per-image
+    (inherently so: variable-size compressed payloads), but the pooling
+    math is vectorized across the whole batch: images are grouped by
+    (height, width), each group stacked into a single (n, h, w, 3)
+    array, and the 4x4 grid mean-pool runs as one reshape+mean per
+    group — no per-row Python in the feature math."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
-                w, h = int(meta["width"]), int(meta["height"])
-                img = _fake_decode(bytes(row["content"]), w, h)
-                # 4x4 mean-pool per channel → 48 dims, truncate/project
+            if pdf.empty:
+                continue
+            metas = pdf["meta"]
+            ws = np.array([int(m["width"]) for m in metas])
+            hs = np.array([int(m["height"]) for m in metas])
+            ids = pdf["media_id"].to_numpy()
+            contents = pdf["content"].tolist()
+            feats: list[list[float] | None] = [None] * len(pdf)
+            for h, w in {(int(h), int(w)) for h, w in zip(hs, ws)}:
+                idx = np.nonzero((hs == h) & (ws == w))[0]
+                stack = np.stack([_decode(bytes(contents[i]), w, h) for i in idx])
                 ph, pw = max(h // 4, 1), max(w // 4, 1)
                 pooled = (
-                    img[: ph * 4, : pw * 4]
-                    .reshape(4, ph, 4, pw, 3)
-                    .mean(axis=(1, 3))
-                    .reshape(-1)
+                    stack[:, : ph * 4, : pw * 4]
+                    .reshape(len(idx), 4, ph, 4, pw, 3)
+                    .mean(axis=(2, 4))
+                    .reshape(len(idx), -1)
                 )
-                feats = pooled[:feat_dim] / 255.0
-                out.append((int(row["media_id"]), w, h, feats.astype(float).tolist()))
-            yield pd.DataFrame(out, columns=["media_id", "width", "height", "features"])
+                grp = pooled[:, :feat_dim] / 255.0
+                for j, i in enumerate(idx):
+                    feats[i] = grp[j].astype(float).tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype("int64"),
+                    "width": ws.astype("int32"),
+                    "height": hs.astype("int32"),
+                    "features": feats,
+                }
+            )
 
     return (
         media.where(F.col("kind") == "image")

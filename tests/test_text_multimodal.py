@@ -147,3 +147,20 @@ def test_audio_features_over_generated_table(media):
         # generated tones are 200-1100 Hz + small noise
         assert 100.0 < r["spectral_centroid_hz"] < 2500.0
         assert 0.2 < r["rms"] < 0.5
+
+
+def test_decode_image_features_single_python_stage(spark):
+    """Plan gate: the whole image-feature path is ONE Arrow-batched
+    Python stage (mapInPandas) — no extra Python round trips and no
+    shuffle between filter and features.  (A plain createDataFrame
+    input keeps the generator's own mapInPandas out of the plan.)"""
+    df_in = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x01\x02"), {"width": "8", "height": "8"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    df = multimodal.decode_image_features(df_in, feat_dim=16)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("MapInPandas (") == 1  # tree form: exactly one stage
+    assert "Exchange" not in plan
