@@ -1937,6 +1937,65 @@ ORACLES.update({"random_walks4": _walks_sql(4, 42)})
 QUERIES.update({"random_walks4": q_random_walks4})
 
 
+def q_random_walks_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order (p,q)-biased walk corpus over the demand graph:
+    integer class weights (return 4 / common-successor 2 / far 1 ≙
+    p=0.5, q=2), candidate picked by cumulative-weight interval at
+    (cur·31 + prev·13 + step·17 + seed) mod Σw — unrolled identically
+    in the SQL oracle."""
+    e = demand_edges(spark, sf_dir)
+    walks = pregel.random_walks_biased(e, walk_length=3, seed=42)
+    return walks.orderBy("start", "step")
+
+
+def _walks_biased_sql(
+    walk_length: int, seed: int, w_ret: int = 4, w_bfs: int = 2, w_dfs: int = 1
+) -> str:
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey)",
+        "nbr AS MATERIALIZED (SELECT src, dst, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rnk, "
+        "CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg FROM e)",
+        # step 1 is the uniform pick, carrying prev forward
+        "w1 AS MATERIALIZED (SELECT src AS start, src AS prev, dst AS cur "
+        f"FROM nbr WHERE rnk = ((src * 31 + 17 + {seed}) % deg) + 1)",
+    ]
+    for s in range(2, walk_length + 1):
+        r = f"(cur * 31 + prev * 13 + {s * 17 + seed}) % tot"
+        parts.append(
+            f"c{s} AS (SELECT w.start, w.prev, w.cur, n.dst, "
+            f"CAST(CASE WHEN n.dst = w.prev THEN {w_ret} "
+            f"WHEN p.src IS NOT NULL THEN {w_bfs} ELSE {w_dfs} END AS BIGINT) AS wt "
+            f"FROM w{s - 1} w JOIN nbr n ON n.src = w.cur "
+            "LEFT JOIN e p ON p.src = w.prev AND p.dst = n.dst)"
+        )
+        parts.append(
+            f"w{s} AS MATERIALIZED (SELECT start, cur AS prev, dst AS cur FROM ("
+            "SELECT *, SUM(wt) OVER (PARTITION BY start ORDER BY dst "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            f"SUM(wt) OVER (PARTITION BY start) AS tot FROM c{s}) t "
+            f"WHERE cum - wt <= {r} AND {r} < cum)"
+        )
+    union = "\nUNION ALL ".join(
+        ["SELECT src AS start, 0 AS step, src AS cur FROM nbr GROUP BY src"]
+        + [f"SELECT start, {s} AS step, cur FROM w{s}" for s in range(1, walk_length + 1)]
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(start AS BIGINT) AS start, CAST(step AS INT) AS step,
+               CAST(cur AS BIGINT) AS vertex
+        FROM ({union}) u ORDER BY start, step"""
+    )
+
+
+ORACLES.update({"random_walks_biased3": _walks_biased_sql(3, 42)})
+QUERIES.update({"random_walks_biased3": q_random_walks_biased})
+
+
 def q_scc_custgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of a deterministic functional-ish
     directed graph over customers: c → (31c+7) mod n, plus

@@ -1083,6 +1083,98 @@ def random_walks(
     )
 
 
+def random_walks_biased(
+    edges: DataFrame,
+    walk_length: int,
+    w_ret: int = 4,
+    w_bfs: int = 2,
+    w_dfs: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Second-order (node2vec-style) deterministic walk corpus: the
+    (p, q) bias expressed as INTEGER weights per candidate class —
+    ``w_ret`` for returning to the previous vertex (node2vec 1/p),
+    ``w_bfs`` for candidates that are direct successors of the previous
+    vertex (distance 1, weight 1 in node2vec — scaled), ``w_dfs`` for
+    everything else (1/q).  Defaults (4, 2, 1) encode p=0.5, q=2.
+
+    The step picks the candidate whose cumulative weight interval (over
+    the id-ordered adjacency) contains
+    ``(cur·31 + prev·13 + step·17 + seed) mod Σw`` — pure integer
+    arithmetic, so walks are reproducible across runs/engines and the
+    SQL oracle unrolls identical steps.  The distance-1 test uses the
+    directed successor set of ``prev`` (documented deviation from
+    undirected node2vec).  The first step has no predecessor and picks
+    uniformly like :func:`random_walks`.  Cost: each biased step joins
+    the frontier's full out-neighborhood once against the edge table to
+    classify candidates — O(L·E) join rows worst case, the inherent
+    price of second-order bias; no Python anywhere.  Returns
+    ``(start, step, vertex)``."""
+    from pyspark.sql.window import Window
+
+    e = normalize_edges(edges)
+    nbr = e.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long")
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nbr = nbr.join(deg, "src")
+    out = deg.select(
+        F.col("src").alias("start"), F.lit(0).alias("step"), F.col("src").alias("vertex")
+    )
+    # step 1: uniform (no predecessor yet), carrying prev forward
+    pick1 = ((F.col("cur") * F.lit(31) + F.lit(17) + F.lit(seed)) % F.col("deg")) + F.lit(1)
+    walk = (
+        deg.select(F.col("src").alias("start"), F.col("src").alias("cur"))
+        .join(nbr, F.col("cur") == nbr.src)
+        .where(F.col("rnk") == pick1)
+        .select("start", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
+    )
+    out = out.unionByName(
+        walk.select("start", F.lit(1).alias("step"), F.col("cur").alias("vertex"))
+    )
+    ep = e.select(F.col("src").alias("prev"), F.col("dst").alias("_pd"), F.lit(True).alias("_common"))
+    for step in range(2, walk_length + 1):
+        c = walk.alias("w").join(nbr.alias("n"), F.col("w.cur") == F.col("n.src"))
+        c = c.join(
+            ep.alias("p"),
+            (F.col("w.prev") == F.col("p.prev")) & (F.col("n.dst") == F.col("p._pd")),
+            "left",
+        ).select(
+            F.col("w.start").alias("start"),
+            F.col("w.prev").alias("prev"),
+            F.col("w.cur").alias("cur"),
+            F.col("n.dst").alias("dst"),
+            F.when(F.col("n.dst") == F.col("w.prev"), F.lit(w_ret))
+            .when(F.col("p._common").isNotNull(), F.lit(w_bfs))
+            .otherwise(F.lit(w_dfs))
+            .cast("long")
+            .alias("wt"),
+        )
+        wcum = (
+            Window.partitionBy("start")
+            .orderBy("dst")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy("start")
+        r = (
+            F.col("cur") * F.lit(31) + F.col("prev") * F.lit(13) + F.lit(step * 17 + seed)
+        ) % F.col("tot")
+        walk = (
+            c.withColumn("cum", F.sum("wt").over(wcum))
+            .withColumn("tot", F.sum("wt").over(wtot))
+            .where((F.col("cum") - F.col("wt") <= r) & (r < F.col("cum")))
+            .select("start", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
+        )
+        out = out.unionByName(
+            walk.select("start", F.lit(step).alias("step"), F.col("cur").alias("vertex"))
+        )
+    return out.select(
+        F.col("start").cast("long"),
+        F.col("step").cast("int"),
+        F.col("vertex").cast("long"),
+    )
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_outer: int = 100,

@@ -572,3 +572,35 @@ def test_mis_is_independent_and_maximal(graph):
     again = {r["id"]: r["in_mis"]
              for r in pregel.maximal_independent_set(edf, seed=11)[0].collect()}
     assert again == got
+
+
+def test_random_walks_biased_bias_routes_the_pick(spark):
+    """Extreme class weights force the second-order pick: a huge return
+    weight sends step 2 back to the predecessor; a huge far weight sends
+    it to the non-return candidate."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    ret = pregel.random_walks_biased(e, walk_length=2, w_ret=1000, w_bfs=1, w_dfs=1)
+    got = {(r["start"], r["step"]): r["vertex"] for r in ret.collect()}
+    assert got[(1, 1)] == 2  # only neighbor
+    assert got[(1, 2)] == 1  # returns to prev under w_ret
+    far = pregel.random_walks_biased(e, walk_length=2, w_ret=1, w_bfs=1, w_dfs=1000)
+    got = {(r["start"], r["step"]): r["vertex"] for r in far.collect()}
+    assert got[(1, 2)] == 3  # explores away from prev under w_dfs
+
+
+def test_random_walks_biased_deterministic(graph):
+    _, edf = graph
+    a = sorted(map(tuple, pregel.random_walks_biased(edf, 3).collect()))
+    b = sorted(map(tuple, pregel.random_walks_biased(edf, 3).collect()))
+    assert a == b
+    # every walk advances through existing edges
+    edges = {(r["src"], r["dst"]) for r in pregel.normalize_edges(edf).collect()}
+    pos = {}
+    for s, st, v in a:
+        pos.setdefault(s, {})[st] = v
+    for s, steps in pos.items():
+        for st in range(1, max(steps)):
+            if st in steps and st + 1 in steps:
+                assert (steps[st], steps[st + 1]) in edges
