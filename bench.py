@@ -118,11 +118,13 @@ def main() -> None:
         }
 
     def _pr_zipf_salted():
-        # classic loop: chaining the salted double-aggregation lazily
-        # (fused) triples in-flight shuffle state and measures slower
+        # the skew-insurance path rides the SAME fused loop as the
+        # headline (interleaved best-of-3: fused salt=8 26.0s vs fused
+        # unsalted 20.5s vs the previous classic salt=16 28.5s — the
+        # salted premium is the extra pre-combine shuffle, ~1.27x)
         _r, st = pregel.pagerank(
             zedges, tol=0.0, max_iter=8, num_partitions=3 * cpus,
-            salt_buckets=16, fuse=False,
+            salt_buckets=8,
         )
         wall = sum(st.iter_seconds)
         return {
