@@ -220,6 +220,45 @@ def main() -> None:
 
         return {"knn_rows": q_knn_cosine(spark, sf_dir).count()}
 
+    def _ann_recall():
+        # the recall/latency trade on the record: LSH and IVF top-3 vs
+        # the exact brute-force ranking over a 200-query panel
+        from polar_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            cosine_topk_lsh,
+            ivf_topk,
+        )
+        from polar_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir).persist()
+        n_emb = emb.count()
+        qids = list(range(200))
+        exact = cosine_topk_bruteforce(emb, query_ids=qids, k=3).persist()
+        n_exact = exact.count()
+        # plane count scaled so hyperplane buckets hold ~32 vectors (the
+        # recall/candidate-cost knob; corpus-size-dependent by design)
+        import math
+
+        planes = max(2, int(math.log2(max(n_emb / 32, 2))))
+        t0 = time.monotonic()
+        lsh = cosine_topk_lsh(emb, k=3, n_tables=10, n_planes=planes)
+        lsh.count()
+        t_lsh = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        ivf = ivf_topk(emb, query_ids=qids, k=3)
+        ivf.count()
+        t_ivf = round(time.monotonic() - t0, 3)
+        hits_lsh = exact.join(lsh, ["query_id", "neighbor_id"], "left_semi").count()
+        hits_ivf = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi").count()
+        exact.unpersist()
+        emb.unpersist()
+        return {
+            "ann_lsh_sec": t_lsh,
+            "ann_ivf_sec": t_ivf,
+            "ann_lsh_recall_at3": round(hits_lsh / n_exact, 4) if n_exact else None,
+            "ann_ivf_recall_at3": round(hits_ivf / n_exact, 4) if n_exact else None,
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -239,6 +278,7 @@ def main() -> None:
         ("minhash_neardup", _neardup, min(REPS, 2)),
         ("dedup_exact", _dedup, REPS),
         ("knn_cosine_top3", _knn, REPS),
+        ("ann_recall", _ann_recall, 1),
     ]
 
     draws: dict[str, list[float]] = {name: [] for name, _f, _r in sections}
