@@ -62,17 +62,13 @@ Tables:
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-from urllib.parse import unquote
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from polar_spark.functions.normalize import vertex_id
+from polar_spark.operators.store_backend import StoreBackend, VersionedParquetBackend
 
 VERTEX_SCHEMA = T.StructType(
     [
@@ -145,212 +141,66 @@ class GraphStore:
         collect_stats: bool = False,
         buckets: int = 8,
         compact_every: int = 64,
+        backend: StoreBackend | None = None,
     ):
         self.spark = spark
         self.path = path
-        self.retention = max(1, retention)
-        self.collect_stats = collect_stats
-        self.compact_every = compact_every
-        os.makedirs(path, exist_ok=True)
-        self._manifest_path = os.path.join(path, "manifest.json")
-        if not os.path.exists(self._manifest_path):
-            self._write_manifest(
-                {
-                    "version": 0,
-                    "buckets": max(1, buckets),
-                    "last_compact": 0,
-                    "tables": {n: {} for n in _SCHEMAS},
-                    "history": [],
-                }
-            )
-        # bucket count is a physical layout constant per store — reopening
-        # with a different value would mis-route merge pruning
-        self.buckets = int(self._manifest().get("buckets", max(1, buckets)))
+        # the physical half lives behind the StoreBackend seam
+        # (store_backend.py) — a real Iceberg catalog drops in via
+        # ``backend=IcebergBackend(...)`` when the runtime jars exist
+        self._backend = backend or VersionedParquetBackend(
+            spark,
+            path,
+            schemas=_SCHEMAS,
+            partition_by=self._PARTITION_BY,
+            bucket_by=self._BUCKET_BY,
+            retention=retention,
+            buckets=buckets,
+            compact_every=compact_every,
+            collect_stats=collect_stats,
+        )
+        self.buckets = self._backend.buckets
 
-    # ---------------------------------------------------------------- io
-
-    def _manifest(self) -> dict:
-        with open(self._manifest_path) as f:
-            return json.load(f)
-
-    def _write_manifest(self, m: dict) -> None:
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self._manifest_path)  # atomic commit point
-
-    def _bucket_expr(self, name: str) -> F.Column:
-        return F.pmod(F.xxhash64(*self._BUCKET_BY[name]), F.lit(self.buckets))
-
-    @staticmethod
-    def _cell_key(value: str, bucket: int) -> str:
-        # bucket first: value may contain any character, the int prefix
-        # and first '|' make the composite unambiguous
-        return f"{bucket}|{value}"
-
-    @staticmethod
-    def _cell_value(cell: str) -> str:
-        return cell.split("|", 1)[1]
-
-    def _read_parts(self, name: str, parts: dict[str, dict]) -> DataFrame:
-        schema = _SCHEMAS[name]
-        if not parts:
-            return self.spark.createDataFrame([], schema)
-        paths = [
-            os.path.join(self.path, name, f"v{p['v']}", p["dir"]) for p in parts.values()
-        ]
-        df = self.spark.read.parquet(*paths)
-        # fixed column order/types regardless of physical file layout
-        return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
-
-    def _parts_for(self, name: str, values: list[str] | None = None) -> dict[str, dict]:
-        parts = self._manifest()["tables"][name]
-        if values is None:
-            return parts
-        want = set(values)
-        return {k: v for k, v in parts.items() if self._cell_value(k) in want}
+    # ------------------------------------------------- storage delegation
 
     def _table(self, name: str, values: list[str] | None = None) -> DataFrame:
         """Current snapshot of ``name``; ``values`` prunes to the given
         partition values (label / rel_type / resource_label) — both the
         scan and any downstream merge then touch only those files."""
-        return self._read_parts(name, self._parts_for(name, values))
+        return self._backend.table(name, values)
 
     def table_at(self, name: str, version: int) -> DataFrame:
         """Time-travel read: the table exactly as of commit ``version``
         (must be within the retention horizon)."""
-        for snap in self._manifest()["history"]:
-            if snap["version"] == version:
-                return self._read_parts(name, snap["tables"][name])
-        raise ValueError(
-            f"version {version} not retained (horizon = last {self.retention} commits)"
-        )
+        return self._backend.table_at(name, version)
 
     def snapshots(self) -> list[dict]:
         """Retained commit snapshots, oldest first: version, per-table
         cell pointers, and (if enabled) per-partition row counts."""
-        return list(self._manifest()["history"])
+        return self._backend.snapshots()
 
     @property
     def version(self) -> int:
-        return self._manifest()["version"]
+        return self._backend.version
+
+    def compact(self, name: str) -> None:
+        """Rewrite-data-files maintenance action (see the backend)."""
+        self._backend.compact(name)
 
     def _commit_many(
-        self,
-        writes: list[tuple[str, DataFrame, list[tuple[str, int]]]],
-        _auto: bool = True,
+        self, writes: list[tuple[str, DataFrame, list[tuple[str, int]]]]
     ) -> None:
-        """Atomically commit one or more tables: write ONLY each batch's
-        touched (partition value, bucket) cells into a shared new version
-        dir, then repoint every touched cell in ONE manifest swap —
-        readers see all tables move together (the reference's per-op
-        transaction, controller.rs:432-461, as a snapshot).  A touched
-        cell that ends up empty (e.g. remove_edges drained it) loses its
-        pointer."""
-        writes = [(n, df, t) for n, df, t in writes if t]
-        if not writes:
-            return
-        m = self._manifest()
-        nv = m["version"] + 1
-        sep = "\x1f"
-        for name, df, touched in writes:
-            out = os.path.join(self.path, name, f"v{nv}")
-            pc = self._PARTITION_BY[name]
-            cell = F.concat_ws(sep, F.col(pc), self._bucket_expr(name).cast("string"))
-            keys = [f"{v}{sep}{b}" for v, b in touched]
-            # duplicate partition/bucket cols so data files keep them —
-            # single-cell reads need no directory-name reconstruction.
-            # Repartition to ~one task per touched cell so every cell
-            # lands as ONE file (dynamic partitionBy otherwise sprays a
-            # file per task × cell — the small-file overhead that made
-            # bucket-scoped commits slower than partition-scoped ones).
-            (
-                df.where(cell.isin(keys))
-                .withColumn("pv", F.col(pc))
-                .withColumn("pb", self._bucket_expr(name))
-                .repartition(max(1, len(keys)), "pv", "pb")
-                .write.mode("overwrite")
-                .partitionBy("pv", "pb")
-                .parquet(out)
-            )
-            written: dict[str, str] = {}
-            for d1 in os.listdir(out):
-                if not d1.startswith("pv="):
-                    continue
-                for d2 in os.listdir(os.path.join(out, d1)):
-                    if d2.startswith("pb="):
-                        written[self._cell_key(unquote(d1[3:]), int(d2[3:]))] = os.path.join(d1, d2)
-            parts = dict(m["tables"][name])
-            for value, bucket in touched:
-                ck = self._cell_key(value, bucket)
-                if ck in written:
-                    parts[ck] = {"v": nv, "dir": written[ck]}
-                else:
-                    parts.pop(ck, None)  # cell drained
-            m["tables"][name] = parts
-        m["version"] = nv
-        snap = {"version": nv, "tables": {t: dict(m["tables"][t]) for t in _SCHEMAS}}
-        if self.collect_stats:
-            snap["stats"] = {}
-            for name, _df, touched in writes:
-                pc = self._PARTITION_BY[name]
-                values = sorted({v for v, _b in touched})
-                cur = self._read_parts(name, self._parts_for_m(m, name, values))
-                stats = cur.groupBy(pc).count().collect()
-                snap["stats"][name] = {r[pc]: r["count"] for r in stats}
-        m["history"] = (m["history"] + [snap])[-self.retention :]
-        self._write_manifest(m)
-        self._gc(m)
-        if _auto and self.compact_every and nv - m.get("last_compact", 0) >= self.compact_every:
-            self._auto_compact(nv)
-
-    def _parts_for_m(self, m: dict, name: str, values: list[str]) -> dict[str, dict]:
-        want = set(values)
-        return {k: v for k, v in m["tables"][name].items() if self._cell_value(k) in want}
+        self._backend.commit(writes)
 
     def _commit(self, name: str, df: DataFrame, touched: list[tuple[str, int]]) -> None:
-        self._commit_many([(name, df, touched)])
+        self._backend.commit([(name, df, touched)])
 
-    def _gc(self, m: dict) -> None:
-        """Drop version dirs referenced by no retained snapshot — readers
-        pinned to any retained snapshot keep every file they can see."""
-        for name in _SCHEMAS:
-            live = {p["v"] for p in m["tables"][name].values()}
-            for snap in m["history"]:
-                live |= {p["v"] for p in snap["tables"][name].values()}
-            tdir = os.path.join(self.path, name)
-            if not os.path.isdir(tdir):
-                continue
-            for d in os.listdir(tdir):
-                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in live:
-                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+    # introspection shims (tests/tools peek at the parquet manifest)
+    def _manifest(self) -> dict:
+        return self._backend._manifest()
 
-    def compact(self, name: str, _auto: bool = False) -> None:
-        """Rewrite every current cell of ``name`` into one new version
-        directory — bounds the version-dir sprawl of many bucket-scoped
-        commits (the Iceberg rewrite-data-files maintenance action).
-        Old versions age out with retention.  Runs automatically every
-        ``compact_every`` commits for fragmented tables."""
-        parts = self._manifest()["tables"][name]
-        if not parts:
-            return
-        touched = []
-        for ck in parts:
-            bucket, value = ck.split("|", 1)
-            touched.append((value, int(bucket)))
-        self._commit_many([(name, self._read_parts(name, parts), touched)], _auto=_auto)
-
-    def _auto_compact(self, nv: int) -> None:
-        """Compact tables whose live pointers span many version dirs;
-        record the sweep so the next one is ``compact_every`` away."""
-        m = self._manifest()
-        for name in _SCHEMAS:
-            versions = {p["v"] for p in m["tables"][name].values()}
-            if len(versions) > 4:
-                self.compact(name, _auto=False)
-        m = self._manifest()
-        m["last_compact"] = m["version"]
-        self._write_manifest(m)
+    def _parts_for(self, name: str, values: list[str] | None = None) -> dict[str, dict]:
+        return self._backend._parts_for(name, values)
 
     def _touched(self, df: DataFrame, name: str) -> list[tuple[str, int]]:
         """Distinct (partition value, bucket) cells a batch addresses —
@@ -358,7 +208,7 @@ class GraphStore:
         driver-side list, never data-sized."""
         pc = self._PARTITION_BY[name]
         rows = (
-            df.select(F.col(pc).alias("_pv"), self._bucket_expr(name).alias("_pb"))
+            df.select(F.col(pc).alias("_pv"), self._backend.bucket_expr(name).alias("_pb"))
             .where(F.col("_pv").isNotNull())
             .distinct()
             .collect()
@@ -433,11 +283,7 @@ class GraphStore:
         u = self._dedup_latest(u, _VKEY).localCheckpoint(eager=True)
         touched = self._touched(u, "vertices")
         # bucket-pruned merge: only the touched cells' current rows join
-        cells = {self._cell_key(v, b) for v, b in touched}
-        cur = self._read_parts(
-            "vertices",
-            {ck: p for ck, p in self._manifest()["tables"]["vertices"].items() if ck in cells},
-        )
+        cur = self._backend.read_cells("vertices", touched)
         merged = (
             cur.alias("t")
             .join(u.alias("s"), _VKEY, "full_outer")
@@ -488,11 +334,7 @@ class GraphStore:
         # materialized once for the same reason as _merged_vertices
         s = self._dedup_latest(s, _EKEY).localCheckpoint(eager=True)
         touched = self._touched(s, "edges")
-        cells = {self._cell_key(v, b) for v, b in touched}
-        cur = self._read_parts(
-            "edges",
-            {ck: p for ck, p in self._manifest()["tables"]["edges"].items() if ck in cells},
-        )
+        cur = self._backend.read_cells("edges", touched)
         if replace is not None:
             sel = ["src_label", "src_key", "rel_type"]
             cur = cur.join(replace.select(*sel).distinct(), sel, "left_anti")
@@ -550,11 +392,7 @@ class GraphStore:
         sel = ["src_label", "src_key", "rel_type"]
         s = selectors.select(*sel).distinct()
         touched = self._touched(s, "edges")
-        cells = {self._cell_key(v, b) for v, b in touched}
-        kept = self._read_parts(
-            "edges",
-            {ck: p for ck, p in self._manifest()["tables"]["edges"].items() if ck in cells},
-        ).join(s, sel, "left_anti")
+        kept = self._backend.read_cells("edges", touched).join(s, sel, "left_anti")
         self._commit("edges", kept, touched)
 
     def update_state(self, transitions: DataFrame) -> None:
@@ -581,11 +419,7 @@ class GraphStore:
         w = Window.partitionBy(*hist_keys).orderBy(F.desc("valid_from"))
         t_dedup = t.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
         touched_hist = self._touched(t_dedup, "state_history")
-        cells = {self._cell_key(v, b) for v, b in touched_hist}
-        hist = self._read_parts(
-            "state_history",
-            {ck: p for ck, p in self._manifest()["tables"]["state_history"].items() if ck in cells},
-        )
+        hist = self._backend.read_cells("state_history", touched_hist)
         fresh = t_dedup.join(hist.select(*hist_keys), hist_keys, "left_anti")
         hist_merged = hist.unionByName(fresh)
 
