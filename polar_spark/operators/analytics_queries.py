@@ -1996,6 +1996,138 @@ ORACLES.update({"random_walks_biased3": _walks_biased_sql(3, 42)})
 QUERIES.update({"random_walks_biased3": q_random_walks_biased})
 
 
+def q_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the directed demand graph, 3 fixed
+    mutual-reinforcement iterations with per-half-step L2
+    normalization — unrolled identically in the SQL oracle."""
+    e = demand_edges(spark, sf_dir)
+    out = pregel.hits(e, n_iter=3)
+    return out.select(
+        "id", F.round("hub", 7).alias("hub_r"), F.round("authority", 7).alias("auth_r")
+    ).orderBy("id")
+
+
+def _hits_sql(n_iter: int) -> str:
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey)",
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "s0 AS (SELECT id, 1.0 AS hub, 1.0 AS auth FROM v)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"ar{i} AS (SELECT e.dst AS id, SUM(s{i - 1}.hub) AS a "
+            f"FROM e JOIN s{i - 1} ON s{i - 1}.id = e.src GROUP BY e.dst)",
+            f"af{i} AS (SELECT v.id, COALESCE(ar{i}.a, 0) AS a FROM v LEFT JOIN ar{i} USING (id))",
+            f"an{i} AS (SELECT id, a / (SELECT sqrt(sum(a * a)) FROM af{i}) AS auth FROM af{i})",
+            f"hr{i} AS (SELECT e.src AS id, SUM(an{i}.auth) AS h "
+            f"FROM e JOIN an{i} ON an{i}.id = e.dst GROUP BY e.src)",
+            f"hf{i} AS (SELECT v.id, COALESCE(hr{i}.h, 0) AS h FROM v LEFT JOIN hr{i} USING (id))",
+            f"s{i} AS (SELECT hn.id, hn.hub, an{i}.auth FROM "
+            f"(SELECT id, h / (SELECT sqrt(sum(h * h)) FROM hf{i}) AS hub FROM hf{i}) hn "
+            f"JOIN an{i} USING (id))",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id, ROUND(hub, 7) AS hub_r,
+               ROUND(auth, 7) AS auth_r
+        FROM s{n_iter} ORDER BY id"""
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected co-order graph: Pearson
+    correlation of endpoint degrees over the symmetric edge list (one
+    scalar — the classic mixing-pattern diagnostic)."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    paired = (
+        e.join(deg, "src")
+        .select("dst", F.col("deg").alias("deg_src"))
+        .join(deg.withColumnRenamed("src", "dst"), "dst")
+        .select(F.col("deg_src").cast("double"), F.col("deg").cast("double").alias("deg_dst"))
+    )
+    return paired.agg(F.round(F.corr("deg_src", "deg_dst"), 6).alias("assortativity"))
+
+
+_ASSORT_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+SELECT ROUND(corr(ds.deg::DOUBLE, dd.deg::DOUBLE), 6) AS assortativity
+FROM e JOIN deg ds ON ds.src = e.src JOIN deg dd ON dd.src = e.dst
+"""
+
+
+def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (whitespace tokens, natural-log
+    idf over the full corpus) — the curation-pipeline term-salience
+    primitive; identical arithmetic in the oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).where(F.length("w") > 0)
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("double").alias("tf"))
+    df_ = toks.select("doc_id", "w").distinct().groupBy("w").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    scored = tf.join(df_, "w").select(
+        "doc_id",
+        "w",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), F.round("score", 6).alias("score_r"), "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, w
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS u(w)
+  WHERE length(w) > 0
+), tf AS (
+  SELECT doc_id, w, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, w
+), df AS (
+  SELECT w, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY w
+), n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf * ln((SELECT n FROM n) / df.df) AS score
+  FROM tf JOIN df USING (w)
+), ranked AS (
+  SELECT doc_id, w, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, w AS term, ROUND(score, 6) AS score_r, rnk
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
+ORACLES.update(
+    {
+        "hits3": _hits_sql(3),
+        "degree_assortativity": _ASSORT_SQL,
+        "tfidf_top3": _TFIDF_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "hits3": q_hits3,
+        "degree_assortativity": q_degree_assortativity,
+        "tfidf_top3": q_tfidf_top3,
+    }
+)
+
+
 def q_scc_custgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of a deterministic functional-ish
     directed graph over customers: c → (31c+7) mod n, plus

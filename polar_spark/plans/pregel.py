@@ -543,6 +543,52 @@ def _pagerank_fused(
     return ranks.select(F.col("id").cast("long").alias("id"), "rank"), stats
 
 
+def hits(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg): fixed-iteration mutual
+    reinforcement — auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v),
+    each L2-normalized per half-step (the standard formulation).  Fixed
+    iterations from the all-ones start keep the arithmetic unrollable
+    in ANSI SQL for the cross-engine oracle; each half-step is one
+    join-aggregate (the PageRank stage shape — partial aggregation
+    map-side, one shuffle per half-step).  Returns
+    ``(id, hub, authority)`` for every vertex."""
+    spark = edges.sparkSession
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    verts = vertices_of(e).localCheckpoint(eager=True)
+    state = verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    for _ in range(n_iter):
+        a_new = (
+            e.join(state.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        a_full = verts.join(a_new, "id", "left").select(
+            "id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+        )
+        a_norm = a_full.crossJoin(
+            F.broadcast(a_full.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("_n")))
+        ).select("id", (F.col("a") / F.col("_n")).alias("auth"))
+        h_new = (
+            e.join(a_norm.select(F.col("id").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("h"))
+        )
+        h_full = verts.join(h_new, "id", "left").select(
+            "id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+        )
+        h_norm = h_full.crossJoin(
+            F.broadcast(h_full.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("_n")))
+        ).select("id", (F.col("h") / F.col("_n")).alias("hub"))
+        state = (
+            h_norm.join(a_norm, "id")
+            .select("id", "hub", "auth")
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        F.col("id").cast("long"), F.col("hub"), F.col("auth").alias("authority")
+    )
+
+
 def pagerank_fixed(
     edges: DataFrame, n_iter: int = 5, damping: float = 0.85
 ) -> DataFrame:
