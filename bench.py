@@ -259,6 +259,29 @@ def main() -> None:
             "ann_ivf_recall_at3": round(hits_ivf / n_exact, 4) if n_exact else None,
         }
 
+    def _stream_scenarios():
+        # broker stress-scenario analog (reference's Cassini harness):
+        # throughput + batch classes, loss/dup/integrity accounting
+        import shutil
+        import tempfile
+
+        from polar_spark.streaming import scenarios
+
+        out = {}
+        for spec in (
+            scenarios.throughput_scenario(n=max(2000, int(200_000 * sf)) if sf > 0 else 20_000),
+            scenarios.batch_scenario(n=max(50, int(2_000 * sf)) if sf > 0 else 200),
+        ):
+            tmp = tempfile.mkdtemp(prefix=f"polar_scn_{spec.name}_")
+            try:
+                m = scenarios.run_scenario(spark, spec, tmp)
+                assert m.lost == 0 and m.integrity_failures == 0, m.as_dict()
+                out[f"scn_{spec.name}_msgs_per_sec"] = m.msgs_per_sec
+                out[f"scn_{spec.name}_sent"] = m.sent
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -279,6 +302,7 @@ def main() -> None:
         ("dedup_exact", _dedup, REPS),
         ("knn_cosine_top3", _knn, REPS),
         ("ann_recall", _ann_recall, 1),
+        ("stream_scenarios", _stream_scenarios, 1),
     ]
 
     draws: dict[str, list[float]] = {name: [] for name, _f, _r in sections}

@@ -91,19 +91,27 @@ def test_injected_corruption_is_detected(spark, tmp_path):
     log_dir = str(workdir / "log")
     os.makedirs(log_dir, exist_ok=True)
     scenarios.generate_messages(spark, spec).write.mode("append").json(log_dir)
-    import json as _json
-
-    # corrupt the payload of the first message in the first non-empty file
+    # corrupt one payload byte IN PLACE (same file length — the file
+    # source validates sizes) in the first non-empty file
+    marker = b'"payload":"'
     for victim in sorted(glob.glob(os.path.join(log_dir, "part-*"))):
-        with open(victim) as f:
-            lines = [ln for ln in f.read().splitlines() if ln.strip()]
-        if not lines:
+        with open(victim, "rb") as f:
+            raw = f.read()
+        at = raw.find(marker)
+        if at < 0:
             continue
-        rec = _json.loads(lines[0])
-        rec["payload"] = "x" + rec["payload"][1:]
-        lines[0] = _json.dumps(rec)
-        with open(victim, "w") as f:
-            f.write("\n".join(lines) + "\n")
+        pos = at + len(marker)
+        flip = b"0" if raw[pos : pos + 1] != b"0" else b"1"
+        with open(victim, "wb") as f:
+            f.write(raw[:pos] + flip + raw[pos + 1 :])
+        # drop Hadoop's local-FS CRC sidecar so the corruption reaches
+        # the APPLICATION-level checksum (the thing under test), the
+        # way bit rot on HDFS/S3 without sidecars would
+        crc = os.path.join(
+            os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
         break
 
     m = scenarios.run_scenario(spark, ScenarioNoop(), str(workdir))
