@@ -296,7 +296,7 @@ def main() -> None:
         ("triangle_count", _tri, REPS),
         ("pagerank_demand", _demand_pr, REPS),
         ("gitlab_pipeline_rollup", _gitlab_rollup, REPS),
-        ("graph_store_ingest", _store_ingest, 1),
+        ("graph_store_ingest", _store_ingest, min(REPS, 2)),
         ("core_numbers_coorder", _coreness, min(REPS, 2)),
         ("minhash_neardup", _neardup, min(REPS, 2)),
         ("dedup_exact", _dedup, REPS),
