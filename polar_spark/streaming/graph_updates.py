@@ -89,18 +89,22 @@ class RankMaintainer:
         """Fold one delta batch into the edge table and bring the ranks
         to the new fixpoint.  Two paths (VERDICT r2 #3):
 
-        - **scoped** (the delta path): when the perturbation leaves the
-          vertex set, the source set and dangling-freeness unchanged,
-          the new ranks are r₀ + x where x solves x = c + M·x with
-          M = d·Pᵀ_new and c = (M_new − M_old)·r₀ — and c is supported
-          ONLY on out-neighbors of changed sources.  The Jacobi series
-          x = Σ M^k c is iterated as sparse DataFrames: round k touches
-          the k-hop out-neighborhood of the perturbation, so per-batch
-          cost scales with the delta neighborhood, not O(E)·rounds.
-        - **warm_full**: everything else (new/removed vertices change n,
-          a dangling-set change makes M_new − M_old dense through the
-          uniform redistribution row) falls back to the full-graph
-          recompute warm-started from r₀.
+        - **scoped / scoped_grow** (the delta path): when the vertex set
+          is unchanged OR only grows, and both graphs are dangling-free,
+          the new ranks are (n/n')·(r₀_ext + x) where x solves
+          x = c + M·x with M = d·Pᵀ_new and
+          c = d·(P_new − P_old)ᵀ·r₀ + (1−d)/n on new vertices — sparse,
+          supported only on the perturbation's neighborhood.  The n/n'
+          renormalization folds the DENSE uniform-teleport change
+          ((1−d)/n → (1−d)/n') analytically: its series sum
+          γ·(I−M)⁻¹·1 is proportional to the answer itself.  The Jacobi
+          series is iterated as sparse DataFrames: round k touches the
+          k-hop out-neighborhood of the perturbation, so per-batch cost
+          scales with the delta neighborhood, not O(E)·rounds.
+        - **warm_full**: everything else (vertex removals, any dangling
+          vertex — the uniform redistribution row makes the residual
+          dense) falls back to the full-graph recompute warm-started
+          from r₀.
 
         Returns the new state dict (version, mode, iterations,
         final_delta, edges, support_rows).
@@ -168,18 +172,19 @@ class RankMaintainer:
         eo = pregel.normalize_edges(old_edges)
         en = pregel.normalize_edges(new_edges)
 
-        # eligibility: same vertex set, same source set (⇒ same dangling
-        # set), and no dangling vertices at all (a residual landing on a
-        # dangling vertex redistributes uniformly — dense)
+        # eligibility: the vertex set may GROW but not shrink (the
+        # renormalization identity below extends r0 by zeros; removed
+        # vertices would need negative corrections the series doesn't
+        # model), and BOTH graphs must be dangling-free (a residual
+        # landing on a dangling vertex redistributes uniformly — dense;
+        # and r0 must satisfy the no-dangling-term fixpoint equation).
         vo, vn = pregel.vertices_of(eo), pregel.vertices_of(en)
         so = eo.select(F.col("src").alias("id")).distinct()
         sn = en.select(F.col("src").alias("id")).distinct()
         if (
-            vn.join(vo, "id", "left_anti").limit(1).count() > 0
-            or vo.join(vn, "id", "left_anti").limit(1).count() > 0
-            or sn.join(so, "id", "left_anti").limit(1).count() > 0
-            or so.join(sn, "id", "left_anti").limit(1).count() > 0
-            or vn.join(sn, "id", "left_anti").limit(1).count() > 0  # dangling exists
+            vo.join(vn, "id", "left_anti").limit(1).count() > 0  # vertex removed
+            or vn.join(sn, "id", "left_anti").limit(1).count() > 0  # new graph dangling
+            or vo.join(so, "id", "left_anti").limit(1).count() > 0  # old graph dangling
         ):
             return None
 
@@ -212,13 +217,31 @@ class RankMaintainer:
                 "dst",
                 (F.coalesce(F.col("wn"), F.lit(0.0)) - F.coalesce(F.col("wo"), F.lit(0.0))).alias("dw"),
             ).where(F.col("dw") != 0.0)
-            c = (
+            # vertex-set growth (V' ⊃ V): split the teleport-change
+            # residual into its uniform part and a sparse part.  The
+            # uniform part γ·(I−M)⁻¹·1 is proportional to the ANSWER
+            # (r_new = (1−d)/n'·(I−M)⁻¹·1), so it folds into a final
+            # renormalization r_new = (n/n')·(r0_ext + x_sparse); the
+            # sparse part adds (1−d)/n on each NEW vertex to the usual
+            # d·ΔPᵀ·r0 term.  With n'==n this reduces exactly to the
+            # fixed-vertex-set update.
+            n_old = vo.count()
+            n_new = vn.count()
+            c_sparse = (
                 diff.join(r0.withColumnRenamed("id", "src"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg((F.lit(damping) * F.sum(F.col("dw") * F.col("rank"))).alias("x"))
-                .where(F.col("x") != 0.0)
-                .localCheckpoint(eager=True)
             )
+            if n_new != n_old:
+                fresh = vn.join(vo, "id", "left_anti").select(
+                    "id", F.lit((1.0 - damping) / n_old).alias("x")
+                )
+                c_sparse = (
+                    c_sparse.unionByName(fresh)
+                    .groupBy("id")
+                    .agg(F.sum("x").alias("x"))
+                )
+            c = c_sparse.where(F.col("x") != 0.0).localCheckpoint(eager=True)
 
             eps = self.tol * (1.0 - damping) / damping
             term = c
@@ -246,17 +269,26 @@ class RankMaintainer:
                 push_norm = float(
                     term.agg(F.coalesce(F.max(F.abs("x")), F.lit(0.0))).collect()[0][0]
                 )
+            # full outer: new vertices exist only in x; renormalize by
+            # n/n' (the folded uniform-teleport correction — see above)
+            renorm = float(n_old) / float(n_new)
             ranks = (
-                r0.join(x, "id", "left")
+                r0.join(x, "id", "full_outer")
                 .select(
                     "id",
-                    (F.col("rank") + F.coalesce(F.col("x"), F.lit(0.0))).alias("rank"),
+                    (
+                        F.lit(renorm)
+                        * (
+                            F.coalesce(F.col("rank"), F.lit(0.0))
+                            + F.coalesce(F.col("x"), F.lit(0.0))
+                        )
+                    ).alias("rank"),
                 )
                 .localCheckpoint(eager=True)
             )
             ew.unpersist()
             return ranks, {
-                "mode": "scoped",
+                "mode": "scoped" if n_new == n_old else "scoped_grow",
                 "iterations": iterations,
                 "first_delta": None,
                 "final_delta": push_norm,

@@ -194,3 +194,34 @@ def test_components_maintainer_warm_adds_and_cold_removes(spark, tmp_path):
     edges3 = [(r["src"], r["dst"]) for r in m.edges().collect()]
     assert got3 == py_components(edges3)
     assert len(set(got3.values())) == 2
+
+
+def test_scoped_grow_vertex_addition_exact(spark, tmp_path):
+    """Round-4 widening: a delta that ADDS vertices (with out-edges, so
+    both graphs stay dangling-free) takes the scoped path with the
+    n/n' teleport renormalization and matches a cold recompute."""
+    work = str(tmp_path / "scoped_grow")
+    n = 300
+    base = [(i, (i + 1) % n) for i in range(n)] + [(i, (i * 11 + 5) % n) for i in range(0, n, 15)]
+    base = sorted(set((s, d) for s, d in base if s != d))
+    m = RankMaintainer(spark, work, tol=1e-8, max_iter=300)
+    s1 = m.apply_deltas(
+        spark.createDataFrame([(s, d, "add") for s, d in base], "src long, dst long, op string")
+    )
+    assert s1["mode"] == "cold"
+
+    # two brand-new vertices, each with an out-edge (dangling-free)
+    delta = [(10, 500, "add"), (500, 501, "add"), (501, 20, "add")]
+    s2 = m.apply_deltas(spark.createDataFrame(delta, "src long, dst long, op string"))
+    assert s2["mode"] == "scoped_grow", s2
+
+    final_edges = sorted(set(base) | {(10, 500), (500, 501), (501, 20)})
+    cold, _ = pregel.pagerank(
+        spark.createDataFrame(final_edges, "src long, dst long"), tol=1e-10, max_iter=400
+    )
+    a = {r["id"]: r["rank"] for r in cold.collect()}
+    b = {r["id"]: r["rank"] for r in m.ranks().collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-6
+    # mass stays normalized to the series-truncation tolerance
+    assert abs(sum(b.values()) - 1.0) < 1e-6
