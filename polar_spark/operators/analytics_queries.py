@@ -2128,6 +2128,153 @@ QUERIES.update(
 )
 
 
+def q_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 2-round LPA partition on the co-part
+    graph: Q = within/2m − Σ_c (K_c/2m)² — the community-quality scalar
+    that grades a labeling, computed from the SAME deterministic labels
+    the lpa_fixed2 oracle replays."""
+    e = copart_edges(spark, sf_dir)
+    labels, _ = pregel.label_propagation(e, max_iter=2)
+    sym = _sym(e)
+    m2 = sym.count()
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    within = (
+        sym.join(la, "src").join(lb, "dst").where(F.col("la") == F.col("lb")).count()
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    sq = (
+        labels.join(deg, "id")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("kc"))
+        .agg(F.sum((F.col("kc") / m2) * (F.col("kc") / m2)).alias("s"))
+        .collect()[0]["s"]
+    )
+    q = within / m2 - float(sq)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
+def _modularity_sql(n_iter: int = 2) -> str:
+    rounds = "".join("," + _LPA_ROUND.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH {_COPART_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+l0 AS (SELECT id, id AS label FROM verts)
+{rounds},
+deg AS (SELECT src AS id, COUNT(*)::DOUBLE AS deg FROM e GROUP BY src),
+m2 AS (SELECT COUNT(*)::DOUBLE AS m2 FROM e),
+w AS (SELECT COUNT(*)::DOUBLE AS w FROM e
+      JOIN l{n_iter} a ON a.id = e.src JOIN l{n_iter} b ON b.id = e.dst
+      WHERE a.label = b.label),
+comm AS (SELECT a.label, SUM(deg.deg) AS kc FROM l{n_iter} a JOIN deg ON deg.id = a.id GROUP BY a.label)
+SELECT ROUND((SELECT w FROM w) / (SELECT m2 FROM m2)
+       - (SELECT SUM((kc / (SELECT m2 FROM m2)) * (kc / (SELECT m2 FROM m2))) FROM comm),
+       6) AS modularity
+"""
+
+
+def q_eccentricity4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark eccentricities on the undirected co-order graph: BFS
+    from the 4 smallest part ids, depth-bounded at 12; the max over
+    landmarks is the standard diameter lower bound."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    sources = [int(r["src"]) for r in e.select("src").distinct().orderBy("src").limit(4).collect()]
+    dist, _stats = pregel.bfs_per_source(e, sources=sources, max_depth=12)
+    return (
+        dist.groupBy(F.col("source").cast("long").alias("source"))
+        .agg(
+            F.max("dist").cast("long").alias("eccentricity"),
+            F.count("*").cast("long").alias("reached"),
+        )
+        .orderBy("source")
+    )
+
+
+_ECC_SQL = f"""
+WITH RECURSIVE {_COORDER_SQL},
+{_SYM_SQL},
+lm AS (SELECT src AS s FROM e GROUP BY src ORDER BY src LIMIT 4),
+reach(s, id, d) AS (
+    SELECT s, s, 0 FROM lm
+    UNION
+    SELECT r.s, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.d < 12
+),
+dist AS (SELECT s, id, MIN(d) AS d FROM reach GROUP BY s, id)
+SELECT CAST(s AS BIGINT) AS source, CAST(MAX(d) AS BIGINT) AS eccentricity,
+       CAST(COUNT(*) AS BIGINT) AS reached
+FROM dist GROUP BY s ORDER BY source
+"""
+
+
+def q_link_prediction5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction: score NON-adjacent distance-2
+    pairs of the co-order graph (pairs < 400, the oracle-cost cap
+    precedent) and keep the top-5 candidates per vertex — the
+    neighborhood-overlap recommender the reference's modeling docs
+    motivate for dependency discovery."""
+    sym = _sym(coorder_edges(spark, sf_dir))
+    su = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    sv = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    two_hop = (
+        su.join(sv, "w")
+        .where((F.col("u") < F.col("v")) & (F.col("u") < 400) & (F.col("v") < 400))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    non_edges = two_hop.join(
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    win = Window.partitionBy("u").orderBy(F.desc("cn"), F.asc("v"))
+    return (
+        non_edges.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("u", "v", F.col("cn").cast("long").alias("common_neighbors"), "rnk")
+        .orderBy("u", "rnk")
+    )
+
+
+_LINKPRED_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+two_hop AS (
+    SELECT a.src AS u, b.dst AS v, COUNT(*) AS cn
+    FROM e a JOIN e b ON a.dst = b.src
+    WHERE a.src < b.dst AND a.src < 400 AND b.dst < 400
+    GROUP BY a.src, b.dst
+),
+non_edges AS (
+    SELECT t.* FROM two_hop t
+    LEFT JOIN e ON e.src = t.u AND e.dst = t.v
+    WHERE e.src IS NULL
+),
+ranked AS (
+    SELECT u, v, cn,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY cn DESC, v ASC) AS BIGINT) AS rnk
+    FROM non_edges
+)
+SELECT u, v, CAST(cn AS BIGINT) AS common_neighbors, rnk
+FROM ranked WHERE rnk <= 5 ORDER BY u, rnk
+"""
+
+
+ORACLES.update(
+    {
+        "modularity_lpa": _modularity_sql(2),
+        "eccentricity4": _ECC_SQL,
+        "link_prediction5": _LINKPRED_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "modularity_lpa": q_modularity_lpa,
+        "eccentricity4": q_eccentricity4,
+        "link_prediction5": q_link_prediction5,
+    }
+)
+
+
 def q_scc_custgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of a deterministic functional-ish
     directed graph over customers: c → (31c+7) mod n, plus
