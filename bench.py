@@ -227,6 +227,7 @@ def main() -> None:
             cosine_topk_bruteforce,
             cosine_topk_lsh,
             ivf_topk,
+            pq_topk,
         )
         from polar_spark.sources.tables import load_table
 
@@ -248,15 +249,22 @@ def main() -> None:
         ivf = ivf_topk(emb, query_ids=qids, k=3)
         ivf.count()
         t_ivf = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        pq = pq_topk(emb, query_ids=qids, k=3)
+        pq.count()
+        t_pq = round(time.monotonic() - t0, 3)
         hits_lsh = exact.join(lsh, ["query_id", "neighbor_id"], "left_semi").count()
         hits_ivf = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi").count()
+        hits_pq = exact.join(pq, ["query_id", "neighbor_id"], "left_semi").count()
         exact.unpersist()
         emb.unpersist()
         return {
             "ann_lsh_sec": t_lsh,
             "ann_ivf_sec": t_ivf,
+            "ann_pq_sec": t_pq,
             "ann_lsh_recall_at3": round(hits_lsh / n_exact, 4) if n_exact else None,
             "ann_ivf_recall_at3": round(hits_ivf / n_exact, 4) if n_exact else None,
+            "ann_pq_recall_at3": round(hits_pq / n_exact, 4) if n_exact else None,
         }
 
     def _stream_scenarios():

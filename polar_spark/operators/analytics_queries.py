@@ -2259,11 +2259,41 @@ FROM ranked WHERE rnk <= 5 ORDER BY u, rnk
 """
 
 
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-nation order-value percentiles (p50/p90/p99, linear
+    interpolation — Spark's exact ``percentile`` == DuckDB's
+    ``quantile_cont``): the distribution-shape diagnostic every
+    analytics engine is asked for."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").cast("long").alias("nation"))
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+        )
+        .orderBy("nation")
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY nation
+"""
+
+
 ORACLES.update(
     {
         "modularity_lpa": _modularity_sql(2),
         "eccentricity4": _ECC_SQL,
         "link_prediction5": _LINKPRED_SQL,
+        "order_percentiles": _PERCENTILES_SQL,
     }
 )
 QUERIES.update(
@@ -2271,6 +2301,7 @@ QUERIES.update(
         "modularity_lpa": q_modularity_lpa,
         "eccentricity4": q_eccentricity4,
         "link_prediction5": q_link_prediction5,
+        "order_percentiles": q_order_percentiles,
     }
 )
 

@@ -381,3 +381,147 @@ def cosine_neardup(
     return ids.join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left").select(
         "vec_id", F.coalesce(F.col("comp"), F.col("vec_id")).alias("rep_id")
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m_subvectors: int = 8,
+    n_centroids: int = 16,
+    rerank: int = 4,
+    seed: int = 7,
+    train_rows: int = 2048,
+) -> DataFrame:
+    """Product-quantization ANN: each L2-normalized vector splits into
+    ``m_subvectors`` subvectors; per subspace a small codebook
+    (deterministic sample + one Lloyd step over a bounded training
+    sample) quantizes the corpus to ``m_subvectors`` uint8 codes —
+    dim·4 bytes/vector compress to ``m_subvectors`` bytes, the memory
+    posture that makes billion-vector in-memory search feasible.
+    Scoring is asymmetric distance: per query a (m × n_centroids)
+    lookup table of subvector·centroid dot products is broadcast, the
+    corpus is scored by m table lookups per row (no float math against
+    the raw vectors), the top ``rerank·k`` candidates per query are
+    reranked with EXACT cosine.  Returns (query_id, neighbor_id, cos,
+    rnk) — cos exact after rerank, rnk ≤ k."""
+    spark = df.sparkSession
+    base = _normalized(df, vec_col, id_col).persist()
+    try:
+        first = base.select("v").head()
+        if first is None:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cos double, rnk long"
+            )
+        dim = len(first["v"])
+        if dim % m_subvectors != 0:
+            raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
+        sub = dim // m_subvectors
+        # bounded, deterministic training sample → per-subspace codebooks
+        train = np.array(
+            [r["v"] for r in base.orderBy("_id").limit(train_rows).collect()],
+            dtype=np.float64,
+        )
+        n_cb = min(n_centroids, len(train))
+        books = []
+        for mi in range(m_subvectors):
+            block = train[:, mi * sub : (mi + 1) * sub]
+            cents = block[:n_cb].copy()  # deterministic init: first rows
+            # one Lloyd step over the sample
+            d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(n_cb):
+                mask = assign == ci
+                if mask.any():
+                    cents[ci] = block[mask].mean(axis=0)
+            books.append(cents)
+        bc = spark.sparkContext.broadcast(np.stack(books))  # (m, C, sub)
+
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cb = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+                codes = np.empty((len(mat), m_subvectors), dtype=np.int64)
+                for mi in range(m_subvectors):
+                    block = mat[:, mi * sub : (mi + 1) * sub]
+                    d2 = ((block[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, mi] = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"].to_numpy(), "codes": list(codes)}
+                )
+
+        encoded = base.mapInPandas(encode, schema="_id long, codes array<long>").persist()
+        encoded.count()
+
+        qrows = base.where(F.col("_id").isin(query_ids)).collect()
+        if not qrows:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cos double, rnk long"
+            )
+        qids = np.array([r["_id"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+        # (Q, m, C) asymmetric-similarity lookup tables
+        luts = np.einsum(
+            "qms,mcs->qmc",
+            qmat.reshape(len(qmat), m_subvectors, sub),
+            bc.value,
+        )
+        bq = spark.sparkContext.broadcast((qids, luts))
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_b, luts_b = bq.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cids = pdf["_id"].to_numpy(dtype=np.int64)
+                codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (C, m)
+                frames = []
+                for qi in range(len(ids_b)):
+                    # Σ_m LUT[m][code_m] — m gathers per corpus row
+                    s = luts_b[qi][np.arange(m_subvectors)[None, :], codes].sum(axis=1)
+                    mask = cids != ids_b[qi]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": ids_b[qi],
+                                "neighbor_id": cids[mask],
+                                "approx": s[mask],
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        scored = encoded.mapInPandas(
+            score, schema="query_id long, neighbor_id long, approx double"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+        cand = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= rerank * k)
+            .select("query_id", "neighbor_id")
+        )
+        # exact rerank of the shortlist
+        va = base.select(F.col("_id").alias("query_id"), F.col("v").alias("va"))
+        vb = base.select(F.col("_id").alias("neighbor_id"), F.col("v").alias("vb"))
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        exact = cand.join(va, "query_id").join(vb, "neighbor_id").select(
+            "query_id", "neighbor_id", dot.alias("cos")
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        out = (
+            exact.withColumn("rnk", F.row_number().over(w2))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        encoded.unpersist()
+        return out
+    finally:
+        base.unpersist()

@@ -133,3 +133,34 @@ def test_cosine_neardup_lsh_matches_exact_on_planted_clusters(emb):
     # 12 tables the LSH path recovers every exact cluster here
     agree = sum(1 for k in exact if lsh[k] == exact[k])
     assert agree / len(exact) >= 0.95
+
+
+def test_pq_recall_on_clusters(emb):
+    """PQ asymmetric-distance search with exact rerank recovers cluster
+    neighbors (dim 16 → 4 subvectors of 4)."""
+    df, mat = emb
+    qids = [0, 30, 60, 90]
+    got = similarity.pq_topk(
+        df, query_ids=qids, k=5, m_subvectors=4, n_centroids=12, rerank=6
+    )
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exp = _np_topk(mat, qids, 5)
+    hits = sum(len(by_q.get(q, set()) & set(exp[q])) for q in exp)
+    total = sum(len(exp[q]) for q in exp)
+    assert hits / total > 0.6, f"PQ recall too low: {hits}/{total}"
+    # exact-rerank contract: reported cos equals the true cosine
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for r in rows:
+        assert abs(r["cos"] - float(nm[r["query_id"]] @ nm[r["neighbor_id"]])) < 1e-9
+
+
+def test_pq_deterministic_and_dim_guard(emb):
+    df, _ = emb
+    a = sorted(map(tuple, similarity.pq_topk(df, [0, 5], k=3, m_subvectors=4).collect()))
+    b = sorted(map(tuple, similarity.pq_topk(df, [0, 5], k=3, m_subvectors=4).collect()))
+    assert a == b and a
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_topk(df, [0], m_subvectors=5)
