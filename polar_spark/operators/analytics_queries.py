@@ -2637,3 +2637,189 @@ def _mis_sql(rounds: int, seed: int) -> str:
 
 ORACLES.update({"mis_luby": _mis_sql(10, 11)})
 QUERIES.update({"mis_luby": q_mis_luby})
+
+
+# --------------------------------------------------------------------------
+# round-4 extension: corpus-curation screens a pre-training pipeline runs at
+# full corpus scale — PII scrub (pure map stage), Gopher-style repetition
+# signals (one explode + two hash aggs), and benchmark-contamination
+# screening (broadcast join against the tiny eval set; the corpus side
+# never shuffles for the join).  Reference analog: Polar's per-entity
+# sanitize/normalize passes (src/agents/*/processor) — here re-expressed
+# as declarative whole-stage-codegen expressions.
+
+_PII_SQL = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII in the synthetic corpus (both engines
+    derive the identical augmented text, so counts AND the redacted
+    sha256 are exact cross-engine invariants)."""
+    d = F.col("doc_id")
+    ssn = F.when(
+        d % 3 == 0,
+        F.format_string(" ssn %03d-%02d-%04d", d % 1000, d % 100, d % 10000),
+    ).otherwise(F.lit(""))
+    aug = F.format_string(
+        "%s contact user%d@ex%d.org call %03d-555-%04d ip 10.%d.0.%d%s",
+        F.col("text"),
+        d,
+        d % 7,
+        d % 900 + 100,
+        d % 10000,
+        d % 256,
+        d % 200 + 1,
+        ssn,
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polar_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = pii_scrub(_pii_augmented(docs))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.sha2(F.col("redacted").cast("binary"), 256).alias("redacted_sha256"),
+    )
+
+
+def _pii_sql() -> str:
+    aug = (
+        "printf('%s contact user%d@ex%d.org call %03d-555-%04d ip 10.%d.0.%d%s', "
+        "text, doc_id, doc_id % 7, doc_id % 900 + 100, doc_id % 10000, "
+        "doc_id % 256, doc_id % 200 + 1, "
+        "CASE WHEN doc_id % 3 = 0 THEN printf(' ssn %03d-%02d-%04d', "
+        "doc_id % 1000, doc_id % 100, doc_id % 10000) ELSE '' END)"
+    )
+    red = "text"
+    for _name, pat, token in _PII_SQL:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _token in _PII_SQL
+    )
+    return f"""
+        WITH aug AS (SELECT doc_id, {aug} AS text FROM documents)
+        SELECT doc_id,
+               {counts},
+               sha256({red}) AS redacted_sha256
+        FROM aug
+    """
+
+
+ORACLES.update({"pii_scrub": _pii_sql()})
+QUERIES.update({"pii_scrub": q_pii_scrub})
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polar_spark.operators.text import ngram_repetition
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = ngram_repetition(docs.select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac_r"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac_r"),
+        "max_bigram_count",
+        "max_trigram_count",
+    )
+
+
+ORACLES.update(
+    {
+        "repetition": r"""
+        WITH toks AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+                      FROM documents),
+        g AS (
+            SELECT doc_id, 2 AS n, array_to_string(t[i + 1 : i + 2], ' ') AS g
+            FROM toks, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2
+            UNION ALL
+            SELECT doc_id, 3 AS n, array_to_string(t[i + 1 : i + 3], ' ') AS g
+            FROM toks, unnest(range(len(t) - 2)) AS u(i) WHERE len(t) >= 3
+        ),
+        pg AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        agg AS (SELECT doc_id,
+                       SUM(CASE WHEN n = 2 THEN c END) AS tot2,
+                       SUM(CASE WHEN n = 2 THEN 1 END) AS dst2,
+                       MAX(CASE WHEN n = 2 THEN c END) AS max2,
+                       SUM(CASE WHEN n = 3 THEN c END) AS tot3,
+                       SUM(CASE WHEN n = 3 THEN 1 END) AS dst3,
+                       MAX(CASE WHEN n = 3 THEN c END) AS max3
+                FROM pg GROUP BY doc_id)
+        SELECT d.doc_id,
+               ROUND(CASE WHEN tot2 > 0 THEN 1.0 - CAST(dst2 AS DOUBLE) / CAST(tot2 AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_bigram_frac_r,
+               ROUND(CASE WHEN tot3 > 0 THEN 1.0 - CAST(dst3 AS DOUBLE) / CAST(tot3 AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_trigram_frac_r,
+               CAST(COALESCE(max2, 0) AS BIGINT) AS max_bigram_count,
+               CAST(COALESCE(max3, 0) AS BIGINT) AS max_trigram_count
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """
+    }
+)
+QUERIES.update({"repetition": q_repetition})
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval set = the first-20-token 5-grams of every 97th document (a
+    deterministic planted overlap); screen the whole corpus against it."""
+    from polar_spark.operators.text import contamination_overlap
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    head = F.slice(toks, 1, 20)
+    bench = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(
+            F.explode(
+                F.when(
+                    F.size(head) >= 5,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(head) - 4),
+                        lambda i: F.array_join(F.slice(head, i, 5), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g")
+        )
+    )
+    out = contamination_overlap(docs.select("doc_id", "text"), bench, n=5)
+    return out.select(
+        "doc_id",
+        "n_contaminated_grams",
+        "n_contaminated_occurrences",
+        "contaminated",
+    )
+
+
+ORACLES.update(
+    {
+        "contamination": r"""
+        WITH toks AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+                      FROM documents),
+        grams AS (SELECT doc_id, array_to_string(t[i + 1 : i + 5], ' ') AS g
+                  FROM toks, unnest(range(len(t) - 4)) AS u(i) WHERE len(t) >= 5),
+        bench AS (SELECT DISTINCT array_to_string(t[i + 1 : i + 5], ' ') AS g
+                  FROM toks, unnest(range(LEAST(len(t), 20) - 4)) AS u(i)
+                  WHERE doc_id % 97 = 0 AND len(t) >= 5),
+        hits AS (SELECT d.doc_id, COUNT(DISTINCT d.g) AS ng, COUNT(*) AS occ
+                 FROM grams d JOIN bench b ON b.g = d.g GROUP BY d.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(ng, 0) AS BIGINT) AS n_contaminated_grams,
+               CAST(COALESCE(occ, 0) AS BIGINT) AS n_contaminated_occurrences,
+               (COALESCE(ng, 0) > 0) AS contaminated
+        FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+    """
+    }
+)
+QUERIES.update({"contamination": q_contamination})

@@ -5,6 +5,9 @@
 - quality scoring: length / punctuation / stopword / digit ratios
 - token counting: whitespace + BPE-ish regex
 - document fingerprinting: positional rolling hash + content sha256
+- PII detection/redaction: email/phone/SSN/IPv4 regex counts + scrub
+- repetition scoring: duplicate word-n-gram fractions (Gopher-style)
+- contamination screening: benchmark n-gram overlap via broadcast join
 """
 
 from __future__ import annotations
@@ -121,3 +124,140 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         .agg((F.sum("_t") % F.lit(1000000007)).cast("long").alias("rolling_fp"))
     )
     return rolled.withColumn("content_sha256", F.sha2(F.col(text_col).cast("binary"), 256))
+
+
+# -- PII detection / redaction ---------------------------------------------
+# Patterns kept to the Java-regex ∩ RE2 common dialect so the DuckDB oracle
+# replays them byte-identically.  Redaction order is fixed (email → SSN →
+# phone → IPv4); the classes are mutually non-overlapping by construction.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``n_<class>`` match counts per PII class and a ``redacted``
+    column with every match replaced by its placeholder token — the
+    standard pre-training scrub pass.  All JVM regexp (codegen); at
+    100 TB this is a pure map stage, no shuffle."""
+    out = df
+    red = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("redacted", red)
+
+
+def ngram_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: for word bigrams and trigrams the
+    duplicate fraction (1 − distinct/total) and the max single-gram
+    count.  One explode + two hash aggregations (map-side combined);
+    the doc_id keys are unique per group so there is no skew beyond
+    document length."""
+    toks = _tokens(text_col)
+    base = df.select("*", toks.alias("_t"))
+
+    def grams(n: int) -> F.Column:
+        # positions 1 .. size-n+1, each an n-token space-joined gram,
+        # tagged with n so both sizes ride ONE explode/shuffle; guarded:
+        # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+        return F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(F.col("_t"), i, n), " ").alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    exploded = base.select(
+        *df.columns, F.explode(F.concat(grams(2), grams(3))).alias("_gr")
+    ).select(*df.columns, F.col("_gr.n").alias("_n"), F.col("_gr.g").alias("_g"))
+    per_gram = exploded.groupBy(*df.columns, "_n", "_g").agg(
+        F.count("*").alias("_c")
+    )
+    two = F.col("_n") == 2
+    three = F.col("_n") == 3
+    agg = per_gram.groupBy(*df.columns).agg(
+        F.coalesce(F.sum(F.when(two, F.col("_c"))), F.lit(0)).alias("_tot2"),
+        F.coalesce(F.sum(F.when(two, 1)), F.lit(0)).alias("_dst2"),
+        F.coalesce(F.max(F.when(two, F.col("_c"))), F.lit(0)).alias("max_bigram_count"),
+        F.coalesce(F.sum(F.when(three, F.col("_c"))), F.lit(0)).alias("_tot3"),
+        F.coalesce(F.sum(F.when(three, 1)), F.lit(0)).alias("_dst3"),
+        F.coalesce(F.max(F.when(three, F.col("_c"))), F.lit(0)).alias(
+            "max_trigram_count"
+        ),
+    )
+    frac = lambda tot, dst: F.when(  # noqa: E731
+        F.col(tot) > 0,
+        F.lit(1.0) - F.col(dst).cast("double") / F.col(tot).cast("double"),
+    ).otherwise(F.lit(0.0))
+    # left join back: documents too short for any gram keep 0-rows
+    return df.join(agg, df.columns, "left").select(
+        *df.columns,
+        frac("_tot2", "_dst2").alias("dup_bigram_frac"),
+        frac("_tot3", "_dst3").alias("dup_trigram_frac"),
+        F.coalesce(F.col("max_bigram_count"), F.lit(0))
+        .cast("long")
+        .alias("max_bigram_count"),
+        F.coalesce(F.col("max_trigram_count"), F.lit(0))
+        .cast("long")
+        .alias("max_trigram_count"),
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination screen: counts each document's word
+    ``n``-gram overlap with an eval set.  ``bench`` must expose a single
+    string column ``g`` of benchmark n-grams (deduplicated here).  The
+    eval set is tiny relative to a 100 TB corpus, so it is broadcast —
+    the corpus side never shuffles for the join; the per-doc count is a
+    partial-aggregated groupBy on unique doc keys.  Returns every input
+    row with ``n_contaminated_grams`` (distinct benchmark grams hit),
+    ``n_contaminated_occurrences`` (total gram occurrences hit) and a
+    boolean ``contaminated``."""
+    toks = _tokens(text_col)
+    grams = df.select(
+        *df.columns,
+        F.explode(
+            # guard: sequence(1, 0) would be a DESCENDING [1, 0] in Spark
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    )
+    hits = (
+        grams.join(F.broadcast(bench.select(F.col("g").alias("_g")).distinct()), "_g")
+        .groupBy(*df.columns)
+        .agg(
+            F.count_distinct("_g").alias("n_contaminated_grams"),
+            F.count("*").alias("n_contaminated_occurrences"),
+        )
+    )
+    return df.join(hits, df.columns, "left").select(
+        *df.columns,
+        F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
+        F.coalesce("n_contaminated_occurrences", F.lit(0)).alias(
+            "n_contaminated_occurrences"
+        ),
+        (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -904,6 +904,7 @@ def core_numbers(
     edges: DataFrame,
     max_iter: int = 200,
     num_partitions: int | None = None,
+    fuse_rounds: int = 4,
 ) -> tuple[DataFrame, IterationStats]:
     """Full k-core decomposition: every vertex → its coreness (the max k
     such that it belongs to the k-core).  H-index fixpoint iteration
@@ -922,10 +923,20 @@ def core_numbers(
     to the previous round's changed set — identical fixpoint, and the
     long convergence tail (dozens of rounds with a handful of changes)
     costs per-round work proportional to the shrinking frontier's
-    neighborhood instead of O(E).  At sf0.1 (1.2M edges) wall is bound
-    by the per-round driver action, not the sweep, so scoping is
-    roughly wall-neutral there — it is the 100×-scale posture, where an
-    O(E) sort-window per tail round would dominate."""
+    neighborhood instead of O(E).
+
+    Fused rounds: ``fuse_rounds`` rounds chain lazily (the
+    ``_pagerank_fused`` pattern — each round's state is a lazy
+    localCheckpoint, the chunk's single changed-count action
+    materializes the whole chain), so the driver pays one job per chunk
+    instead of one per round.  Convergence is checked at chunk
+    granularity: a round with zero changes empties the frontier, so
+    every later round is a no-op and the chunk's LAST round's changed
+    count is a sound convergence test — the fixpoint is identical, at
+    most ``fuse_rounds - 1`` no-op rounds run past it.  At sf0.1 the
+    38-round tail was driver-action-bound (~1 s/round floor); fusing
+    cuts those 38 scheduling round-trips to ~10 while keeping the
+    frontier-scoped per-round work."""
     spark = edges.sparkSession
     from pyspark.sql.window import Window
 
@@ -950,55 +961,68 @@ def core_numbers(
         stats = IterationStats(algorithm="core_numbers", edges=m0, vertices=h.count())
         w = Window.partitionBy("id").orderBy(F.desc("hv"), F.asc("rnd"))
         cand = None  # None = all vertices (first sweep)
-        for it in range(1, max_iter + 1):
+        it = 0
+        while it < max_iter:
+            chunk = min(max(1, fuse_rounds), max_iter - it)
             t0 = time.monotonic()
-            scope = e if cand is None else e.join(
-                cand.withColumnRenamed("id", "src"), "src", "left_semi"
-            )
-            nbr = scope.join(h.withColumnRenamed("id", "dst"), "dst").select(
-                F.col("src").alias("id"), F.col("h").alias("hv")
-            )
-            h_cand = (
-                # rnd breaks window ties deterministically; the H-index
-                # is tie-order-invariant, this only stabilizes the sort
-                nbr.withColumn("rnd", F.monotonically_increasing_id())
-                .withColumn("rn", F.row_number().over(w).cast("long"))
-                .groupBy("id")
-                .agg(F.max(F.least(F.col("rn"), F.col("hv"))).alias("h_new"))
-            )
-            merged = (
-                h.join(h_cand, "id", "left")
-                .select(
-                    "id",
-                    F.coalesce(F.col("h_new"), F.col("h")).alias("h"),
-                    (F.coalesce(F.col("h_new"), F.col("h")) != F.col("h")).alias("_chg"),
+            merged = None
+            for _ in range(chunk):
+                scope = e if cand is None else e.join(
+                    cand.withColumnRenamed("id", "src"), "src", "left_semi"
                 )
-                # one action per round: the changed-count agg materializes it
-                .localCheckpoint(eager=False)
-            )
+                nbr = scope.join(h.withColumnRenamed("id", "dst"), "dst").select(
+                    F.col("src").alias("id"), F.col("h").alias("hv")
+                )
+                h_cand = (
+                    # rnd breaks window ties deterministically; the H-index
+                    # is tie-order-invariant, this only stabilizes the sort
+                    nbr.withColumn("rnd", F.monotonically_increasing_id())
+                    .withColumn("rn", F.row_number().over(w).cast("long"))
+                    .groupBy("id")
+                    .agg(F.max(F.least(F.col("rn"), F.col("hv"))).alias("h_new"))
+                )
+                merged = (
+                    h.join(h_cand, "id", "left")
+                    .select(
+                        "id",
+                        F.coalesce(F.col("h_new"), F.col("h")).alias("h"),
+                        (F.coalesce(F.col("h_new"), F.col("h")) != F.col("h")).alias(
+                            "_chg"
+                        ),
+                    )
+                    # lazy: the chunk's single changed-count action
+                    # materializes every round's checkpoint in the chain
+                    .localCheckpoint(eager=False)
+                )
+                h = merged.select("id", "h")
+                # next round: only neighbors of changed vertices can move;
+                # lazy within the chunk, reads the materialized checkpoint
+                # across chunk boundaries — plan depth stays bounded
+                cand = (
+                    e.join(
+                        merged.where(F.col("_chg"))
+                        .select("id")
+                        .withColumnRenamed("id", "src"),
+                        "src",
+                        "left_semi",
+                    )
+                    # no .distinct(): a semi-join probe needs no dedup, and
+                    # the distinct was a full extra shuffle per round
+                    .select(F.col("dst").alias("id"))
+                )
+            # one action per CHUNK; zero changes in the chunk's last round
+            # ⇒ empty frontier ⇒ fixpoint (monotone, frontier-scoped)
             changed = int(
                 merged.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0] or 0
             )
-            h = merged.select("id", "h")
+            wall = time.monotonic() - t0
+            it += chunk
             stats.iterations = it
-            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.iter_seconds.extend([wall / chunk] * chunk)
             stats.deltas.append(float(changed))
             if changed == 0:
                 stats.converged = True
                 break
-            # next round: only neighbors of changed vertices can move;
-            # lazy — it re-reads the checkpointed `merged`, plan depth
-            # stays bounded
-            cand = (
-                e.join(
-                    merged.where(F.col("_chg")).select("id").withColumnRenamed("id", "src"),
-                    "src",
-                    "left_semi",
-                )
-                # no .distinct(): a semi-join probe needs no dedup, and
-                # the distinct was a full extra shuffle per round
-                .select(F.col("dst").alias("id"))
-            )
         return (
             h.select(F.col("id").cast("long").alias("id"), F.col("h").alias("core")),
             stats,

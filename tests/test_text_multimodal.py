@@ -164,3 +164,78 @@ def test_decode_image_features_single_python_stage(spark):
     )
     assert plan.count("MapInPandas (") == 1  # tree form: exactly one stage
     assert "Exchange" not in plan
+
+
+# -- round-4 corpus-curation screens ---------------------------------------
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (0, "mail a@b.org or c.d+e@sub.ex.com call 555-123-4567 ssn 123-45-6789 ip 10.0.0.1"),
+        (1, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ssn"], out[0]["n_ipv4"]) == (
+        2,
+        1,
+        1,
+        1,
+    )
+    assert out[0]["redacted"] == "mail <EMAIL> or <EMAIL> call <PHONE> ssn <SSN> ip <IP>"
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ssn"], out[1]["n_ipv4"]) == (
+        0,
+        0,
+        0,
+        0,
+    )
+    assert out[1]["redacted"] == "no pii here at all"
+
+
+def test_ngram_repetition_fractions(spark):
+    rows = [
+        (0, "a b a b a b"),  # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+        (1, "all words here are unique tokens"),
+        (2, "one"),  # too short for any gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.ngram_repetition(df).collect()}
+    assert out[0]["dup_bigram_frac"] == pytest.approx(1 - 2 / 5)
+    assert out[0]["max_bigram_count"] == 3  # "a b" x3
+    # trigrams: aba bab aba bab -> 4 total 2 distinct
+    assert out[0]["dup_trigram_frac"] == pytest.approx(1 - 2 / 4)
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[1]["dup_trigram_frac"] == 0.0
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["max_bigram_count"] == 0
+    assert len(out) == 3
+
+
+def test_contamination_overlap_planted(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "unrelated words that never overlap anything at all"),
+            (2, "prefix alpha beta gamma delta epsilon suffix words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "g string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.contamination_overlap(corpus, bench, n=5).collect()
+    }
+    assert out[0]["contaminated"] and out[0]["n_contaminated_grams"] == 1
+    assert out[2]["contaminated"] and out[2]["n_contaminated_occurrences"] == 1
+    assert not out[1]["contaminated"] and out[1]["n_contaminated_grams"] == 0
+
+
+def test_contamination_broadcasts_bench(spark):
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([("a b c d e",)], "g string")
+    plan = text.contamination_overlap(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
