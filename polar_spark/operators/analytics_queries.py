@@ -2823,3 +2823,66 @@ ORACLES.update(
     }
 )
 QUERIES.update({"contamination": q_contamination})
+
+
+def q_kmeans8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 3 update rounds) over the
+    embeddings table — assignment is a pure map stage with the centroids
+    inlined as literals (no shuffle, no Python); update is one k-key
+    aggregation per round.  DuckDB replays the identical arithmetic
+    (same init, same tie-break, same sum/count averaging)."""
+    from polar_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out, _cents = kmeans_lloyd(emb, k=8, n_iter=3)
+    return out.select("id", "cluster", F.round("dist", 6).alias("dist_r"))
+
+
+def _kmeans_sql(k: int, n_iter: int) -> str:
+    """Unrolled Lloyd's k-means: identical init (k smallest ids, cid =
+    id rank), identical argmin tie-break (dist, then cid), identical
+    sum/count centroid averaging, empty clusters keep their previous
+    centroid — the same arithmetic q_kmeans8 runs distributed."""
+    dist = (
+        "list_sum(list_transform(list_zip(e.v, c.v), "
+        "t -> (t[1] - t[2]) * (t[1] - t[2])))"
+    )
+    parts = [
+        "e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+        f"c0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v "
+        f"FROM (SELECT id, v FROM e ORDER BY id LIMIT {k}) s)",
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT id, v, cid FROM ("
+            f"SELECT e.id, e.v, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM e CROSS JOIN c{t} c) x WHERE rn = 1)"
+        )
+        parts.append(
+            f"u{t} AS (SELECT cid, i, AVG(x) AS m FROM ("
+            f"SELECT cid, generate_subscripts(v, 1) AS i, UNNEST(v) AS x "
+            f"FROM a{t}) z GROUP BY cid, i)"
+        )
+        parts.append(
+            f"c{t + 1} AS MATERIALIZED (SELECT c.cid, COALESCE(nv.v, c.v) AS v "
+            f"FROM c{t} c LEFT JOIN (SELECT cid, list(m ORDER BY i) AS v "
+            f"FROM u{t} GROUP BY cid) nv ON nv.cid = c.cid)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT id, CAST(cid AS BIGINT) AS cluster, ROUND(dist, 6) AS dist_r
+        FROM (SELECT e.id, c.cid, {dist} AS dist,
+                     ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {dist}, c.cid) AS rn
+              FROM e CROSS JOIN c{n_iter} c) x
+        WHERE rn = 1"""
+    )
+
+
+ORACLES.update({"kmeans8": _kmeans_sql(8, 3)})
+QUERIES.update({"kmeans8": q_kmeans8})
+
+

@@ -525,3 +525,103 @@ def pq_topk(
         return out
     finally:
         base.unpersist()
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Spark-first shape: each iteration's ASSIGN step is a pure map stage —
+    the k current centroids are inlined as array literals and the
+    nearest-centroid argmin is ``array_min`` over k JVM ``zip_with`` /
+    ``aggregate`` squared-L2 expressions (whole-stage codegen, no
+    shuffle, no Python).  The UPDATE step is one groupBy over k keys with
+    per-dimension SUM aggregates (map-side partial agg; k·d doubles
+    cross the wire) and a bounded k-row driver collect to rebuild the
+    literals — the same bounded-collect posture as ``ivf_topk``'s
+    centroid seed.  At 100 TB the per-iteration cost is one scan + one
+    k-key aggregation; centroids (k·d doubles) broadcast in the plan.
+
+    Deterministic: init = the vectors of the k smallest ids (ordered,
+    SQL-replayable); distance ties break to the smaller centroid id via
+    struct ordering; a centroid that loses every point keeps its
+    previous position.  Returns ``(assignments, centroids)`` where
+    assignments = (id, cluster, dist) with dist the squared L2 distance
+    to the final centroid.
+    """
+    base = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .where(F.col("v").isNotNull())
+        .persist()
+    )
+    seed_rows = base.orderBy("id").limit(k).collect()
+    if not seed_rows:
+        base.unpersist()
+        spark = df.sparkSession
+        return (
+            spark.createDataFrame([], "id long, cluster long, dist double"),
+            [],
+        )
+    cents: list[list[float]] = [list(r["v"]) for r in seed_rows]
+    d = len(cents[0])
+
+    def _dist(c: list[float]) -> F.Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    try:
+        for _ in range(n_iter):
+            best = F.array_min(
+                F.array(
+                    *[
+                        F.struct(_dist(c).alias("d"), F.lit(j).alias("c"))
+                        for j, c in enumerate(cents)
+                    ]
+                )
+            )
+            assigned = base.select(
+                "id", "v", best["c"].alias("cluster"), best["d"].alias("dist")
+            )
+            sums = (
+                assigned.groupBy("cluster")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(d)],
+                )
+                .collect()
+            )
+            new = {
+                int(r["cluster"]): [r[f"s{i}"] / r["n"] for i in range(d)] for r in sums
+            }
+            # empty cluster: keep its previous centroid
+            cents = [new.get(j, c) for j, c in enumerate(cents)]
+        # final assignment against the converged centroids
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(_dist(c).alias("d"), F.lit(j).alias("c"))
+                    for j, c in enumerate(cents)
+                ]
+            )
+        )
+        out = base.select(
+            "id",
+            best["c"].cast("long").alias("cluster"),
+            best["d"].alias("dist"),
+        )
+        rows = out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+    return rows, cents

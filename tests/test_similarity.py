@@ -164,3 +164,53 @@ def test_pq_deterministic_and_dim_guard(emb):
     assert a == b and a
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_topk(df, [0], m_subvectors=5)
+
+
+# -- distributed Lloyd's k-means -------------------------------------------
+
+
+def test_kmeans_separated_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pts, want = [], {}
+    centers = [np.array([10.0, 0.0, 0.0]), np.array([0.0, 10.0, 0.0]),
+               np.array([0.0, 0.0, 10.0])]
+    vid = 0
+    # seeds first: ids 0,1,2 land in distinct clusters (init = k smallest ids)
+    for ci, c in enumerate(centers):
+        v = c + rng.normal(0, 0.1, 3)
+        pts.append((vid, [float(x) for x in v])); want[vid] = ci; vid += 1
+    for ci, c in enumerate(centers):
+        for _ in range(10):
+            v = c + rng.normal(0, 0.3, 3)
+            pts.append((vid, [float(x) for x in v])); want[vid] = ci; vid += 1
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out, cents = similarity.kmeans_lloyd(df, k=3, n_iter=4)
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got == want
+    assert len(cents) == 3
+    # converged centroids sit near the true centers
+    import numpy.linalg as la
+    for ci, c in enumerate(centers):
+        assert la.norm(np.array(cents[ci]) - c) < 0.5
+
+
+def test_kmeans_assign_is_map_only(spark):
+    pts = [(i, [float(i), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out, _ = similarity.kmeans_lloyd(df, k=2, n_iter=1)
+    # result is a checkpointed map-stage output: no Exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_kmeans_empty_and_determinism(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out, cents = similarity.kmeans_lloyd(empty, k=4)
+    assert out.count() == 0 and cents == []
+    pts = [(i, [float(i % 5), float(i % 3)]) for i in range(30)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, similarity.kmeans_lloyd(df, k=4, n_iter=2)[0].collect()))
+    b = sorted(map(tuple, similarity.kmeans_lloyd(df, k=4, n_iter=2)[0].collect()))
+    assert a == b and len(a) == 30
