@@ -2886,3 +2886,72 @@ ORACLES.update({"kmeans8": _kmeans_sql(8, 3)})
 QUERIES.update({"kmeans8": q_kmeans8})
 
 
+
+
+_MIX_SQL = (
+    "SELECT doc_id, source, "
+    "xor(x1, x1 >> 17) % 10000 AS bucket FROM ("
+    "SELECT doc_id, source, "
+    "(xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM ("
+    "SELECT doc_id, source, "
+    "(doc_id * 2654435761 + {seed}) % 2147483648 AS x0 FROM documents) a) b"
+)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by hash bucket —
+    reproducible on any cluster size, no RNG state."""
+    from polar_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = split_assign(
+        docs, [("train", 0.9), ("val", 0.05), ("test", 0.05)], seed=11
+    )
+    return out.select("doc_id", "bucket", "split")
+
+
+ORACLES.update(
+    {
+        "split_assign": f"""
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM ({_MIX_SQL.format(seed=11)}) m
+    """
+    }
+)
+QUERIES.update({"split_assign": q_split_assign})
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing rates: keep 100% of src0, 50% of src1, 25% of
+    src2, 10% of src3, 5% of everything else — the corpus-construction
+    sampling pass, a pure pushdown-friendly filter."""
+    from polar_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = stratified_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        seed=23,
+        default_fraction=0.05,
+    )
+    return out.select("doc_id", "source")
+
+
+ORACLES.update(
+    {
+        "stratified_sample": f"""
+        SELECT doc_id, source
+        FROM ({_MIX_SQL.format(seed=23)}) m
+        WHERE bucket < CASE source
+                           WHEN 'src0' THEN 10000
+                           WHEN 'src1' THEN 5000
+                           WHEN 'src2' THEN 2500
+                           WHEN 'src3' THEN 1000
+                           ELSE 500 END
+    """
+    }
+)
+QUERIES.update({"stratified_sample": q_stratified_sample})

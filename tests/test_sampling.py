@@ -1,0 +1,85 @@
+"""Deterministic sampling / split assignment (operators/sampling.py).
+
+Properties under test: total coverage + disjointness of splits, weight
+validation, per-stratum fraction accuracy, determinism across
+partitionings (the reproducibility contract), and the no-shuffle plan
+shape (selection must stay a pure map stage so it scales for free).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.operators.sampling import (
+    BUCKETS,
+    hash_bucket,
+    split_assign,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+
+
+def test_split_covers_every_row_disjointly(docs):
+    out = split_assign(docs, [("train", 0.9), ("val", 0.05), ("test", 0.05)], seed=11)
+    assert out.count() == 5000
+    # every row gets exactly one split label, and proportions are within
+    # the hash-uniformity tolerance of the requested weights
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.9) < 0.03
+    assert abs(counts["val"] / 5000 - 0.05) < 0.02
+    assert abs(counts["test"] / 5000 - 0.05) < 0.02
+
+
+def test_split_weights_must_sum_to_one(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(docs, [("a", 0.5), ("b", 0.3)])
+
+
+def test_split_deterministic_across_partitionings(docs):
+    a = split_assign(docs, [("train", 0.8), ("heldout", 0.2)], seed=7)
+    b = split_assign(docs.repartition(13), [("train", 0.8), ("heldout", 0.2)], seed=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_split_seed_changes_assignment(docs):
+    a = split_assign(docs, [("train", 0.5), ("test", 0.5)], seed=1)
+    b = split_assign(docs, [("train", 0.5), ("test", 0.5)], seed=2)
+    moved = a.alias("a").join(b.alias("b"), "doc_id").where(
+        F.col("a.split") != F.col("b.split")
+    )
+    assert moved.count() > 0
+
+
+def test_stratified_fractions_per_stratum(docs):
+    out = stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.0}, seed=23, default_fraction=0.1
+    )
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got.get("src0") == 1250          # keep-all stratum is exact
+    assert "src2" not in got                # zero-fraction stratum drops out
+    assert abs(got["src1"] / 1250 - 0.5) < 0.06
+    assert abs(got.get("src3", 0) / 1250 - 0.1) < 0.05   # default fraction
+
+
+def test_stratified_is_subset_and_idempotent(docs):
+    out = stratified_sample(docs, {"src0": 0.25}, seed=5)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    again = {r["doc_id"] for r in stratified_sample(docs, {"src0": 0.25}, seed=5).select("doc_id").collect()}
+    assert ids == again
+    assert ids <= {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def test_bucket_range_and_no_shuffle_plan(docs):
+    b = docs.select(hash_bucket(F.col("doc_id"), seed=3).alias("b"))
+    mn, mx = b.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx < BUCKETS
+    # selection is a pure map stage: no Exchange in the physical plan
+    plan = stratified_sample(docs, {"src0": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
