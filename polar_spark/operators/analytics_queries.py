@@ -2955,3 +2955,49 @@ ORACLES.update(
     }
 )
 QUERIES.update({"stratified_sample": q_stratified_sample})
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence layout (GPT-style concatenate-and-
+    chunk, seq_len=256, 1 EOD separator per doc): per document, its
+    absolute stream offset and the sequence-id range it spans —
+    computed with the two-phase distributed prefix sum (no global
+    single-partition window)."""
+    from polar_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = pack_sequences(toks, seq_len=256, buckets=32)
+    return out.select(
+        "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq", "n_seqs"
+    )
+
+
+ORACLES.update(
+    {
+        "seq_packing": r"""
+        SELECT doc_id, n_tokens,
+               start_offset,
+               CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS first_seq,
+               CAST(FLOOR((start_offset + GREATEST(n_tokens, 1) - 1) / 256.0) AS BIGINT) AS last_seq,
+               CAST(FLOOR((start_offset + GREATEST(n_tokens, 1) - 1) / 256.0)
+                    - FLOOR(start_offset / 256.0) + 1 AS BIGINT) AS n_seqs
+        FROM (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens + 1) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS start_offset
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ) t
+        ) s
+    """
+    }
+)
+QUERIES.update({"seq_packing": q_seq_packing})
