@@ -3001,3 +3001,82 @@ ORACLES.update(
     }
 )
 QUERIES.update({"seq_packing": q_seq_packing})
+
+
+def q_msf_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest (Borůvka, deterministic (w,u,v) total
+    order) of the weighted supplier co-part graph — w = number of
+    shared parts, so the MSF is the cheapest connectivity backbone of
+    the supplier network.  Oracle replays the identical unique MSF with
+    a recursive-CTE Kruskal under the same edge order."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    wund = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    msf, _ = pregel.minimum_spanning_forest(wund)
+    return msf.select(
+        F.col("u").cast("long"), F.col("v").cast("long"), F.col("w").cast("long")
+    ).orderBy("w", "u", "v")
+
+
+ORACLES.update(
+    {
+        # Kruskal under the (w, u, v) total order, one MERGE per
+        # recursion step (the next-accepted edge is the min-rank edge
+        # whose endpoints differ in component; skipped edges are
+        # internal forever, so jumping merge-to-merge is exact and
+        # V-1 steps instead of E)
+        "msf_copart": """
+        WITH RECURSIVE
+        pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        g AS (SELECT a.s AS u, b.s AS v, COUNT(*) AS w
+              FROM pairs a JOIN pairs b ON a.p = b.p AND a.s < b.s
+              GROUP BY a.s, b.s),
+        verts AS (SELECT DISTINCT id FROM (SELECT u AS id FROM g UNION ALL SELECT v FROM g) t),
+        ranked AS (SELECT u, v, w, ROW_NUMBER() OVER (ORDER BY w, u, v) AS r FROM g),
+        uf AS (
+          SELECT 0 AS step, id, id AS comp FROM verts
+          UNION ALL
+          SELECT step + 1, id,
+                 CASE WHEN comp IN (mcu, mcv) THEN LEAST(mcu, mcv) ELSE comp END AS comp
+          FROM (
+            SELECT step, id, comp, r, mr,
+                   MAX(CASE WHEN r = mr THEN cu END) OVER (PARTITION BY step) AS mcu,
+                   MAX(CASE WHEN r = mr THEN cv END) OVER (PARTITION BY step) AS mcv,
+                   ROW_NUMBER() OVER (PARTITION BY step, id ORDER BY r) AS rn
+            FROM (
+              SELECT step, id, comp, r, cu, cv,
+                     MIN(CASE WHEN cu <> cv THEN r END) OVER (PARTITION BY step) AS mr
+              FROM (
+                SELECT x.step, x.id, x.comp, x.r,
+                       MAX(CASE WHEN x.id = x.eu THEN x.comp END)
+                           OVER (PARTITION BY x.step, x.r) AS cu,
+                       MAX(CASE WHEN x.id = x.ev THEN x.comp END)
+                           OVER (PARTITION BY x.step, x.r) AS cv
+                FROM (
+                  SELECT u0.step, u0.id, u0.comp, e.r, e.u AS eu, e.v AS ev
+                  FROM uf u0 JOIN ranked e ON u0.id = e.u OR u0.id = e.v
+                ) x
+              ) l2
+            ) l3
+          ) l4
+          WHERE rn = 1 AND mr IS NOT NULL
+        )
+        SELECT CAST(e.u AS BIGINT) AS u, CAST(e.v AS BIGINT) AS v, CAST(e.w AS BIGINT) AS w
+        FROM (
+          SELECT a.step, MIN(e.r) AS mr
+          FROM ranked e
+          JOIN uf a ON a.id = e.u
+          JOIN uf b ON b.step = a.step AND b.id = e.v
+          WHERE a.comp <> b.comp
+          GROUP BY a.step
+        ) c JOIN ranked e ON e.r = c.mr
+        ORDER BY e.w, e.u, e.v
+    """
+    }
+)
+QUERIES.update({"msf_copart": q_msf_copart})

@@ -1752,6 +1752,139 @@ def maximal_independent_set(
         return out, stats
 
 
+def minimum_spanning_forest(
+    edges: DataFrame,
+    max_rounds: int = 40,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Minimum spanning forest by Borůvka's algorithm over a weighted
+    undirected ``(src, dst, w)`` edge table (the data-parallel MST:
+    every round each component hooks its minimum incident edge, then
+    components contract — O(log V) rounds, each a relabel-join + one
+    min-aggregate).  The spanning-tree analog of the reference's graph
+    maintenance: extracting the cheapest connectivity backbone of the
+    dependency/observability graph.
+
+    Determinism: edges are ranked by the TOTAL order ``(w, u, v)``
+    (canonical ``u < v``, parallel edges pre-collapsed to their minimum
+    weight), which makes the MSF unique even with duplicate weights —
+    the result equals Kruskal's under the same order, which is how the
+    SQL oracle replays it.
+
+    Contraction uses pointer doubling (path halving) over the selection
+    arcs instead of plain hash-min propagation: each component has
+    exactly one outgoing arc, the only cycles are the mutual minimum
+    pairs (broken toward the smaller label, which becomes the root), so
+    doubling reaches every root in O(log chain-depth) joins over the
+    ACTIVE COMPONENT SET — geometrically shrinking, never the full
+    vertex set.  Returns (``u, v, w`` MSF edges, stats); ``deltas``
+    records the active-component count per round.
+    """
+    spark = edges.sparkSession
+    e0 = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).cast("long").alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).cast("long").alias("v"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    m0 = e0.count()
+    stats = IterationStats(algorithm="msf", edges=m0)
+    if m0 == 0:
+        e0.unpersist()
+        stats.converged = True
+        return spark.createDataFrame([], "u long, v long, w long"), stats
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        # both directions, keeping the canonical (u, v, w) identity on
+        # every row so the per-component min is a lexicographic struct
+        sym = (
+            e0.select(F.col("u").alias("a"), F.col("v").alias("b"), "w", "u", "v")
+            .unionByName(
+                e0.select(F.col("v").alias("a"), F.col("u").alias("b"), "w", "u", "v")
+            )
+            .repartition(shuffle, "a")
+            .localCheckpoint(eager=True)
+        )
+        e0.unpersist()
+        comp = (
+            sym.select(F.col("a").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        stats.vertices = comp.count()
+        msf = spark.createDataFrame([], "u long, v long, w long")
+        for rnd in range(1, max_rounds + 1):
+            t0 = time.monotonic()
+            ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
+            cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("cb"))
+            sel = (
+                sym.join(ca, "a")
+                .join(cb, "b")
+                .where(F.col("ca") != F.col("cb"))
+                .groupBy("ca")
+                .agg(F.min(F.struct("w", "u", "v", "cb")).alias("m"))
+                .localCheckpoint(eager=True)
+            )
+            active = sel.count()
+            stats.iterations = rnd
+            stats.deltas.append(float(active))
+            if active == 0:
+                stats.converged = True
+                stats.iter_seconds.append(time.monotonic() - t0)
+                break
+            msf = (
+                msf.unionByName(sel.select("m.u", "m.v", "m.w").distinct())
+                .localCheckpoint(eager=True)
+            )
+            # selection arcs ca → cb; mutual minimum pairs are the only
+            # cycles — root them at the smaller label, then double
+            arcs = sel.select("ca", F.col("m.cb").alias("nb"))
+            rev = arcs.select(F.col("ca").alias("nb"), F.col("nb").alias("_back"))
+            p = (
+                arcs.join(rev, "nb", "left")
+                .select(
+                    F.col("ca").alias("id"),
+                    F.when(
+                        (F.col("_back") == F.col("ca")) & (F.col("ca") < F.col("nb")),
+                        F.col("ca"),
+                    )
+                    .otherwise(F.col("nb"))
+                    .alias("p"),
+                )
+                .dropDuplicates(["id"])
+                .localCheckpoint(eager=True)
+            )
+            while True:
+                hop = p.select(F.col("id").alias("p"), F.col("p").alias("pp"))
+                p2 = (
+                    p.join(hop, "p")
+                    .select("id", F.col("pp").alias("p"), (F.col("p") != F.col("pp")).alias("_chg"))
+                    .localCheckpoint(eager=False)
+                )
+                moved = int(p2.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0] or 0)
+                p = p2.select("id", "p")
+                if moved == 0:
+                    break
+            comp = (
+                comp.join(p.withColumnRenamed("id", "comp"), "comp", "left")
+                .select("id", F.coalesce(F.col("p"), F.col("comp")).alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            stats.iter_seconds.append(time.monotonic() - t0)
+        if not stats.converged:
+            raise RuntimeError(
+                f"minimum_spanning_forest did not contract to a fixpoint in "
+                f"{max_rounds} rounds — raise max_rounds"
+            )
+        return msf.select("u", "v", "w"), stats
+
+
 # --------------------------------------------------------------------------
 # Connected components (hash-min)
 

@@ -604,3 +604,76 @@ def test_random_walks_biased_deterministic(graph):
         for st in range(1, max(steps)):
             if st in steps and st + 1 in steps:
                 assert (steps[st], steps[st + 1]) in edges
+
+
+# --------------------------------------------------------------------------
+# minimum spanning forest (Boruvka)
+
+
+def _py_kruskal(rows):
+    """Reference Kruskal under the (w, u, v) total order on canonical
+    (u < v) edges with parallel edges collapsed to their min weight."""
+    best = {}
+    for s, d, w in rows:
+        u, v = (s, d) if s < d else (d, s)
+        if u == v:
+            continue
+        best[(u, v)] = min(best.get((u, v), w), w)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for (u, v), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.append((u, v, w))
+    return sorted(out)
+
+
+def test_msf_matches_kruskal_on_weighted_zipf(graph, spark):
+    edges, edf = graph
+    # deterministic synthetic weights from the edge identity
+    rows = [(s, d, (7 * s + 13 * d) % 20 + 1) for s, d in edges]
+    wdf = spark.createDataFrame(rows, "src long, dst long, w long")
+    got, stats = pregel.minimum_spanning_forest(wdf)
+    assert sorted(map(tuple, got.collect())) == _py_kruskal(rows)
+    assert stats.converged and stats.iterations <= 12
+
+
+def test_msf_forest_on_disconnected_graph_and_multigraph(spark):
+    rows = [
+        (1, 2, 4), (2, 1, 9),          # parallel reversed edge, keep w=4
+        (2, 3, 1), (1, 3, 3), (3, 4, 2), (2, 4, 9),
+        (5, 6, 1),                      # second component
+        (7, 7, 0),                      # self-loop dropped
+    ]
+    wdf = spark.createDataFrame(rows, "src long, dst long, w long")
+    got, stats = pregel.minimum_spanning_forest(wdf)
+    assert sorted(map(tuple, got.collect())) == [
+        (1, 3, 3), (2, 3, 1), (3, 4, 2), (5, 6, 1)
+    ]
+    assert stats.converged
+
+
+def test_msf_duplicate_weights_deterministic(spark):
+    # all-equal weights: the (w, u, v) tie-break alone decides the tree
+    rows = [(u, v, 1) for u in range(8) for v in range(u + 1, 8)]
+    wdf = spark.createDataFrame(rows, "src long, dst long, w long")
+    a, _ = pregel.minimum_spanning_forest(wdf)
+    b, _ = pregel.minimum_spanning_forest(
+        spark.createDataFrame(rows, "src long, dst long, w long").repartition(7)
+    )
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb == _py_kruskal(rows)
+
+
+def test_msf_empty(spark):
+    empty = spark.createDataFrame([], "src long, dst long, w long")
+    got, stats = pregel.minimum_spanning_forest(empty)
+    assert got.count() == 0 and stats.converged
