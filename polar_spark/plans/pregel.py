@@ -904,7 +904,7 @@ def core_numbers(
     edges: DataFrame,
     max_iter: int = 200,
     num_partitions: int | None = None,
-    fuse_rounds: int = 4,
+    fuse_rounds: int = 8,
 ) -> tuple[DataFrame, IterationStats]:
     """Full k-core decomposition: every vertex → its coreness (the max k
     such that it belongs to the k-core).  H-index fixpoint iteration
@@ -951,15 +951,20 @@ def core_numbers(
     shuffle = _auto_partitions(spark, m0, num_partitions)
     sym_c = compact_ids(sym0, m0)
     with _shuffle_conf(spark, shuffle):
-        e = sym_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        # edges keyed by dst: the per-round h-lookup join is then
+        # EXCHANGE-FREE (h is hash-partitioned on id; renaming id→dst
+        # carries the partitioning, shuffle_hash joins in place — the
+        # fused-PageRank alignment).  Each round pays exactly TWO stage
+        # barriers: the contrib shuffle to src for the H-aggregate, and
+        # the chunk's action; everything else pipelines.
+        e_dst = sym_c.repartition(shuffle, "dst").localCheckpoint(eager=True)
         sym0.unpersist()
         h = (
-            e.groupBy(F.col("src").alias("id"))
+            e_dst.groupBy(F.col("src").alias("id"))
             .agg(F.count("*").cast("long").alias("h"))
             .localCheckpoint(eager=True)
         )
         stats = IterationStats(algorithm="core_numbers", edges=m0, vertices=h.count())
-        w = Window.partitionBy("id").orderBy(F.desc("hv"), F.asc("rnd"))
         cand = None  # None = all vertices (first sweep)
         it = 0
         while it < max_iter:
@@ -967,22 +972,34 @@ def core_numbers(
             t0 = time.monotonic()
             merged = None
             for _ in range(chunk):
-                scope = e if cand is None else e.join(
-                    cand.withColumnRenamed("id", "src"), "src", "left_semi"
-                )
-                nbr = scope.join(h.withColumnRenamed("id", "dst"), "dst").select(
-                    F.col("src").alias("id"), F.col("h").alias("hv")
-                )
+                nbr = e_dst.join(
+                    h.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst"
+                ).select(F.col("src").alias("id"), F.col("h").alias("hv"))
+                if cand is not None:
+                    # frontier scope rides the SAME exchange the groupBy
+                    # needs (join on id → output partitioned by id → no
+                    # extra shuffle before the aggregate); the per-round
+                    # SHUFFLE is thus bounded by the changed neighborhood
+                    # (the map-side h-lookup stays O(E) from local cache —
+                    # the same per-round cost class as the fused PageRank
+                    # contrib join)
+                    nbr = nbr.join(cand, "id", "left_semi")
                 h_cand = (
-                    # rnd breaks window ties deterministically; the H-index
-                    # is tie-order-invariant, this only stabilizes the sort
-                    nbr.withColumn("rnd", F.monotonically_increasing_id())
-                    .withColumn("rn", F.row_number().over(w).cast("long"))
-                    .groupBy("id")
-                    .agg(F.max(F.least(F.col("rn"), F.col("hv"))).alias("h_new"))
+                    # H-index = max_i min(i, arr[i]) over the desc-sorted
+                    # neighbor h-values — one groupBy + JVM array
+                    # expressions (no per-round row_number sort window)
+                    nbr.groupBy("id")
+                    .agg(F.sort_array(F.collect_list("hv"), asc=False).alias("arr"))
+                    .select(
+                        "id",
+                        F.expr(
+                            "array_max(zip_with(arr, sequence(1, size(arr)),"
+                            " (x, i) -> least(x, CAST(i AS BIGINT))))"
+                        ).alias("h_new"),
+                    )
                 )
                 merged = (
-                    h.join(h_cand, "id", "left")
+                    h.join(h_cand.hint("shuffle_hash"), "id", "left")
                     .select(
                         "id",
                         F.coalesce(F.col("h_new"), F.col("h")).alias("h"),
@@ -995,20 +1012,20 @@ def core_numbers(
                     .localCheckpoint(eager=False)
                 )
                 h = merged.select("id", "h")
-                # next round: only neighbors of changed vertices can move;
-                # lazy within the chunk, reads the materialized checkpoint
-                # across chunk boundaries — plan depth stays bounded
+                # next round: only neighbors of changed vertices can move.
+                # changed is partitioned by id; renamed dst it aligns with
+                # e_dst, so the semi-join is exchange-free too.  No
+                # .distinct(): a semi-join probe needs no dedup.
                 cand = (
-                    e.join(
+                    e_dst.join(
                         merged.where(F.col("_chg"))
                         .select("id")
-                        .withColumnRenamed("id", "src"),
-                        "src",
+                        .withColumnRenamed("id", "dst")
+                        .hint("shuffle_hash"),
+                        "dst",
                         "left_semi",
                     )
-                    # no .distinct(): a semi-join probe needs no dedup, and
-                    # the distinct was a full extra shuffle per round
-                    .select(F.col("dst").alias("id"))
+                    .select(F.col("src").alias("id"))
                 )
             # one action per CHUNK; zero changes in the chunk's last round
             # ⇒ empty frontier ⇒ fixpoint (monotone, frontier-scoped)
