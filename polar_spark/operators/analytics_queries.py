@@ -3080,3 +3080,80 @@ ORACLES.update(
     }
 )
 QUERIES.update({"msf_copart": q_msf_copart})
+
+
+def _cm_col_sql(key: str, r: int, width: int, seed: int) -> str:
+    """The count-min hash row in DuckDB arithmetic — byte-for-byte the
+    sketches._cm_col mix (every intermediate < 2^62)."""
+    x0 = f"(({key} * 2654435761 + {r * 1000003 + seed}) % 2147483648)"
+    x1 = f"((xor({x0}, {x0} >> 13) * 1274126177) % 2147483648)"
+    return f"(xor({x1}, {x1} >> 17) % {width})"
+
+
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over event user_ids (depth 4,
+    width 512): top-15 keys by estimated frequency, deterministic
+    tie-break.  The oracle replays the identical sketch cells in SQL —
+    cross-engine-exact hash family, not an approximation comparison."""
+    from polar_spark.operators.sketches import cm_heavy_hitters
+
+    ev = load_table(spark, "events", sf_dir)
+    return cm_heavy_hitters(ev, "user_id", k=15, depth=4, width=512, seed=7).select(
+        F.col("user_id").cast("long"), F.col("est").cast("long")
+    )
+
+
+def _cm_hh_sql(depth: int, width: int, seed: int, k: int) -> str:
+    build = "\nUNION ALL ".join(
+        f"SELECT {r} AS row, {_cm_col_sql('user_id', r, width, seed)} AS col FROM events"
+        for r in range(depth)
+    )
+    probe = "\nUNION ALL ".join(
+        f"SELECT user_id, {r} AS row, {_cm_col_sql('user_id', r, width, seed)} AS col FROM ks"
+        for r in range(depth)
+    )
+    return f"""
+        WITH cells AS (
+          SELECT row, col, COUNT(*) AS cnt FROM ({build}) b GROUP BY row, col
+        ),
+        ks AS (SELECT DISTINCT user_id FROM events),
+        probes AS ({probe})
+        SELECT CAST(p.user_id AS BIGINT) AS user_id, CAST(MIN(c.cnt) AS BIGINT) AS est
+        FROM probes p JOIN cells c ON p.row = c.row AND p.col = c.col
+        GROUP BY p.user_id
+        ORDER BY est DESC, user_id ASC
+        LIMIT {k}
+    """
+
+
+ORACLES.update({"cm_heavy_hitters": _cm_hh_sql(4, 512, 7, 15)})
+QUERIES.update({"cm_heavy_hitters": q_cm_heavy_hitters})
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic on lineitem's part key: the top-10
+    heaviest keys with count and integer-ppm share — the pre-join salt
+    decision input."""
+    from polar_spark.operators.sketches import skew_report
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return skew_report(li, "l_partkey", top=10).select(
+        F.col("l_partkey").cast("long"), F.col("n").cast("long"), "share_ppm"
+    )
+
+
+ORACLES.update(
+    {
+        "skew_report": """
+        WITH tot AS (SELECT COUNT(*) AS t FROM lineitem)
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST((COUNT(*) * 1000000) // (SELECT t FROM tot) AS BIGINT) AS share_ppm
+        FROM lineitem
+        GROUP BY l_partkey
+        ORDER BY n DESC, l_partkey ASC
+        LIMIT 10
+    """
+    }
+)
+QUERIES.update({"skew_report": q_skew_report})
