@@ -3157,3 +3157,50 @@ ORACLES.update(
     }
 )
 QUERIES.update({"skew_report": q_skew_report})
+
+
+_LPA_W_ROUND = """
+cw{K} AS (SELECT e.dst AS id, p.label AS lbl, SUM(e.w) AS ws
+          FROM ew e JOIN lw{KM1} p ON p.id = e.src GROUP BY e.dst, p.label),
+ww{K} AS (SELECT id, lbl FROM (
+            SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY ws DESC, lbl ASC) AS rn
+            FROM cw{K}) t WHERE rn = 1),
+lw{K} AS (SELECT v.id, CAST(COALESCE(ww{K}.lbl, v.id) AS BIGINT) AS label
+          FROM vw v LEFT JOIN ww{K} ON ww{K}.id = v.id)"""
+
+
+def q_lpa_weighted2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted LPA (2 rounds) on the weighted supplier co-part graph
+    (w = shared-part count): labels follow the heaviest neighborhood
+    vote instead of the plain majority."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    wund = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    labels, _ = pregel.label_propagation_weighted(wund, max_iter=2)
+    return labels.select(
+        F.col("id").cast("long"), F.col("label").cast("long")
+    ).orderBy("id")
+
+
+def _lpa_w_sql(n_iter: int = 2) -> str:
+    rounds = "".join("," + _LPA_W_ROUND.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+wund AS (SELECT a.s AS u, b.s AS v, COUNT(*) AS w
+         FROM pairs a JOIN pairs b ON a.p = b.p AND a.s < b.s
+         GROUP BY a.s, b.s),
+ew AS (SELECT u AS src, v AS dst, w FROM wund UNION ALL SELECT v, u, w FROM wund),
+vw AS (SELECT DISTINCT src AS id FROM ew),
+lw0 AS (SELECT id, id AS label FROM vw)
+{rounds}
+SELECT id, label FROM lw{n_iter} ORDER BY id
+"""
+
+
+ORACLES.update({"lpa_weighted2": _lpa_w_sql(2)})
+QUERIES.update({"lpa_weighted2": q_lpa_weighted2})

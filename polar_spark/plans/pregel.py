@@ -2160,6 +2160,80 @@ def label_propagation(
         return _lpa_loop(spark, sym_c, sym0, shuffle, max_iter)
 
 
+def label_propagation_weighted(
+    edges: DataFrame,
+    max_iter: int = 5,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Weighted synchronous LPA over an undirected ``(src, dst, w)``
+    edge table: each round every vertex adopts the label with the
+    LARGEST TOTAL INCIDENT WEIGHT among its neighbors (ties → smallest
+    label — same deterministic contract as the unweighted variant, with
+    the vote count replaced by a weight sum).  Parallel edges are
+    pre-summed per (src, dst); integer weights keep the vote sums
+    cross-engine exact for the SQL oracle.  Fixed round count for
+    reproducibility (synchronous LPA can oscillate)."""
+    spark = edges.sparkSession
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).cast("long").alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).cast("long").alias("v"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    m0 = und.count()
+    if m0 == 0:
+        und.unpersist()
+        return (
+            spark.createDataFrame([], "id long, label long"),
+            IterationStats(algorithm="label_propagation_weighted", edges=0, vertices=0),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        sym = (
+            und.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+            .unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+            .repartition(shuffle, "src")
+            .localCheckpoint(eager=True)
+        )
+        und.unpersist()
+        verts = vertices_of(sym).localCheckpoint(eager=True)
+        stats = IterationStats(
+            algorithm="label_propagation_weighted", edges=sym.count(), vertices=verts.count()
+        )
+        labels = verts.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            votes = (
+                sym.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"), "label")
+                .agg(F.sum("w").alias("wsum"))
+            )
+            winner = votes.groupBy("id").agg(
+                F.expr("max_by(label, struct(wsum, -label))").alias("new_label")
+            )
+            labels = (
+                labels.join(winner, "id", "left")
+                .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            stats.iterations = it
+            stats.iter_seconds.append(time.monotonic() - t0)
+        sym.unpersist()
+        verts.unpersist()
+        return (
+            labels.select(
+                F.col("id").cast("long").alias("id"),
+                F.col("label").cast("long").alias("label"),
+            ),
+            stats,
+        )
+
+
 def _lpa_loop(spark, sym_in, sym_base, shuffle, max_iter):
     # lineage cut: referenced by every iteration (see _pagerank_loop)
     sym = sym_in.repartition(shuffle, "src").localCheckpoint(eager=True)

@@ -677,3 +677,25 @@ def test_msf_empty(spark):
     empty = spark.createDataFrame([], "src long, dst long, w long")
     got, stats = pregel.minimum_spanning_forest(empty)
     assert got.count() == 0 and stats.converged
+
+
+def test_lpa_weighted_follows_heavy_edge(spark):
+    # star: center 0; heavy edge to 9, light edges to 1..3.
+    # Unweighted majority would pull 0 toward the small labels; the
+    # weighted vote follows the heavy edge to label 9's side.
+    rows = [(0, 9, 100), (0, 1, 1), (0, 2, 1), (0, 3, 1)]
+    wdf = spark.createDataFrame(rows, "src long, dst long, w long")
+    labels, st = pregel.label_propagation_weighted(wdf, max_iter=1)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got[0] == 9          # heaviest incident label wins
+    assert got[9] == 0 and got[1] == 0
+    assert st.iterations == 1
+
+
+def test_lpa_weighted_all_equal_weights_matches_unweighted(spark):
+    rows = [(u, v) for u in range(12) for v in range(u + 1, 12) if (u * v) % 3 == 0]
+    udf = spark.createDataFrame(rows, "src long, dst long")
+    wdf = spark.createDataFrame([(u, v, 1) for u, v in rows], "src long, dst long, w long")
+    lu, _ = pregel.label_propagation(udf, max_iter=3)
+    lw, _ = pregel.label_propagation_weighted(wdf, max_iter=3)
+    assert sorted(map(tuple, lu.collect())) == sorted(map(tuple, lw.collect()))
