@@ -3204,3 +3204,80 @@ SELECT id, label FROM lw{n_iter} ORDER BY id
 
 ORACLES.update({"lpa_weighted2": _lpa_w_sql(2)})
 QUERIES.update({"lpa_weighted2": q_lpa_weighted2})
+
+
+def q_coloring_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring of the bounded-degree top-3-
+    neighbor backbone of the co-order graph (each vertex keeps its 3
+    smallest neighbors; the JP schedule needs bounded degree — on the
+    dense graph it serializes).  Unique result given the deterministic
+    priority family; the oracle replays the rounds unrolled."""
+    und = coorder_edges(spark, sf_dir)
+    symall = _sym(und)
+    w = Window.partitionBy("src").orderBy("dst")
+    t3 = symall.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    g = t3.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    colors, _ = pregel.greedy_coloring(g, seed=11, max_rounds=40)
+    return colors.select(
+        F.col("id").cast("long"), F.col("color").cast("long")
+    ).orderBy("id")
+
+
+def _coloring_sql(rounds: int, seed: int) -> str:
+    parts = [
+        _COORDER_SQL.strip(),
+        "symall AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)",
+        "t3 AS (SELECT src, dst FROM (SELECT src, dst,"
+        " ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn FROM symall) t"
+        " WHERE rn <= 3)",
+        "g AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM t3)",
+        "e AS MATERIALIZED (SELECT u AS src, v AS dst FROM g UNION ALL SELECT v, u FROM g)",
+        "vv AS (SELECT DISTINCT src AS id FROM e)",
+        f"h0 AS (SELECT id, (id * 2654435761 + {seed}) % 2147483648 AS x0 FROM vv)",
+        "h1 AS (SELECT id, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM h0)",
+        "pri AS MATERIALIZED (SELECT id, (xor(x1, x1 >> 17) % 1073741824)"
+        " * 8589934592 + id AS p FROM h1)",
+        "u0 AS (SELECT id FROM vv)",
+        "c0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS color WHERE FALSE)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"n{k} AS (SELECT e.src AS id, MAX(p2.p) AS maxp FROM e "
+            f"JOIN u{k - 1} un ON un.id = e.dst JOIN pri p2 ON p2.id = e.dst "
+            f"GROUP BY e.src)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT u.id FROM u{k - 1} u "
+            f"JOIN pri ON pri.id = u.id LEFT JOIN n{k} ON n{k}.id = u.id "
+            f"WHERE n{k}.maxp IS NULL OR pri.p > n{k}.maxp)"
+        )
+        parts.append(
+            f"mx{k} AS (SELECT id, COALESCE(MIN(CASE WHEN col <> rn - 1 THEN rn - 1 END),"
+            f" COUNT(*)) AS mex FROM ("
+            f"SELECT nc.id, nc.col, ROW_NUMBER() OVER (PARTITION BY nc.id ORDER BY nc.col) AS rn "
+            f"FROM (SELECT DISTINCT e.src AS id, c.color AS col FROM e "
+            f"JOIN c{k - 1} c ON c.id = e.dst "
+            f"WHERE e.src IN (SELECT id FROM r{k})) nc) t GROUP BY id)"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT id, color FROM c{k - 1} UNION ALL "
+            f"SELECT r.id, CAST(COALESCE(m.mex, 0) AS BIGINT) FROM r{k} r "
+            f"LEFT JOIN mx{k} m ON m.id = r.id)"
+        )
+        parts.append(
+            f"u{k} AS MATERIALIZED (SELECT id FROM u{k - 1} "
+            f"WHERE id NOT IN (SELECT id FROM r{k}))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id, CAST(color AS BIGINT) AS color
+        FROM c{rounds} ORDER BY id"""
+    )
+
+
+ORACLES.update({"coloring_top3": _coloring_sql(40, 11)})
+QUERIES.update({"coloring_top3": q_coloring_top3})

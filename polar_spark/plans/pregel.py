@@ -1769,6 +1769,114 @@ def maximal_independent_set(
         return out, stats
 
 
+def greedy_coloring(
+    edges: DataFrame,
+    seed: int = 11,
+    max_rounds: int = 40,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Greedy graph coloring by the Jones–Plassmann parallel schedule
+    (Jones & Plassmann, SIAM J.Sci.Comput. 1993): vertices carry the
+    deterministic unique priorities of :func:`maximal_independent_set`;
+    each round every uncolored vertex that out-prioritizes all its
+    uncolored neighbors takes the smallest color unused by its already-
+    colored neighbors (the ready set is independent, so simultaneous
+    assignment equals the sequential greedy in priority order — the
+    result is UNIQUE given the priority family, which is what the
+    unrolled SQL oracle replays).  Dense graphs serialize this schedule
+    (rounds ≈ longest decreasing-priority path); intended for bounded-
+    degree graphs, raising loudly if ``max_rounds`` is hit.
+
+    Per round: one aggregate over uncolored-neighbor priorities, one
+    colored-neighbor color-set aggregate, and a JVM-array mex
+    (``array_min(array_except(sequence(0, n), used))``).  Returns
+    (``id, color``, stats); ``deltas`` records ready-set sizes.
+    """
+    spark = edges.sparkSession
+    sym0 = symmetrize(normalize_edges(edges)).persist()
+    m0 = sym0.count()
+    if m0 == 0:
+        sym0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, color long"),
+            IterationStats(algorithm="coloring", edges=0, vertices=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        verts = vertices_of(e).localCheckpoint(eager=True)
+        sym0.unpersist()
+        vrow = verts.agg(
+            F.count("*").alias("n"), F.max("id").alias("mx"), F.min("id").alias("mn")
+        ).collect()[0]
+        if int(vrow["mx"]) >= 2**33 or int(vrow["mn"]) < 0:
+            raise ValueError(
+                "greedy_coloring priorities are unique only for 0 <= id < 2^33; "
+                f"got id range [{vrow['mn']}, {vrow['mx']}] — compact ids first"
+            )
+        stats = IterationStats(algorithm="coloring", edges=m0, vertices=int(vrow["n"]))
+        x0 = (F.col("id") * F.lit(2654435761) + F.lit(seed)) % F.lit(2**31)
+        x1 = (x0.bitwiseXOR(F.shiftright(x0, 13)) * F.lit(1274126177)) % F.lit(2**31)
+        p = (x1.bitwiseXOR(F.shiftright(x1, 17)) % F.lit(2**30)) * F.lit(2**33) + F.col("id")
+        uncolored = verts.select("id", p.alias("p")).localCheckpoint(eager=True)
+        colored = spark.createDataFrame([], "id long, color long")
+        for rnd in range(1, max_rounds + 1):
+            t0 = time.monotonic()
+            nbr_max = (
+                e.join(
+                    uncolored.select(F.col("id").alias("dst"), F.col("p").alias("p_n")),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.max("p_n").alias("max_nbr"))
+            )
+            ready = (
+                uncolored.join(nbr_max, "id", "left")
+                .where(F.col("max_nbr").isNull() | (F.col("p") > F.col("max_nbr")))
+                .select("id")
+                .localCheckpoint(eager=True)
+            )
+            n_ready = ready.count()
+            stats.iterations = rnd
+            stats.deltas.append(float(n_ready))
+            if n_ready == 0:
+                stats.converged = True
+                stats.iter_seconds.append(time.monotonic() - t0)
+                break
+            used = (
+                e.join(ready.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(colored.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.collect_set("color").alias("used"))
+            )
+            newly = (
+                ready.join(used, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce(
+                        F.array_min(
+                            F.array_except(
+                                F.sequence(F.lit(0).cast("long"), F.size("used").cast("long")),
+                                F.col("used"),
+                            )
+                        ),
+                        F.lit(0).cast("long"),
+                    ).alias("color"),
+                )
+            )
+            colored = colored.unionByName(newly).localCheckpoint(eager=True)
+            uncolored = (
+                uncolored.join(ready, "id", "left_anti").localCheckpoint(eager=True)
+            )
+            stats.iter_seconds.append(time.monotonic() - t0)
+        if not stats.converged:
+            raise RuntimeError(
+                f"greedy_coloring did not finish in {max_rounds} rounds (graph too "
+                "dense for the Jones-Plassmann schedule) — raise max_rounds"
+            )
+        return colored.select(F.col("id").cast("long"), F.col("color").cast("long")), stats
+
+
 def minimum_spanning_forest(
     edges: DataFrame,
     max_rounds: int = 40,

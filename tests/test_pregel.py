@@ -699,3 +699,68 @@ def test_lpa_weighted_all_equal_weights_matches_unweighted(spark):
     lu, _ = pregel.label_propagation(udf, max_iter=3)
     lw, _ = pregel.label_propagation_weighted(wdf, max_iter=3)
     assert sorted(map(tuple, lu.collect())) == sorted(map(tuple, lw.collect()))
+
+
+# --------------------------------------------------------------------------
+# greedy coloring (Jones-Plassmann)
+
+
+def _py_jp_coloring(edges, seed=11):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+
+    def pri(i):
+        x0 = (i * 2654435761 + seed) % 2**31
+        x1 = ((x0 ^ (x0 >> 13)) * 1274126177) % 2**31
+        return ((x1 ^ (x1 >> 17)) % 2**30) * 2**33 + i
+
+    P = {v: pri(v) for v in adj}
+    un, color = set(adj), {}
+    while un:
+        ready = [v for v in un if all(P[v] > P[u] for u in adj[v] if u in un)]
+        for v in ready:
+            used = {color[u] for u in adj[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+        un -= set(ready)
+    return sorted(color.items())
+
+
+def test_coloring_matches_sequential_greedy_and_is_proper(spark):
+    import random
+
+    random.seed(4)
+    ed = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in [(random.randrange(80), random.randrange(80)) for _ in range(200)]
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(ed, "src long, dst long")
+    got, stats = pregel.greedy_coloring(df, seed=11)
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == _py_jp_coloring(ed)
+    assert stats.converged
+    color = dict(rows)
+    for u, v in ed:
+        assert color[u] != color[v], f"edge ({u},{v}) monochrome"
+
+
+def test_coloring_empty_and_too_dense_raises(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    got, stats = pregel.greedy_coloring(empty)
+    assert got.count() == 0 and stats.converged
+    # a clique serializes the JP schedule: rounds == n, so max_rounds=3 trips
+    clique = spark.createDataFrame(
+        [(u, v) for u in range(8) for v in range(u + 1, 8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        pregel.greedy_coloring(clique, max_rounds=3)
