@@ -267,6 +267,34 @@ def main() -> None:
             "ann_pq_recall_at3": round(hits_pq / n_exact, 4) if n_exact else None,
         }
 
+    def _msf():
+        # Boruvka MSF on the weighted co-part graph (O(log V) rounds,
+        # pointer-doubling contraction)
+        from polar_spark.operators.analytics_queries import q_msf_copart
+
+        return {"msf_edges": q_msf_copart(spark, sf_dir).count()}
+
+    def _packing():
+        # two-phase distributed prefix sum over a sf-scaled token
+        # stream (no single-partition window anywhere)
+        from polar_spark.operators.packing import pack_sequences, packing_stats
+
+        n = max(100_000, int(20_000_000 * sf)) if sf > 0 else 1_000_000
+        toks = spark.range(n).select(
+            F.col("id").alias("doc_id"), ((F.col("id") * 7919) % 997).alias("n_tokens")
+        )
+        st = packing_stats(pack_sequences(toks, seq_len=2048, buckets=256), 2048).first()
+        return {"packed_docs": st["n_docs"], "packed_sequences": st["n_sequences"]}
+
+    def _cm_sketch():
+        # count-min heavy hitters over lineitem part keys: sketch build
+        # is one map-side-combinable agg into <= depth*width cells
+        from polar_spark.operators.sketches import cm_heavy_hitters
+        from polar_spark.sources.tables import load_table
+
+        li = load_table(spark, "lineitem", sf_dir)
+        return {"cm_hh_rows": cm_heavy_hitters(li, "l_partkey", k=20).count()}
+
     def _stream_scenarios():
         # broker stress-scenario analog (reference's Cassini harness):
         # throughput + batch classes, loss/dup/integrity accounting
@@ -310,6 +338,9 @@ def main() -> None:
         ("dedup_exact", _dedup, REPS),
         ("knn_cosine_top3", _knn, REPS),
         ("ann_recall", _ann_recall, 1),
+        ("msf_copart", _msf, min(REPS, 2)),
+        ("seq_packing", _packing, min(REPS, 2)),
+        ("cm_heavy_hitters", _cm_sketch, min(REPS, 2)),
         ("stream_scenarios", _stream_scenarios, 1),
     ]
 
