@@ -3281,3 +3281,55 @@ def _coloring_sql(rounds: int, seed: int) -> str:
 
 ORACLES.update({"coloring_top3": _coloring_sql(40, 11)})
 QUERIES.update({"coloring_top3": q_coloring_top3})
+
+
+def q_degree_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph snapshot diff: per-supplier demand in-degree
+    (distinct customers) in the early window (< 1998) vs the late
+    window, and the delta — two snapshots in ONE pass via conditional
+    aggregates (no second scan, no join, one shuffle)."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        j.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("o_orderdate") < cut, F.col("o_custkey"))
+            ).alias("deg_early"),
+            F.count_distinct(
+                F.when(F.col("o_orderdate") >= cut, F.col("o_custkey"))
+            ).alias("deg_late"),
+        )
+        .select(
+            "s_suppkey",
+            F.col("deg_early").cast("long"),
+            F.col("deg_late").cast("long"),
+            (F.col("deg_late") - F.col("deg_early")).cast("long").alias("delta"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLES.update(
+    {
+        "degree_delta": """
+        SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+               CAST(COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                                        THEN o_custkey END) AS BIGINT) AS deg_early,
+               CAST(COUNT(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                                        THEN o_custkey END) AS BIGINT) AS deg_late,
+               CAST(COUNT(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                                        THEN o_custkey END)
+                    - COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                                          THEN o_custkey END) AS BIGINT) AS delta
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey
+        ORDER BY s_suppkey
+    """
+    }
+)
+QUERIES.update({"degree_delta": q_degree_delta})
