@@ -3333,3 +3333,60 @@ ORACLES.update(
     }
 )
 QUERIES.update({"degree_delta": q_degree_delta})
+
+
+def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation filter in one pass: keep documents
+    that clear the quality gate (composite >= 0.5), the length gate
+    (8..10000 tokens), and exact dedup (smallest doc_id per identical
+    text wins).  Quality/length are pure map expressions over the scan;
+    the dedup keeper is a single md5 groupBy broadcast back — the
+    curation pipeline's shippable shape."""
+    from polar_spark.operators.text import quality_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_scores(docs)
+    keepers = docs.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    return (
+        q.withColumn("h", F.md5(F.col("text")))
+        .join(F.broadcast(keepers), "h")
+        .where(
+            (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("quality") >= 0.5)
+            & F.col("n_tokens").between(8, 10000)
+        )
+        .select("doc_id", "n_tokens", F.round("quality", 6).alias("quality_r"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES.update(
+    {
+        "curation_pass": r"""
+        WITH t AS (
+          SELECT doc_id, md5(text) AS h,
+                 CAST(len(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS BIGINT) AS n_tokens,
+                 CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1) AS digit_ratio,
+                 CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                      x -> x IN ('the','and','of','to','in','is','that','for','with','a'))) AS DOUBLE)
+                   / GREATEST(len(regexp_split_to_array(TRIM(LOWER(text)), '\s+')), 1) AS stopword_ratio
+          FROM documents),
+        s AS (
+          SELECT doc_id, h, n_tokens,
+                 0.4 * LEAST(n_tokens / 64.0, 1.0)
+                 + 0.3 * LEAST(stopword_ratio * 5, 1.0)
+                 + 0.3 * (1.0 - LEAST(digit_ratio * 10, 1.0)) AS quality
+          FROM t),
+        k AS (SELECT h, MIN(doc_id) AS keep_id FROM s GROUP BY h)
+        SELECT s.doc_id, s.n_tokens, ROUND(s.quality, 6) AS quality_r
+        FROM s JOIN k ON s.h = k.h
+        WHERE s.doc_id = k.keep_id AND s.quality >= 0.5
+              AND s.n_tokens BETWEEN 8 AND 10000
+        ORDER BY s.doc_id
+    """
+    }
+)
+QUERIES.update({"curation_pass": q_curation_pass})
