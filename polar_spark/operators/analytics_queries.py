@@ -3390,3 +3390,64 @@ ORACLES.update(
     }
 )
 QUERIES.update({"curation_pass": q_curation_pass})
+
+
+def q_sssp_multi4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-landmark weighted shortest paths (the weighted analog of
+    bfs_per_source; landmark-distance input for weighted harmonic /
+    closeness): distances kept separately for the 4 smallest vertices
+    of the weighted undirected demand graph."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    dw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_custkey") != F.col("l_suppkey"))
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    und = (
+        dw.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"), "w")
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    e = und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    srcs = [r[0] for r in e.select("src").distinct().orderBy("src").limit(4).collect()]
+    d, _ = pregel.sssp_per_source(e, srcs)
+    return d.select("source", "id", "dist").orderBy("source", "id")
+
+
+def _sssp_multi_sql(rounds: int, n_sources: int) -> str:
+    parts = [
+        "dw AS MATERIALIZED (SELECT o_custkey AS src, l_suppkey AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey GROUP BY 1, 2)",
+        "und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "CAST(SUM(w) AS BIGINT) AS w FROM dw GROUP BY 1, 2)",
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM und "
+        "UNION ALL SELECT b, a, w FROM und)",
+        f"srcs AS (SELECT DISTINCT src AS s FROM e ORDER BY s LIMIT {n_sources})",
+        "d0 AS (SELECT s AS source, s AS id, CAST(0 AS BIGINT) AS dist FROM srcs)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT source, id, MIN(dist) AS dist FROM ("
+            f"SELECT source, id, dist FROM d{i} "
+            f"UNION ALL "
+            f"SELECT d.source, e.dst AS id, d.dist + e.w FROM d{i} d JOIN e ON e.src = d.id"
+            f") t GROUP BY source, id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(source AS BIGINT) AS source, CAST(id AS BIGINT) AS id,
+               CAST(dist AS BIGINT) AS dist
+        FROM d{rounds} ORDER BY source, id"""
+    )
+
+
+ORACLES.update({"sssp_multi4": _sssp_multi_sql(8, 4)})
+QUERIES.update({"sssp_multi4": q_sssp_multi4})

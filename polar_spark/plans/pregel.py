@@ -1669,6 +1669,83 @@ def sssp(
         return dist.select(F.col("id").cast("long"), F.col("dist").cast("long")), stats
 
 
+def sssp_per_source(
+    edges: DataFrame,
+    sources: list[int],
+    max_iter: int = 200,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Weighted shortest paths kept SEPARATELY per source (the weighted
+    analog of :func:`bfs_per_source`, the landmark-distance input for
+    weighted harmonic/closeness estimates): state is keyed
+    ``(source, id)``, each round relaxes only edges out of pairs whose
+    distance improved (frontier-scoped Bellman-Ford), converging when
+    no pair improves.  Non-negative integer weights — the per-pair
+    distances are cross-engine exact for the unrolled SQL oracle.
+    Returns ``(source, id, dist)`` for reached pairs."""
+    spark = edges.sparkSession
+    e0 = (
+        edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("long")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    m0 = e0.count()
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e0.unpersist()
+        stats = IterationStats(algorithm="sssp_per_source", edges=m0)
+        dist = spark.createDataFrame(
+            [(int(s), int(s), 0) for s in sources], "source long, id long, dist long"
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            cand = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+            )
+            merged = (
+                dist.join(cand, ["source", "id"], "full")
+                .select(
+                    "source",
+                    "id",
+                    F.least(
+                        F.coalesce(F.col("dist"), F.col("nd")),
+                        F.coalesce(F.col("nd"), F.col("dist")),
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.coalesce(F.col("nd"), F.col("dist")) < F.col("dist"))
+                    ).alias("_imp"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            improved = int(
+                merged.agg(F.sum(F.col("_imp").cast("long"))).collect()[0][0] or 0
+            )
+            frontier = merged.where(F.col("_imp")).select("source", "id", "dist")
+            dist = merged.select("source", "id", "dist")
+            stats.iterations = it
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(improved))
+            if improved == 0:
+                stats.converged = True
+                break
+        return (
+            dist.select(
+                F.col("source").cast("long"), F.col("id").cast("long"),
+                F.col("dist").cast("long"),
+            ),
+            stats,
+        )
+
+
 def maximal_independent_set(
     edges: DataFrame,
     seed: int = 11,

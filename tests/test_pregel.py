@@ -764,3 +764,18 @@ def test_coloring_empty_and_too_dense_raises(spark):
     )
     with pytest.raises(RuntimeError, match="max_rounds"):
         pregel.greedy_coloring(clique, max_rounds=3)
+
+
+def test_sssp_per_source_matches_single_source(spark):
+    rows = [(0, 1, 2), (1, 2, 2), (0, 2, 5), (2, 3, 1), (3, 4, 7), (1, 4, 20), (5, 6, 1)]
+    sym = rows + [(d, s, w) for s, d, w in rows]
+    wdf = spark.createDataFrame(sym, "src long, dst long, w long")
+    multi, st = pregel.sssp_per_source(wdf, [0, 5])
+    assert st.converged
+    got = {(r["source"], r["id"]): r["dist"] for r in multi.collect()}
+    for s in (0, 5):
+        single, _ = pregel.sssp(wdf, [s])
+        want = {r["id"]: r["dist"] for r in single.collect()}
+        assert {i: d for (src, i), d in got.items() if src == s} == want
+    assert got[(0, 4)] == 12      # 0-1-2-3-4 beats the 1-4 shortcut
+    assert (0, 6) not in got      # other component unreached
