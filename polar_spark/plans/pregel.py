@@ -34,6 +34,7 @@ Scale design (100 TB / 10^9+ vertices):
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -2042,10 +2043,15 @@ def minimum_spanning_forest(
                 break
             msf = (
                 msf.unionByName(sel.select("m.u", "m.v", "m.w").distinct())
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # materializes with comp below
             )
             # selection arcs ca → cb; mutual minimum pairs are the only
-            # cycles — root them at the smaller label, then double
+            # cycles — root them at the smaller label, then double.
+            # Doubling reaches every root in ceil(log2(chain)) steps, so
+            # run EXACTLY that many lazily-chained hops with no per-step
+            # convergence action (extra hops past the root are no-ops:
+            # p(root) = root) — the whole contraction costs zero extra
+            # jobs beyond the one comp materialization.
             arcs = sel.select("ca", F.col("m.cb").alias("nb"))
             rev = arcs.select(F.col("ca").alias("nb"), F.col("nb").alias("_back"))
             p = (
@@ -2059,20 +2065,20 @@ def minimum_spanning_forest(
                     .otherwise(F.col("nb"))
                     .alias("p"),
                 )
-                .dropDuplicates(["id"])
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            while True:
-                hop = p.select(F.col("id").alias("p"), F.col("p").alias("pp"))
-                p2 = (
-                    p.join(hop, "p")
-                    .select("id", F.col("pp").alias("p"), (F.col("p") != F.col("pp")).alias("_chg"))
-                    .localCheckpoint(eager=False)
-                )
-                moved = int(p2.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0] or 0)
-                p = p2.select("id", "p")
-                if moved == 0:
-                    break
+            # each hop is a SELF-join (p appears twice), so a fully lazy
+            # chain doubles the plan per hop — materialize every 4 hops
+            # (bounded 16x plan) instead of per hop or never
+            hops_needed = max(1, math.ceil(math.log2(max(active, 2))))
+            done_h = 0
+            while done_h < hops_needed:
+                k = min(4, hops_needed - done_h)
+                for _ in range(k):
+                    hop = p.select(F.col("id").alias("p"), F.col("p").alias("pp"))
+                    p = p.join(hop, "p").select("id", F.col("pp").alias("p"))
+                p = p.localCheckpoint(eager=True)
+                done_h += k
             comp = (
                 comp.join(p.withColumnRenamed("id", "comp"), "comp", "left")
                 .select("id", F.coalesce(F.col("p"), F.col("comp")).alias("comp"))
