@@ -3451,3 +3451,208 @@ def _sssp_multi_sql(rounds: int, n_sources: int) -> str:
 
 ORACLES.update({"sssp_multi4": _sssp_multi_sql(8, 4)})
 QUERIES.update({"sssp_multi4": q_sssp_multi4})
+
+
+def q_katz4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (4 truncated iterations, α=0.05, β=1) on the
+    directed customer→supplier demand graph — walk-counting centrality
+    without out-degree normalization."""
+    ranks = pregel.katz(demand_edges(spark, sf_dir), alpha=0.05, beta=1.0, n_iter=4)
+    # normalized to a share (Σ = 1): raw Katz grows with graph size, so
+    # a fixed decimal rounding would not stay safely coarser than float
+    # summation noise across scale factors; the share is O(1/n) like the
+    # rank queries, where 7 dp is the established safe margin
+    total = ranks.agg(F.sum("katz").alias("_t"))
+    return (
+        ranks.crossJoin(F.broadcast(total))
+        .select("id", F.round(F.col("katz") / F.col("_t"), 7).alias("katz_r"))
+        .orderBy("id")
+    )
+
+
+_KATZ_ITER = """
+x{K} AS MATERIALIZED (
+  SELECT v.id, 1.0::DOUBLE + 0.05::DOUBLE * COALESCE(s.s, 0::DOUBLE) AS x
+  FROM verts v
+  LEFT JOIN (SELECT e.dst AS id, SUM(p.x) AS s
+             FROM e JOIN x{KM1} p ON p.id = e.src GROUP BY e.dst) s
+  ON s.id = v.id
+)"""
+
+
+def _katz_sql(n_iter: int = 4) -> str:
+    iters = "".join("," + _KATZ_ITER.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH e AS MATERIALIZED (SELECT src, dst FROM (
+       SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+     WHERE src != dst),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+x0 AS (SELECT id, 1.0::DOUBLE AS x FROM verts)
+{iters}
+SELECT CAST(id AS BIGINT) AS id,
+       ROUND(x / (SELECT SUM(x) FROM x{n_iter}), 7) AS katz_r
+FROM x{n_iter} ORDER BY id
+"""
+
+
+ORACLES.update({"katz4": _katz_sql(4)})
+QUERIES.update({"katz4": q_katz4})
+
+
+_BLOOM_CUT = 480000
+_BLOOM_WORDS = 32
+_BLOOM_K = 3
+_BLOOM_SEED = 5
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning: build the filter over the
+    custkeys of high-value orders (bounded word table, one bit_or agg),
+    broadcast the masks as a literal array, and prune `customer` in a
+    pure map stage — the survivors (true members AND the filter's false
+    positives) with an exact-membership flag.  Cross-engine equality of
+    the candidate set proves the filter arithmetic is replayed
+    bit-for-bit by an independent engine."""
+    from polar_spark.operators.sketches import bloom_build, bloom_masks, bloom_member
+
+    orders = load_table(spark, "orders", sf_dir)
+    members = (
+        orders.where(F.col("o_totalprice") > _BLOOM_CUT)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    words = bloom_build(members, "key", _BLOOM_WORDS, _BLOOM_K, _BLOOM_SEED)
+    masks = bloom_masks(words, _BLOOM_WORDS)
+    cust = load_table(spark, "customer", sf_dir)
+    pruned = cust.where(
+        bloom_member(F.col("c_custkey"), masks, _BLOOM_K, _BLOOM_SEED)
+    ).select(F.col("c_custkey").cast("long"))
+    return (
+        pruned.join(
+            F.broadcast(members.select(F.col("key").alias("c_custkey"), F.lit(True).alias("_m"))),
+            "c_custkey",
+            "left",
+        )
+        .select("c_custkey", F.coalesce(F.col("_m"), F.lit(False)).alias("actual"))
+        .orderBy("c_custkey")
+    )
+
+
+def _bloom_sql() -> str:
+    bits = _BLOOM_WORDS * 62
+    hash_cte = (
+        "SELECT key, i, "
+        f"xor(x1, x1 >> 17) % {bits} AS idx FROM ("
+        "SELECT key, i, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM ("
+        f"SELECT key, i, (key * 2654435761 + i * 1000003 + {_BLOOM_SEED}) % 2147483648 AS x0 "
+        "FROM {src} CROSS JOIN js))"
+    )
+    return f"""
+WITH members AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > {_BLOOM_CUT}),
+js AS (SELECT UNNEST(range({_BLOOM_K})) AS i),
+baddr AS ({hash_cte.format(src='members')}),
+words AS MATERIALIZED (
+  SELECT idx // 62 AS word, bit_or(CAST(1 AS BIGINT) << CAST(idx % 62 AS INT)) AS mask
+  FROM baddr GROUP BY 1),
+probe AS (SELECT c_custkey AS key FROM customer),
+paddr AS ({hash_cte.format(src='probe')}),
+checks AS (
+  SELECT p.key,
+         SUM(CASE WHEN ((COALESCE(w.mask, 0) >> CAST(p.idx % 62 AS INT)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS ok
+  FROM paddr p LEFT JOIN words w ON w.word = p.idx // 62
+  GROUP BY p.key)
+SELECT CAST(c.key AS BIGINT) AS c_custkey,
+       (m.key IS NOT NULL) AS actual
+FROM checks c LEFT JOIN members m ON m.key = c.key
+WHERE c.ok = {_BLOOM_K}
+ORDER BY c_custkey
+"""
+
+
+ORACLES.update({"bloom_prune": _bloom_sql()})
+QUERIES.update({"bloom_prune": q_bloom_prune})
+
+
+def q_dup_spans8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-token spans (substring-dedup
+    candidates): span-hash rows occurring in ≥2 distinct documents."""
+    from polar_spark.operators.text import dup_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = dup_spans(docs, "text", "doc_id", k=8)
+    return out.select(
+        "h", F.col("n_docs").cast("long"), F.col("n_occ").cast("long")
+    ).orderBy("h")
+
+
+def _dup_spans_sql(k: int = 8) -> str:
+    from polar_spark.operators.dedup import _polyhash_sql
+
+    # the span string is materialized as a plain column FIRST —
+    # _polyhash_sql's internal lambda variable is `i`, so inlining an
+    # expression that itself references an outer `i` would be shadowed
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+spans AS (SELECT doc_id, array_to_string(t[p:p+{k - 1}], ' ') AS sp
+          FROM toks, unnest(range(1, greatest(len(t) - {k} + 2, 1))) AS u(p)),
+w AS (SELECT doc_id, {_polyhash_sql("sp")} AS h FROM spans),
+g AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ FROM w GROUP BY h)
+SELECT h, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
+FROM g WHERE n_docs >= 2 ORDER BY h
+"""
+
+
+ORACLES.update({"dup_spans8": _dup_spans_sql(8)})
+QUERIES.update({"dup_spans8": q_dup_spans8})
+
+
+def q_fm_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier FM-sketch distinct-part estimate next to the exact
+    count — the bounded-memory (8 longs/group) substitute for exact
+    COUNT(DISTINCT) at stream scale, deterministic registers replayed
+    by the oracle."""
+    from polar_spark.operators.sketches import fm_distinct
+
+    li = load_table(spark, "lineitem", sf_dir)
+    est = fm_distinct(li, "l_suppkey", "l_partkey", replicas=8, seed=1)
+    exact = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact")
+    )
+    return (
+        est.join(exact, "l_suppkey")
+        .select(
+            F.col("l_suppkey").cast("long"),
+            F.round("est", 6).alias("est_r"),
+            "exact",
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def _fm_distinct_sql(replicas: int = 8, seed: int = 1) -> str:
+    return f"""
+WITH js AS (SELECT UNNEST(range({replicas})) AS j),
+m AS (SELECT l_suppkey, l_partkey AS key, j,
+        (l_partkey * 2654435761 + j * 97 + {seed}) % 2147483648 AS x0
+      FROM lineitem CROSS JOIN js),
+m1 AS (SELECT l_suppkey, key, j, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM m),
+m2 AS (SELECT l_suppkey, key, j, xor(x1, x1 >> 17) AS h FROM m1),
+regs AS (SELECT l_suppkey, j,
+           bit_or(CAST(1 AS BIGINT) << LEAST(bit_count((h & -h) - 1), 62)) AS reg
+         FROM m2 GROUP BY l_suppkey, j),
+est AS (SELECT l_suppkey,
+          POW(2.0, AVG(CAST(bit_count((((~reg) & (reg + 1)) - 1)) AS DOUBLE))) / 0.77351 AS est
+        FROM regs GROUP BY l_suppkey),
+exact AS (SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact
+          FROM lineitem GROUP BY l_suppkey)
+SELECT CAST(e.l_suppkey AS BIGINT) AS l_suppkey, ROUND(e.est, 6) AS est_r, x.exact
+FROM est e JOIN exact x ON x.l_suppkey = e.l_suppkey
+ORDER BY l_suppkey
+"""
+
+
+ORACLES.update({"fm_distinct_parts": _fm_distinct_sql(8, 1)})
+QUERIES.update({"fm_distinct_parts": q_fm_distinct_parts})

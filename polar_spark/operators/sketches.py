@@ -138,3 +138,149 @@ def skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
             F.expr(f"CAST((n * 1000000) DIV {total} AS BIGINT)").alias("share_ppm"),
         )
     )
+
+# --------------------------------------------------------------------------
+# Bloom-filter runtime join pruning
+
+
+def _bloom_word_bit(key: Column, i: int, num_words: int, seed: int) -> tuple[Column, Column]:
+    """(word, bit) address of hash ``i`` for ``key`` — the same
+    xorshift-multiply mix as the count-min family (SQL-replayable,
+    every intermediate < 2^62).  62 usable bits per int64 word keeps
+    ``1 << bit`` strictly positive in engines that error on the sign
+    bit."""
+    h = _cm_col(key, i, num_words * 62, seed)
+    return (h / F.lit(62)).cast("long"), h % F.lit(62)
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_words: int = 64,
+    k: int = 3,
+    seed: int = 5,
+) -> DataFrame:
+    """Builds a Bloom filter over ``df[key_col]`` as a bounded word
+    table ``(word, mask)`` — at most ``num_words`` rows regardless of
+    input size: each key sets ``k`` bits, words OR-merge via one
+    map-side-combinable ``bit_or`` aggregation.  Filters from different
+    shards/batches merge by OR-ing masks (same property as cm_merge).
+
+    This is the runtime-filter side of a 100-TB semi-join: build on the
+    small/filtered side, broadcast ``num_words`` longs, and prune the
+    big probe side in a pure map stage BEFORE its shuffle — the shape
+    Spark's own InjectRuntimeFilter picks when statistics allow, made
+    explicit and deterministic here (reference analog: Polar narrows
+    graph scans by key set before traversal, src/agents/graph queries)."""
+    key = F.col(key_col).cast("long")
+    cells = []
+    for i in range(k):
+        w, b = _bloom_word_bit(key, i, num_words, seed)
+        cells.append(F.struct(w.alias("word"), b.alias("bit")))
+    return (
+        df.select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.word").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), c.bit))").alias("mask"))
+    )
+
+
+def bloom_masks(words: DataFrame, num_words: int) -> list[int]:
+    """Collects the word table into a dense python mask list (bounded:
+    ``num_words`` longs — this is the broadcast)."""
+    present = {r["word"]: r["mask"] for r in words.collect()}
+    return [int(present.get(w, 0)) for w in range(num_words)]
+
+
+def bloom_member(
+    key: Column, masks: list[int], k: int = 3, seed: int = 5
+) -> Column:
+    """Membership predicate against a collected mask list — a pure
+    JVM expression (array literal + shifts), zero shuffle, zero Python:
+    the probe side of the runtime filter.  False positives possible
+    (rate ≈ (1-e^{-kn/m})^k), false negatives impossible."""
+    num_words = len(masks)
+    arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    key = key.cast("long")
+    cond = F.lit(True)
+    for i in range(k):
+        w, b = _bloom_word_bit(key, i, num_words, seed)
+        word_mask = F.element_at(arr, (w + F.lit(1)).cast("int"))
+        bit_set = F.call_function(
+            "shiftright", word_mask, b.cast("int")
+        ).bitwiseAND(F.lit(1)) == F.lit(1)
+        cond = cond & bit_set
+    return cond
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    num_words: int = 64,
+    k: int = 3,
+    seed: int = 5,
+) -> DataFrame:
+    """Bloom-pruned semi-join: probe rows surviving the broadcast mask
+    filter (pure map stage — only the survivors ever reach the exact
+    join's shuffle), then the exact left-semi join removes the false
+    positives.  At 100 TB the map-stage prune is what keeps a selective
+    semi-join from shuffling the full fact table."""
+    words = bloom_build(build, build_key, num_words, k, seed)
+    masks = bloom_masks(words, num_words)
+    pruned = probe.where(bloom_member(F.col(probe_key), masks, k, seed))
+    return pruned.join(
+        F.broadcast(build.select(F.col(build_key).alias(probe_key)).distinct()),
+        probe_key,
+        "left_semi",
+    )
+
+
+# --------------------------------------------------------------------------
+# Flajolet-Martin per-group distinct-count estimation
+
+
+def fm_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    replicas: int = 8,
+    seed: int = 1,
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT key): Flajolet-Martin bit
+    registers (the same deterministic register family `pregel.anf`
+    OR-merges along edges, applied to plain aggregation).  Each
+    (group, key, replica) contributes ``1 << ρ(h(key, j))``; registers
+    OR-merge in ONE map-side-combinable ``bit_or`` aggregation, so the
+    per-group state is ``replicas`` longs — the bounded-memory
+    substitute for an exact count-distinct shuffle of every key at
+    100 TB (exact needs the full key set per group; this needs
+    8 longs).  Estimate = 2^(mean_j ρ₀)/0.77351 with ρ₀ the lowest
+    unset register bit.  Deterministic hash ⇒ a SQL oracle replays the
+    registers and estimates bit-for-bit.  Returns (group, est)."""
+    g = F.col(group_col)
+    key = F.col(key_col).cast("long")
+    regs = []
+    for j in range(replicas):
+        x0 = (key * F.lit(2654435761) + F.lit(j * 97 + seed)) % F.lit(2**31)
+        x1 = (x0.bitwiseXOR(F.shiftright(x0, 13)) * F.lit(1274126177)) % F.lit(2**31)
+        h = x1.bitwiseXOR(F.shiftright(x1, 17))
+        rho = F.least(F.bit_count((h.bitwiseAND(-h)) - F.lit(1)), F.lit(62))
+        regs.append(
+            F.call_function("shiftleft", F.lit(1).cast("long"), rho.cast("int"))
+        )
+    agg = df.groupBy(g.alias(group_col)).agg(
+        *[F.bit_or(regs[j]).alias(f"r{j}") for j in range(replicas)]
+    )
+    rho0 = [
+        F.bit_count(
+            (F.bitwise_not(F.col(f"r{j}")).bitwiseAND(F.col(f"r{j}") + F.lit(1)))
+            - F.lit(1)
+        ).cast("double")
+        for j in range(replicas)
+    ]
+    mean_rho0 = sum(rho0[1:], rho0[0]) / F.lit(float(replicas))
+    return agg.select(
+        group_col,
+        (F.pow(F.lit(2.0), mean_rho0) / F.lit(0.77351)).alias("est"),
+    )

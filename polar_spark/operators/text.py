@@ -261,3 +261,54 @@ def contamination_overlap(
         ),
         (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated k-token spans — the n-gram-hash form
+    of substring-level training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): suffix
+    arrays find verbatim repeats at any offset; at cluster scale the
+    standard substitute is hashing every k-token sliding window and
+    grouping.  Linear in total tokens (one explode, ~tokens rows/doc),
+    ONE groupBy with map-side partial aggregation, zero Python — the
+    span hash is the repo's SQL-replayable polynomial char hash, so the
+    DuckDB oracle recomputes every window hash bit-for-bit.
+
+    Returns one row per duplicated span hash:
+    ``(h, n_docs, n_occ)`` with ``n_docs ≥ 2`` (distinct documents
+    containing the span).  A scrub pass semi-joins windows back on
+    ``h`` to locate (doc, pos) cut points."""
+    from polar_spark.operators.dedup import polyhash
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+    )
+    n_win = F.size("_t") - F.lit(k - 1)
+    spans = toks.select(
+        "_id",
+        F.explode(
+            F.when(
+                n_win >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: polyhash(
+                        F.concat_ws(" ", F.slice(F.col("_t"), i, F.lit(k)))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("h"),
+    )
+    return (
+        spans.groupBy("h")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -621,6 +621,48 @@ def pagerank_fixed(
     return ranks
 
 
+def katz(
+    edges: DataFrame,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Katz centrality, fixed-iteration truncation of
+    x = Σ_k αᵏ(Aᵀ)ᵏ·β1: x_{t+1}(v) = β + α·Σ_{u→v} x_t(u) from the
+    all-β start — the walk-counting centrality that, unlike PageRank,
+    does not normalize by out-degree, so prolific dependers amplify
+    rather than dilute (the "how reachable is this repo along short
+    dependency chains" ranking on the DEPENDS_ON graph; reference
+    centrality queries live in Polar's graph query surface,
+    src/agents/graph/*).  Each round is one join-aggregate over the raw
+    edge table (no per-edge weight join needed — partial aggregation
+    map-side, one shuffle per round); rounds chain lazily and the
+    arithmetic is unrollable in ANSI SQL for the cross-engine oracle.
+    ``alpha`` must stay below 1/λ_max for the infinite series to
+    converge; truncated fixed iterations are well-defined for any α.
+    Returns (id, katz)."""
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    verts = vertices_of(e).localCheckpoint(eager=True)
+    x = verts.select("id", F.lit(beta).alias("katz"))
+    for _ in range(n_iter):
+        sums = (
+            e.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("katz").alias("s"))
+        )
+        x = (
+            verts.join(sums, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(beta) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("katz"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return x.select(F.col("id").cast("long"), "katz")
+
+
 def personalized_pagerank_fixed(
     edges: DataFrame,
     sources: list[int],

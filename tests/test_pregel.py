@@ -779,3 +779,31 @@ def test_sssp_per_source_matches_single_source(spark):
         assert {i: d for (src, i), d in got.items() if src == s} == want
     assert got[(0, 4)] == 12      # 0-1-2-3-4 beats the 1-4 shortcut
     assert (0, 6) not in got      # other component unreached
+
+
+def test_katz_matches_python_reference(spark):
+    """Truncated Katz vs direct python recursion at 1e-12."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3), (5, 3), (4, 5)]
+    alpha, beta, n_iter = 0.05, 1.0, 6
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    x = {v: beta for v in nodes}
+    for _ in range(n_iter):
+        new = {v: beta for v in nodes}
+        for u, v in edges:
+            new[v] += alpha * x[u]
+        x = new
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["katz"] for r in pregel.katz(e, alpha, beta, n_iter).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - x[v]) < 1e-12, (v, got[v], x[v])
+
+
+def test_katz_unnormalized_ranks_hubs_by_indegree_walks(spark):
+    """Unlike PageRank, Katz does not dilute by out-degree: the vertex
+    every other vertex points at must dominate."""
+    e = spark.createDataFrame(
+        [(s, 0) for s in range(1, 8)] + [(1, 2)], "src long, dst long"
+    )
+    got = {r["id"]: r["katz"] for r in pregel.katz(e, 0.1, 1.0, 4).collect()}
+    assert got[0] == max(got.values())

@@ -77,3 +77,106 @@ def test_skew_report_matches_exact_counts(stream):
     total = stream.count()
     assert got[0]["n"] == 200
     assert got[0]["share_ppm"] == 200 * 1_000_000 // total
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter runtime join pruning
+
+
+def test_bloom_no_false_negatives(spark):
+    from polar_spark.operators.sketches import bloom_build, bloom_masks, bloom_member
+
+    members = spark.createDataFrame([(k * 7 + 3,) for k in range(200)], "key long")
+    masks = bloom_masks(bloom_build(members, "key", num_words=16, k=3, seed=5), 16)
+    # every true member must pass the filter
+    passed = members.where(bloom_member(F.col("key"), masks, k=3, seed=5)).count()
+    assert passed == 200
+
+
+def test_bloom_semi_join_equals_exact(spark):
+    from polar_spark.operators.sketches import bloom_semi_join
+
+    probe = spark.createDataFrame([(k,) for k in range(1000)], "key long")
+    build = spark.createDataFrame([(k * 13,) for k in range(40)], "bkey long")
+    got = sorted(r["key"] for r in bloom_semi_join(probe, build, "key", "bkey", 16, 3, 5).collect())
+    want = sorted(
+        r["key"]
+        for r in probe.join(
+            build.select(F.col("bkey").alias("key")).distinct(), "key", "left_semi"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_bloom_prune_is_map_stage(spark):
+    """The probe-side bloom filter is a pure map expression — no
+    shuffle, no Python eval — so at scale it prunes BEFORE the exact
+    join's exchange."""
+    from polar_spark.operators.sketches import bloom_build, bloom_masks, bloom_member
+
+    build = spark.createDataFrame([(k * 13,) for k in range(40)], "bkey long")
+    masks = bloom_masks(bloom_build(build, "bkey", 16, 3, 5), 16)
+    probe = spark.range(1000).select(F.col("id").alias("key"))
+    pruned = probe.where(bloom_member(F.col("key"), masks, 3, 5))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bloom_masks_merge_by_or(spark):
+    """Filters built on shards OR-merge to the whole-set filter — the
+    mergeability that makes the build side shard/stream-friendly."""
+    from polar_spark.operators.sketches import bloom_build, bloom_masks
+
+    whole = spark.createDataFrame([(k,) for k in range(100)], "key long")
+    a = whole.where(F.col("key") < 50)
+    b = whole.where(F.col("key") >= 50)
+    mw = bloom_masks(bloom_build(whole, "key", 16, 3, 5), 16)
+    ma = bloom_masks(bloom_build(a, "key", 16, 3, 5), 16)
+    mb = bloom_masks(bloom_build(b, "key", 16, 3, 5), 16)
+    assert [x | y for x, y in zip(ma, mb)] == mw
+
+
+# --------------------------------------------------------------------------
+# Flajolet-Martin per-group distinct estimation
+
+
+def test_fm_distinct_tracks_exact(spark):
+    from polar_spark.operators.sketches import fm_distinct
+
+    # group g has (g+1)*20 distinct keys, each duplicated 3x
+    rows = [
+        (g, k + g * 10_000)
+        for g in range(4)
+        for k in range((g + 1) * 20)
+        for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows, "g long, key long")
+    est = {r["g"]: r["est"] for r in fm_distinct(df, "g", "key", replicas=16, seed=1).collect()}
+    for g in range(4):
+        exact = (g + 1) * 20
+        # FM with 16 replicas: stddev ~ 1.1/sqrt(16) ≈ 28% — allow 2σ
+        assert exact * 0.4 <= est[g] <= exact * 2.5, (g, exact, est[g])
+
+
+def test_fm_distinct_ignores_duplicates(spark):
+    """Registers OR idempotently: duplicating every row must not move
+    the estimate at all (the property exact COUNT(DISTINCT) pays a full
+    key shuffle for)."""
+    from polar_spark.operators.sketches import fm_distinct
+
+    base = spark.createDataFrame([(0, k) for k in range(100)], "g long, key long")
+    doubled = base.unionByName(base).unionByName(base)
+    e1 = fm_distinct(base, "g", "key").collect()[0]["est"]
+    e2 = fm_distinct(doubled, "g", "key").collect()[0]["est"]
+    assert e1 == e2
+
+
+def test_fm_distinct_is_single_aggregation(spark):
+    from polar_spark.operators.sketches import fm_distinct
+
+    df = spark.createDataFrame([(0, k) for k in range(100)], "g long, key long")
+    plan = fm_distinct(df, "g", "key")._jdf.queryExecution().executedPlan().toString()
+    # one hash-aggregate pair (partial + final) over ONE exchange
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan

@@ -239,3 +239,41 @@ def test_contamination_broadcasts_bench(spark):
     bench = spark.createDataFrame([("a b c d e",)], "g string")
     plan = text.contamination_overlap(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dup_spans_finds_planted_span(spark):
+    from polar_spark.operators.text import dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    rows = [
+        (0, f"one two three {shared} four five"),
+        (1, f"{shared} six seven eight nine ten eleven"),
+        (2, "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+        (3, "short doc"),  # fewer than k tokens → zero windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dup_spans(df, "text", "doc_id", k=8).collect()
+    # exactly one duplicated 8-token span (the planted one), seen once
+    # in each of two documents
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2 and got[0]["n_occ"] == 2
+
+
+def test_dup_spans_counts_within_doc_repeats(spark):
+    from polar_spark.operators.text import dup_spans
+
+    span = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(0, f"{span} x {span}"), (1, f"y {span} z")], "doc_id long, text string"
+    )
+    got = {r["h"]: (r["n_docs"], r["n_occ"]) for r in dup_spans(df, "text", "doc_id", k=8).collect()}
+    # the planted span occurs twice in doc 0 and once in doc 1
+    assert (2, 3) in got.values()
+
+
+def test_dup_spans_stays_jvm(spark):
+    from polar_spark.operators.text import dup_spans
+
+    df = spark.createDataFrame([(0, "a b c d e f g h i")], "doc_id long, text string")
+    plan = dup_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
