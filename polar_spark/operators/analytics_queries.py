@@ -3656,3 +3656,157 @@ ORDER BY l_suppkey
 
 ORACLES.update({"fm_distinct_parts": _fm_distinct_sql(8, 1)})
 QUERIES.update({"fm_distinct_parts": q_fm_distinct_parts})
+
+
+def q_node_similarity3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard node similarity, top-3 per vertex, on the
+    sparse co-order graph (wedge enumeration — the triangle-count plan
+    shape, no all-pairs join)."""
+    e = coorder_edges(spark, sf_dir)
+    sims = pregel.node_similarity(e, k=3)
+    return sims.select(
+        "id", "other", F.round("sim", 6).alias("sim_r"), "rnk"
+    ).orderBy("id", "rnk")
+
+
+def _node_similarity_sql(k: int = 3) -> str:
+    return f"""
+WITH {_COORDER_SQL}, {_SYM_SQL},
+inter AS (SELECT x.dst AS a, y.dst AS b, COUNT(*) AS inter
+          FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+          GROUP BY 1, 2),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+pairs AS (SELECT i.a, i.b,
+            i.inter / CAST(da.deg + db.deg - i.inter AS DOUBLE) AS sim
+          FROM inter i JOIN deg da ON da.id = i.a JOIN deg db ON db.id = i.b),
+dirs AS (SELECT a AS id, b AS other, sim FROM pairs
+         UNION ALL SELECT b, a, sim FROM pairs),
+ranked AS (SELECT id, other, sim,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, other ASC) AS rnk
+           FROM dirs)
+SELECT CAST(id AS BIGINT) AS id, CAST(other AS BIGINT) AS other,
+       ROUND(sim, 6) AS sim_r, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {k} ORDER BY id, rnk
+"""
+
+
+ORACLES.update({"node_similarity3": _node_similarity_sql(3)})
+QUERIES.update({"node_similarity3": q_node_similarity3})
+
+
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality scores per document (CCNet-style
+    perplexity filter with the corpus as its own LM)."""
+    from polar_spark.operators.text import unigram_logprob
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = unigram_logprob(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_tokens", F.round("logppl", 6).alias("logppl_r")
+    ).orderBy("doc_id")
+
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(lower(text)), ' ')) AS w FROM documents),
+dw AS (SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY doc_id, w),
+freq AS (SELECT w, SUM(cnt) AS c FROM dw GROUP BY w),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM dw)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       ROUND(SUM(cnt * -log2(c / (SELECT t FROM tot))) / SUM(cnt), 6) AS logppl_r
+FROM dw JOIN freq USING (w) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLES.update({"unigram_ppl": _UNIGRAM_SQL})
+QUERIES.update({"unigram_ppl": q_unigram_ppl})
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority p50/p90/p99 of order value from the log₂-histogram
+    sketch (≤63 counters/group of state — the mergeable bounded-memory
+    quantile path; `order_percentiles` is the exact counterpart)."""
+    from polar_spark.operators.sketches import log_hist_quantiles
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", F.floor("o_totalprice").cast("long").alias("v")
+    )
+    out = log_hist_quantiles(orders, "v", "o_orderpriority", [0.5, 0.9, 0.99])
+    return out.select("o_orderpriority", "q", "est").orderBy("o_orderpriority", "q")
+
+
+_HIST_Q_SQL = """
+WITH hist AS (
+  SELECT o_orderpriority AS g,
+         length(bin(greatest(CAST(FLOOR(o_totalprice) AS BIGINT), 1))) - 1 AS bucket,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2),
+cum AS (
+  SELECT g, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS tot
+  FROM hist),
+qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+picked AS (
+  SELECT g, q, MIN(bucket) AS bucket
+  FROM cum CROSS JOIN qs WHERE cum >= CEIL(q * tot) GROUP BY g, q)
+SELECT g AS o_orderpriority, CAST(q AS DOUBLE) AS q,
+       1.5 * POW(2.0, CAST(bucket AS DOUBLE)) AS est
+FROM picked ORDER BY o_orderpriority, q
+"""
+
+
+ORACLES.update({"hist_quantiles": _HIST_Q_SQL})
+QUERIES.update({"hist_quantiles": q_hist_quantiles})
+
+
+def q_closeness_w4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted closeness centrality of the 4 landmark vertices from
+    their truncated (8-round) per-source shortest-path distances:
+    closeness = (reach−1)/Σdist over the reached set — the composition
+    of `sssp_per_source` the harmonic/eccentricity queries model for
+    BFS, on the weighted demand graph."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    dw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_custkey") != F.col("l_suppkey"))
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    und = (
+        dw.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"), "w")
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    e = und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    srcs = [r[0] for r in e.select("src").distinct().orderBy("src").limit(4).collect()]
+    d, _ = pregel.sssp_per_source(e, srcs)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("reach"),
+            F.round(
+                (F.count("*") - F.lit(1)) / F.sum("dist").cast("double"), 7
+            ).alias("closeness_r"),
+        )
+        .where(F.col("reach") > 1)
+        .select(F.col("source").cast("long"), "reach", "closeness_r")
+        .orderBy("source")
+    )
+
+
+def _closeness_sql(rounds: int, n_sources: int) -> str:
+    inner = _sssp_multi_sql(rounds, n_sources)
+    return f"""
+SELECT CAST(source AS BIGINT) AS source, CAST(COUNT(*) AS BIGINT) AS reach,
+       ROUND((COUNT(*) - 1) / CAST(SUM(dist) AS DOUBLE), 7) AS closeness_r
+FROM ({inner}) t
+GROUP BY source HAVING COUNT(*) > 1 ORDER BY source
+"""
+
+
+ORACLES.update({"closeness_w4": _closeness_sql(8, 4)})
+QUERIES.update({"closeness_w4": q_closeness_w4})

@@ -284,3 +284,63 @@ def fm_distinct(
         group_col,
         (F.pow(F.lit(2.0), mean_rho0) / F.lit(0.77351)).alias("est"),
     )
+
+
+# --------------------------------------------------------------------------
+# log2-histogram quantile sketch
+
+
+def log2_bucket(value: Column) -> Column:
+    """⌊log₂ v⌋ for v ≥ 1 via the binary-string length — pure integer
+    arithmetic (no float log at power-of-two boundaries), identical in
+    Spark and DuckDB (`length(bin(v)) - 1`).  Values < 1 clamp to
+    bucket 0."""
+    return (F.length(F.bin(F.greatest(value.cast("long"), F.lit(1)))) - F.lit(1)).cast(
+        "long"
+    )
+
+
+def log_hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Approximate per-group quantiles from a log₂ histogram — the
+    mergeable bounded-state substitute for exact percentile sort at
+    stream/100-TB scale: per group the whole state is ≤ 63 bucket
+    counters (one map-side-combinable aggregation; histograms from
+    shards/batches merge by adding counters), relative error bounded by
+    the bucket width (estimate = arithmetic bucket midpoint 1.5·2^b,
+    true value ∈ [2^b, 2^{b+1})).  Exact counterpart on this repo:
+    the `order_percentiles` query (Spark `percentile`).  Returns
+    (group, q, est) — deterministic, SQL-replayable (rank = CEIL(q·N),
+    first bucket whose cumulative count reaches it)."""
+    from pyspark.sql.window import Window
+
+    hist = (
+        df.groupBy(
+            F.col(group_col).alias("g"),
+            log2_bucket(F.col(value_col)).alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("g").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("g").agg(F.sum("cnt").alias("tot"))
+    qrows = tot.select(
+        "g", "tot", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    picked = (
+        cum.join(qrows, "g")
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("tot")))
+        .groupBy(F.col("g").alias(group_col), "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return picked.select(
+        group_col,
+        "q",
+        (F.lit(1.5) * F.pow(F.lit(2.0), F.col("bucket").cast("double"))).alias("est"),
+    )

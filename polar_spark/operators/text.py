@@ -312,3 +312,42 @@ def dup_spans(
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-LM quality scoring, unigram form (the CCNet/Gopher
+    perplexity-filter posture with the corpus itself as the language
+    model): p(w) = corpus frequency of w, per-document score =
+    mean over tokens of −log₂ p(token), ``ppl = 2^score``.  Documents
+    full of rare tokens (noise, boilerplate IDs, non-language) score
+    high; plain prose scores low — the standard curation signal when a
+    trained LM is unavailable.
+
+    The token stream is collapsed to (doc, token, count) FIRST — the
+    map-side shrink that keeps the frequency join linear in distinct
+    (doc, token) pairs instead of total tokens; the corpus frequency
+    table derives from the same collapsed relation (one extra
+    aggregation, no second scan).  The join key is Zipf-skewed by
+    construction ("the" meets every document), so at cluster scale run
+    with AQE skew-join on or broadcast the frequency table when the
+    vocabulary fits.  Zero Python throughout.  Returns
+    (id, n_tokens, logppl)."""
+    dw = (
+        df.select(F.col(id_col).alias("_id"), F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dw = dw.localCheckpoint(eager=True)  # two consumers: freq + the join
+    freq = dw.groupBy("w").agg(F.sum("cnt").alias("c"))
+    total = dw.agg(F.sum("cnt")).collect()[0][0]
+    return (
+        dw.join(freq, "w")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("cnt") * -F.log2(F.col("c") / F.lit(float(total))))
+                / F.sum("cnt")
+            ).alias("logppl"),
+        )
+    )

@@ -2576,3 +2576,72 @@ def _triangle_loop(und: DataFrame, und_base: DataFrame, shuffle: int) -> tuple[D
     oriented.unpersist()
     und_base.unpersist()
     return per_vertex, total
+
+
+def node_similarity(
+    edges: DataFrame,
+    k: int = 3,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-Jaccard node similarity, top-k per vertex (the
+    standard "node similarity" graph query — e.g. Neo4j GDS
+    nodeSimilarity; reference graph-query surface: Polar's Cypher
+    queries over shared-neighbor structure): for vertex pairs (a, b)
+    sharing ≥1 neighbor, J = |N(a)∩N(b)| / |N(a)∪N(b)|, ranked per
+    vertex by (J desc, other asc).
+
+    Intersections come from wedge enumeration — two copies of the
+    symmetric edge table joined on the wedge CENTER with ``a < b``
+    canonicalization, then one count aggregate — the triangle-count
+    plan shape: no all-pairs join, cost Σ_w deg(w)², concentrated on
+    hub centers.  At 100-TB scale hubs dominate; ``max_center_degree``
+    drops wedge centers above the cutoff (GDS's degreeCutoff posture —
+    documented bias: pairs connected ONLY through super-hubs are
+    missed; exact when None).  Returns (id, other, sim, rnk ≤ k)."""
+    from pyspark.sql.window import Window
+
+    sym = symmetrize(normalize_edges(edges)).localCheckpoint(eager=True)
+    centers = sym
+    if max_center_degree is not None:
+        heavy = (
+            sym.groupBy("src")
+            .agg(F.count("*").alias("_d"))
+            .where(F.col("_d") > max_center_degree)
+            .select("src")
+        )
+        centers = sym.join(heavy, "src", "left_anti")
+    a = centers.select(F.col("src").alias("w"), F.col("dst").alias("a"))
+    b = centers.select(F.col("src").alias("w"), F.col("dst").alias("b"))
+    inter = (
+        a.join(b, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    pairs = (
+        inter.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter")
+                / (F.col("da") + F.col("db") - F.col("inter")).cast("double")
+            ).alias("sim"),
+        )
+    )
+    both = pairs.select(F.col("a").alias("id"), F.col("b").alias("other"), "sim").unionByName(
+        pairs.select(F.col("b").alias("id"), F.col("a").alias("other"), "sim")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("other"))
+    return (
+        both.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("id").cast("long"),
+            F.col("other").cast("long"),
+            "sim",
+            F.col("rnk").cast("long"),
+        )
+    )

@@ -807,3 +807,39 @@ def test_katz_unnormalized_ranks_hubs_by_indegree_walks(spark):
     )
     got = {r["id"]: r["katz"] for r in pregel.katz(e, 0.1, 1.0, 4).collect()}
     assert got[0] == max(got.values())
+
+
+def test_node_similarity_matches_python(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5)]
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for a in adj:
+        sims = []
+        for b in adj:
+            if a == b:
+                continue
+            inter = len(adj[a] & adj[b])
+            if inter == 0:
+                continue
+            sims.append((-(inter / len(adj[a] | adj[b])), b))
+        for rnk, (negj, b) in enumerate(sorted(sims)[:3], start=1):
+            want[(a, b)] = (round(-negj, 9), rnk)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["id"], r["other"]): (round(r["sim"], 9), r["rnk"])
+        for r in pregel.node_similarity(e, k=3).collect()
+    }
+    assert got == want
+
+
+def test_node_similarity_center_degree_cutoff_drops_hub_only_pairs(spark):
+    # star: leaves 1..5 all point at hub 0; leaves share ONLY the hub
+    e = spark.createDataFrame([(i, 0) for i in range(1, 6)], "src long, dst long")
+    full = pregel.node_similarity(e, k=5)
+    assert full.where("id >= 1").count() > 0  # leaf pairs via the hub
+    capped = pregel.node_similarity(e, k=5, max_center_degree=3)
+    # hub (degree 5) is dropped as a wedge center → leaf pairs vanish
+    assert capped.where("id >= 1").count() == 0

@@ -180,3 +180,36 @@ def test_fm_distinct_is_single_aggregation(spark):
     # one hash-aggregate pair (partial + final) over ONE exchange
     assert plan.count("Exchange") == 1
     assert "EvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# log2-histogram quantiles
+
+
+def test_log_hist_quantiles_bucket_bound(spark):
+    """Estimate must land in the same log2 bucket as the true
+    quantile — the sketch's error contract."""
+    import math
+
+    vals = sorted(v * 37 % 10_000 + 1 for v in range(2_000))
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    from polar_spark.operators.sketches import log_hist_quantiles
+
+    got = {r["q"]: r["est"] for r in log_hist_quantiles(df, "v", "g", [0.5, 0.9, 0.99]).collect()}
+    for q in (0.5, 0.9, 0.99):
+        true = vals[math.ceil(q * len(vals)) - 1]
+        b = int(math.floor(math.log2(true)))
+        assert 2**b <= got[q] < 2 ** (b + 1), (q, true, got[q])
+
+
+def test_log_hist_merges_across_shards(spark):
+    """Quantiles of the union == quantiles from summed shard
+    histograms (trivially true here because the operator IS one
+    aggregation — asserted by splitting the input)."""
+    from polar_spark.operators.sketches import log_hist_quantiles
+
+    df = spark.createDataFrame([("g", v + 1) for v in range(1_000)], "g string, v long")
+    whole = sorted(map(tuple, log_hist_quantiles(df, "v", "g", [0.5, 0.9]).collect()))
+    shards = df.where("v % 2 = 0").unionByName(df.where("v % 2 = 1"))
+    again = sorted(map(tuple, log_hist_quantiles(shards, "v", "g", [0.5, 0.9]).collect()))
+    assert whole == again

@@ -277,3 +277,29 @@ def test_dup_spans_stays_jvm(spark):
     df = spark.createDataFrame([(0, "a b c d e f g h i")], "doc_id long, text string")
     plan = dup_spans(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from polar_spark.operators.text import unigram_logprob
+
+    # corpus: 'a' x3, 'b' x2, 'c' x1 → p(a)=1/2, p(b)=1/3, p(c)=1/6
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["logppl"]) for r in unigram_logprob(df).collect()}
+    want0 = (2 * -math.log2(1 / 2) + -math.log2(1 / 3)) / 3
+    want1 = (-math.log2(1 / 2) + -math.log2(1 / 3) + -math.log2(1 / 6)) / 3
+    assert got[0][0] == 3 and abs(got[0][1] - want0) < 1e-12
+    assert got[1][0] == 3 and abs(got[1][1] - want1) < 1e-12
+    # the rare-token doc scores strictly higher (the filter signal)
+    assert got[1][1] > got[0][1]
+
+
+def test_unigram_logprob_stays_jvm(spark):
+    from polar_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    plan = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
