@@ -78,6 +78,19 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).persist()
     docs.count()
 
+    # replicated curation corpus (the documents fixture is 500 rows at
+    # every sf; the curation section needs corpus-scale input) — input
+    # materialization is untimed per the harness discipline
+    corpus_reps = max(20, int(2_000 * sf)) if sf > 0 else 200
+    corpus = (
+        docs.crossJoin(spark.range(corpus_reps).select(F.col("id").alias("_r")))
+        .select(
+            (F.col("doc_id") * corpus_reps + F.col("_r")).alias("doc_id"), "text"
+        )
+        .persist()
+    )
+    extra["curation_corpus_docs"] = corpus.count()
+
     # ---- sections ------------------------------------------------------
     # each fn returns a dict of per-draw extras; the best (fastest) draw's
     # extras win.  state shared across sections (repo_edges) is rebuilt
@@ -318,6 +331,17 @@ def main() -> None:
                 shutil.rmtree(tmp, ignore_errors=True)
         return out
 
+    def _curation():
+        # substring-dedup span hashes + corpus-LM quality scores over
+        # the replicated corpus — the round-4 curation path end to end
+        from polar_spark.operators.text import dup_spans, unigram_logprob
+
+        d = dup_spans(corpus, "text", "doc_id", k=8, hash_family="xxhash64")
+        n_dup = d.count()
+        u = unigram_logprob(corpus, "text", "doc_id")
+        n_docs = u.count()
+        return {"curation_dup_hashes": n_dup, "curation_scored_docs": n_docs}
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -341,6 +365,7 @@ def main() -> None:
         ("msf_copart", _msf, min(REPS, 2)),
         ("seq_packing", _packing, min(REPS, 2)),
         ("cm_heavy_hitters", _cm_sketch, min(REPS, 2)),
+        ("corpus_curation", _curation, min(REPS, 2)),
         ("stream_scenarios", _stream_scenarios, 1),
     ]
 

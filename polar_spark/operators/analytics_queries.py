@@ -3589,16 +3589,21 @@ def q_dup_spans8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_spans_sql(k: int = 8) -> str:
-    from polar_spark.operators.dedup import _polyhash_sql
+    from polar_spark.operators.dedup import _P31, _polyhash_sql
+    from polar_spark.operators.text import SPAN_B
 
-    # the span string is materialized as a plain column FIRST —
-    # _polyhash_sql's internal lambda variable is `i`, so inlining an
-    # expression that itself references an outer `i` would be shadowed
+    # two-level hash, mirroring text.dup_spans: per-token char fold
+    # ONCE (w is the lambda variable here — _polyhash_sql's internal
+    # lambda uses `i`, so the inlined expression must not reference an
+    # outer `i`), then a k-wide polynomial over the token hashes per
+    # window position
     return f"""
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-spans AS (SELECT doc_id, array_to_string(t[p:p+{k - 1}], ' ') AS sp
-          FROM toks, unnest(range(1, greatest(len(t) - {k} + 2, 1))) AS u(p)),
-w AS (SELECT doc_id, {_polyhash_sql("sp")} AS h FROM spans),
+th AS (SELECT doc_id, list_transform(t, w -> {_polyhash_sql("w")}) AS ths FROM toks),
+w AS (SELECT doc_id,
+        list_reduce(list_prepend(0::BIGINT, ths[p:p+{k - 1}]),
+                    (acc, hv) -> (acc * {SPAN_B} + hv) % {_P31}) AS h
+      FROM th, unnest(range(1, greatest(len(ths) - {k} + 2, 1))) AS u(p)),
 g AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ FROM w GROUP BY h)
 SELECT h, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
 FROM g WHERE n_docs >= 2 ORDER BY h
@@ -3810,3 +3815,99 @@ GROUP BY source HAVING COUNT(*) > 1 ORDER BY source
 
 ORACLES.update({"closeness_w4": _closeness_sql(8, 4)})
 QUERIES.update({"closeness_w4": q_closeness_w4})
+
+
+_PPR_MULTI_SEEDS: dict[int, list[int]] = {0: [1, 2], 1: [3], 2: [4, 5, 6]}
+
+
+def q_ppr_multi3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched personalized PageRank — 3 seed sets advance in ONE keyed
+    sweep (one shuffle per round total, not per set)."""
+    e = _sym(copart_edges(spark, sf_dir))
+    ranks = pregel.personalized_pagerank_multi(
+        e, _PPR_MULTI_SEEDS, n_iter=3, damping=DAMPING
+    )
+    return ranks.select("gid", "id", F.round("rank", 7).alias("rank_r")).orderBy(
+        "gid", "id"
+    )
+
+
+_PPR_MULTI_ITER = """
+p{K} AS MATERIALIZED (
+  SELECT b.gid, b.id, 0.15 * b.seed + 0.85 * COALESCE(s.s, 0) AS r
+  FROM seeded b
+  LEFT JOIN (SELECT p.gid, w.dst AS id, SUM(w.wt * p.r) AS s
+             FROM w JOIN p{KM1} p ON p.id = w.src GROUP BY p.gid, w.dst) s
+  ON s.gid = b.gid AND s.id = b.id
+)"""
+
+
+def _ppr_multi_sql(n_iter: int = 3) -> str:
+    seed_rows = ", ".join(
+        f"({g}, {v}, {1.0 / len(vs)})"
+        for g, vs in _PPR_MULTI_SEEDS.items()
+        for v in vs
+    )
+    gids = ", ".join(f"({g})" for g in _PPR_MULTI_SEEDS)
+    iters = "".join(
+        "," + _PPR_MULTI_ITER.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1)
+    )
+    return f"""
+WITH {_COPART_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, 1.0 / deg.d AS wt FROM e JOIN deg ON deg.src = e.src),
+seedrows(gid, id, s) AS (VALUES {seed_rows}),
+gids(gid) AS (VALUES {gids}),
+seeded AS MATERIALIZED (
+  SELECT g.gid, v.id, COALESCE(sr.s, 0.0) AS seed
+  FROM verts v CROSS JOIN gids g
+  LEFT JOIN seedrows sr ON sr.gid = g.gid AND sr.id = v.id),
+p0 AS (SELECT gid, id, seed AS r FROM seeded)
+{iters}
+SELECT CAST(gid AS BIGINT) AS gid, CAST(id AS BIGINT) AS id, ROUND(r, 7) AS rank_r
+FROM p{n_iter} ORDER BY gid, id
+"""
+
+
+ORACLES.update({"ppr_multi3": _ppr_multi_sql(3)})
+QUERIES.update({"ppr_multi3": q_ppr_multi3})
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law exponent, continuous MLE
+    (Clauset-Shalizi-Newman 2009, eq. 3.1 with x_min = min degree):
+    α̂ = 1 + n / Σ ln(dᵢ/(x_min − ½)) on the co-order graph — the
+    skew diagnostic that tells you whether hub salting will matter
+    before you run the iterative job."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    dmin = deg.agg(F.min("d").alias("m"))
+    return (
+        deg.crossJoin(F.broadcast(dmin))
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.min("m").cast("long").alias("dmin"),
+            F.round(
+                F.lit(1.0)
+                + F.count("*")
+                / F.sum(F.log(F.col("d") / (F.col("m") - F.lit(0.5)))),
+                6,
+            ).alias("alpha_r"),
+        )
+    )
+
+
+_POWERLAW_SQL = f"""
+WITH {_COORDER_SQL}, {_SYM_SQL},
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+dmin AS (SELECT MIN(d) AS m FROM deg)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(MIN(m) AS BIGINT) AS dmin,
+       ROUND(1.0 + COUNT(*) / SUM(ln(d / (m - 0.5))), 6) AS alpha_r
+FROM deg CROSS JOIN dmin
+"""
+
+
+ORACLES.update({"powerlaw_alpha": _POWERLAW_SQL})
+QUERIES.update({"powerlaw_alpha": q_powerlaw_alpha})

@@ -2645,3 +2645,63 @@ def node_similarity(
             F.col("rnk").cast("long"),
         )
     )
+
+
+def personalized_pagerank_multi(
+    edges: DataFrame,
+    seed_sets: dict[int, list[int]],
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Batched personalized PageRank: ALL seed sets advance in the same
+    keyed join-aggregate sweep — state is (gid, id, rank), one shuffle
+    per round TOTAL instead of per seed set (the per-source trick
+    `bfs_per_source`/`sssp_per_source` use, applied to PPR).  This is
+    the recommendation-serving shape: at 100 TB you rank "related to
+    user X's repos" for thousands of X in one job, not one job per X —
+    edge weights are computed once and the rank state is just |G|×|V|
+    keyed rows.
+
+    r⁰_g = e_g;  r^{k+1}_g = (1−d)·e_g + d·Pᵀ r^k_g, e_g uniform on
+    seed_sets[g].  SQL-expressible (no dangling term): the oracle
+    replays identical unrolled arithmetic per group.  Returns
+    (gid, id, rank)."""
+    spark = edges.sparkSession
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    ew = (
+        e.join(out_deg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    verts = vertices_of(e).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame(
+        [(g, v, 1.0 / len(vs)) for g, vs in seed_sets.items() for v in vs],
+        "gid long, id long, s double",
+    )
+    base = verts.crossJoin(spark.createDataFrame([(g,) for g in seed_sets], "gid long"))
+    seeded = base.join(seeds, ["gid", "id"], "left").select(
+        "gid", "id", F.coalesce(F.col("s"), F.lit(0.0)).alias("seed")
+    ).localCheckpoint(eager=True)
+    ranks = seeded.select("gid", "id", F.col("seed").alias("rank"))
+    for _ in range(n_iter):
+        sums = (
+            ew.join(
+                ranks.select("gid", F.col("id").alias("src"), "rank"), "src"
+            )
+            .groupBy("gid", F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
+        )
+        ranks = (
+            seeded.join(sums, ["gid", "id"], "left")
+            .select(
+                "gid",
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("seed")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("gid").cast("long"), F.col("id").cast("long"), "rank")

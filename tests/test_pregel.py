@@ -843,3 +843,24 @@ def test_node_similarity_center_degree_cutoff_drops_hub_only_pairs(spark):
     capped = pregel.node_similarity(e, k=5, max_center_degree=3)
     # hub (degree 5) is dropped as a wedge center → leaf pairs vanish
     assert capped.where("id >= 1").count() == 0
+
+
+def test_ppr_multi_equals_per_set_single_runs(spark):
+    """The batched keyed sweep must match running
+    personalized_pagerank_fixed once per seed set (1e-12 — aggregation
+    order inside the keyed sum differs, so last-ulp noise is
+    expected)."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (2, 5)]
+    e = spark.createDataFrame(edges + [(v, u) for u, v in edges], "src long, dst long")
+    seed_sets = {0: [1], 1: [2, 4], 2: [5]}
+    multi = {
+        (r["gid"], r["id"]): r["rank"]
+        for r in pregel.personalized_pagerank_multi(e, seed_sets, n_iter=4).collect()
+    }
+    for g, seeds in seed_sets.items():
+        single = {
+            r["id"]: r["rank"]
+            for r in pregel.personalized_pagerank_fixed(e, seeds, n_iter=4).collect()
+        }
+        for v, r in single.items():
+            assert abs(multi[(g, v)] - r) < 1e-12, (g, v, multi[(g, v)], r)

@@ -303,3 +303,24 @@ def test_unigram_logprob_stays_jvm(spark):
     df = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
     plan = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_dup_spans_hash_families_agree_on_duplicates(spark):
+    """Production xxhash64 tokens and the oracle arith family must
+    find the same duplicated spans (hash values differ; the grouped
+    (n_docs, n_occ) multiset must not)."""
+    from collections import Counter
+
+    from polar_spark.operators.text import dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(0, f"x {shared} y"), (1, f"{shared} z w v u t s"), (2, "unrelated words only here nothing repeats at all")],
+        "doc_id long, text string",
+    )
+    a = Counter((r["n_docs"], r["n_occ"]) for r in dup_spans(df, k=8).collect())
+    b = Counter(
+        (r["n_docs"], r["n_occ"])
+        for r in dup_spans(df, k=8, hash_family="xxhash64").collect()
+    )
+    assert a == b and sum(a.values()) >= 1
