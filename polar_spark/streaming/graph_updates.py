@@ -89,22 +89,28 @@ class RankMaintainer:
         """Fold one delta batch into the edge table and bring the ranks
         to the new fixpoint.  Two paths (VERDICT r2 #3):
 
-        - **scoped / scoped_grow** (the delta path): when the vertex set
-          is unchanged OR only grows, and both graphs are dangling-free,
-          the new ranks are (n/n')·(r₀_ext + x) where x solves
-          x = c + M·x with M = d·Pᵀ_new and
-          c = d·(P_new − P_old)ᵀ·r₀ + (1−d)/n on new vertices — sparse,
-          supported only on the perturbation's neighborhood.  The n/n'
-          renormalization folds the DENSE uniform-teleport change
-          ((1−d)/n → (1−d)/n') analytically: its series sum
-          γ·(I−M)⁻¹·1 is proportional to the answer itself.  The Jacobi
-          series is iterated as sparse DataFrames: round k touches the
-          k-hop out-neighborhood of the perturbation, so per-batch cost
-          scales with the delta neighborhood, not O(E)·rounds.
-        - **warm_full**: everything else (vertex removals, any dangling
-          vertex — the uniform redistribution row makes the residual
-          dense) falls back to the full-graph recompute warm-started
-          from r₀.
+        - **scoped / scoped_grow / scoped_shrink / scoped_mixed** (the
+          delta path): whenever both graphs are dangling-free, the new
+          ranks on the new vertex set V' are (n/n')·(r₀|V' + x) where x
+          solves x = c + M·x with M = d·Pᵀ_new (supported on V') and
+          c = d·(P_new − P_old)ᵀ·r₀ restricted to V' targets, plus
+          (1−d)/n on fresh vertices — sparse, supported only on the
+          perturbation's neighborhood.  Removed vertices contribute
+          NEGATIVE residual mass through their vanished out-edges
+          (their edges appear in the remove delta, so they are
+          "changed srcs" with w_new = 0); the signed series converges
+          identically since ‖d·Pᵀ‖ ≤ d < 1.  The n/n' renormalization
+          folds the DENSE uniform-teleport change ((1−d)/n → (1−d)/n')
+          analytically: its series sum γ·(I−M)⁻¹·1 is proportional to
+          the answer itself — the identity holds for shrink exactly as
+          for growth (derivation: (I−dM'ᵀ)(r₀|V' + x) = (1−d)/n·1').
+          The Jacobi series is iterated as sparse DataFrames: round k
+          touches the k-hop out-neighborhood of the perturbation, so
+          per-batch cost scales with the delta neighborhood, not
+          O(E)·rounds.
+        - **warm_full**: any dangling vertex in either graph (the
+          uniform redistribution row makes the residual dense) falls
+          back to the full-graph recompute warm-started from r₀.
 
         Returns the new state dict (version, mode, iterations,
         final_delta, edges, support_rows).
@@ -172,18 +178,18 @@ class RankMaintainer:
         eo = pregel.normalize_edges(old_edges)
         en = pregel.normalize_edges(new_edges)
 
-        # eligibility: the vertex set may GROW but not shrink (the
-        # renormalization identity below extends r0 by zeros; removed
-        # vertices would need negative corrections the series doesn't
-        # model), and BOTH graphs must be dangling-free (a residual
+        # eligibility: BOTH graphs must be dangling-free (a residual
         # landing on a dangling vertex redistributes uniformly — dense;
         # and r0 must satisfy the no-dangling-term fixpoint equation).
+        # The vertex set may grow AND shrink: fresh vertices get the
+        # sparse teleport correction, removed vertices inject negative
+        # residuals through their vanished out-edges and are dropped
+        # from the final state.
         vo, vn = pregel.vertices_of(eo), pregel.vertices_of(en)
         so = eo.select(F.col("src").alias("id")).distinct()
         sn = en.select(F.col("src").alias("id")).distinct()
         if (
-            vo.join(vn, "id", "left_anti").limit(1).count() > 0  # vertex removed
-            or vn.join(sn, "id", "left_anti").limit(1).count() > 0  # new graph dangling
+            vn.join(sn, "id", "left_anti").limit(1).count() > 0  # new graph dangling
             or vo.join(so, "id", "left_anti").limit(1).count() > 0  # old graph dangling
         ):
             return None
@@ -212,11 +218,23 @@ class RankMaintainer:
             wo = eo.join(changed, "src").join(deg_o, "src").select(
                 "src", "dst", (F.lit(1.0) / F.col("do")).alias("wo")
             )
-            diff = wn.join(wo, ["src", "dst"], "full_outer").select(
-                "src",
-                "dst",
-                (F.coalesce(F.col("wn"), F.lit(0.0)) - F.coalesce(F.col("wo"), F.lit(0.0))).alias("dw"),
-            ).where(F.col("dw") != 0.0)
+            # residuals live on V' only: weight changes whose dst was
+            # removed have no target in the new system — drop them (the
+            # lost rank mass is exactly what the n/n' renormalization
+            # accounts for)
+            diff = (
+                wn.join(wo, ["src", "dst"], "full_outer")
+                .select(
+                    "src",
+                    "dst",
+                    (
+                        F.coalesce(F.col("wn"), F.lit(0.0))
+                        - F.coalesce(F.col("wo"), F.lit(0.0))
+                    ).alias("dw"),
+                )
+                .where(F.col("dw") != 0.0)
+                .join(vn.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            )
             # vertex-set growth (V' ⊃ V): split the teleport-change
             # residual into its uniform part and a sparse part.  The
             # uniform part γ·(I−M)⁻¹·1 is proportional to the ANSWER
@@ -232,7 +250,12 @@ class RankMaintainer:
                 .groupBy(F.col("dst").alias("id"))
                 .agg((F.lit(damping) * F.sum(F.col("dw") * F.col("rank"))).alias("x"))
             )
-            if n_new != n_old:
+            # fresh/removed counted explicitly — a mixed batch can add
+            # and remove the same NUMBER of vertices, so n_new == n_old
+            # does not imply an unchanged vertex set
+            n_fresh = vn.join(vo, "id", "left_anti").count()
+            n_removed = vo.join(vn, "id", "left_anti").count()
+            if n_fresh:
                 fresh = vn.join(vo, "id", "left_anti").select(
                     "id", F.lit((1.0 - damping) / n_old).alias("x")
                 )
@@ -269,11 +292,14 @@ class RankMaintainer:
                 push_norm = float(
                     term.agg(F.coalesce(F.max(F.abs("x")), F.lit(0.0))).collect()[0][0]
                 )
-            # full outer: new vertices exist only in x; renormalize by
-            # n/n' (the folded uniform-teleport correction — see above)
+            # full outer over r0 RESTRICTED to V' (removed vertices
+            # leave the state); fresh vertices exist only in x;
+            # renormalize by n/n' (the folded uniform-teleport
+            # correction — see above; same identity for shrink)
             renorm = float(n_old) / float(n_new)
+            r0v = r0.join(vn, "id", "left_semi")
             ranks = (
-                r0.join(x, "id", "full_outer")
+                r0v.join(x, "id", "full_outer")
                 .select(
                     "id",
                     (
@@ -287,8 +313,16 @@ class RankMaintainer:
                 .localCheckpoint(eager=True)
             )
             ew.unpersist()
+            if n_fresh and n_removed:
+                mode = "scoped_mixed"
+            elif n_fresh:
+                mode = "scoped_grow"
+            elif n_removed:
+                mode = "scoped_shrink"
+            else:
+                mode = "scoped"
             return ranks, {
-                "mode": "scoped" if n_new == n_old else "scoped_grow",
+                "mode": mode,
                 "iterations": iterations,
                 "first_delta": None,
                 "final_delta": push_norm,

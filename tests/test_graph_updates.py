@@ -126,7 +126,8 @@ def test_scoped_delta_update_exact_and_delta_sized(spark, tmp_path):
         st_cold.iterations * n,
     )
 
-    # ineligible perturbation (new vertex) falls back to warm_full
+    # ineligible perturbation (new vertex n+5 has no out-edges → the
+    # new graph is dangling) falls back to warm_full
     s3 = m.apply_deltas(
         spark.createDataFrame([(250, n + 5, "add")], "src long, dst long, op string")
     )
@@ -224,4 +225,71 @@ def test_scoped_grow_vertex_addition_exact(spark, tmp_path):
     assert set(a) == set(b)
     assert max(abs(a[k] - b[k]) for k in a) < 1e-6
     # mass stays normalized to the series-truncation tolerance
+    assert abs(sum(b.values()) - 1.0) < 1e-6
+
+
+def test_scoped_shrink_vertex_removal_exact(spark, tmp_path):
+    """Round-4 session-4 widening: a delta that REMOVES a vertex (its
+    edges rerouted so both graphs stay dangling-free) takes the scoped
+    path — removed sources inject negative residuals and the same n/n'
+    renormalization restores the teleport mass — and matches a cold
+    recompute on the shrunk graph."""
+    work = str(tmp_path / "scoped_shrink")
+    n = 400
+    base = [(i, (i + 1) % n) for i in range(n)] + [(i, (i * 7 + 3) % n) for i in range(0, n, 20)]
+    base = sorted(set((s, d) for s, d in base if s != d))
+    m = RankMaintainer(spark, work, tol=1e-8, max_iter=300)
+    s1 = m.apply_deltas(
+        spark.createDataFrame([(s, d, "add") for s, d in base], "src long, dst long, op string")
+    )
+    assert s1["mode"] == "cold"
+
+    # remove vertex 55 entirely (ring neighbors rerouted 54→56)
+    delta = [(54, 55, "remove"), (55, 56, "remove"), (54, 56, "add")]
+    s2 = m.apply_deltas(spark.createDataFrame(delta, "src long, dst long, op string"))
+    assert s2["mode"] == "scoped_shrink", s2
+
+    final_edges = sorted((set(base) - {(54, 55), (55, 56)}) | {(54, 56)})
+    cold, _ = pregel.pagerank(
+        spark.createDataFrame(final_edges, "src long, dst long"), tol=1e-10, max_iter=400
+    )
+    a = {r["id"]: r["rank"] for r in cold.collect()}
+    b = {r["id"]: r["rank"] for r in m.ranks().collect()}
+    assert set(a) == set(b) and 55 not in b
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-6
+    assert abs(sum(b.values()) - 1.0) < 1e-6
+
+
+def test_scoped_mixed_add_and_remove_vertices_exact(spark, tmp_path):
+    """A single batch that removes one vertex AND adds another (equal
+    counts — the case where n_new == n_old but the vertex set changed)
+    must take the scoped_mixed path and stay exact."""
+    work = str(tmp_path / "scoped_mixed")
+    n = 300
+    base = [(i, (i + 1) % n) for i in range(n)] + [(i, (i * 11 + 5) % n) for i in range(0, n, 15)]
+    base = sorted(set((s, d) for s, d in base if s != d))
+    m = RankMaintainer(spark, work, tol=1e-8, max_iter=300)
+    m.apply_deltas(
+        spark.createDataFrame([(s, d, "add") for s, d in base], "src long, dst long, op string")
+    )
+
+    # remove vertex 7 (reroute 6→8), add vertex 700 (out-edge keeps it
+    # dangling-free): n_new == n_old while the set changes
+    delta = [
+        (6, 7, "remove"), (7, 8, "remove"), (6, 8, "add"),
+        (10, 700, "add"), (700, 20, "add"),
+    ]
+    s2 = m.apply_deltas(spark.createDataFrame(delta, "src long, dst long, op string"))
+    assert s2["mode"] == "scoped_mixed", s2
+
+    final_edges = sorted(
+        (set(base) - {(6, 7), (7, 8)}) | {(6, 8), (10, 700), (700, 20)}
+    )
+    cold, _ = pregel.pagerank(
+        spark.createDataFrame(final_edges, "src long, dst long"), tol=1e-10, max_iter=400
+    )
+    a = {r["id"]: r["rank"] for r in cold.collect()}
+    b = {r["id"]: r["rank"] for r in m.ranks().collect()}
+    assert set(a) == set(b) and 7 not in b and 700 in b
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-6
     assert abs(sum(b.values()) - 1.0) < 1e-6
