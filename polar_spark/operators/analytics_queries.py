@@ -3911,3 +3911,37 @@ FROM deg CROSS JOIN dmin
 
 ORACLES.update({"powerlaw_alpha": _POWERLAW_SQL})
 QUERIES.update({"powerlaw_alpha": q_powerlaw_alpha})
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) codes for the distinct (part, supplier) pairs —
+    the multi-column clustering key a 100-TB layout pass range-
+    partitions by (cross-engine bit-exactness is what makes the layout
+    reproducible across writers)."""
+    from polar_spark.operators.layout import zorder_key
+
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = li.select(
+        F.col("l_partkey").cast("long").alias("p"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    ).distinct()
+    return (
+        pairs.select("p", "s", zorder_key(F.col("p"), F.col("s")).alias("z"))
+        .orderBy("z", "p", "s")
+        .limit(2000)
+    )
+
+
+def _zorder_sql() -> str:
+    from polar_spark.operators.layout import zorder_sql
+
+    return f"""
+WITH pairs AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+                               CAST(l_suppkey AS BIGINT) AS s FROM lineitem)
+SELECT p, s, {zorder_sql("p", "s")} AS z
+FROM pairs ORDER BY z, p, s LIMIT 2000
+"""
+
+
+ORACLES.update({"zorder_keys": _zorder_sql()})
+QUERIES.update({"zorder_keys": q_zorder_keys})

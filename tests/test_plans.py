@@ -87,3 +87,74 @@ def test_cosine_pairs_stays_jvm(spark):
     plan = _plan(cosine_pairs(emb, 0.35, max_rows=None))
     assert "EvalPython" not in plan
     assert "Scan parquet" in plan
+
+
+# --------------------------------------------------------------------------
+# Z-order layout
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from polar_spark.operators.layout import zorder_key
+
+    def py_z(a, b, bits=21):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in (0, 1, 7, 100, 2**20, 2**21 - 1) for b in (0, 3, 64, 2**21 - 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == py_z(a, b), (a, b)
+
+
+def test_zorder_aligned_box_is_contiguous(spark):
+    """An axis-aligned power-of-two box in key space is ONE contiguous
+    Morton range — the property that makes file min/max stats tight on
+    both columns after a z-order layout pass."""
+    from polar_spark.operators.layout import zorder_key
+
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(64) for b in range(64)], "a long, b long"
+    ).select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z"))
+    # the 16x16 box [16,32)x[32,48): 256 cells, z range exactly 256 wide
+    box = grid.where("a >= 16 and a < 32 and b >= 32 and b < 48").agg(
+        F.min("z").alias("lo"), F.max("z").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    assert box["n"] == 256
+    assert box["hi"] - box["lo"] + 1 == 256
+
+
+def test_zorder_layout_keeps_both_columns_tight(spark, tmp_path):
+    """After the layout pass every output file's (min, max) span on
+    EACH key column is far tighter than the global span — the file-
+    skipping win, measured on the actual written files."""
+    import pyarrow.parquet as pq
+
+    from polar_spark.operators.layout import zorder_layout
+
+    n = 64
+    df = spark.createDataFrame(
+        [(a, b) for a in range(n) for b in range(n)], "a long, b long"
+    )
+    out = str(tmp_path / "zorder")
+    zorder_layout(df, "a", "b", num_partitions=16).write.parquet(out)
+    import glob
+
+    spans_a, spans_b = [], []
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f)
+        aa, bb = t["a"].to_pylist(), t["b"].to_pylist()
+        if aa:
+            spans_a.append(max(aa) - min(aa))
+            spans_b.append(max(bb) - min(bb))
+    # global span is 63; a z-ordered 16-file layout keeps the AVERAGE
+    # per-file span of BOTH columns well under half the global span
+    # (a single-column sort would leave column b's spans at ~63)
+    assert sum(spans_a) / len(spans_a) < 32, spans_a
+    assert sum(spans_b) / len(spans_b) < 32, spans_b
