@@ -3945,3 +3945,50 @@ FROM pairs ORDER BY z, p, s LIMIT 2000
 
 ORACLES.update({"zorder_keys": _zorder_sql()})
 QUERIES.update({"zorder_keys": q_zorder_keys})
+
+
+def q_textrank5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword salience — PageRank (5 fixed rounds) over the
+    corpus word co-occurrence graph (window 2): the composition of the
+    text layer (edge construction) and the link-graph engine."""
+    from polar_spark.operators.text import textrank
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = textrank(docs, "text", window=2, n_iter=5)
+    return out.select("word", F.round("rank", 7).alias("rank_r")).orderBy("word")
+
+
+def _textrank_sql(n_iter: int = 5, window: int = 2) -> str:
+    from polar_spark.operators.dedup import _polyhash_sql
+
+    iters = "".join("," + _PR_ITER.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH toks AS (SELECT string_split(trim(lower(text)), ' ') AS t FROM documents),
+pr AS (SELECT t, p, d FROM toks,
+       unnest(range(1, greatest(len(t), 1))) u(p),
+       unnest(range(1, {window + 1})) v(d)
+       WHERE p + d <= len(t)),
+wp AS (SELECT t[p] AS wa, t[CAST(p + d AS INT)] AS wb FROM pr
+       WHERE t[p] != t[CAST(p + d AS INT)]),
+hashed AS (SELECT wa, wb, {_polyhash_sql("wa")} AS ha, {_polyhash_sql("wb")} AS hb FROM wp),
+und AS (SELECT DISTINCT LEAST(ha, hb) AS src, GREATEST(ha, hb) AS dst,
+               CASE WHEN ha <= hb THEN wa ELSE wb END AS src_word,
+               CASE WHEN ha <= hb THEN wb ELSE wa END AS dst_word
+        FROM hashed),
+{_SYM_SQL},
+words AS (SELECT DISTINCT id, word FROM (
+  SELECT src AS id, src_word AS word FROM und
+  UNION ALL SELECT dst, dst_word FROM und)),
+verts AS (SELECT DISTINCT src AS id FROM e),
+inv AS (SELECT 1.0 / COUNT(*) AS x FROM verts),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, 1.0 / deg.d AS wt FROM e JOIN deg ON deg.src = e.src),
+r0 AS (SELECT id, (SELECT x FROM inv) AS r FROM verts)
+{iters}
+SELECT wd.word, ROUND(r.r, 7) AS rank_r
+FROM r{n_iter} r JOIN words wd ON wd.id = r.id ORDER BY wd.word
+"""
+
+
+ORACLES.update({"textrank5": _textrank_sql(5, 2)})
+QUERIES.update({"textrank5": q_textrank5})

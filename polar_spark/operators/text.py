@@ -384,3 +384,75 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             ).alias("logppl"),
         )
     )
+
+
+def cooccurrence_edges(
+    df: DataFrame, text_col: str = "text", window: int = 2
+) -> DataFrame:
+    """Word co-occurrence graph: an undirected edge between tokens
+    appearing within ``window`` positions of each other in the same
+    document (the TextRank graph construction, Mihalcea & Tarau
+    EMNLP 2004).  Vertex ids are the repo's polynomial char hash of the
+    token (SQL-replayable; collision probability ~|vocab|²/2³¹ —
+    astronomically small at realistic per-corpus vocabularies and
+    deterministic either way).  One explode (positions × window
+    offsets), one distinct — linear in total tokens.  Returns
+    (src, dst, src_word, dst_word) with src < dst hash order."""
+    from polar_spark.operators.dedup import polyhash
+
+    toks = df.select(F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"))
+    pos = toks.select(
+        "_t",
+        F.explode(
+            F.when(
+                F.size("_t") >= 2, F.sequence(F.lit(1), F.size("_t") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+    )
+    pairs = pos.select(
+        "_t",
+        "p",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(window)),
+                lambda d: F.col("p") + d <= F.size("_t"),
+            )
+        ).alias("d"),
+    ).select(
+        F.element_at("_t", F.col("p")).alias("wa"),
+        F.element_at("_t", (F.col("p") + F.col("d")).cast("int")).alias("wb"),
+    ).where(F.col("wa") != F.col("wb"))
+    hashed = pairs.select(
+        F.least(polyhash(F.col("wa")), polyhash(F.col("wb"))).alias("src"),
+        F.greatest(polyhash(F.col("wa")), polyhash(F.col("wb"))).alias("dst"),
+        F.when(polyhash(F.col("wa")) <= polyhash(F.col("wb")), F.col("wa"))
+        .otherwise(F.col("wb"))
+        .alias("src_word"),
+        F.when(polyhash(F.col("wa")) <= polyhash(F.col("wb")), F.col("wb"))
+        .otherwise(F.col("wa"))
+        .alias("dst_word"),
+    )
+    return hashed.dropDuplicates(["src", "dst"])
+
+
+def textrank(
+    df: DataFrame, text_col: str = "text", window: int = 2, n_iter: int = 5
+) -> DataFrame:
+    """TextRank keyword salience: PageRank over the corpus word
+    co-occurrence graph (fixed iterations, the SQL-expressible
+    formulation) — the composition of this repo's two halves: a text
+    operator builds the edge table, the link-graph engine ranks it.
+    Returns (word, rank)."""
+    from polar_spark.plans import pregel
+
+    e = cooccurrence_edges(df, text_col, window)
+    words = (
+        e.select(F.col("src").alias("id"), F.col("src_word").alias("word"))
+        .unionByName(e.select(F.col("dst").alias("id"), F.col("dst_word").alias("word")))
+        .dropDuplicates(["id"])
+    )
+    sym = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pregel.pagerank_fixed(sym, n_iter=n_iter)
+    return ranks.join(words, "id").select("word", "rank")

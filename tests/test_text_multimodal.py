@@ -324,3 +324,19 @@ def test_dup_spans_hash_families_agree_on_duplicates(spark):
         for r in dup_spans(df, k=8, hash_family="xxhash64").collect()
     )
     assert a == b and sum(a.values()) >= 1
+
+
+def test_textrank_hub_word_wins(spark):
+    from polar_spark.operators.text import cooccurrence_edges, textrank
+
+    # 'core' co-occurs with every other word; the rest only with 'core'
+    df = spark.createDataFrame(
+        [(0, "core alpha core beta core gamma core delta")],
+        "doc_id long, text string",
+    )
+    e = cooccurrence_edges(df, window=2)
+    assert e.where("src = dst").count() == 0
+    got = sorted(
+        ((r["rank"], r["word"]) for r in textrank(df, window=2).collect()), reverse=True
+    )
+    assert got[0][1] == "core"
