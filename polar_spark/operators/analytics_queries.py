@@ -3992,3 +3992,83 @@ FROM r{n_iter} r JOIN words wd ON wd.id = r.id ORDER BY wd.word
 
 ORACLES.update({"textrank5": _textrank_sql(5, 2)})
 QUERIES.update({"textrank5": q_textrank5})
+
+
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup curation DECISION rule: single-link clusters from the
+    embedding-cosine graph, keep the highest-quality member per cluster
+    (tie → smallest doc id) instead of an arbitrary representative —
+    clusters ⨝ quality scores ⨝ window argmax.  The quality composite
+    is deterministic per-row IEEE arithmetic, so the cross-engine
+    argmax agrees bit-for-bit."""
+    from polar_spark.operators.similarity import cosine_neardup
+    from polar_spark.operators.text import quality_scores
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    clusters = cosine_neardup(emb, threshold=0.35, exact=True)
+    docs = load_table(spark, "documents", sf_dir)
+    qual = quality_scores(docs).select(
+        F.col("doc_id").alias("vec_id"), F.col("quality")
+    )
+    joined = clusters.join(qual, "vec_id")
+    w = Window.partitionBy("rep_id").orderBy(F.desc("quality"), F.asc("vec_id"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("rep_id")).cast("long"),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("rep_id").cast("long").alias("cluster"),
+            F.col("vec_id").cast("long").alias("kept_doc"),
+            F.round("quality", 6).alias("kept_quality_r"),
+            "cluster_size",
+        )
+        .orderBy("cluster")
+    )
+
+
+_KEEP_BEST_SQL = """
+WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+e AS (SELECT ia AS src, ib AS dst FROM p
+      UNION SELECT ib, ia FROM p),
+verts AS (SELECT vec_id AS id FROM emb),
+reach(id, comp) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+    WHERE r.comp < e.dst
+),
+clusters AS (SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(comp) AS BIGINT) AS rep_id
+             FROM reach GROUP BY id),
+t AS (SELECT doc_id,
+             regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chr,
+             CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digit
+      FROM documents),
+q AS (SELECT doc_id,
+             0.4 * LEAST(len(toks) / 64.0, 1.0)
+             + 0.3 * LEAST((CAST(len(list_filter(toks, x -> x IN
+                 ('the','and','of','to','in','is','that','for','with','a'))) AS DOUBLE)
+                 / GREATEST(len(toks), 1)) * 5, 1.0)
+             + 0.3 * (1.0 - LEAST((digit / GREATEST(n_chr, 1)) * 10, 1.0)) AS quality
+      FROM t),
+j AS (SELECT c.rep_id, c.vec_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.rep_id
+                                ORDER BY q.quality DESC, c.vec_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c.rep_id) AS cluster_size
+      FROM clusters c JOIN q ON q.doc_id = c.vec_id)
+SELECT rep_id AS cluster, vec_id AS kept_doc,
+       ROUND(quality, 6) AS kept_quality_r,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM j WHERE rn = 1 ORDER BY cluster
+"""
+
+
+ORACLES.update({"neardup_keep_best": _KEEP_BEST_SQL})
+QUERIES.update({"neardup_keep_best": q_neardup_keep_best})
