@@ -88,3 +88,63 @@ def test_streaming_ingestion_and_resume(spark, dirs):
     q3 = start_graph_ingestion(read_event_stream(spark, ev_dir), store, ck_dir)
     q3.awaitTermination(120)
     assert store.edges.where(F.col("rel_type") == "FOUND_IN").count() == 1
+
+
+def test_dedup_maintainer_across_batches(spark, tmp_path):
+    """Streaming exact dedup: first-seen content survives, cross-batch
+    and within-batch duplicates drop, replay is idempotent, state
+    survives a 'restart' (fresh maintainer over the same work_dir)."""
+    from polar_spark.streaming.dedup_stream import DedupMaintainer
+
+    work = str(tmp_path / "dedup_state")
+    m = DedupMaintainer(spark, work)
+    b1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    s1 = m.apply_batch(b1)
+    assert s1["batch_rows"] == 4 and s1["batch_kept"] == 3 and s1["seen"] == 3
+
+    # batch 2 overlaps batch 1 ('beta', 'gamma') and itself ('delta' x2)
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "delta"), (12, "delta"), (13, "gamma")],
+        "doc_id long, text string",
+    )
+    kept_preview = sorted(r["id"] for r in m.kept_ids(b2).collect())
+    s2 = m.apply_batch(b2)
+    assert kept_preview == [11]
+    assert s2["batch_kept"] == 1 and s2["seen"] == 4
+
+    # replaying batch 2 keeps nothing (at-least-once idempotence)
+    s3 = m.apply_batch(b2)
+    assert s3["batch_kept"] == 0 and s3["seen"] == 4
+
+    # restart: a fresh maintainer reads the same durable state
+    m2 = DedupMaintainer(spark, work)
+    assert m2.state()["seen"] == 4
+    assert sorted(r["id"] for r in m2.kept_ids(b1).collect()) == []
+
+
+def test_dedup_maintainer_streaming_drain(spark, tmp_path):
+    """foreachBatch surface: a file-source backlog drains with
+    availableNow and the seen table lands versioned."""
+    import json as _json
+    import os as _os
+
+    from polar_spark.streaming.dedup_stream import (
+        DedupMaintainer,
+        start_dedup_maintenance,
+    )
+
+    src_dir = str(tmp_path / "docs_in")
+    _os.makedirs(src_dir)
+    with open(_os.path.join(src_dir, "b1.json"), "w") as f:
+        for i, t in [(0, "one"), (1, "two"), (2, "one")]:
+            f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(src_dir)
+    )
+    m = DedupMaintainer(spark, str(tmp_path / "state"))
+    start_dedup_maintenance(stream, m, str(tmp_path / "ckpt")).awaitTermination()
+    assert m.state()["seen"] == 2
+    assert m.seen().count() == 2
