@@ -4072,3 +4072,51 @@ FROM j WHERE rn = 1 ORDER BY cluster
 
 ORACLES.update({"neardup_keep_best": _KEEP_BEST_SQL})
 QUERIES.update({"neardup_keep_best": q_neardup_keep_best})
+
+
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance entries of the embedding dimensions —
+    the reduction distributed PCA runs on (`similarity.pca_fit` uses
+    the per-partition numpy Gram form of the same sums; this query is
+    the declarative JVM formulation: one posexplode² + one groupBy)."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+    ij = emb.select(
+        F.posexplode("v").alias("i", "x"), F.col("v").alias("v2")
+    ).select("i", "x", F.posexplode("v2").alias("j", "y")).where(
+        F.col("i") <= F.col("j")
+    )
+    return (
+        ij.groupBy("i", "j")
+        .agg(
+            (
+                (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / F.lit(float(n)))
+                / F.lit(float(n - 1))
+            ).alias("cov")
+        )
+        .select(
+            F.col("i").cast("long"),
+            F.col("j").cast("long"),
+            F.round("cov", 6).alias("cov_r"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+_EMBED_COV_SQL = """
+WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM emb),
+ij AS (SELECT i - 1 AS i, j - 1 AS j, v[i] AS x, v[j] AS y
+       FROM emb, unnest(range(1, len(v) + 1)) u(i), unnest(range(1, len(v) + 1)) w(j)
+       WHERE i <= j)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       ROUND((SUM(x * y) - SUM(x) * SUM(y) / (SELECT n FROM n))
+             / ((SELECT n FROM n) - 1), 6) AS cov_r
+FROM ij GROUP BY i, j ORDER BY i, j
+"""
+
+
+ORACLES.update({"embed_covariance": _EMBED_COV_SQL})
+QUERIES.update({"embed_covariance": q_embed_covariance})

@@ -625,3 +625,96 @@ def kmeans_lloyd(
     finally:
         base.unpersist()
     return rows, cents
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA (Gram-matrix reduction)
+
+
+def gram_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-batch Gram/sum partials for covariance estimation: each
+    Arrow batch folds to ONE row (n, Σv as d floats, flattened Σvvᵀ as
+    d² floats) in numpy — the distributed-PCA shape: the data never
+    shuffles, only O(batches·d²) partial rows reduce.  Returns
+    (n, s, g)."""
+    import pyarrow  # noqa: F401  (arrow path required)
+
+    d = len(df.select(vec_col).first()[0])
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [int(m.shape[0])],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).reshape(-1).tolist()],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(
+        fold, schema="n long, s array<double>, g array<double>"
+    )
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fits PCA from the reduced Gram partials: covariance
+    C = (Σvvᵀ − n·μμᵀ)/(n−1), eigendecomposition driver-side (d×d is
+    tiny — d=64 here; the DATA-side cost is one linear pass).  Returns
+    (mean, components [k][d] — rows are descending-eigenvalue
+    eigenvectors with a deterministic sign convention (largest-|x|
+    coordinate positive), explained_variance [k])."""
+    parts = gram_partials(df, vec_col).collect()
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 vectors")
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:  # deterministic sign: largest-|coordinate| positive
+            v = -v
+        comps.append(v.tolist())
+    return mu.tolist(), comps, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Projects onto the fitted components — a PURE MAP stage: the
+    (k×d) component matrix rides along as literals, each output
+    coordinate is one zip_with/aggregate dot product in the JVM.  No
+    shuffle, no Python."""
+    mu = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mu, lambda a, b: a - b
+    )
+    coords = []
+    for comp in components:
+        c = F.array(*[F.lit(float(x)) for x in comp])
+        coords.append(
+            F.aggregate(
+                F.zip_with(centered, c, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return df.withColumn(out_col, F.array(*coords))

@@ -214,3 +214,68 @@ def test_kmeans_empty_and_determinism(spark):
     a = sorted(map(tuple, similarity.kmeans_lloyd(df, k=4, n_iter=2)[0].collect()))
     b = sorted(map(tuple, similarity.kmeans_lloyd(df, k=4, n_iter=2)[0].collect()))
     assert a == b and len(a) == 30
+
+
+# --------------------------------------------------------------------------
+# distributed PCA
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+
+    rng = [(i, [((i * 7 + j * 13) % 17) / 17.0 + (j % 3) * 1.5 for j in range(6)]) for i in range(80)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    from polar_spark.operators.similarity import pca_fit, pca_project
+
+    mean, comps, ev = pca_fit(df, k=3)
+    m = np.array([v for _i, v in rng])
+    mu = m.mean(axis=0)
+    cov = np.cov(m, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    assert np.allclose(mean, mu, atol=1e-12)
+    for rank, idx in enumerate(order):
+        v = vecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        assert np.allclose(comps[rank], v, atol=1e-9), rank
+        assert abs(ev[rank] - vals[idx]) < 1e-9
+    # projection reproduces numpy (X - mu) @ components.T
+    proj = {
+        r["vec_id"]: r["pca"] for r in pca_project(df, mean, comps).collect()
+    }
+    want = (m - mu) @ np.array(comps).T
+    for i in range(80):
+        assert np.allclose(proj[i], want[i], atol=1e-9)
+    # explained variance descending
+    assert ev == sorted(ev, reverse=True)
+
+
+def test_pca_project_is_pure_map(spark):
+    from polar_spark.operators.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_project(df, [0.0, 0.0, 0.0], [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_gram_partials_reduce_to_exact_sums(spark):
+    import numpy as np
+
+    from polar_spark.operators.similarity import gram_partials
+
+    rows = [(i, [float(i), float(2 * i)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(7)
+    parts = gram_partials(df).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([r["s"] for r in parts], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(2, 2) for r in parts], axis=0)
+    m = np.array([v for _i, v in rows])
+    assert n == 50
+    assert np.allclose(s, m.sum(axis=0))
+    assert np.allclose(g, m.T @ m)
