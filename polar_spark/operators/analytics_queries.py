@@ -4120,3 +4120,52 @@ FROM ij GROUP BY i, j ORDER BY i, j
 
 ORACLES.update({"embed_covariance": _EMBED_COV_SQL})
 QUERIES.update({"embed_covariance": q_embed_covariance})
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing report: per-source document/token counts, token
+    share (integer ppm — exact cross-engine), and the uniform-target
+    downsampling keep fraction (ppm) a mixing pass would apply so every
+    source contributes equally — the DoReMi/Pile-style rebalancing
+    input.  Two aggregations; the totals ride a 1-row broadcast."""
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.select(
+        "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("_nt")
+    ).groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("_nt").cast("long").alias("tokens"),
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("long").alias("_tt"),
+        F.count("*").cast("long").alias("_ns"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "docs",
+            "tokens",
+            F.expr("CAST(tokens * 1000000 DIV _tt AS BIGINT)").alias("share_ppm"),
+            F.expr(
+                "CAST(LEAST(CAST(1000000 AS BIGINT), (_tt * 1000000) DIV (_ns * tokens)) AS BIGINT)"
+            ).alias("keep_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_MIX_SQL = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt, CAST(COUNT(*) AS BIGINT) AS ns FROM per)
+SELECT source, docs, tokens,
+       CAST(tokens * 1000000 // tt AS BIGINT) AS share_ppm,
+       CAST(LEAST(1000000, (tt * 1000000) // (ns * tokens)) AS BIGINT) AS keep_ppm
+FROM per CROSS JOIN tot ORDER BY source
+"""
+
+
+ORACLES.update({"source_mix": _SOURCE_MIX_SQL})
+QUERIES.update({"source_mix": q_source_mix})
