@@ -4169,3 +4169,106 @@ FROM per CROSS JOIN tot ORDER BY source
 
 ORACLES.update({"source_mix": _SOURCE_MIX_SQL})
 QUERIES.update({"source_mix": q_source_mix})
+
+
+def q_betweenness_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted landmark betweenness (K-bounded weighted Brandes, 3
+    landmarks, 6 relax + 6 accumulation rounds) on the capped demand
+    graph (customer/supplier keys < 250; weight = order-line count
+    between the pair, parallel directions summed).  Distances, σ path
+    counts over the du+w==dv shortest-path DAG, and backward δ rounds
+    are all synchronous fixed-round recursions the SQL oracle unrolls
+    identically."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    dir_w = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            (F.col("o_custkey") != F.col("l_suppkey"))
+            & (F.col("o_custkey") < 250)
+            & (F.col("l_suppkey") < 250)
+        )
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    und = dir_w.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.sum("w").alias("w"))
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    lm = [int(r[0]) for r in sym.select("src").distinct().orderBy("src").limit(3).collect()]
+    bc, _stats = pregel.betweenness_weighted(sym, lm, relax_rounds=6, acc_rounds=6)
+    return bc.select(
+        F.col("id").cast("long"), F.round("bc", 6).alias("bc_r")
+    ).orderBy("id")
+
+
+def _betweenness_w_sql(relax: int, acc: int) -> str:
+    parts = [
+        "dir_w AS MATERIALIZED (SELECT o_custkey AS src, l_suppkey AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey AND o_custkey < 250 AND l_suppkey < 250 "
+        "GROUP BY 1, 2)",
+        "und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "CAST(SUM(w) AS BIGINT) AS w FROM dir_w GROUP BY 1, 2)",
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM und "
+        "UNION ALL SELECT b, a, w FROM und)",
+        "verts AS (SELECT DISTINCT src AS id FROM e)",
+        "lm AS (SELECT id FROM verts ORDER BY id LIMIT 3)",
+        "d0 AS MATERIALIZED (SELECT id AS source, id, CAST(0 AS BIGINT) AS dist FROM lm)",
+    ]
+    for r in range(1, relax + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT source, id, MIN(dist) AS dist FROM ("
+            f"SELECT source, id, dist FROM d{r - 1} "
+            f"UNION ALL SELECT p.source, e.dst AS id, p.dist + e.w AS dist "
+            f"FROM d{r - 1} p JOIN e ON e.src = p.id) GROUP BY source, id)"
+        )
+    parts.append(
+        f"dag AS MATERIALIZED (SELECT du.source, e.src, e.dst FROM e "
+        f"JOIN d{relax} du ON du.id = e.src "
+        f"JOIN d{relax} dv ON dv.source = du.source AND dv.id = e.dst "
+        f"WHERE du.dist + e.w = dv.dist)"
+    )
+    parts.append("s0 AS (SELECT id AS source, id, CAST(1 AS BIGINT) AS sigma FROM lm)")
+    for r in range(1, acc + 1):
+        parts.append(
+            f"s{r} AS MATERIALIZED ("
+            f"SELECT id AS source, id, CAST(1 AS BIGINT) AS sigma FROM lm "
+            f"UNION ALL SELECT g.source, g.dst AS id, CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            f"FROM s{r - 1} p JOIN dag g ON g.source = p.source AND g.src = p.id "
+            f"GROUP BY g.source, g.dst)"
+        )
+    parts.append(f"reached AS (SELECT source, id FROM d{relax})")
+    parts.append("x0 AS (SELECT source, id, CAST(0.0 AS DOUBLE) AS delta FROM reached)")
+    for r in range(1, acc + 1):
+        parts.append(
+            f"x{r} AS MATERIALIZED (SELECT rr.source, rr.id, "
+            f"COALESCE(c.d, 0.0) AS delta FROM reached rr LEFT JOIN ("
+            f"SELECT g.source, g.src AS id, "
+            f"SUM(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) "
+            f"* (1.0 + xw.delta)) AS d "
+            f"FROM dag g "
+            f"JOIN s{acc} sv ON sv.source = g.source AND sv.id = g.src "
+            f"JOIN s{acc} sw ON sw.source = g.source AND sw.id = g.dst "
+            f"JOIN x{r - 1} xw ON xw.source = g.source AND xw.id = g.dst "
+            f"WHERE sw.sigma > 0 "
+            f"GROUP BY g.source, g.src) c "
+            f"ON c.source = rr.source AND c.id = rr.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(v.id AS BIGINT) AS id,
+       ROUND(COALESCE(SUM(x.delta), 0.0), 6) AS bc_r
+FROM verts v LEFT JOIN (SELECT source, id, delta FROM x{acc} WHERE id != source) x
+  ON x.id = v.id
+GROUP BY v.id ORDER BY v.id"""
+    )
+
+
+ORACLES.update({"betweenness_w3": _betweenness_w_sql(6, 6)})
+QUERIES.update({"betweenness_w3": q_betweenness_w3})

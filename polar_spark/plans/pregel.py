@@ -2705,3 +2705,179 @@ def personalized_pagerank_multi(
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("gid").cast("long"), F.col("id").cast("long"), "rank")
+
+
+def betweenness_weighted(
+    edges: DataFrame,
+    landmarks: list[int],
+    relax_rounds: int = 6,
+    acc_rounds: int = 6,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """K-bounded *weighted* Brandes betweenness from a landmark set over
+    a ``(src, dst, w)`` edge table with positive integer weights (caller
+    symmetrizes for undirected semantics).  Three synchronous phases,
+    each a fixed number of keyed (source, id) join-aggregate rounds so
+    every landmark advances in the same sweep and the unrolled SQL
+    oracle replays the identical recursion bit-for-bit:
+
+    1. distances — ``relax_rounds`` Bellman-Ford rounds (frontier-scoped
+       in the engine; equal to full relaxation round-for-round because
+       candidates from unimproved vertices were already offered);
+    2. σ path counts — the shortest-path DAG is ``du + w == dv`` (acyclic
+       since w > 0), and σ is recomputed synchronously for
+       ``acc_rounds`` rounds from the sparse seed σ(s)=1;
+    3. δ dependencies — ``acc_rounds`` synchronous backward rounds of
+       δ(v) = Σ_{(v,w)∈DAG, σw>0} σv/σw·(1+δw), then bc(v) = Σ_s δ(s,v)
+       excluding v = s.
+
+    Weighted counterpart of :func:`betweenness_landmarks` (landmark
+    sampling per Brandes-Pich 2007 — exact all-sources Brandes does not
+    exist at 10^9 vertices).  Reference runs betweenness via its graph
+    backend on the observability graph; here it is native join-aggregate
+    iteration."""
+    spark = edges.sparkSession
+    e0 = (
+        edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("long")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    m0 = e0.count()
+    if m0 == 0:
+        e0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, bc double"),
+            IterationStats(algorithm="betweenness_w", edges=0, vertices=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e0.unpersist()
+        verts = vertices_of(e).localCheckpoint(eager=True)
+        stats = IterationStats(
+            algorithm="betweenness_w", edges=m0, vertices=verts.count()
+        )
+        lm = spark.createDataFrame(
+            [(int(s), int(s)) for s in landmarks], "source long, id long"
+        ).localCheckpoint(eager=True)
+        dist = lm.select("source", "id", F.lit(0).cast("long").alias("dist"))
+        dist = dist.localCheckpoint(eager=True)
+        frontier = dist
+        for _r in range(relax_rounds):
+            t0 = time.monotonic()
+            cand = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+            )
+            merged = (
+                dist.join(cand, ["source", "id"], "full")
+                .select(
+                    "source",
+                    "id",
+                    F.least(
+                        F.coalesce(F.col("dist"), F.col("nd")),
+                        F.coalesce(F.col("nd"), F.col("dist")),
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.coalesce(F.col("nd"), F.col("dist")) < F.col("dist"))
+                    ).alias("_imp"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            improved = int(
+                merged.agg(F.sum(F.col("_imp").cast("long"))).collect()[0][0] or 0
+            )
+            frontier = merged.where(F.col("_imp")).select("source", "id", "dist")
+            dist = merged.select("source", "id", "dist").localCheckpoint(eager=True)
+            stats.iterations += 1
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(improved))
+            if improved == 0:
+                stats.converged = True
+                break
+        # shortest-path DAG: du + w == dv (strictly increasing dist ⇒ acyclic)
+        dag = (
+            e.join(
+                dist.select(
+                    "source", F.col("id").alias("src"), F.col("dist").alias("du")
+                ),
+                "src",
+            )
+            .join(
+                dist.select(
+                    "source", F.col("id").alias("dst"), F.col("dist").alias("dv")
+                ),
+                ["source", "dst"],
+            )
+            .where(F.col("du") + F.col("w") == F.col("dv"))
+            .select("source", "src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        src_row = lm.select("source", "id", F.lit(1).cast("long").alias("sigma"))
+        sigma = src_row
+        for _r in range(acc_rounds):
+            preds = (
+                dag.join(
+                    sigma.select(
+                        "source", F.col("id").alias("src"), "sigma"
+                    ),
+                    ["source", "src"],
+                )
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.sum("sigma").cast("long").alias("sigma"))
+            )
+            sigma = src_row.unionByName(preds).localCheckpoint(eager=True)
+        reached = dist.select("source", "id")
+        delta = reached.select("source", "id", F.lit(0.0).alias("delta"))
+        for _r in range(acc_rounds):
+            contrib = (
+                dag.join(
+                    sigma.select(
+                        "source", F.col("id").alias("src"), F.col("sigma").alias("sigma_v")
+                    ),
+                    ["source", "src"],
+                )
+                .join(
+                    sigma.select(
+                        "source", F.col("id").alias("dst"), F.col("sigma").alias("sigma_w")
+                    ),
+                    ["source", "dst"],
+                )
+                .where(F.col("sigma_w") > 0)
+                .join(
+                    delta.select(
+                        "source", F.col("id").alias("dst"), F.col("delta").alias("delta_w")
+                    ),
+                    ["source", "dst"],
+                )
+                .groupBy("source", F.col("src").alias("id"))
+                .agg(
+                    F.sum(
+                        F.col("sigma_v").cast("double")
+                        / F.col("sigma_w").cast("double")
+                        * (F.lit(1.0) + F.col("delta_w"))
+                    ).alias("d")
+                )
+            )
+            delta = (
+                reached.join(contrib, ["source", "id"], "left")
+                .select(
+                    "source", "id", F.coalesce(F.col("d"), F.lit(0.0)).alias("delta")
+                )
+                .localCheckpoint(eager=True)
+            )
+        per_vertex = (
+            delta.where(F.col("id") != F.col("source"))
+            .groupBy("id")
+            .agg(F.sum("delta").alias("bc"))
+        )
+        bc = verts.join(per_vertex, "id", "left").select(
+            F.col("id").cast("long"), F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc")
+        )
+        return bc, stats

@@ -321,3 +321,57 @@ def py_sssp(
             if w_ not in dist:
                 heapq.heappush(heap, (d + wt, w_))
     return dist
+
+
+def py_betweenness_weighted(
+    edges: list[tuple[int, int, int]], sources: list[int]
+) -> dict[int, float]:
+    """Exact weighted Brandes from a landmark set over the directed
+    weighted edge list (symmetrize before calling for undirected
+    semantics): Dijkstra distances, σ accumulated in increasing-dist
+    order, δ back-propagated in decreasing-dist order."""
+    import heapq
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    best: dict[tuple[int, int], int] = {}
+    verts = set()
+    for u, v, w in edges:
+        if u == v:
+            continue
+        k = (u, v)
+        if k not in best or w < best[k]:
+            best[k] = w
+        verts.add(u)
+        verts.add(v)
+    for (u, v), w in best.items():
+        adj.setdefault(u, []).append((v, w))
+    bc = {v: 0.0 for v in verts}
+    for s in sources:
+        dist: dict[int, int] = {s: 0}
+        pq = [(0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, []):
+                nd = d + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        order = sorted(dist, key=lambda x: dist[x])
+        sigma = {v: 0 for v in dist}
+        sigma[s] = 1
+        preds: dict[int, list[int]] = {v: [] for v in dist}
+        for u in order:
+            for v, w in adj.get(u, []):
+                if v in dist and dist[u] + w == dist[v]:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = {v: 0.0 for v in dist}
+        for v in reversed(order):
+            for u in preds[v]:
+                if sigma[v] > 0:
+                    delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
+            if v != s:
+                bc[v] += delta[v]
+    return bc

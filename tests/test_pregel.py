@@ -864,3 +864,31 @@ def test_ppr_multi_equals_per_set_single_runs(spark):
         }
         for v, r in single.items():
             assert abs(multi[(g, v)] - r) < 1e-12, (g, v, multi[(g, v)], r)
+
+
+def test_betweenness_weighted_matches_python_brandes(graph, spark):
+    edges, _edf = graph
+    from tests.oracles import py_betweenness_weighted
+
+    # deterministic per-undirected-pair weights, both directions equal
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    we = [(a, b, (a + 2 * b) % 7 + 1) for a, b in und]
+    we += [(b, a, w) for a, b, w in we]
+    edf = spark.createDataFrame(we, "src long, dst long, w long")
+    sources = [0, 1, 5]
+    # rounds past the fixpoint on this small graph ⇒ equals exact Brandes
+    bcdf, stats = pregel.betweenness_weighted(
+        edf, sources, relax_rounds=12, acc_rounds=12
+    )
+    got = {r["id"]: r["bc"] for r in bcdf.collect()}
+    exp = py_betweenness_weighted(we, sources)
+    assert stats.converged
+    assert set(got) == set(exp)
+    assert max(abs(got[v] - exp[v]) for v in exp) < 1e-9
+
+
+def test_betweenness_weighted_empty(spark):
+    edf = spark.createDataFrame([], "src long, dst long, w long")
+    bcdf, stats = pregel.betweenness_weighted(edf, [1, 2])
+    assert bcdf.count() == 0
+    assert stats.converged
