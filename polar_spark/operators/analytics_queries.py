@@ -2838,11 +2838,11 @@ def q_kmeans8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "cluster", F.round("dist", 6).alias("dist_r"))
 
 
-def _kmeans_sql(k: int, n_iter: int) -> str:
-    """Unrolled Lloyd's k-means: identical init (k smallest ids, cid =
-    id rank), identical argmin tie-break (dist, then cid), identical
-    sum/count centroid averaging, empty clusters keep their previous
-    centroid — the same arithmetic q_kmeans8 runs distributed."""
+def _kmeans_parts(k: int, n_iter: int) -> tuple[list[str], str]:
+    """Shared unrolled-Lloyd CTE chain (init from k smallest ids,
+    argmin tie-break (dist, cid), sum/count averaging, empty clusters
+    keep their previous centroid) — reused by the k-means oracle and
+    every oracle that builds on its assignment (SemDedup)."""
     dist = (
         "list_sum(list_transform(list_zip(e.v, c.v), "
         "t -> (t[1] - t[2]) * (t[1] - t[2])))"
@@ -2870,6 +2870,13 @@ def _kmeans_sql(k: int, n_iter: int) -> str:
             f"FROM c{t} c LEFT JOIN (SELECT cid, list(m ORDER BY i) AS v "
             f"FROM u{t} GROUP BY cid) nv ON nv.cid = c.cid)"
         )
+    return parts, dist
+
+
+def _kmeans_sql(k: int, n_iter: int) -> str:
+    """Unrolled Lloyd's k-means — the same arithmetic q_kmeans8 runs
+    distributed (see :func:`_kmeans_parts`)."""
+    parts, dist = _kmeans_parts(k, n_iter)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -4272,3 +4279,241 @@ GROUP BY v.id ORDER BY v.id"""
 
 ORACLES.update({"betweenness_w3": _betweenness_w_sql(6, 6)})
 QUERIES.update({"betweenness_w3": q_betweenness_w3})
+
+
+def q_semdedup8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023) over the embeddings table: k-means
+    (k=8, 3 Lloyd rounds, deterministic init) bounds the pairwise work
+    to within-cluster, then the keep-first-id screening rule drops any
+    vector with an earlier same-cluster neighbor at cos ≥ 0.35.  The
+    oracle replays the identical Lloyd rounds (shared CTE chain with
+    kmeans8) and the identical drop rule."""
+    from polar_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = semdedup(emb, k=8, n_iter=3, threshold=0.35)
+    return out.select(
+        F.col("id").cast("long"), F.col("cluster").cast("long"), "keep"
+    ).orderBy("id")
+
+
+def _semdedup_sql(k: int, n_iter: int, tau: float) -> str:
+    parts, dist = _kmeans_parts(k, n_iter)
+    parts.append(
+        f"asg AS MATERIALIZED (SELECT id, v, cid FROM ("
+        f"SELECT e.id, e.v, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {dist}, c.cid) AS rn "
+        f"FROM e CROSS JOIN c{n_iter} c) x WHERE rn = 1)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT m.id, CAST(m.cid AS BIGINT) AS cluster,
+       NOT EXISTS (SELECT 1 FROM asg y WHERE y.cid = m.cid AND y.id < m.id
+                   AND list_cosine_similarity(y.v, m.v) >= {tau}) AS keep
+FROM asg m ORDER BY m.id"""
+    )
+
+
+ORACLES.update({"semdedup8": _semdedup_sql(8, 3, 0.35)})
+QUERIES.update({"semdedup8": q_semdedup8})
+
+
+def q_adamic_adar5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-order graph: non-adjacent
+    distance-2 pairs (u, v < 400, the oracle-cost cap precedent) scored
+    Σ_w 1/ln(deg(w)) over common neighbors (deg over the FULL graph —
+    every common neighbor has deg ≥ 2, so ln never vanishes), top-5 per
+    vertex ranked on the 6-dp-rounded score so cross-engine summation
+    noise cannot reorder."""
+    sym = _sym(coorder_edges(spark, sf_dir))
+    deg = sym.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
+    su = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    sv = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    two_hop = (
+        su.join(sv, "w")
+        .where((F.col("u") < F.col("v")) & (F.col("u") < 400) & (F.col("v") < 400))
+        .join(deg, "w")
+        .groupBy("u", "v")
+        .agg(F.round(F.sum(F.lit(1.0) / F.log("dw")), 6).alias("aa_r"))
+    )
+    non_edges = two_hop.join(
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    win = Window.partitionBy("u").orderBy(F.desc("aa_r"), F.asc("v"))
+    return (
+        non_edges.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("u", "v", "aa_r", "rnk")
+        .orderBy("u", "rnk")
+    )
+
+
+_ADAMIC_ADAR_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src AS w, COUNT(*) AS dw FROM e GROUP BY src),
+two_hop AS (
+    SELECT a.src AS u, b.dst AS v, ROUND(SUM(1.0 / ln(d.dw)), 6) AS aa_r
+    FROM e a JOIN e b ON a.dst = b.src JOIN deg d ON d.w = a.dst
+    WHERE a.src < b.dst AND a.src < 400 AND b.dst < 400
+    GROUP BY a.src, b.dst
+),
+non_edges AS (
+    SELECT t.* FROM two_hop t
+    LEFT JOIN e ON e.src = t.u AND e.dst = t.v
+    WHERE e.src IS NULL
+),
+ranked AS (
+    SELECT u, v, aa_r,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY aa_r DESC, v ASC) AS BIGINT) AS rnk
+    FROM non_edges
+)
+SELECT u, v, aa_r, rnk FROM ranked WHERE rnk <= 5 ORDER BY u, rnk
+"""
+
+
+ORACLES.update({"adamic_adar5": _ADAMIC_ADAR_SQL})
+QUERIES.update({"adamic_adar5": q_adamic_adar5})
+
+
+def q_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the co-order graph at degree
+    thresholds k ∈ {4, 8, 16, 32, 64}: among the n_k vertices with
+    deg > k, the fraction of the n_k(n_k−1)/2 possible edges present,
+    as exact integer ppm (hub-interconnection diagnostic — whether the
+    high-degree core is a clique or a star field).  Thresholds ride a
+    5-row broadcast; one aggregation per side."""
+    und = coorder_edges(spark, sf_dir)
+    sym = _sym(und)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    ks = spark.createDataFrame([(4,), (8,), (16,), (32,), (64,)], "k long")
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(F.sum((F.col("deg") > F.col("k")).cast("long")).alias("n_k"))
+    )
+    ek = (
+        und.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dd")), "dst")
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                ((F.col("ds") > F.col("k")) & (F.col("dd") > F.col("k"))).cast("long")
+            ).alias("e_k")
+        )
+    )
+    return (
+        nk.join(ek, "k")
+        .select(
+            "k",
+            "n_k",
+            "e_k",
+            F.expr(
+                "CASE WHEN n_k > 1 THEN e_k * 2000000 DIV (n_k * (n_k - 1)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("phi_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+_RICHCLUB_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+ks AS (SELECT CAST(UNNEST([4, 8, 16, 32, 64]) AS BIGINT) AS k),
+nk AS (SELECT k, CAST(SUM(CASE WHEN deg > k THEN 1 ELSE 0 END) AS BIGINT) AS n_k
+       FROM deg CROSS JOIN ks GROUP BY k),
+ek AS (SELECT k, CAST(SUM(CASE WHEN ds.deg > k AND dd.deg > k THEN 1 ELSE 0 END) AS BIGINT) AS e_k
+       FROM und JOIN deg ds ON ds.id = und.src JOIN deg dd ON dd.id = und.dst
+       CROSS JOIN ks GROUP BY k)
+SELECT nk.k, n_k, e_k,
+       CAST(CASE WHEN n_k > 1 THEN e_k * 2000000 // (n_k * (n_k - 1)) ELSE 0 END AS BIGINT) AS phi_ppm
+FROM nk JOIN ek ON ek.k = nk.k ORDER BY nk.k
+"""
+
+
+ORACLES.update({"richclub": _RICHCLUB_SQL})
+QUERIES.update({"richclub": q_richclub})
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate profile: documents, distinct sha256
+    content hashes (the reference's per-row content invariant), dup
+    count and dup rate in exact integer ppm — the per-domain dedup
+    report a curation pipeline emits before mixing."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.countDistinct(F.sha2(F.col("text"), 256)).cast("long").alias("uniq"),
+        )
+        .select(
+            "source",
+            "docs",
+            "uniq",
+            (F.col("docs") - F.col("uniq")).alias("dup_docs"),
+            F.expr("(docs - uniq) * 1000000 DIV docs").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_DEDUP_RATE_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS uniq,
+       CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS dup_docs,
+       CAST((COUNT(*) - COUNT(DISTINCT sha256(text))) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+ORACLES.update({"dedup_rate_by_source": _DEDUP_RATE_SQL})
+QUERIES.update({"dedup_rate_by_source": q_dedup_rate_by_source})
+
+
+def q_trigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams (lowercased, whitespace tokens):
+    the n-gram frequency table behind contamination screens and boiler-
+    plate detection.  One explode + one count aggregation; ordering is
+    total (count desc, gram asc) so the cut is deterministic."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("_t")).where(
+        F.size("_t") >= 3
+    )
+    tri = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_t) - 3), "
+                "i -> concat_ws(' ', _t[i], _t[i + 1], _t[i + 2]))"
+            )
+        ).alias("gram")
+    )
+    return (
+        tri.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+_TRIGRAM_SQL = """
+WITH toks AS (SELECT string_split(trim(lower(text)), ' ') AS t FROM documents),
+tri AS (
+    SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+    FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 2)) AS i)
+    WHERE len(t) >= 3
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tri GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20
+"""
+
+
+ORACLES.update({"trigram_top20": _TRIGRAM_SQL})
+QUERIES.update({"trigram_top20": q_trigram_top20})

@@ -718,3 +718,54 @@ def pca_project(
             )
         )
     return df.withColumn(out_col, F.array(*coords))
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int | None = 20_000,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space (:func:`kmeans_lloyd`, deterministic init), then
+    near-dedup ONLY within each cluster — the clustering IS the
+    candidate generator, so pairwise verification is Σ|cluster|², not
+    N², and each cluster's pair join shuffles on the cluster key.
+
+    Deterministic drop rule (keep-first-id greedy screening): x is
+    dropped iff some same-cluster y with y.id < x.id has
+    cos(x, y) ≥ threshold.  Returns ``(id, cluster, keep)`` for every
+    vector.  ``max_cluster`` guards the within-cluster quadratic form;
+    at corpus scale raise ``k`` so clusters stay bounded."""
+    assign, _cents = kmeans_lloyd(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    if max_cluster is not None:
+        big = (
+            assign.groupBy("cluster").count().where(F.col("count") > max_cluster).count()
+        )
+        if big:
+            raise ValueError(
+                f"{big} cluster(s) exceed max_cluster={max_cluster}; raise k "
+                "(more, smaller clusters) or max_cluster explicitly"
+            )
+    base = _normalized(df, vec_col, id_col).select(F.col("_id").alias("id"), "v")
+    memb = assign.select("id", "cluster").join(base, "id")
+    a = memb.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = memb.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return assign.select("id", "cluster").join(dropped, "id", "left").select(
+        "id", "cluster", F.col("_drop").isNull().alias("keep")
+    )

@@ -279,3 +279,33 @@ def test_gram_partials_reduce_to_exact_sums(spark):
     assert n == 50
     assert np.allclose(s, m.sum(axis=0))
     assert np.allclose(g, m.T @ m)
+
+
+# -- SemDedup ---------------------------------------------------------------
+
+
+def test_semdedup_drop_rule_matches_bruteforce(emb):
+    df, mat = emb
+    out = similarity.semdedup(df, k=4, n_iter=2, threshold=0.9)
+    rows = {r["id"]: (r["cluster"], r["keep"]) for r in out.collect()}
+    assert set(rows) == set(range(mat.shape[0]))
+    # replay the rule in numpy per cluster: drop iff an earlier
+    # same-cluster vector has cosine >= threshold
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_cluster: dict[int, list[int]] = {}
+    for i, (c, _) in rows.items():
+        by_cluster.setdefault(c, []).append(i)
+    for c, ids in by_cluster.items():
+        for i in ids:
+            expect_drop = any(
+                j < i and float(nm[j] @ nm[i]) >= 0.9 for j in ids
+            )
+            assert rows[i][1] == (not expect_drop), (i, c)
+    # the planted near-identical cluster members must actually dedup
+    assert sum(1 for _, k in rows.values() if not k) > 0
+
+
+def test_semdedup_cluster_guard(emb):
+    df, _ = emb
+    with pytest.raises(ValueError, match="max_cluster"):
+        similarity.semdedup(df, k=2, n_iter=1, threshold=0.9, max_cluster=10)
