@@ -4517,3 +4517,109 @@ FROM tri GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20
 
 ORACLES.update({"trigram_top20": _TRIGRAM_SQL})
 QUERIES.update({"trigram_top20": q_trigram_top20})
+
+
+def q_eigencentrality4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality on the symmetric co-order graph: 4 power-
+    iteration rounds from the all-ones start, L2-normalized per round
+    (pregel.eigenvector_centrality) — the spectral hub score the Katz /
+    HITS family converges toward.  Unrolled identically in the SQL
+    oracle."""
+    sym = _sym(coorder_edges(spark, sf_dir))
+    out = pregel.eigenvector_centrality(sym, n_iter=4)
+    return out.select("id", F.round("eig", 7).alias("eig_r")).orderBy("id")
+
+
+def _eigen_sql(n_iter: int) -> str:
+    parts = [
+        _COORDER_SQL.strip(),
+        _SYM_SQL,
+        "v AS (SELECT DISTINCT src AS id FROM e)",
+        "x0 AS (SELECT id, 1.0 AS x FROM v)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"r{i} AS (SELECT e.dst AS id, SUM(x{i - 1}.x) AS s "
+            f"FROM e JOIN x{i - 1} ON x{i - 1}.id = e.src GROUP BY e.dst)",
+            f"f{i} AS (SELECT v.id, COALESCE(r{i}.s, 0) AS s FROM v LEFT JOIN r{i} USING (id))",
+            f"x{i} AS (SELECT id, s / (SELECT sqrt(sum(s * s)) FROM f{i}) AS x FROM f{i})",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id, ROUND(x, 7) AS eig_r
+        FROM x{n_iter} ORDER BY id"""
+    )
+
+
+ORACLES.update({"eigencentrality4": _eigen_sql(4)})
+QUERIES.update({"eigencentrality4": q_eigencentrality4})
+
+
+def q_hard_negatives3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of the
+    first 20 query vectors, the top-3 most cosine-similar vectors with
+    a DIFFERENT label — similarity search under a predicate, the
+    retrieval-negative generator.  Same bounded-Q broadcast shape as
+    the brute-force kNN baseline."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        q.crossJoin(emb)
+        .where(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_r"),
+            F.col("_rn").cast("long").alias("rnk"),
+        )
+    )
+
+
+_HARD_NEG_SQL = """
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 20),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, e.v) AS cos
+    FROM q CROSS JOIN e WHERE e.label != q.qlabel
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_r, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+ORACLES.update({"hard_negatives3": _HARD_NEG_SQL})
+QUERIES.update({"hard_negatives3": q_hard_negatives3})

@@ -2881,3 +2881,37 @@ def betweenness_weighted(
             F.col("id").cast("long"), F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc")
         )
         return bc, stats
+
+
+def eigenvector_centrality(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """Eigenvector centrality by fixed-iteration power method from the
+    all-ones start: x ← L2-normalize(Σ_{u→v} x(u)) per round (caller
+    symmetrizes for undirected semantics).  Fixed rounds keep the
+    arithmetic unrollable in ANSI SQL for the cross-engine oracle; each
+    round is one join-aggregate shuffle plus a 1-row broadcast norm —
+    the HITS half-step shape without the mutual reinforcement."""
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    verts = vertices_of(e).localCheckpoint(eager=True)
+    if verts.rdd.isEmpty():
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id long, eig double")
+    x = verts.select("id", F.lit(1.0).alias("x"))
+    for _ in range(n_iter):
+        s = (
+            e.join(x.select(F.col("id").alias("src"), "x"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias("s"))
+        )
+        full = verts.join(s, "id", "left").select(
+            "id", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
+        )
+        x = (
+            full.crossJoin(
+                F.broadcast(
+                    full.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_n"))
+                )
+            )
+            .select("id", (F.col("s") / F.col("_n")).alias("x"))
+            .localCheckpoint(eager=False)
+        )
+    return x.select(F.col("id").cast("long"), F.col("x").alias("eig"))

@@ -892,3 +892,30 @@ def test_betweenness_weighted_empty(spark):
     bcdf, stats = pregel.betweenness_weighted(edf, [1, 2])
     assert bcdf.count() == 0
     assert stats.converged
+
+
+def test_eigenvector_centrality_matches_numpy(graph, spark):
+    import numpy as np
+
+    edges, _edf = graph
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    out = pregel.eigenvector_centrality(edf, n_iter=4)
+    got = {r["id"]: r["eig"] for r in out.collect()}
+    ids = sorted({x for e in sym for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for u, v in sym:
+        A[idx[v], idx[u]] += 1.0  # x_new[v] = sum over incoming src u
+    x = np.ones(len(ids))
+    for _ in range(4):
+        x = A @ x
+        x = x / np.sqrt((x * x).sum())
+    assert set(got) == set(ids)
+    assert max(abs(got[v] - x[idx[v]]) for v in ids) < 1e-9
+
+
+def test_eigenvector_centrality_empty(spark):
+    edf = spark.createDataFrame([], "src long, dst long")
+    assert pregel.eigenvector_centrality(edf).count() == 0
