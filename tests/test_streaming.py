@@ -148,3 +148,63 @@ def test_dedup_maintainer_streaming_drain(spark, tmp_path):
     start_dedup_maintenance(stream, m, str(tmp_path / "ckpt")).awaitTermination()
     assert m.state()["seen"] == 2
     assert m.seen().count() == 2
+
+
+def test_heavy_hitters_maintainer_across_batches(spark, tmp_path):
+    """Streaming CM heavy hitters: batch folds merge, estimates are
+    exact upper bounds (exact here — key domain << width), replayed
+    batch_ids are skipped (exactly-once), restart reads durable state."""
+    from polar_spark.streaming.topk_stream import HeavyHittersMaintainer
+
+    work = str(tmp_path / "hh_state")
+    m = HeavyHittersMaintainer(spark, work, key_col="k", width=512, max_candidates=50)
+    b1 = spark.createDataFrame([(x % 5,) for x in range(100)], "k long")
+    s1 = m.apply_batch(b1, batch_id=0)
+    assert s1["version"] == 1 and s1["batch_rows"] == 100
+
+    b2 = spark.createDataFrame([(7,)] * 60 + [(1,)] * 40, "k long")
+    s2 = m.apply_batch(b2, batch_id=1)
+    assert s2["version"] == 2
+
+    top = {r["k"]: r["est"] for r in m.topk(3).collect()}
+    # exact counts: k=1 → 20+40=60, k=7 → 60, others 20; CM is exact at
+    # this cardinality (7 keys, width 512, no collisions possible? —
+    # collisions would only ever OVER-estimate, so assert >= and topset)
+    assert set(top) == {1, 7, 0} or set(top) == {1, 7, 2}
+    assert top[1] >= 60 and top[7] >= 60
+
+    # replaying batch 1 is a no-op (exactly-once on batch_id)
+    s3 = m.apply_batch(b2, batch_id=1)
+    assert s3.get("skipped_replay") is True and m.state()["version"] == 2
+
+    # restart: fresh maintainer over the same work_dir sees the state
+    m2 = HeavyHittersMaintainer(spark, work, key_col="k", width=512)
+    assert m2.state()["version"] == 2
+    top2 = {r["k"]: r["est"] for r in m2.topk(2).collect()}
+    assert top2 == {k: v for k, v in top.items() if k in top2}
+
+
+def test_heavy_hitters_streaming_drain(spark, tmp_path):
+    """foreachBatch surface: a file backlog drains with availableNow;
+    the recorded last_batch_id makes a re-run of the same checkpoint a
+    no-op."""
+    from polar_spark.streaming.topk_stream import (
+        HeavyHittersMaintainer,
+        start_heavy_hitters_maintenance,
+    )
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    spark.createDataFrame([(x % 3,) for x in range(30)], "k long").write.mode(
+        "overwrite"
+    ).parquet(str(src / "p1"))
+    stream = spark.readStream.schema("k long").parquet(str(src / "p1"))
+    m = HeavyHittersMaintainer(spark, str(tmp_path / "hh_state2"), key_col="k")
+    q = start_heavy_hitters_maintenance(
+        stream, m, checkpoint=str(tmp_path / "hh_ckpt")
+    )
+    q.awaitTermination(120)
+    st = m.state()
+    assert st is not None and st["version"] >= 1
+    top = {r["k"]: r["est"] for r in m.topk(3).collect()}
+    assert top == {0: 10, 1: 10, 2: 10}
