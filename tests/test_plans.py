@@ -158,3 +158,40 @@ def test_zorder_layout_keeps_both_columns_tight(spark, tmp_path):
     # (a single-column sort would leave column b's spans at ~63)
     assert sum(spans_a) / len(spans_a) < 32, spans_a
     assert sum(spans_b) / len(spans_b) < 32, spans_b
+
+
+def test_semdedup_pair_join_stays_jvm(spark):
+    """SemDedup's within-cluster verification must stay whole-stage
+    JVM (zip_with/aggregate dot products — no EvalPython) and join on
+    the cluster key, not as a cartesian of the corpus."""
+    from polar_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    out = semdedup(emb, k=4, n_iter=1, threshold=0.9)
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_eigenvector_rounds_stay_jvm(spark):
+    from polar_spark.plans import pregel
+
+    edf = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    out = pregel.eigenvector_centrality(edf, n_iter=2)
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+
+
+def test_heavy_hitters_probe_broadcasts(spark, tmp_path):
+    """The streaming heavy-hitter candidate refresh probes the merged
+    sketch via broadcast — the probe side must not shuffle the sketch."""
+    from polar_spark.streaming.topk_stream import HeavyHittersMaintainer
+
+    m = HeavyHittersMaintainer(spark, str(tmp_path / "hh"), key_col="k")
+    m.apply_batch(spark.createDataFrame([(x % 5,) for x in range(50)], "k long"), 0)
+    from polar_spark.operators.sketches import cm_estimate
+
+    probe = cm_estimate(m.sketch(), spark.range(5).select(F.col("id").alias("k")), "k")
+    assert "BroadcastHashJoin" in _plan(probe)
