@@ -4679,3 +4679,84 @@ def _score_sql(s: int, rounds: int) -> str:
 
 ORACLES.update({"score45": _score_sql(45, 6)})
 QUERIES.update({"score45": q_score45})
+
+
+def q_clustering_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Barrat weighted clustering coefficient on the weighted co-order
+    graph (parts < 400; weight = shared-order count):
+    cc_w(v) = Σ_{(v,u),(v,w) closing a triangle} (w_vu + w_vw) /
+              (2 · s_v · (k_v − 1)), 0 when deg < 2 — how much of a
+    vertex's STRENGTH sits inside closed triangles.  Triangle closing
+    reuses the degree-ordered 2-path shape; integer weight sums keep
+    the only float a single final division (rounded 6 dp)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).where(
+        F.col("l_partkey") < 400
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    wund = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    sym = wund.select("src", "dst", "w").unionByName(
+        wund.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    stats = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").alias("s"), F.count("*").alias("k")
+    )
+    pair = (
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("u"), F.col("w").alias("wu"))
+        .join(
+            sym.select(F.col("src").alias("v"), F.col("dst").alias("x"), F.col("w").alias("wx")),
+            "v",
+        )
+        .where(F.col("u") < F.col("x"))
+        .join(
+            wund.select(F.col("src").alias("u"), F.col("dst").alias("x")),
+            ["u", "x"],
+            "left_semi",
+        )
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(F.col("wu") + F.col("wx")).cast("long").alias("tw"))
+    )
+    return (
+        stats.join(pair, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("k") < 2, F.lit(0.0)
+            )
+            .otherwise(
+                F.coalesce(F.col("tw"), F.lit(0)).cast("double")
+                / (F.lit(2.0) * F.col("s") * (F.col("k") - 1))
+            )
+            .alias("ccw"),
+        )
+        .select("id", F.round("ccw", 6).alias("ccw_r"))
+        .orderBy("id")
+    )
+
+
+_CLUSTERING_W_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+wund AS (SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+e AS (SELECT src, dst, w FROM wund
+      UNION ALL SELECT dst, src, w FROM wund),
+stats AS (SELECT src AS id, SUM(w) AS s, COUNT(*) AS k FROM e GROUP BY src),
+tri AS (SELECT a.src AS id, CAST(SUM(a.w + b.w) AS BIGINT) AS tw
+        FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        WHERE EXISTS (SELECT 1 FROM wund t WHERE t.src = a.dst AND t.dst = b.dst)
+        GROUP BY a.src)
+SELECT CAST(st.id AS BIGINT) AS id,
+       ROUND(CASE WHEN st.k < 2 THEN 0.0
+                  ELSE CAST(COALESCE(tri.tw, 0) AS DOUBLE) / (2.0 * st.s * (st.k - 1))
+             END, 6) AS ccw_r
+FROM stats st LEFT JOIN tri ON tri.id = st.id ORDER BY st.id
+"""
+
+
+ORACLES.update({"clustering_w": _CLUSTERING_W_SQL})
+QUERIES.update({"clustering_w": q_clustering_w})
