@@ -2107,32 +2107,51 @@ def minimum_spanning_forest(
                     .otherwise(F.col("nb"))
                     .alias("p"),
                 )
-                .localCheckpoint(eager=False)
             )
-            # each hop is a SELF-join (p appears twice), so a fully lazy
-            # chain doubles the plan per hop — materialize every 4 hops
-            # (bounded 16x plan) instead of per hop or never
+            # Each hop is a SELF-join (p appears twice), so a fully lazy
+            # chain doubles the plan per hop — materialize every 4 hops.
+            # Pin through persist()+count(), NOT localCheckpoint:
+            # checkpoint's LogicalRDD carries the ORIGIN plan's estimated
+            # sizeInBytes forward, and this loop squares that estimate
+            # per hop (self-join) — compounding doubly-exponentially
+            # across rounds until Catalyst's BigInteger stats arithmetic
+            # dominates planning.  InMemoryRelation reports the ACTUAL
+            # materialized size downstream, resetting the estimate at
+            # every chunk boundary.
             hops_needed = max(1, math.ceil(math.log2(max(active, 2))))
             done_h = 0
+            prev_pin: DataFrame | None = None
             while done_h < hops_needed:
                 k = min(4, hops_needed - done_h)
                 for _ in range(k):
                     hop = p.select(F.col("id").alias("p"), F.col("p").alias("pp"))
                     p = p.join(hop, "p").select("id", F.col("pp").alias("p"))
-                p = p.localCheckpoint(eager=True)
+                p = p.persist()
+                p.count()
+                if prev_pin is not None:
+                    prev_pin.unpersist()
+                prev_pin = p
                 done_h += k
+            old_comp = comp
             comp = (
                 comp.join(p.withColumnRenamed("id", "comp"), "comp", "left")
                 .select("id", F.coalesce(F.col("p"), F.col("comp")).alias("comp"))
-                .localCheckpoint(eager=True)
+                .persist()
             )
+            comp.count()
+            if prev_pin is not None:
+                prev_pin.unpersist()
+            if rnd > 1:
+                old_comp.unpersist()
             stats.iter_seconds.append(time.monotonic() - t0)
         if not stats.converged:
             raise RuntimeError(
                 f"minimum_spanning_forest did not contract to a fixpoint in "
                 f"{max_rounds} rounds — raise max_rounds"
             )
-        return msf.select("u", "v", "w"), stats
+        out = msf.select("u", "v", "w").localCheckpoint(eager=True)
+        comp.unpersist()
+        return out, stats
 
 
 # --------------------------------------------------------------------------
