@@ -4760,3 +4760,333 @@ FROM stats st LEFT JOIN tri ON tri.id = st.id ORDER BY st.id
 
 ORACLES.update({"clustering_w": _CLUSTERING_W_SQL})
 QUERIES.update({"clustering_w": q_clustering_w})
+
+
+# --------------------------------------------------------------------------
+# session 6: SimRank, DAG layering, rectangles, reciprocity, PMI,
+# int8 quantization, weighted sampling
+
+
+def q_simrank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank (3 rounds, C=0.8) on the symmetrized co-order subgraph
+    (parts < 100): structural link similarity — two parts are similar
+    when their co-order neighbors are similar (pregel.simrank).  Fixed
+    rounds unroll exactly in the SQL oracle; pair table is bounded by
+    the subgraph scope (the operator's max_pairs guard enforces it)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 100)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    out, _stats = pregel.simrank(_sym(und), c=0.8, n_iter=3)
+    return (
+        out.where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round("s", 6).alias("s_r"))
+        .orderBy("a", "b")
+    )
+
+
+def _simrank_sql(c: float, n_iter: int) -> str:
+    parts = [
+        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_partkey < 100)",
+        "und AS (SELECT DISTINCT a.p AS src, b.p AS dst "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)",
+        "indeg AS (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY dst)",
+        "v AS (SELECT DISTINCT src AS id FROM e)",
+        "s0 AS (SELECT id AS a, id AS b, 1.0 AS s FROM v)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT ea.dst AS a, eb.dst AS b, SUM(s{i - 1}.s) AS t "
+            f"FROM s{i - 1} JOIN e ea ON ea.src = s{i - 1}.a "
+            f"JOIN e eb ON eb.src = s{i - 1}.b GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT t{i}.a, t{i}.b, {c} * t{i}.t / (da.d * db.d) AS s "
+            f"FROM t{i} JOIN indeg da ON da.id = t{i}.a "
+            f"JOIN indeg db ON db.id = t{i}.b WHERE t{i}.a <> t{i}.b "
+            "UNION ALL SELECT id, id, 1.0 FROM v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, ROUND(s, 6) AS s_r
+        FROM s{n_iter} WHERE a < b ORDER BY a, b"""
+    )
+
+
+ORACLES.update({"simrank3": _simrank_sql(0.8, 3)})
+QUERIES.update({"simrank3": q_simrank3})
+
+
+def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path layering (pregel.dag_longest_path) of the per-
+    customer order-succession DAG: each order points at the customer's
+    next TWO orders by date (a multi-parent DAG with merges, the
+    commit-graph shape) — the level of an order is provably its
+    position index, so the iterative operator is checked against a
+    closed-form window oracle."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = orders.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+    a, b = r.alias("a"), r.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.rn") - F.col("a.rn")).isin(1, 2),
+    ).select(F.col("a.o_orderkey").alias("src"), F.col("b.o_orderkey").alias("dst"))
+    lvl, _stats = pregel.dag_longest_path(edges)
+    return lvl.select("id", "lvl").orderBy("id")
+
+
+_DAG_LEVELS_SQL = """
+WITH r AS (SELECT o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_custkey) AS c
+           FROM orders)
+SELECT CAST(o_orderkey AS BIGINT) AS id, CAST(rn - 1 AS BIGINT) AS lvl
+FROM r WHERE c >= 2 ORDER BY id
+"""
+
+
+ORACLES.update({"dag_levels": _DAG_LEVELS_SQL})
+QUERIES.update({"dag_levels": q_dag_levels})
+
+
+def q_squares_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex rectangle (4-cycle) counts on the bounded co-order
+    graph (parts < 400) — the link-spam/nepotism motif one level up
+    from triangles (pregel.square_counts): squares(v) = Σ_w C(cn(v,w),
+    2) over opposite corners w.  All-integer arithmetic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return pregel.square_counts(_sym(und)).orderBy("id")
+
+
+_SQUARES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+wg AS (SELECT a.src AS v, b.dst AS w, COUNT(*) AS cn
+       FROM e a JOIN e b ON a.dst = b.src AND a.src <> b.dst
+       GROUP BY 1, 2),
+sq AS (SELECT v AS id, CAST(SUM(cn * (cn - 1) / 2) AS BIGINT) AS squares
+       FROM wg GROUP BY v),
+vt AS (SELECT DISTINCT src AS id FROM e)
+SELECT CAST(vt.id AS BIGINT) AS id,
+       CAST(COALESCE(sq.squares, 0) AS BIGINT) AS squares
+FROM vt LEFT JOIN sq USING (id) ORDER BY id
+"""
+
+
+ORACLES.update({"squares_coorder": _SQUARES_SQL})
+QUERIES.update({"squares_coorder": q_squares_coorder})
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed supplier-succession graph
+    (within each order, supplier of line n → supplier of line n+1;
+    lines pre-aggregated per (order, linenumber) — see Parity rules):
+    the fraction of directed edges whose reverse also exists, the
+    classic directed-link-graph mutuality diagnostic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    lines = li.groupBy(
+        F.col("l_orderkey").alias("o"), F.col("l_linenumber").alias("n")
+    ).agg(F.min("l_suppkey").alias("s"))
+    a, b = lines.alias("a"), lines.alias("b")
+    succ = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("b.n") == F.col("a.n") + 1)
+            & (F.col("a.s") != F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    rev = succ.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_r")
+    )
+    return succ.join(rev, ["src", "dst"], "left").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.count("_r").cast("long").alias("n_recip"),
+        F.round(F.count("_r") / F.count("*"), 6).alias("ratio_r"),
+    )
+
+
+_RECIPROCITY_SQL = """
+WITH lines AS (SELECT l_orderkey AS o, l_linenumber AS n, MIN(l_suppkey) AS s
+               FROM lineitem GROUP BY 1, 2),
+succ AS (SELECT DISTINCT a.s AS src, b.s AS dst
+         FROM lines a JOIN lines b ON a.o = b.o AND b.n = a.n + 1 AND a.s <> b.s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(r.src) AS BIGINT) AS n_recip,
+       ROUND(CAST(COUNT(r.src) AS DOUBLE) / COUNT(*), 6) AS ratio_r
+FROM succ s LEFT JOIN succ r ON r.src = s.dst AND r.dst = s.src
+"""
+
+
+ORACLES.update({"reciprocity": _RECIPROCITY_SQL})
+QUERIES.update({"reciprocity": q_reciprocity})
+
+
+def q_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations (adjacent word bigrams, count ≥ 5):
+    pmi = ln((c_xy/N_bigrams) / ((c_x/N_tokens)·(c_y/N_tokens))) — the
+    phrase-mining / tokenizer-merge-candidate signal.  Two linear
+    explodes + counts; the corpus totals ride a 1-row broadcast."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    cu = uni.groupBy("w").agg(F.count("*").alias("c"))
+    big = toks.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    totals = uni.agg(F.count("*").cast("double").alias("nu")).crossJoin(
+        big.agg(F.count("*").cast("double").alias("nb"))
+    )
+    return (
+        cb.where(F.col("c") >= 5)
+        .join(cu.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("cnt"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                ),
+                6,
+            ).alias("pmi_r"),
+        )
+        .orderBy(F.desc("pmi_r"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+_PMI_SQL = """
+WITH toks AS (SELECT string_split(trim(lower(text)), ' ') AS t FROM documents),
+uni AS (SELECT t[i] AS w FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2),
+cb AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2),
+n AS (SELECT (SELECT COUNT(*) FROM uni)::DOUBLE AS nu,
+             (SELECT COUNT(*) FROM big)::DOUBLE AS nb)
+SELECT w1, w2, CAST(cb.c AS BIGINT) AS cnt,
+       ROUND(LN((cb.c / n.nb) / ((a.c / n.nu) * (b.c / n.nu))), 6) AS pmi_r
+FROM cb CROSS JOIN n
+JOIN cu a ON a.w = cb.w1 JOIN cu b ON b.w = cb.w2
+WHERE cb.c >= 5
+ORDER BY pmi_r DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
+ORACLES.update({"pmi_top20": _PMI_SQL})
+QUERIES.update({"pmi_top20": q_pmi_top20})
+
+
+def q_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector reconstruction report of per-dimension affine int8
+    quantization over the embeddings table (similarity.quantize_int8)
+    — mse, max abs error, and the exact integer code sum (which pins
+    every code value cross-engine without array-type hashing)."""
+    from polar_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = quantize_int8(emb, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.round("mse", 8).alias("mse_r"),
+        F.round("max_abs_err", 6).alias("maxerr_r"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+    ).orderBy("vec_id")
+
+
+_INT8_SQL = """
+WITH x AS (SELECT vec_id AS id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+dims AS (SELECT pos, MIN(x) AS mn,
+                CASE WHEN MAX(x) = MIN(x) THEN 1.0
+                     ELSE (MAX(x) - MIN(x)) / 255.0 END AS scale
+         FROM x GROUP BY pos),
+q AS (SELECT id, x.x, mn, scale,
+             LEAST(255, GREATEST(0,
+                 CAST(FLOOR((x.x - mn) / scale + 0.5) AS BIGINT))) AS code
+      FROM x JOIN dims USING (pos)),
+e AS (SELECT id, code, x - (mn + code * scale) AS err FROM q)
+SELECT CAST(id AS BIGINT) AS vec_id,
+       ROUND(AVG(err * err), 8) AS mse_r,
+       ROUND(MAX(ABS(err)), 6) AS maxerr_r,
+       CAST(SUM(code) AS BIGINT) AS code_sum
+FROM e GROUP BY id ORDER BY vec_id
+"""
+
+
+ORACLES.update({"int8_quant": _INT8_SQL})
+QUERIES.update({"int8_quant": q_int8_quant})
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional document sampling: keep probability
+    min(1, n_chars/2000) decided by the deterministic hash-bucket coin
+    (sampling.weighted_bernoulli) — pure integer compare, reproducible
+    on any cluster size, exactly replayable in SQL."""
+    from polar_spark.operators.sampling import weighted_bernoulli
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = weighted_bernoulli(docs, "n_chars", 2000, id_col="doc_id", seed=37)
+    return out.select("doc_id", "source", "n_chars")
+
+
+_WSAMPLE_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars, xor(x1, x1 >> 17) % 10000 AS bucket FROM (
+    SELECT doc_id, source, n_chars,
+           (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM (
+      SELECT doc_id, source, n_chars,
+             (doc_id * 2654435761 + 37) % 2147483648 AS x0 FROM documents) a) b) c
+WHERE bucket * 2000 < n_chars * 10000
+"""
+
+
+ORACLES.update({"weighted_sample": _WSAMPLE_SQL})
+QUERIES.update({"weighted_sample": q_weighted_sample})

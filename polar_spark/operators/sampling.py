@@ -82,3 +82,23 @@ def stratified_sample(
         else F.lit(int(round(default_fraction * BUCKETS)))
     )
     return df.where(bucket < thresh)
+
+
+def weighted_bernoulli(
+    df: DataFrame,
+    weight_col: str,
+    weight_cap: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keeps each row independently with probability
+    ``min(1, weight/weight_cap)`` — weighted Bernoulli sampling (e.g.
+    length-proportional document selection) with the same deterministic
+    hash-bucket coin as :func:`split_assign`, so the decision is pure
+    integer arithmetic (``bucket·weight_cap < weight·BUCKETS``),
+    reproducible on any cluster size and exactly replayable in ANSI
+    SQL.  A pushdown-friendly filter; no shuffle."""
+    bucket = hash_bucket(F.col(id_col), seed)
+    return df.where(
+        bucket * F.lit(int(weight_cap)) < F.col(weight_col) * F.lit(BUCKETS)
+    )

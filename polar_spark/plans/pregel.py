@@ -3000,3 +3000,181 @@ def score(
             core.select(F.col("src").cast("long").alias("id"), "strength").orderBy("id"),
             stats,
         )
+
+
+# --------------------------------------------------------------------------
+# SimRank, DAG layering, rectangle (4-cycle) counts
+
+
+def simrank(
+    edges: DataFrame,
+    c: float = 0.8,
+    n_iter: int = 3,
+    max_pairs: int = 2_000_000,
+) -> tuple[DataFrame, IterationStats]:
+    """SimRank (Jeh & Widom 2002) by fixed-iteration pair propagation:
+    two vertices are similar when their in-neighbors are similar —
+    s(a,b) = c / (|I(a)||I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i,j), s(a,a)=1.
+
+    The pair-score table is kept SPARSE (only reachable-pair entries
+    exist; the diagonal is re-unioned each round instead of stored
+    through the join), and each round is one double edge-expansion join
+    + one partial-aggregated shuffle — the same join-aggregate shape as
+    the PageRank loop, over pairs instead of vertices.  Fixed rounds
+    keep the arithmetic unrollable in ANSI SQL for the cross-engine
+    oracle.
+
+    SCALE GUARD: the pair table is inherently O(|V|²) in the worst
+    case; ``max_pairs`` aborts loudly instead of letting a dense graph
+    quietly explode the shuffle.  At 100 TB run this on a bounded
+    entity subset (the reference's Cypher similarity queries are
+    equally scoped — /root/reference/docs/architecture/git/modeling.md).
+
+    Returns ``((a, b, s) with the diagonal included, stats)``.
+    """
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    stats = IterationStats(algorithm="simrank")
+    spark = edges.sparkSession
+    if e.rdd.isEmpty():
+        return spark.createDataFrame([], "a long, b long, s double"), stats
+    verts = vertices_of(e).localCheckpoint(eager=True)
+    indeg = (
+        e.groupBy(F.col("dst").alias("id"))
+        .agg(F.count("*").cast("double").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    stats.edges = e.count()
+    stats.vertices = verts.count()
+    diag = verts.select(
+        F.col("id").alias("a"), F.col("id").alias("b"), F.lit(1.0).alias("s")
+    )
+    s = diag
+    ea = e.select(F.col("src").alias("a"), F.col("dst").alias("a2"))
+    eb = e.select(F.col("src").alias("b"), F.col("dst").alias("b2"))
+    for it in range(1, n_iter + 1):
+        t0 = time.monotonic()
+        t = (
+            s.join(ea, "a")
+            .join(eb, "b")
+            .groupBy(F.col("a2").alias("a"), F.col("b2").alias("b"))
+            .agg(F.sum("s").alias("t"))
+        )
+        off = (
+            t.where(F.col("a") != F.col("b"))
+            .join(indeg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+            .join(indeg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+            .select(
+                "a",
+                "b",
+                (F.lit(c) * F.col("t") / (F.col("da") * F.col("db"))).alias("s"),
+            )
+        )
+        s = off.unionByName(diag).localCheckpoint(eager=True)
+        n = s.count()
+        if n > max_pairs:
+            raise ValueError(
+                f"simrank pair table hit {n} > max_pairs={max_pairs} at "
+                f"iteration {it} — scope the input to a bounded subgraph"
+            )
+        stats.iterations = it
+        stats.iter_seconds.append(time.monotonic() - t0)
+    stats.converged = True  # fixed-iteration contract
+    return s, stats
+
+
+def dag_longest_path(
+    edges: DataFrame, max_iter: int = 200
+) -> tuple[DataFrame, IterationStats]:
+    """Longest-path layering of a DAG: level(v) = length (in edges) of
+    the longest path from any source vertex to v — the topological
+    'generation' index (commit-DAG depth, build-stage number).
+
+    Bellman-Ford-style max-propagation: level ← max(level, 1 +
+    max_{u→v} level(u)) until a fixpoint; converges in exactly
+    longest-path-length rounds on a DAG.  Each round is one edge⨝state
+    join + max-aggregate; levels are monotone non-decreasing, so the
+    per-round change test is a single SUM aggregate (sum strictly grows
+    iff any level grew).  If ``max_iter`` rounds pass without a
+    fixpoint the input has a cycle — raises instead of returning wrong
+    levels (a cycle makes 'longest path' unbounded).
+    """
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    stats = IterationStats(algorithm="dag_longest_path")
+    spark = edges.sparkSession
+    if e.rdd.isEmpty():
+        return spark.createDataFrame([], "id long, lvl long"), stats
+    verts = vertices_of(e).localCheckpoint(eager=True)
+    stats.edges = e.count()
+    stats.vertices = verts.count()
+    lvl = verts.select("id", F.lit(0).cast("long").alias("lvl")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = 0
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        upd = (
+            e.join(lvl.select(F.col("id").alias("src"), "lvl"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("lvl") + F.lit(1)).alias("nl"))
+        )
+        lvl = (
+            lvl.join(upd, "id", "left")
+            .select(
+                "id",
+                F.greatest(F.col("lvl"), F.coalesce(F.col("nl"), F.lit(0))).alias(
+                    "lvl"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = lvl.agg(F.sum("lvl")).collect()[0][0]
+        stats.iterations = it
+        stats.iter_seconds.append(time.monotonic() - t0)
+        stats.deltas.append(float(cur_sum - prev_sum))
+        if cur_sum == prev_sum:
+            stats.converged = True
+            break
+        prev_sum = cur_sum
+    if not stats.converged:
+        raise ValueError(
+            f"dag_longest_path did not reach a fixpoint in {max_iter} rounds — "
+            "the input graph has a cycle (or raise max_iter)"
+        )
+    return lvl, stats
+
+
+def square_counts(sym_edges: DataFrame) -> DataFrame:
+    """Per-vertex rectangle (4-cycle, non-induced) counts: squares(v) =
+    Σ_{w≠v} C(cn(v,w), 2), where cn(v,w) is the number of common
+    neighbors — each unordered pair of common neighbors {x, y} closes
+    the 4-cycle v–x–w–y with v and w as opposite corners, so summing
+    over v's opposite corner counts every rectangle through v exactly
+    once.  The link-graph spam/nepotism motif one level up from
+    triangles (caller passes the symmetrized edge table).
+
+    One wedge self-join + two aggregations, all integer arithmetic —
+    the Σdeg² wedge table is the cost driver at scale, same as
+    triangle counting's 2-path stage; bound the input (degree cap or
+    subgraph scope) the same way.
+    """
+    e = normalize_edges(sym_edges).localCheckpoint(eager=True)
+    spark = sym_edges.sparkSession
+    if e.rdd.isEmpty():
+        return spark.createDataFrame([], "id long, squares long")
+    wedges = (
+        e.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+        .join(e.select(F.col("src").alias("x"), F.col("dst").alias("w")), "x")
+        .where(F.col("v") != F.col("w"))
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("cn"))
+    )
+    sq = wedges.groupBy(F.col("v").alias("id")).agg(
+        F.sum((F.col("cn") * (F.col("cn") - F.lit(1))) / F.lit(2))
+        .cast("long")
+        .alias("squares")
+    )
+    return (
+        vertices_of(e)
+        .join(sq, "id", "left")
+        .select("id", F.coalesce(F.col("squares"), F.lit(0)).cast("long").alias("squares"))
+    )

@@ -960,3 +960,110 @@ def test_score_empty(spark):
     edf = spark.createDataFrame([], "src long, dst long, w long")
     core, stats = pregel.score(edf, s=5)
     assert core.count() == 0 and stats.converged
+
+
+def _py_simrank(edges, c=0.8, n_iter=3):
+    """Dense reference SimRank: s_{k+1} = c/(|I(a)||I(b)|) Σ s_k over
+    in-neighbor pairs, diagonal pinned to 1."""
+    import numpy as np
+
+    verts = sorted({u for e in edges for u in e})
+    ix = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    inn = [[] for _ in range(n)]
+    for u, v in set(edges):
+        if u != v:
+            inn[ix[v]].append(ix[u])
+    s = np.eye(n)
+    for _ in range(n_iter):
+        nxt = np.zeros((n, n))
+        for a in range(n):
+            for b in range(n):
+                if a == b:
+                    nxt[a][b] = 1.0
+                    continue
+                ia, ib = inn[a], inn[b]
+                if not ia or not ib:
+                    continue
+                tot = sum(s[i][j] for i in ia for j in ib)
+                nxt[a][b] = c * tot / (len(ia) * len(ib))
+        s = nxt
+    return {
+        (verts[a], verts[b]): s[a][b]
+        for a in range(n)
+        for b in range(n)
+        if s[a][b] > 0
+    }
+
+
+def test_simrank_matches_python_reference(spark):
+    edges = [(3, 1), (3, 2), (1, 4), (2, 4), (4, 3), (5, 1), (5, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out, stats = pregel.simrank(df, c=0.8, n_iter=3)
+    got = {(r["a"], r["b"]): r["s"] for r in out.collect()}
+    want = _py_simrank(edges, c=0.8, n_iter=3)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    assert stats.iterations == 3 and stats.converged
+
+
+def test_simrank_symmetric_and_guard(spark):
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out, _ = pregel.simrank(df, n_iter=2)
+    got = {(r["a"], r["b"]): r["s"] for r in out.collect()}
+    for (a, b), v in got.items():
+        assert abs(got[(b, a)] - v) < 1e-15
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_pairs"):
+        pregel.simrank(df, n_iter=1, max_pairs=2)
+
+
+def test_simrank_empty(spark):
+    out, stats = pregel.simrank(
+        spark.createDataFrame([], "src long, dst long"), n_iter=2
+    )
+    assert out.count() == 0 and stats.iterations == 0
+
+
+def test_dag_longest_path_diamond_and_cycle(spark):
+    dag = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    lvl, stats = pregel.dag_longest_path(dag)
+    got = {r["id"]: r["lvl"] for r in lvl.collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    assert stats.converged
+    import pytest as _pt
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    with _pt.raises(ValueError, match="cycle"):
+        pregel.dag_longest_path(cyc, max_iter=10)
+
+
+def test_dag_longest_path_empty(spark):
+    out, _ = pregel.dag_longest_path(
+        spark.createDataFrame([], "src long, dst long")
+    )
+    assert out.count() == 0
+
+
+def test_square_counts_cycle_k4_and_squarefree(spark):
+    def sym(pairs):
+        return spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "src long, dst long"
+        )
+
+    c4 = sym([(1, 2), (2, 3), (3, 4), (4, 1)])
+    got = {r["id"]: r["squares"] for r in pregel.square_counts(c4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    k4 = sym([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    got = {r["id"]: r["squares"] for r in pregel.square_counts(k4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    tri = sym([(1, 2), (2, 3), (1, 3)])
+    got = {r["id"]: r["squares"] for r in pregel.square_counts(tri).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}

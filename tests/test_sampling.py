@@ -83,3 +83,27 @@ def test_bucket_range_and_no_shuffle_plan(docs):
     # selection is a pure map stage: no Exchange in the physical plan
     plan = stratified_sample(docs, {"src0": 0.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_weighted_bernoulli_rate_tracks_weight(spark):
+    from polar_spark.operators.sampling import BUCKETS, hash_bucket, weighted_bernoulli
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(500)).otherwise(F.lit(1500)).alias("w"),
+    )
+    kept = weighted_bernoulli(df, "w", 2000, id_col="doc_id", seed=7)
+    lo = kept.where(F.col("w") == 500).count() / 2000
+    hi = kept.where(F.col("w") == 1500).count() / 2000
+    assert abs(lo - 0.25) < 0.05 and abs(hi - 0.75) < 0.05
+    # deterministic: second run identical membership
+    again = weighted_bernoulli(df, "w", 2000, id_col="doc_id", seed=7)
+    assert kept.exceptAll(again).count() == 0 and again.exceptAll(kept).count() == 0
+    # weight >= cap keeps everything
+    full = weighted_bernoulli(
+        df.withColumn("w", F.lit(2000)), "w", 2000, id_col="doc_id", seed=7
+    )
+    assert full.count() == 4000
+    # the coin is the shared hash_bucket
+    b = df.select(hash_bucket(F.col("doc_id"), 7).alias("b")).agg(F.max("b")).head()[0]
+    assert b < BUCKETS

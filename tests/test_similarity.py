@@ -309,3 +309,30 @@ def test_semdedup_cluster_guard(emb):
     df, _ = emb
     with pytest.raises(ValueError, match="max_cluster"):
         similarity.semdedup(df, k=2, n_iter=1, threshold=0.9, max_cluster=10)
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    import numpy as np
+
+    from polar_spark.operators.similarity import quantize_int8
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantize_int8(df).collect()
+    assert len(out) == 40
+    arr = np.array([r[1] for r in rows])
+    step = (arr.max(axis=0) - arr.min(axis=0)) / 255.0
+    for r in out:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c <= 255 for c in r["codes"])
+        # per-dim error is at most half a quantization step
+        assert r["max_abs_err"] <= step.max() / 2 + 1e-12
+        assert r["mse"] <= (step.max() / 2) ** 2 + 1e-12
+    # constant dimension: scale falls back to 1.0, code 0, exact recon
+    cdf = spark.createDataFrame(
+        [(1, [3.5, 1.0]), (2, [3.5, 2.0])], "vec_id long, embedding array<double>"
+    )
+    got = {r["id"]: r for r in quantize_int8(cdf).collect()}
+    assert got[1]["codes"][0] == 0 and got[2]["codes"][0] == 0
+    assert got[1]["max_abs_err"] < 1e-12 or got[1]["codes"][1] in (0, 255)
