@@ -5090,3 +5090,303 @@ WHERE bucket * 2000 < n_chars * 10000
 
 ORACLES.update({"weighted_sample": _WSAMPLE_SQL})
 QUERIES.update({"weighted_sample": q_weighted_sample})
+
+
+def q_bowtie_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (Broder et al. 2000) of the directed
+    part-succession graph, anchored at the minimum vertex id: CORE =
+    the pivot's SCC (forward ∩ backward reachability, two frontier
+    BFS runs — pregel.bfs_distances), IN = reaches the core, OUT =
+    reachable from it, OTHER = tendrils/disconnected.  The web-graph
+    macro-structure query, replayed by two recursive CTEs.  Edges are
+    first-line → second-line part pairs only (one per order) — the
+    full succession graph is strongly connected at every sf (all-core,
+    a vacuous decomposition); this sparser cut yields all four
+    classes."""
+    li = load_table(spark, "lineitem", sf_dir)
+    lines = li.groupBy(
+        F.col("l_orderkey").alias("o"), F.col("l_linenumber").alias("n")
+    ).agg(F.min("l_partkey").alias("p"))
+    a, b = lines.alias("a"), lines.alias("b")
+    succ = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("b.n") == F.col("a.n") + 1)
+            & (F.col("a.n") == 1)
+            & (F.col("a.p") != F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    verts = pregel.vertices_of(succ)
+    pivot = int(verts.agg(F.min("id")).collect()[0][0])
+    fwd, _ = pregel.bfs_distances(succ, [pivot], max_depth=200)
+    rev = succ.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    bwd, _ = pregel.bfs_distances(rev, [pivot], max_depth=200)
+    f = fwd.select("id", F.lit(1).alias("_f"))
+    bk = bwd.select("id", F.lit(1).alias("_b"))
+    return (
+        verts.join(f, "id", "left")
+        .join(bk, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_f").isNotNull() & F.col("_b").isNotNull(), F.lit("core"))
+            .when(F.col("_f").isNotNull(), F.lit("out"))
+            .when(F.col("_b").isNotNull(), F.lit("in"))
+            .otherwise(F.lit("other"))
+            .alias("cls"),
+        )
+        .orderBy("id")
+    )
+
+
+_BOWTIE_SQL = """
+WITH RECURSIVE
+lines AS (SELECT l_orderkey AS o, l_linenumber AS n, MIN(l_partkey) AS p
+          FROM lineitem GROUP BY 1, 2),
+succ AS (SELECT DISTINCT a.p AS src, b.p AS dst
+         FROM lines a JOIN lines b
+           ON a.o = b.o AND b.n = a.n + 1 AND a.n = 1 AND a.p <> b.p),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM succ
+                               UNION ALL SELECT dst FROM succ) t),
+fwd(id) AS (SELECT (SELECT MIN(id) FROM v)
+            UNION
+            SELECT succ.dst FROM succ JOIN fwd ON succ.src = fwd.id),
+bwd(id) AS (SELECT (SELECT MIN(id) FROM v)
+            UNION
+            SELECT succ.src FROM succ JOIN bwd ON succ.dst = bwd.id)
+SELECT CAST(v.id AS BIGINT) AS id,
+       CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'core'
+            WHEN f.id IS NOT NULL THEN 'out'
+            WHEN b.id IS NOT NULL THEN 'in'
+            ELSE 'other' END AS cls
+FROM v LEFT JOIN fwd f ON f.id = v.id LEFT JOIN bwd b ON b.id = v.id
+ORDER BY v.id
+"""
+
+
+ORACLES.update({"bowtie_parts": _BOWTIE_SQL})
+QUERIES.update({"bowtie_parts": q_bowtie_parts})
+
+
+def q_spam_mass3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank spam mass (Gyöngyi et al. 2004) on the co-part graph:
+    global PageRank (3 fixed rounds) vs PageRank personalized on the
+    trusted seed set {1,2,3}; mass(v) = (pr − trust)/pr — the share of
+    a vertex's rank NOT flowing from trusted sources, the canonical
+    link-spam demotion signal.  Both rank vectors unroll in the SQL
+    oracle with identical arithmetic."""
+    e = _sym(copart_edges(spark, sf_dir))
+    pr = pregel.pagerank_fixed(e, n_iter=3, damping=DAMPING)
+    tr = pregel.personalized_pagerank_fixed(e, sources=[1, 2, 3], n_iter=3, damping=DAMPING)
+    return (
+        pr.join(tr.withColumnRenamed("rank", "trust"), "id")
+        .select(
+            "id",
+            F.round((F.col("rank") - F.col("trust")) / F.col("rank"), 6).alias(
+                "mass_r"
+            ),
+        )
+        .orderBy("id")
+    )
+
+
+_SPAM_ITER = """
+q{K} AS (
+  SELECT v.id,
+         0.15 * (CASE WHEN v.id IN (1, 2, 3) THEN 1.0 / 3.0 ELSE 0.0 END)
+         + 0.85 * COALESCE(s.s, 0) AS r
+  FROM verts v
+  LEFT JOIN (
+    SELECT w.dst AS id, SUM(w.wt * p.r) AS s
+    FROM w JOIN q{KM1} p ON p.id = w.src
+    GROUP BY w.dst
+  ) s ON s.id = v.id
+)"""
+
+
+def _spam_mass_sql(n_iter: int = 3) -> str:
+    pr_iters = "".join(
+        "," + _PR_ITER.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1)
+    )
+    tr_iters = "".join(
+        "," + _SPAM_ITER.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1)
+    )
+    return f"""
+WITH {_COPART_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+inv AS (SELECT 1.0 / COUNT(*) AS x FROM verts),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, 1.0 / deg.d AS wt FROM e JOIN deg ON deg.src = e.src),
+r0 AS (SELECT id, (SELECT x FROM inv) AS r FROM verts)
+{pr_iters},
+q0 AS (SELECT id, CASE WHEN id IN (1, 2, 3) THEN 1.0 / 3.0 ELSE 0.0 END AS r FROM verts)
+{tr_iters}
+SELECT r{n_iter}.id,
+       ROUND((r{n_iter}.r - q{n_iter}.r) / r{n_iter}.r, 6) AS mass_r
+FROM r{n_iter} JOIN q{n_iter} ON q{n_iter}.id = r{n_iter}.id
+ORDER BY r{n_iter}.id
+"""
+
+
+ORACLES.update({"spam_mass3": _spam_mass_sql(3)})
+QUERIES.update({"spam_mass3": q_spam_mass3})
+
+
+def q_louvain_move1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First synchronous Louvain sweep (pregel.louvain_move) on the
+    weighted co-order graph (parts < 400, weight = shared-order
+    count): each vertex joins the neighbor community with the largest
+    positive modularity gain — deterministic (gain desc, neighbor asc)
+    so the argmax replays exactly in SQL."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    wund = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    sym = wund.unionByName(
+        wund.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return pregel.louvain_move(sym).orderBy("id")
+
+
+_LOUVAIN_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+wund AS (SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+         FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+e AS (SELECT src, dst, w FROM wund UNION ALL SELECT dst, src, w FROM wund),
+m AS (SELECT SUM(w) / 2.0 AS m FROM e),
+st AS (SELECT src AS id, SUM(w) AS k FROM e GROUP BY src),
+cand AS (SELECT e.src AS id, e.dst AS u,
+                e.w / m.m - kv.k * ku.k / (2.0 * m.m * m.m) AS g
+         FROM e CROSS JOIN m
+         JOIN st kv ON kv.id = e.src JOIN st ku ON ku.id = e.dst),
+best AS (SELECT id, u FROM (
+           SELECT id, u, ROW_NUMBER() OVER (PARTITION BY id
+                                            ORDER BY g DESC, u ASC) AS rn
+           FROM cand WHERE g > 0) t WHERE rn = 1),
+v AS (SELECT DISTINCT src AS id FROM e)
+SELECT CAST(v.id AS BIGINT) AS id,
+       CAST(COALESCE(best.u, v.id) AS BIGINT) AS comm
+FROM v LEFT JOIN best ON best.id = v.id ORDER BY v.id
+"""
+
+
+ORACLES.update({"louvain_move1": _LOUVAIN_SQL})
+QUERIES.update({"louvain_move1": q_louvain_move1})
+
+
+def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (size 64, stride 48) of every
+    document — the RAG / pretraining context-window layout pass: one
+    row per chunk with its token offsets.  Pure map + bounded explode;
+    integer arithmetic only."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n"),
+    )
+    chunks = toks.withColumn(
+        "n_chunks",
+        F.lit(1)
+        + F.floor(
+            (F.greatest(F.col("n") - F.lit(64), F.lit(0)) + F.lit(47)) / F.lit(48)
+        ),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long"),
+            (F.col("chunk_idx") * 48).cast("long").alias("start_tok"),
+            F.least(F.col("chunk_idx") * 48 + 64, F.col("n"))
+            .cast("long")
+            .alias("end_tok"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_CHUNK_SQL = """
+WITH toks AS (SELECT doc_id,
+                     len(string_split(trim(text), ' ')) AS n
+              FROM documents),
+c AS (SELECT doc_id, n,
+             1 + CAST(FLOOR((GREATEST(n - 64, 0) + 47) / 48.0) AS BIGINT) AS n_chunks
+      FROM toks)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 48 AS BIGINT) AS start_tok,
+       CAST(LEAST(i * 48 + 64, n) AS BIGINT) AS end_tok
+FROM c, unnest(range(0, n_chunks)) u(i)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+ORACLES.update({"chunk_spans": _CHUNK_SQL})
+QUERIES.update({"chunk_spans": q_chunk_spans})
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the unigram token distribution from
+    the corpus distribution — the domain-shift / mixture diagnostic a
+    data-mixing pass reads before reweighting sources.  Two counts and
+    one weighted log-sum; every source term exists in the corpus so no
+    smoothing is needed."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    cs = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    ns = toks.groupBy("source").agg(F.count("*").cast("double").alias("n_s"))
+    cw = toks.groupBy("w").agg(F.count("*").alias("cw"))
+    n_row = toks.agg(F.count("*").cast("double").alias("n"))
+    return (
+        cs.join(ns, "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(n_row))
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c") / F.col("n_s"))
+                    * F.log((F.col("c") / F.col("n_s")) / (F.col("cw") / F.col("n")))
+                ),
+                6,
+            ).alias("kl_r"),
+            F.max(F.col("n_s")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_KL_SQL = """
+WITH toks AS (SELECT source, t.w AS w
+              FROM (SELECT source, string_split(trim(lower(text)), ' ') AS ws
+                    FROM documents) d, unnest(d.ws) t(w)),
+cs AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+ns AS (SELECT source, COUNT(*)::DOUBLE AS n_s FROM toks GROUP BY 1),
+cw AS (SELECT w, COUNT(*) AS cw FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM toks)
+SELECT cs.source,
+       ROUND(SUM((cs.c / ns.n_s) * LN((cs.c / ns.n_s) / (cw.cw / n.n))), 6) AS kl_r,
+       CAST(MAX(ns.n_s) AS BIGINT) AS n_tokens
+FROM cs JOIN ns USING (source) JOIN cw USING (w) CROSS JOIN n
+GROUP BY cs.source ORDER BY cs.source
+"""
+
+
+ORACLES.update({"source_kl": _SOURCE_KL_SQL})
+QUERIES.update({"source_kl": q_source_kl})

@@ -3178,3 +3178,64 @@ def square_counts(sym_edges: DataFrame) -> DataFrame:
         .join(sq, "id", "left")
         .select("id", F.coalesce(F.col("squares"), F.lit(0)).cast("long").alias("squares"))
     )
+
+
+def louvain_move(weighted_sym_edges: DataFrame) -> DataFrame:
+    """One synchronous Louvain move round from singleton communities on
+    a weighted undirected graph (caller passes the symmetrized
+    ``(src, dst, w)`` table): every vertex moves to the neighbor whose
+    (singleton) community yields the largest positive modularity gain
+    ΔQ(v→{u}) = w_vu/m − k_v·k_u/(2m²), tie-broken (gain desc, u asc);
+    vertices with no positive gain keep their own label.  This is the
+    deterministic first sweep of Louvain phase 1 (Blondel et al. 2008)
+    — the sweep that does most of the modularity work — kept to ONE
+    synchronous round so the arithmetic replays exactly in ANSI SQL
+    (later sweeps depend on sequential visit order, which a
+    distributed engine deliberately does not promise).
+
+    One strength aggregate + one edge join + one per-vertex top-1 —
+    the same shuffle shape as a label-propagation round.  Returns
+    ``(id, comm)``.
+    """
+    from pyspark.sql.window import Window
+
+    e = (
+        weighted_sym_edges.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("w").cast("double"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    spark = weighted_sym_edges.sparkSession
+    if e.rdd.isEmpty():
+        return spark.createDataFrame([], "id long, comm long")
+    # m = total undirected weight = half the symmetrized sum
+    m_row = e.agg((F.sum("w") / F.lit(2.0)).alias("m"))
+    strength = e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+    cand = (
+        e.join(strength.withColumnRenamed("id", "src").withColumnRenamed("k", "kv"), "src")
+        .join(strength.withColumnRenamed("id", "dst").withColumnRenamed("k", "ku"), "dst")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            F.col("src").alias("id"),
+            F.col("dst").alias("u"),
+            (
+                F.col("w") / F.col("m")
+                - F.col("kv") * F.col("ku") / (F.lit(2.0) * F.col("m") * F.col("m"))
+            ).alias("g"),
+        )
+        .where(F.col("g") > 0)
+    )
+    win = Window.partitionBy("id").orderBy(F.desc("g"), F.asc("u"))
+    best = (
+        cand.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .select("id", F.col("u").alias("comm"))
+    )
+    return (
+        vertices_of(e)
+        .join(best, "id", "left")
+        .select("id", F.coalesce(F.col("comm"), F.col("id")).alias("comm"))
+    )

@@ -1067,3 +1067,34 @@ def test_square_counts_cycle_k4_and_squarefree(spark):
     tri = sym([(1, 2), (2, 3), (1, 3)])
     got = {r["id"]: r["squares"] for r in pregel.square_counts(tri).collect()}
     assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_louvain_move_matches_python_reference(spark):
+    und = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (4, 5, 1.0), (5, 6, 1.0), (4, 6, 1.0), (3, 4, 1.0)]
+    sym = und + [(b, a, w) for a, b, w in und]
+    df = spark.createDataFrame(sym, "src long, dst long, w double")
+    got = {r["id"]: r["comm"] for r in pregel.louvain_move(df).collect()}
+
+    m = sum(w for _, _, w in und)
+    k = {}
+    for a, b, w in sym:
+        k[a] = k.get(a, 0) + w
+    want = {}
+    for v in k:
+        best, best_g = v, 0.0
+        for a, b, w in sym:
+            if a != v:
+                continue
+            g = w / m - k[v] * k[b] / (2 * m * m)
+            if g > best_g + 1e-15 or (abs(g - best_g) <= 1e-15 and b < best and best != v):
+                best, best_g = b, g
+        want[v] = best
+    assert got == want
+    # intra-triangle moves only: the bridge never wins against a triangle edge
+    assert all(got[v] in (1, 2, 3) for v in (1, 2, 3))
+    assert all(got[v] in (4, 5, 6) for v in (4, 5, 6))
+
+
+def test_louvain_move_empty(spark):
+    out = pregel.louvain_move(spark.createDataFrame([], "src long, dst long, w double"))
+    assert out.count() == 0
