@@ -5390,3 +5390,159 @@ GROUP BY cs.source ORDER BY cs.source
 
 ORACLES.update({"source_kl": _SOURCE_KL_SQL})
 QUERIES.update({"source_kl": q_source_kl})
+
+
+def q_dag_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct source→vertex path counts (pregel.dag_path_counts) on
+    the multi-parent order-succession DAG (edges to the next TWO
+    orders): p follows the Fibonacci recurrence along each customer's
+    chain, so the counts grow combinatorially — a real integer-exact
+    DP check.  The SQL oracle unrolls 30 rounds; rounds past the
+    fixpoint are no-ops by the operator's contract."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+    a, b = r.alias("a"), r.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.rn") - F.col("a.rn")).isin(1, 2),
+    ).select(F.col("a.o_orderkey").alias("src"), F.col("b.o_orderkey").alias("dst"))
+    p, _stats = pregel.dag_path_counts(edges)
+    return p.select("id", "paths").orderBy("id")
+
+
+def _dag_paths_sql(rounds: int) -> str:
+    parts = [
+        "r AS (SELECT o_orderkey, o_custkey, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)",
+        "e AS (SELECT a.o_orderkey AS src, b.o_orderkey AS dst "
+        "FROM r a JOIN r b ON a.o_custkey = b.o_custkey "
+        "AND b.rn - a.rn IN (1, 2))",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst FROM e) t)",
+        "base AS (SELECT v.id, CASE WHEN d.dst IS NULL THEN 1 ELSE 0 END AS b "
+        "FROM v LEFT JOIN (SELECT DISTINCT dst FROM e) d ON d.dst = v.id)",
+        "p0 AS (SELECT id, CAST(b AS BIGINT) AS paths FROM base)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT base.id, "
+            f"CAST(base.b + COALESCE(s.s, 0) AS BIGINT) AS paths "
+            f"FROM base LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(p{i - 1}.paths) AS s "
+            f"FROM e JOIN p{i - 1} ON p{i - 1}.id = e.src GROUP BY e.dst"
+            f") s ON s.id = base.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id, paths FROM p{rounds} ORDER BY id"""
+    )
+
+
+ORACLES.update({"dag_paths": _dag_paths_sql(30)})
+QUERIES.update({"dag_paths": q_dag_paths})
+
+
+def q_twohop_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-hop neighborhood size per vertex (distinct vertices at
+    distance ≤ 2, self excluded) on the bounded co-order graph — the
+    exact ground truth the ANF/HLL sketch approximates; one wedge
+    self-join + one distinct-count aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    e = _sym(und)
+    two = e.select(F.col("src").alias("v"), F.col("dst").alias("x")).join(
+        e.select(F.col("src").alias("x"), F.col("dst").alias("w")), "x"
+    ).where(F.col("v") != F.col("w")).select("v", "w")
+    reach = two.unionByName(
+        e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    ).distinct()
+    return (
+        reach.groupBy(F.col("v").alias("id"))
+        .agg(F.count("*").cast("long").alias("n2"))
+        .orderBy("id")
+    )
+
+
+_TWOHOP_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+reach AS (
+    SELECT DISTINCT v, w FROM (
+        SELECT a.src AS v, b.dst AS w
+        FROM e a JOIN e b ON a.dst = b.src AND a.src <> b.dst
+        UNION ALL
+        SELECT src AS v, dst AS w FROM e) t)
+SELECT CAST(v AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n2
+FROM reach GROUP BY v ORDER BY id
+"""
+
+
+ORACLES.update({"twohop_sizes": _TWOHOP_SQL})
+QUERIES.update({"twohop_sizes": q_twohop_sizes})
+
+
+def q_bpe_merge_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-candidate table: adjacent CHARACTER pairs inside
+    distinct words, weighted by corpus word frequency — the argmax is
+    the first merge a byte-pair-encoding tokenizer would learn.  The
+    word-frequency table collapses the corpus before the char explode
+    (vocab · word-length rows, not corpus · word-length)."""
+    docs = load_table(spark, "documents", sf_dir)
+    wf = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = wf.select(
+        "f",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> struct(substring(w, i, 1) AS c1, substring(w, i + 1, 1) AS c2))"
+            )
+        ).alias("p"),
+    ).select("f", "p.c1", "p.c2")
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.sum("f").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("c1"), F.asc("c2"))
+        .limit(10)
+    )
+
+
+_BPE_SQL = """
+WITH wf AS (SELECT t.w AS w, COUNT(*) AS f
+            FROM (SELECT string_split(trim(lower(text)), ' ') AS ws
+                  FROM documents) d, unnest(d.ws) t(w)
+            GROUP BY t.w HAVING LENGTH(t.w) >= 2),
+pairs AS (SELECT f, SUBSTRING(w, i, 1) AS c1, SUBSTRING(w, i + 1, 1) AS c2
+          FROM wf, unnest(range(1, LENGTH(w))) u(i))
+SELECT c1, c2, CAST(SUM(f) AS BIGINT) AS cnt
+FROM pairs GROUP BY c1, c2
+ORDER BY cnt DESC, c1 ASC, c2 ASC LIMIT 10
+"""
+
+
+ORACLES.update({"bpe_merge_top10": _BPE_SQL})
+QUERIES.update({"bpe_merge_top10": q_bpe_merge_top10})

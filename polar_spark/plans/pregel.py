@@ -3239,3 +3239,70 @@ def louvain_move(weighted_sym_edges: DataFrame) -> DataFrame:
         .join(best, "id", "left")
         .select("id", F.coalesce(F.col("comm"), F.col("id")).alias("comm"))
     )
+
+
+def dag_path_counts(
+    edges: DataFrame, max_iter: int = 200
+) -> tuple[DataFrame, IterationStats]:
+    """Source-to-vertex path counting on a DAG: p(v) = number of
+    distinct directed paths from any source (in-degree-0) vertex to v,
+    counting the empty path at sources — the DP behind provenance
+    multiplicity ('how many build paths reach this artifact') and
+    DAG-width diagnostics.
+
+    Fixed-point iteration of p ← base + Aᵀp, where base = 1 at
+    sources: after k rounds p(v) counts paths of length ≤ k, so the
+    sequence is monotone and reaches the exact count at
+    longest-path-length rounds.  Counts are integers, so the
+    convergence probe is an exact SUM compare; ``max_iter`` exhaustion
+    means a source-REACHABLE cycle (path count diverges) — raises, same
+    contract as :func:`dag_longest_path`.  A cycle no source reaches is
+    a valid zero-count fixpoint (no path from a source enters it), not
+    an error.  Rounds past the fixpoint recompute the same table, so
+    the oracle may safely unroll extra rounds.
+    """
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    stats = IterationStats(algorithm="dag_path_counts")
+    spark = edges.sparkSession
+    if e.rdd.isEmpty():
+        return spark.createDataFrame([], "id long, paths long"), stats
+    verts = vertices_of(e).localCheckpoint(eager=True)
+    stats.edges = e.count()
+    stats.vertices = verts.count()
+    base = (
+        verts.join(e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti")
+        .select("id", F.lit(1).cast("long").alias("b"))
+    )
+    bases = verts.join(base, "id", "left").select(
+        "id", F.coalesce(F.col("b"), F.lit(0)).cast("long").alias("b")
+    ).localCheckpoint(eager=True)
+    p = bases.select("id", F.col("b").alias("paths"))
+    prev_sum = None
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        inc = (
+            e.join(p.select(F.col("id").alias("src"), "paths"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("paths").alias("s"))
+        )
+        p = (
+            bases.join(inc, "id", "left")
+            .select(
+                "id",
+                (F.col("b") + F.coalesce(F.col("s"), F.lit(0))).alias("paths"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = p.agg(F.sum("paths")).collect()[0][0]
+        stats.iterations = it
+        stats.iter_seconds.append(time.monotonic() - t0)
+        if cur_sum == prev_sum:
+            stats.converged = True
+            break
+        prev_sum = cur_sum
+    if not stats.converged:
+        raise ValueError(
+            f"dag_path_counts did not reach a fixpoint in {max_iter} rounds — "
+            "the input graph has a cycle (or raise max_iter)"
+        )
+    return p, stats

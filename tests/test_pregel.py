@@ -1098,3 +1098,36 @@ def test_louvain_move_matches_python_reference(spark):
 def test_louvain_move_empty(spark):
     out = pregel.louvain_move(spark.createDataFrame([], "src long, dst long, w double"))
     assert out.count() == 0
+
+
+def test_dag_path_counts_fibonacci_chain_and_cycle(spark):
+    # chain 1..6 with skip edges (i -> i+1, i -> i+2): paths = Fibonacci
+    edges = []
+    for i in range(1, 6):
+        edges.append((i, i + 1))
+    for i in range(1, 5):
+        edges.append((i, i + 2))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    p, stats = pregel.dag_path_counts(df)
+    got = {r["id"]: r["paths"] for r in p.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3, 5: 5, 6: 8}
+    assert stats.converged
+    import pytest as _pt
+
+    # a cycle REACHABLE FROM A SOURCE diverges -> raises
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 1)], "src long, dst long")
+    with _pt.raises(ValueError, match="cycle"):
+        pregel.dag_path_counts(cyc, max_iter=8)
+    # a source-free cycle has zero paths from sources: valid fixpoint
+    pure = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    p2, st2 = pregel.dag_path_counts(pure, max_iter=8)
+    assert {r["id"]: r["paths"] for r in p2.collect()} == {1: 0, 2: 0}
+    assert st2.converged
+
+
+def test_dag_path_counts_multi_source(spark):
+    # two sources converging: 1->3, 2->3, 3->4 gives p(3)=2, p(4)=2
+    df = spark.createDataFrame([(1, 3), (2, 3), (3, 4)], "src long, dst long")
+    p, _ = pregel.dag_path_counts(df)
+    got = {r["id"]: r["paths"] for r in p.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2}
