@@ -342,6 +342,42 @@ def main() -> None:
         n_docs = u.count()
         return {"curation_dup_hashes": n_dup, "curation_scored_docs": n_docs}
 
+    def _dag_paths():
+        # integer path-count DP over the per-customer order DAG:
+        # ~25 monotone fixpoint rounds, one join-agg shuffle each
+        from polar_spark.operators.analytics_queries import q_dag_paths
+
+        return {"dag_path_rows": q_dag_paths(spark, sf_dir).count()}
+
+    def _louvain():
+        # deterministic Louvain phase-1 sweep on the FULL weighted
+        # co-order graph (LPA-round shuffle shape + per-vertex top-1)
+        from polar_spark.operators.analytics_queries import load_table
+        from polar_spark.plans import pregel as _pg
+
+        li = load_table(spark, "lineitem", sf_dir)
+        op = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        a, b = op.alias("a"), op.alias("b")
+        wund = (
+            a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+            .agg(F.count("*").cast("double").alias("w"))
+        )
+        sym = wund.unionByName(
+            wund.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        comm = _pg.louvain_move(sym)
+        return {"louvain_communities": comm.select("comm").distinct().count()}
+
+    def _squares():
+        # per-vertex 4-cycle motif counts on the bounded co-order graph
+        from polar_spark.operators.analytics_queries import q_squares_coorder
+
+        out = q_squares_coorder(spark, sf_dir)
+        return {"squares_total": out.agg(F.sum("squares")).collect()[0][0]}
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -367,6 +403,9 @@ def main() -> None:
         ("cm_heavy_hitters", _cm_sketch, min(REPS, 2)),
         ("corpus_curation", _curation, min(REPS, 2)),
         ("stream_scenarios", _stream_scenarios, 1),
+        ("dag_path_counts", _dag_paths, min(REPS, 2)),
+        ("louvain_move_full", _louvain, min(REPS, 2)),
+        ("squares_coorder", _squares, min(REPS, 2)),
     ]
 
     draws: dict[str, list[float]] = {name: [] for name, _f, _r in sections}

@@ -5546,3 +5546,149 @@ ORDER BY cnt DESC, c1 ASC, c2 ASC LIMIT 10
 
 ORACLES.update({"bpe_merge_top10": _BPE_SQL})
 QUERIES.update({"bpe_merge_top10": q_bpe_merge_top10})
+
+
+def q_nation_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical attribute assortativity (Newman 2003) of the demand
+    graph by nation: the weighted mixing matrix e_ij (customer-nation →
+    supplier-nation edge-weight shares), same-nation share tr(e), and
+    the assortativity coefficient r = (tr(e) − Σaᵢbᵢ)/(1 − Σaᵢbᵢ) —
+    does demand stay in-country?  One fact join + two 25-row aggregates
+    riding a 1-row broadcast."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    w = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("c_nationkey").alias("i"), F.col("s_nationkey").alias("j"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    tot = w.agg(F.sum("w").alias("t"))
+    e = w.crossJoin(F.broadcast(tot)).select("i", "j", (F.col("w") / F.col("t")).alias("e"))
+    tr = e.where(F.col("i") == F.col("j")).agg(F.sum("e").alias("tr"))
+    ab = (
+        e.groupBy("i").agg(F.sum("e").alias("a"))
+        .join(e.groupBy("j").agg(F.sum("e").alias("b")), F.col("i") == F.col("j"))
+        .agg(F.sum(F.col("a") * F.col("b")).alias("ab"))
+    )
+    return (
+        tr.crossJoin(F.broadcast(ab))
+        .select(
+            F.round(F.col("tr"), 6).alias("same_frac_r"),
+            F.round((F.col("tr") - F.col("ab")) / (F.lit(1.0) - F.col("ab")), 6).alias(
+                "assortativity_r"
+            ),
+        )
+    )
+
+
+_NATION_MIX_SQL = """
+WITH w AS (SELECT c.c_nationkey AS i, s.s_nationkey AS j,
+                  CAST(COUNT(*) AS DOUBLE) AS w
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2),
+t AS (SELECT SUM(w) AS t FROM w),
+e AS (SELECT i, j, w / (SELECT t FROM t) AS e FROM w),
+tr AS (SELECT SUM(e) AS tr FROM e WHERE i = j),
+ab AS (SELECT SUM(a.a * b.b) AS ab
+       FROM (SELECT i, SUM(e) AS a FROM e GROUP BY i) a
+       JOIN (SELECT j, SUM(e) AS b FROM e GROUP BY j) b ON a.i = b.j)
+SELECT ROUND((SELECT tr FROM tr), 6) AS same_frac_r,
+       ROUND(((SELECT tr FROM tr) - (SELECT ab FROM ab))
+             / (1.0 - (SELECT ab FROM ab)), 6) AS assortativity_r
+"""
+
+
+ORACLES.update({"nation_mixing": _NATION_MIX_SQL})
+QUERIES.update({"nation_mixing": q_nation_mixing})
+
+
+def q_node_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash neighbor-set similarity on the bounded co-order graph
+    (parts < 400): 4-seed min-hash signatures of each vertex's
+    neighbor set (the SQL-replayable xorshift family), candidate pairs
+    = vertices agreeing on ANY seed's minimum, estimate Ĵ = agreeing
+    seeds / 4 — the sketch-based scale path for node similarity (the
+    exact counterpart is `node_similarity3`).  Signature build is one
+    4x explode + min aggregate; candidates come from band joins, never
+    all pairs."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    e = _sym(und)
+    seeds = F.explode(F.array(*[F.lit(j) for j in (1, 2, 3, 4)])).alias("seed")
+    hx = e.select(F.col("src").alias("v"), F.col("dst").alias("x"), seeds)
+    x0 = (F.col("x") * F.lit(2654435761) + F.col("seed") * F.lit(1000003)) % F.lit(2**31)
+    x1 = (x0.bitwiseXOR(F.shiftright(x0, 13)) * F.lit(1274126177)) % F.lit(2**31)
+    h = x1.bitwiseXOR(F.shiftright(x1, 17))
+    sig = (
+        hx.select("v", "seed", h.alias("h"))
+        .groupBy("v", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    cand = (
+        sig.alias("sa")
+        .join(
+            sig.alias("sb"),
+            (F.col("sa.seed") == F.col("sb.seed"))
+            & (F.col("sa.mh") == F.col("sb.mh"))
+            & (F.col("sa.v") < F.col("sb.v")),
+        )
+        .select(F.col("sa.v").alias("a"), F.col("sb.v").alias("b"))
+        .distinct()
+    )
+    agree = (
+        cand.join(sig.select(F.col("v").alias("a"), "seed", F.col("mh").alias("ha")), "a")
+        .join(
+            sig.select(F.col("v").alias("b"), "seed", F.col("mh").alias("hb")),
+            ["b", "seed"],
+        )
+        .groupBy("a", "b")
+        .agg(F.sum((F.col("ha") == F.col("hb")).cast("long")).alias("m"))
+    )
+    return agree.select(
+        "a", "b", (F.col("m") / F.lit(4.0)).alias("jhat")
+    ).orderBy("a", "b")
+
+
+_NODE_MINHASH_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+hx AS (SELECT e.src AS v, e.dst AS x, s.seed AS seed
+       FROM e CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS seed) s),
+m0 AS (SELECT v, seed, (x * 2654435761 + seed * 1000003) % 2147483648 AS x0 FROM hx),
+m1 AS (SELECT v, seed, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM m0),
+sig AS (SELECT v, seed, MIN(xor(x1, x1 >> 17)) AS mh FROM m1 GROUP BY v, seed),
+cand AS (SELECT DISTINCT sa.v AS a, sb.v AS b
+         FROM sig sa JOIN sig sb
+           ON sa.seed = sb.seed AND sa.mh = sb.mh AND sa.v < sb.v),
+agree AS (SELECT c.a, c.b,
+                 SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+          FROM cand c
+          JOIN sig x ON x.v = c.a
+          JOIN sig y ON y.v = c.b AND y.seed = x.seed
+          GROUP BY c.a, c.b)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, m / 4.0 AS jhat
+FROM agree ORDER BY a, b
+"""
+
+
+ORACLES.update({"node_minhash": _NODE_MINHASH_SQL})
+QUERIES.update({"node_minhash": q_node_minhash})
