@@ -5692,3 +5692,119 @@ FROM agree ORDER BY a, b
 
 ORACLES.update({"node_minhash": _NODE_MINHASH_SQL})
 QUERIES.update({"node_minhash": q_node_minhash})
+
+
+def q_matching_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed maximal matching (pregel.maximal_matching) on the
+    bounded co-order graph (parts < 400): mutual-proposal rounds over
+    deterministic xorshift edge priorities — the edge-side sibling of
+    Luby MIS and the primitive under b-matching / coarsening.  The SQL
+    oracle unrolls 12 rounds; past-fixpoint rounds are no-ops."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    m, _stats = pregel.maximal_matching(und)
+    return m.select("a", "b").orderBy("a", "b")
+
+
+def _matching_sql(rounds: int) -> str:
+    parts = [
+        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_partkey < 400)",
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "k0 AS (SELECT a, b, a * 2147483648 + b AS key FROM und)",
+        "k1 AS (SELECT a, b, xor(key % 2147483648, (key >> 31) % 2147483648) AS x0 FROM k0)",
+        "k2 AS (SELECT a, b, (x0 * 2654435761) % 2147483648 AS x1 FROM k1)",
+        "k3 AS (SELECT a, b, (xor(x1, x1 >> 13) * 1274126177) % 2147483648 AS x2 FROM k2)",
+        "e0 AS (SELECT a, b, xor(x2, x2 >> 17) AS p FROM k3)",
+        "m0 AS (SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE FALSE)",
+    ]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"inc{i} AS (SELECT a AS v, a, b, p FROM e{i - 1} "
+            f"UNION ALL SELECT b, a, b, p FROM e{i - 1})",
+            f"top{i} AS (SELECT v, a, b FROM ("
+            f"SELECT v, a, b, ROW_NUMBER() OVER (PARTITION BY v "
+            f"ORDER BY p DESC, a ASC, b ASC) AS rn FROM inc{i}) t WHERE rn = 1)",
+            f"sel{i} AS MATERIALIZED (SELECT a, b FROM top{i} "
+            f"GROUP BY a, b HAVING COUNT(*) = 2)",
+            f"m{i} AS (SELECT a, b FROM m{i - 1} UNION ALL SELECT a, b FROM sel{i})",
+            f"mv{i} AS (SELECT a AS v FROM sel{i} UNION ALL SELECT b FROM sel{i})",
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b, e.p FROM e{i - 1} e "
+            f"WHERE e.a NOT IN (SELECT v FROM mv{i}) "
+            f"AND e.b NOT IN (SELECT v FROM mv{i}))",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+        FROM m{rounds} ORDER BY a, b"""
+    )
+
+
+ORACLES.update({"matching_coorder": _matching_sql(12)})
+QUERIES.update({"matching_coorder": q_matching_coorder})
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source containment matrix: for every source pair, how many
+    distinct 5-gram shingles they SHARE — the between-source half of
+    the dedup report (`dedup_rate_by_source` is the within-source
+    half); exact-text overlap is empty on this corpus, shingle overlap
+    is the signal a cross-corpus screen actually thresholds."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    ).where(F.size("t") >= 5)
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 5), i -> "
+                "concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+_SOURCE_OVERLAP_SQL = """
+WITH toks AS (SELECT source, string_split(trim(lower(text)), ' ') AS t
+              FROM documents),
+grams AS (SELECT DISTINCT source,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                 t[i+3] || ' ' || t[i+4] AS g
+          FROM toks, unnest(range(1, len(t) - 3)) u(i)
+          WHERE len(t) >= 5)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLES.update({"source_overlap": _SOURCE_OVERLAP_SQL})
+QUERIES.update({"source_overlap": q_source_overlap})

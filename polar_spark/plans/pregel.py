@@ -3306,3 +3306,88 @@ def dag_path_counts(
             "the input graph has a cycle (or raise max_iter)"
         )
     return p, stats
+
+
+def maximal_matching(
+    edges: DataFrame, max_iter: int = 60
+) -> tuple[DataFrame, IterationStats]:
+    """Distributed maximal matching by mutual-proposal rounds (the
+    edge-side sibling of Luby MIS): every undirected edge gets a
+    deterministic SQL-replayable xorshift priority; each round every
+    still-free vertex points at its highest-priority incident edge,
+    edges chosen from BOTH endpoints join the matching, and all edges
+    touching newly matched vertices drop out.  O(log E) rounds with
+    high probability; each round is two vertex-side argmax aggregates
+    + one semi/anti join — the LPA shuffle shape.  Rounds past the
+    fixpoint are no-ops, so a SQL oracle may unroll extra rounds.
+
+    Returns ``((a, b) matched pairs with a < b, stats)``; raises if
+    ``max_iter`` rounds leave edges standing (pathological priority
+    ties — cannot happen with the injective packed key below for
+    ids < 2^31).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    stats = IterationStats(algorithm="maximal_matching")
+    spark = edges.sparkSession
+    if und.rdd.isEmpty():
+        return spark.createDataFrame([], "a long, b long"), stats
+    # injective 62-bit pack -> xorshift mix; unique per edge for ids < 2^31
+    key = F.col("a") * F.lit(2**31) + F.col("b")
+    x0 = (key % F.lit(2**31)).bitwiseXOR(F.shiftright(key, 31) % F.lit(2**31))
+    x1 = (x0 * F.lit(2654435761)) % F.lit(2**31)
+    x2 = (x1.bitwiseXOR(F.shiftright(x1, 13)) * F.lit(1274126177)) % F.lit(2**31)
+    # tie-break on (a, b) keeps the argmax total even if mixes collide
+    e = und.select(
+        "a", "b", x2.bitwiseXOR(F.shiftright(x2, 17)).alias("p")
+    ).localCheckpoint(eager=True)
+    stats.edges = e.count()
+    matched = spark.createDataFrame([], "a long, b long")
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        inc = e.select(F.col("a").alias("v"), "a", "b", "p").unionByName(
+            e.select(F.col("b").alias("v"), "a", "b", "p")
+        )
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy("v").orderBy(F.desc("p"), F.asc("a"), F.asc("b"))
+        top = (
+            inc.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("v", "a", "b")
+        )
+        sel = (
+            top.groupBy("a", "b")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") == 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_sel = sel.count()
+        matched = matched.unionByName(sel).localCheckpoint(eager=True)
+        mv = sel.select(F.col("a").alias("v")).unionByName(
+            sel.select(F.col("b").alias("v"))
+        )
+        e = (
+            e.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
+            .select("a", "b", "p")
+            .localCheckpoint(eager=True)
+        )
+        m = e.count()
+        stats.iterations = it
+        stats.iter_seconds.append(time.monotonic() - t0)
+        stats.deltas.append(float(n_sel))
+        if m == 0:
+            stats.converged = True
+            break
+    if not stats.converged:
+        raise RuntimeError(
+            f"maximal_matching left {m} edges after {max_iter} rounds"
+        )
+    return matched.select("a", "b"), stats

@@ -1131,3 +1131,34 @@ def test_dag_path_counts_multi_source(spark):
     p, _ = pregel.dag_path_counts(df)
     got = {r["id"]: r["paths"] for r in p.collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_maximal_matching_valid_and_maximal(spark):
+    import random
+
+    rng = random.Random(3)
+    edges = list({tuple(sorted(rng.sample(range(40), 2))) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    m, stats = pregel.maximal_matching(df)
+    got = sorted((r["a"], r["b"]) for r in m.collect())
+    assert stats.converged
+    used = [v for ab in got for v in ab]
+    assert len(used) == len(set(used))  # valid: vertex-disjoint
+    matched = set(used)
+    for a, b in edges:  # maximal: no free-free edge remains
+        assert a in matched or b in matched
+    # deterministic across runs
+    m2, _ = pregel.maximal_matching(df)
+    assert sorted((r["a"], r["b"]) for r in m2.collect()) == got
+
+
+def test_maximal_matching_empty_and_single(spark):
+    out, st = pregel.maximal_matching(
+        spark.createDataFrame([], "src long, dst long")
+    )
+    assert out.count() == 0
+    out, st = pregel.maximal_matching(
+        spark.createDataFrame([(7, 9)], "src long, dst long")
+    )
+    assert [(r["a"], r["b"]) for r in out.collect()] == [(7, 9)]
+    assert st.converged
