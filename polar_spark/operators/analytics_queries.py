@@ -5808,3 +5808,86 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 ORACLES.update({"source_overlap": _SOURCE_OVERLAP_SQL})
 QUERIES.update({"source_overlap": q_source_overlap})
+
+
+def q_funnel_svp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase over the
+    event stream: per-user FIRST timestamps per stage, a user converts
+    at stage k when its first-timestamp chain is strictly increasing —
+    one conditional-min aggregate per user, no self-joins."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
+    )
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") > F.col("t1"))
+    s3 = s2 & F.col("t3").isNotNull() & (F.col("t3") > F.col("t2"))
+    return firsts.agg(
+        F.sum(s1.cast("long")).alias("n_signup"),
+        F.sum(s2.cast("long")).alias("n_signup_view"),
+        F.sum(s3.cast("long")).alias("n_signup_view_purchase"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+    FROM events GROUP BY user_id)
+SELECT CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_signup,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+                     AND t3 IS NOT NULL AND t3 > t2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view_purchase
+FROM firsts
+"""
+
+
+ORACLES.update({"funnel_svp": _FUNNEL_SQL})
+QUERIES.update({"funnel_svp": q_funnel_svp})
+
+
+def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users bucketed by the ISO week
+    of their first event, counted in every subsequent week they were
+    active — (cohort_week, week_n, users).  Two aggregates and one
+    broadcast-joinable cohort dimension."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (
+        active.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            F.floor(F.datediff(F.col("wk"), F.col("cw")) / 7)
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(F.count("*").cast("long").alias("users"))
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+_RETENTION_SQL = """
+WITH active AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events),
+cohort AS (SELECT user_id, MIN(wk) AS cw FROM active GROUP BY user_id)
+SELECT c.cw AS cohort_week,
+       CAST(FLOOR(datediff('day', c.cw, a.wk) / 7.0) AS BIGINT) AS week_n,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLES.update({"retention_weekly": _RETENTION_SQL})
+QUERIES.update({"retention_weekly": q_retention_weekly})
