@@ -5891,3 +5891,244 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 ORACLES.update({"retention_weekly": _RETENTION_SQL})
 QUERIES.update({"retention_weekly": q_retention_weekly})
+
+
+def q_nsp_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path counts (Brandes σ, pregel.shortest_path_counts)
+    from the minimum vertex of the bounded co-order graph: (id, dist,
+    sigma) for every reachable vertex — all-integer parity.  The SQL
+    oracle unrolls 12 frontier rounds (over-unrolling is a no-op once
+    the frontier empties)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    e = _sym(und)
+    seed = int(pregel.vertices_of(e).agg(F.min("id")).collect()[0][0])
+    out, _stats = pregel.shortest_path_counts(e, seed)
+    return out.select("id", F.col("dist").cast("long"), "sigma").orderBy("id")
+
+
+def _nsp_sql(rounds: int) -> str:
+    parts = [
+        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_partkey < 400)",
+        "und AS (SELECT DISTINCT a.p AS src, b.p AS dst "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)",
+        "vv AS (SELECT MIN(src) AS s FROM e)",
+        "f0 AS (SELECT (SELECT s FROM vv) AS id, 0 AS dist, CAST(1 AS BIGINT) AS sigma)",
+        "vis0 AS (SELECT id, dist, sigma FROM f0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"f{i} AS MATERIALIZED (SELECT e.dst AS id, {i} AS dist, "
+            f"CAST(SUM(f{i - 1}.sigma) AS BIGINT) AS sigma "
+            f"FROM e JOIN f{i - 1} ON f{i - 1}.id = e.src "
+            f"WHERE e.dst NOT IN (SELECT id FROM vis{i - 1}) GROUP BY e.dst)",
+            f"vis{i} AS MATERIALIZED (SELECT id, dist, sigma FROM vis{i - 1} "
+            f"UNION ALL SELECT id, dist, sigma FROM f{i})",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist, sigma
+        FROM vis{rounds} ORDER BY id"""
+    )
+
+
+ORACLES.update({"nsp_seed": _nsp_sql(12)})
+QUERIES.update({"nsp_seed": q_nsp_seed})
+
+
+def q_conductance_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community quality audit: conductance φ(C) = cut(C) /
+    min(vol(C), 2m − vol(C)) of every 2-round LPA community on the
+    SPARSE co-order graph — the metric that tells whether propagation
+    found real clusters (on the near-complete co-part graph LPA
+    collapses to one whole-graph community, a vacuous φ=0 row; whole-
+    graph communities are defined as φ=0 since cut and the denominator
+    are both 0).  Reuses the `lpa_fixed2` unrolled-round SQL replay;
+    cut/volume are two aggregates over the labeled symmetric edges."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    labels, _ = pregel.label_propagation(coorder_edges(spark, sf_dir), max_iter=2)
+    lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
+    el = (
+        e.join(lab.withColumnRenamed("id", "src").withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("label", "ld"), "dst")
+    )
+    m2 = el.count()  # 2m (symmetrized edge rows)
+    vol = el.groupBy(F.col("ls").alias("label")).agg(F.count("*").alias("vol"))
+    cut = (
+        el.where(F.col("ls") != F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count("*").alias("cut"))
+    )
+    return (
+        vol.join(cut, "label", "left")
+        .select(
+            "label",
+            F.col("vol").cast("long"),
+            F.coalesce(F.col("cut"), F.lit(0)).cast("long").alias("cut"),
+            F.when(
+                F.least(F.col("vol"), F.lit(m2) - F.col("vol")) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("cut"), F.lit(0))
+                    / F.least(F.col("vol"), F.lit(m2) - F.col("vol")).cast("double"),
+                    6,
+                )
+            )
+            .alias("phi_r"),
+        )
+        .orderBy("label")
+    )
+
+
+def _conductance_sql() -> str:
+    lpa_rounds = "".join(
+        "," + _LPA_ROUND.format(K=k, KM1=k - 1) for k in (1, 2)
+    )
+    return f"""
+WITH {_COORDER_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+l0 AS (SELECT id, id AS label FROM verts)
+{lpa_rounds},
+el AS (SELECT e.src, e.dst, a.label AS ls, b.label AS ld
+       FROM e JOIN l2 a ON a.id = e.src JOIN l2 b ON b.id = e.dst),
+m2 AS (SELECT COUNT(*) AS m2 FROM el),
+vol AS (SELECT ls AS label, COUNT(*) AS vol FROM el GROUP BY ls),
+cut AS (SELECT ls AS label, COUNT(*) AS cut FROM el WHERE ls <> ld GROUP BY ls)
+SELECT vol.label, CAST(vol.vol AS BIGINT) AS vol,
+       CAST(COALESCE(cut.cut, 0) AS BIGINT) AS cut,
+       CASE WHEN LEAST(vol.vol, (SELECT m2 FROM m2) - vol.vol) = 0 THEN 0.0
+            ELSE ROUND(COALESCE(cut.cut, 0) /
+                 CAST(LEAST(vol.vol, (SELECT m2 FROM m2) - vol.vol) AS DOUBLE),
+                 6) END AS phi_r
+FROM vol LEFT JOIN cut ON cut.label = vol.label
+ORDER BY vol.label
+"""
+
+
+ORACLES.update({"conductance_lpa": _conductance_sql()})
+QUERIES.update({"conductance_lpa": q_conductance_lpa})
+
+
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel-candidate mining over embeddings: distance of every
+    vector to its own label centroid, bottom-3 cosine per label — the
+    curation screen that surfaces wrongly-tagged examples.  Centroids
+    are one posexplode aggregate broadcast back; the score pass is a
+    pure map stage."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", (dot / (nrm(F.col("v")) * nrm(F.col("cv")))).alias("cos")
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select("label", "vec_id", F.round("cos", 6).alias("cos_r"))
+        .orderBy("label", "vec_id")
+    )
+
+
+_LABEL_OUTLIERS_SQL = """
+WITH x AS (SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+cent AS (SELECT label, pos, AVG(x) AS c FROM x GROUP BY label, pos),
+dots AS (SELECT x.vec_id, x.label,
+                SUM(x.x * cent.c) AS dot,
+                SQRT(SUM(x.x * x.x)) AS nv,
+                SQRT(SUM(cent.c * cent.c)) AS nc
+         FROM x JOIN cent ON cent.label = x.label AND cent.pos = x.pos
+         GROUP BY x.vec_id, x.label),
+scored AS (SELECT vec_id, label, dot / (nv * nc) AS cos FROM dots),
+rk AS (SELECT label, vec_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY label
+                                 ORDER BY cos ASC, vec_id ASC) AS rn
+       FROM scored)
+SELECT CAST(label AS INTEGER) AS label, vec_id, ROUND(cos, 6) AS cos_r
+FROM rk WHERE rn <= 3 ORDER BY label, vec_id
+"""
+
+
+ORACLES.update({"label_outliers": _LABEL_OUTLIERS_SQL})
+QUERIES.update({"label_outliers": q_label_outliers})
+
+
+def q_backbone_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex top-3 weighted backbone of the co-order graph (the
+    k-NN graph sparsifier under embedding/link pipelines): each vertex
+    keeps its 3 heaviest co-order edges (weight desc, neighbor asc),
+    kept edges are the symmetric union — output canonical (a < b)
+    pairs with weight."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    wund = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    sym = wund.unionByName(
+        wund.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    win = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    kept = sym.withColumn("_rn", F.row_number().over(win)).where(F.col("_rn") <= 3)
+    return (
+        kept.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"), "w"
+        )
+        .dropDuplicates(["a", "b"])
+        .orderBy("a", "b")
+    )
+
+
+_BACKBONE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+wund AS (SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+sym AS (SELECT src, dst, w FROM wund UNION ALL SELECT dst, src, w FROM wund),
+kept AS (SELECT src, dst, w FROM (
+           SELECT src, dst, w, ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY w DESC, dst ASC) AS rn
+           FROM sym) t WHERE rn <= 3)
+SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, w
+FROM kept ORDER BY a, b
+"""
+
+
+ORACLES.update({"backbone_top3": _BACKBONE_SQL})
+QUERIES.update({"backbone_top3": q_backbone_top3})

@@ -3391,3 +3391,56 @@ def maximal_matching(
             f"maximal_matching left {m} edges after {max_iter} rounds"
         )
     return matched.select("a", "b"), stats
+
+
+def shortest_path_counts(
+    edges: DataFrame, source: int, max_depth: int = 100
+) -> tuple[DataFrame, IterationStats]:
+    """Single-source shortest-path COUNTS (the σ table of Brandes'
+    betweenness forward phase, exposed as its own operator): for every
+    reachable vertex, its hop distance and the number of distinct
+    shortest paths from ``source`` — all-integer, so the cross-engine
+    parity is exact.
+
+    Frontier propagation: σ(v) = Σ σ(u) over frontier in-neighbors u
+    at distance d−1; each round is one frontier⨝edges join + one sum
+    aggregate + one anti-join against visited (O(E) total across
+    rounds).  Rounds past the last frontier are no-ops (empty
+    frontier), so a SQL oracle may over-unroll safely.
+    """
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    stats = IterationStats(algorithm="shortest_path_counts")
+    if e.rdd.isEmpty():
+        return spark.createDataFrame([], "id long, dist int, sigma long"), stats
+    stats.edges = e.count()
+    frontier = spark.createDataFrame(
+        [(int(source), 0, 1)], "id long, dist int, sigma long"
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        t0 = time.monotonic()
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.lit(depth).alias("dist"), F.sum("sigma").alias("sigma"))
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        stats.iterations = depth
+        stats.iter_seconds.append(time.monotonic() - t0)
+        stats.deltas.append(float(n))
+        if n == 0:
+            stats.converged = True
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    # if max_depth truncated the sweep, stats.converged stays False and
+    # the table covers vertices within max_depth hops only
+    return (
+        visited.select(
+            F.col("id").cast("long"), F.col("dist").cast("int"), F.col("sigma").cast("long")
+        ),
+        stats,
+    )

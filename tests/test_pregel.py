@@ -1162,3 +1162,27 @@ def test_maximal_matching_empty_and_single(spark):
     )
     assert [(r["a"], r["b"]) for r in out.collect()] == [(7, 9)]
     assert st.converged
+
+
+def test_shortest_path_counts_grid(spark):
+    # 2x3 grid: counts from corner follow the lattice-path binomials
+    #   1 - 2 - 3
+    #   |   |   |
+    #   4 - 5 - 6
+    und = [(1, 2), (2, 3), (4, 5), (5, 6), (1, 4), (2, 5), (3, 6)]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    out, stats = pregel.shortest_path_counts(df, 1)
+    got = {r["id"]: (r["dist"], r["sigma"]) for r in out.collect()}
+    assert got == {1: (0, 1), 2: (1, 1), 4: (1, 1), 3: (2, 1), 5: (2, 2), 6: (3, 3)}
+    assert stats.converged
+
+
+def test_shortest_path_counts_unreachable_and_truncated(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (9, 10)], "src long, dst long")
+    out, stats = pregel.shortest_path_counts(df, 1)
+    got = {r["id"] for r in out.collect()}
+    assert got == {1, 2, 3}  # 9,10 unreachable
+    out2, st2 = pregel.shortest_path_counts(df, 1, max_depth=1)
+    assert {r["id"] for r in out2.collect()} == {1, 2}
+    assert not st2.converged
