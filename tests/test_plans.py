@@ -195,3 +195,38 @@ def test_heavy_hitters_probe_broadcasts(spark, tmp_path):
 
     probe = cm_estimate(m.sketch(), spark.range(5).select(F.col("id").alias("k")), "k")
     assert "BroadcastHashJoin" in _plan(probe)
+
+
+def test_weighted_bernoulli_is_pure_pushdown_filter(spark):
+    """The hash-coin keep decision must stay a map-stage filter: no
+    Exchange, no Python eval — the plan a 100 TB corpus filter needs."""
+    from polar_spark.operators.sampling import weighted_bernoulli
+
+    docs = load_table(spark, "documents", SF_DIR)
+    kept = weighted_bernoulli(docs, "n_chars", 2000, id_col="doc_id", seed=37)
+    plan = _plan(kept.select("doc_id"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_quantize_int8_dim_stats_broadcast(spark):
+    """Per-dimension min/max (64 rows) must come back via broadcast —
+    the exploded fact side never reshuffles on pos."""
+    from polar_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    out = quantize_int8(emb)
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_louvain_gain_scan_stays_jvm(spark):
+    """The modularity-gain candidate table is pure JVM arithmetic —
+    no Python eval anywhere in the sweep."""
+    from polar_spark.plans import pregel
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 2.0), (3, 2, 2.0)],
+        "src long, dst long, w double",
+    )
+    out = pregel.louvain_move(e)
+    assert "Python" not in _plan(out)
