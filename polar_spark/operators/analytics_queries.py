@@ -6132,3 +6132,135 @@ FROM kept ORDER BY a, b
 
 ORACLES.update({"backbone_top3": _BACKBONE_SQL})
 QUERIES.update({"backbone_top3": q_backbone_top3})
+
+
+def q_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal centrality drift: PageRank (3 fixed rounds) of the
+    demand graph restricted to orders BEFORE vs SINCE 1998-01-01 —
+    per-supplier rank delta, the 'who is gaining importance' snapshot
+    diff (degree_delta's centrality-level sibling).  Both epochs
+    unroll in one SQL oracle; suppliers absent from an epoch carry
+    rank 0."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    cut = F.lit("1998-01-01").cast("timestamp")
+
+    def epoch(cond):
+        return (
+            li.join(orders.where(cond), li.l_orderkey == orders.o_orderkey)
+            .where(F.col("o_custkey") != F.col("l_suppkey"))
+            .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+            .distinct()
+        )
+
+    r_old = pregel.pagerank_fixed(
+        _sym(epoch(F.col("o_orderdate") < cut)), n_iter=3, damping=DAMPING
+    )
+    r_new = pregel.pagerank_fixed(
+        _sym(epoch(F.col("o_orderdate") >= cut)), n_iter=3, damping=DAMPING
+    )
+    suppliers = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("id")
+    )
+    return (
+        suppliers.join(r_old.withColumnRenamed("rank", "r_old"), "id", "left")
+        .join(r_new.withColumnRenamed("rank", "r_new"), "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce(F.col("r_old"), F.lit(0.0)), 7).alias("rank_old_r"),
+            F.round(F.coalesce(F.col("r_new"), F.lit(0.0)), 7).alias("rank_new_r"),
+            F.round(
+                F.coalesce(F.col("r_new"), F.lit(0.0))
+                - F.coalesce(F.col("r_old"), F.lit(0.0)),
+                7,
+            ).alias("delta_r"),
+        )
+        .orderBy("id")
+    )
+
+
+def _rank_drift_sql(n_iter: int = 3) -> str:
+    def chain(tag: str, cond: str) -> str:
+        parts = [
+            f"e_{tag} AS (SELECT DISTINCT o.o_custkey AS s, l.l_suppkey AS d "
+            f"FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            f"WHERE {cond} AND o.o_custkey <> l.l_suppkey)",
+            # DISTINCT matters: both (a,b) and (b,a) demand pairs exist, and
+            # the operator's normalize_edges dedups the symmetrized table
+            f"g_{tag} AS (SELECT s AS src, d AS dst FROM e_{tag} "
+            f"UNION SELECT d, s FROM e_{tag})",
+            f"v_{tag} AS (SELECT DISTINCT src AS id FROM g_{tag})",
+            f"inv_{tag} AS (SELECT 1.0 / COUNT(*) AS x FROM v_{tag})",
+            f"dg_{tag} AS (SELECT src, COUNT(*) AS dd FROM g_{tag} GROUP BY src)",
+            f"w_{tag} AS (SELECT g.src, g.dst, 1.0 / dg.dd AS wt "
+            f"FROM g_{tag} g JOIN dg_{tag} dg ON dg.src = g.src)",
+            f"r0_{tag} AS (SELECT id, (SELECT x FROM inv_{tag}) AS r FROM v_{tag})",
+        ]
+        for k in range(1, n_iter + 1):
+            parts.append(
+                f"r{k}_{tag} AS (SELECT v.id, "
+                f"0.15 * (SELECT x FROM inv_{tag}) + 0.85 * COALESCE(s.s, 0) AS r "
+                f"FROM v_{tag} v LEFT JOIN ("
+                f"SELECT w.dst AS id, SUM(w.wt * p.r) AS s "
+                f"FROM w_{tag} w JOIN r{k - 1}_{tag} p ON p.id = w.src "
+                f"GROUP BY w.dst) s ON s.id = v.id)"
+            )
+        return ",\n".join(parts)
+
+    return f"""
+WITH {chain("old", "o.o_orderdate < TIMESTAMP '1998-01-01'")},
+{chain("new", "o.o_orderdate >= TIMESTAMP '1998-01-01'")}
+SELECT s.s_suppkey AS id,
+       ROUND(COALESCE(ro.r, 0), 7) AS rank_old_r,
+       ROUND(COALESCE(rn.r, 0), 7) AS rank_new_r,
+       ROUND(COALESCE(rn.r, 0) - COALESCE(ro.r, 0), 7) AS delta_r
+FROM supplier s
+LEFT JOIN r{n_iter}_old ro ON ro.id = s.s_suppkey
+LEFT JOIN r{n_iter}_new rn ON rn.id = s.s_suppkey
+ORDER BY s.s_suppkey
+"""
+
+
+ORACLES.update({"rank_drift": _rank_drift_sql(3)})
+QUERIES.update({"rank_drift": q_rank_drift})
+
+
+def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeman degree centralization of the co-order graph: Σ(maxdeg −
+    deg) / ((n−1)(n−2)) — one number separating hub-and-spoke from
+    egalitarian topologies; plus n, edges, max degree for context."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    # Σ(maxdeg − deg) = n·maxdeg − Σdeg, so one aggregate suffices
+    return deg.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("d") / 2).cast("long").alias("m"),
+        F.max("d").cast("long").alias("max_deg"),
+        F.round(
+            (F.count("*") * F.max("d") - F.sum("d"))
+            / ((F.count("*") - 1) * (F.count("*") - 2)).cast("double"),
+            6,
+        ).alias("centralization_r"),
+    )
+
+
+_DEGREE_CENTRALIZATION_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(d) / 2 AS BIGINT) AS m,
+       CAST(MAX(d) AS BIGINT) AS max_deg,
+       ROUND((COUNT(*) * MAX(d) - SUM(d))
+             / CAST((COUNT(*) - 1) * (COUNT(*) - 2) AS DOUBLE), 6)
+           AS centralization_r
+FROM deg
+"""
+
+
+ORACLES.update({"degree_centralization": _DEGREE_CENTRALIZATION_SQL})
+QUERIES.update({"degree_centralization": q_degree_centralization})

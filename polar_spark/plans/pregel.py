@@ -216,6 +216,34 @@ class _Ckpt:
         return self.spark.read.parquet(os.path.join(self.dir, f"iter={iteration}"))
 
 
+def _hard_cut(df: DataFrame) -> DataFrame:
+    """Materialize and cut BOTH the logical plan and its statistics.
+
+    ``localCheckpoint`` truncates the plan but its ``LogicalRDD`` leaf
+    inherits the origin plan's ``sizeInBytes`` ESTIMATE — in a
+    self-join loop (MSF pointer doubling) that estimate squares per
+    hop and compounds across rounds until Catalyst's BigInteger stats
+    arithmetic dominates planning (observed: minutes of single-threaded
+    driver CPU at sf0.1).  ``persist`` resets stats via the actual
+    InMemoryRelation size but does NOT cut the plan, so the logical
+    tree grows 16x per chunk instead.  This helper does the checkpoint
+    (plan cut + materialization), then rebuilds a DataFrame from the
+    checkpointed RDD so the leaf carries the session-default size —
+    constant per chunk, never compounding.  Falls back to the plain
+    checkpoint if the internal JVM constructor is unavailable.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = df.sparkSession
+        jdf = ck._jdf
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jnew, spark)
+    except Exception:  # pragma: no cover - connect/API drift fallback
+        return ck
+
+
 def _cut_lineage(
     df: DataFrame,
     it: int,
@@ -2109,40 +2137,25 @@ def minimum_spanning_forest(
                 )
             )
             # Each hop is a SELF-join (p appears twice), so a fully lazy
-            # chain doubles the plan per hop — materialize every 4 hops.
-            # Pin through persist()+count(), NOT localCheckpoint:
-            # checkpoint's LogicalRDD carries the ORIGIN plan's estimated
-            # sizeInBytes forward, and this loop squares that estimate
-            # per hop (self-join) — compounding doubly-exponentially
-            # across rounds until Catalyst's BigInteger stats arithmetic
-            # dominates planning.  InMemoryRelation reports the ACTUAL
-            # materialized size downstream, resetting the estimate at
-            # every chunk boundary.
+            # chain doubles the plan per hop — materialize every 4 hops
+            # through _hard_cut, which truncates the plan AND drops the
+            # inherited sizeInBytes estimate (plain localCheckpoint
+            # carries it forward and this loop squares it per hop until
+            # BigInteger stats arithmetic dominates planning; persist
+            # resets stats but leaves the plan tree growing 16x/chunk).
             hops_needed = max(1, math.ceil(math.log2(max(active, 2))))
             done_h = 0
-            prev_pin: DataFrame | None = None
             while done_h < hops_needed:
                 k = min(4, hops_needed - done_h)
                 for _ in range(k):
                     hop = p.select(F.col("id").alias("p"), F.col("p").alias("pp"))
                     p = p.join(hop, "p").select("id", F.col("pp").alias("p"))
-                p = p.persist()
-                p.count()
-                if prev_pin is not None:
-                    prev_pin.unpersist()
-                prev_pin = p
+                p = _hard_cut(p)
                 done_h += k
-            old_comp = comp
-            comp = (
+            comp = _hard_cut(
                 comp.join(p.withColumnRenamed("id", "comp"), "comp", "left")
                 .select("id", F.coalesce(F.col("p"), F.col("comp")).alias("comp"))
-                .persist()
             )
-            comp.count()
-            if prev_pin is not None:
-                prev_pin.unpersist()
-            if rnd > 1:
-                old_comp.unpersist()
             stats.iter_seconds.append(time.monotonic() - t0)
         if not stats.converged:
             raise RuntimeError(
@@ -2150,7 +2163,6 @@ def minimum_spanning_forest(
                 f"{max_rounds} rounds — raise max_rounds"
             )
         out = msf.select("u", "v", "w").localCheckpoint(eager=True)
-        comp.unpersist()
         return out, stats
 
 
