@@ -78,10 +78,14 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).persist()
     docs.count()
 
-    # replicated curation corpus (the documents fixture is 500 rows at
-    # every sf; the curation section needs corpus-scale input) — input
-    # materialization is untimed per the harness discipline
-    corpus_reps = max(20, int(2_000 * sf)) if sf > 0 else 200
+    # replicated curation corpus: target 1M·sf docs TOTAL (the documents
+    # fixture itself scales with sf — 5,000 rows at sf0.1 — so replication
+    # must divide by the actual row count; a fixed rep count silently made
+    # the sf0.1 section 10x the intended size, 212 s of the bench) —
+    # input materialization is untimed per the harness discipline
+    n_docs = docs.count()
+    corpus_target = max(10_000, int(1_000_000 * sf)) if sf > 0 else 100_000
+    corpus_reps = max(4, corpus_target // max(n_docs, 1))
     corpus = (
         docs.crossJoin(spark.range(corpus_reps).select(F.col("id").alias("_r")))
         .select(
