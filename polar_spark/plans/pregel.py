@@ -3095,7 +3095,7 @@ def simrank(
 
 
 def dag_longest_path(
-    edges: DataFrame, max_iter: int = 200
+    edges: DataFrame, max_iter: int = 200, probe_every: int = 4
 ) -> tuple[DataFrame, IterationStats]:
     """Longest-path layering of a DAG: level(v) = length (in edges) of
     the longest path from any source vertex to v — the topological
@@ -3105,13 +3105,18 @@ def dag_longest_path(
     max_{u→v} level(u)) until a fixpoint; converges in exactly
     longest-path-length rounds on a DAG.  Each round is one edge⨝state
     join + max-aggregate; levels are monotone non-decreasing, so the
-    per-round change test is a single SUM aggregate (sum strictly grows
-    iff any level grew).  If ``max_iter`` rounds pass without a
+    change test is a single SUM aggregate (sum strictly grows iff any
+    level grew).  Rounds are FUSED ``probe_every`` at a time — they
+    chain lazily (the state enters each round's plan once, so the plan
+    grows linearly, no self-join blowup) and only the chunk boundary
+    pays a driver action; rounds past the fixpoint are no-ops, so the
+    chunk-granularity probe is sound at the cost of ≤ probe_every−1
+    wasted no-op rounds.  If ``max_iter`` rounds pass without a
     fixpoint the input has a cycle — raises instead of returning wrong
     levels (a cycle makes 'longest path' unbounded).
     """
     e = normalize_edges(edges).localCheckpoint(eager=True)
-    stats = IterationStats(algorithm="dag_longest_path")
+    stats = IterationStats(algorithm="dag_longest_path", fused=probe_every > 1)
     spark = edges.sparkSession
     if e.rdd.isEmpty():
         return spark.createDataFrame([], "id long, lvl long"), stats
@@ -3122,23 +3127,27 @@ def dag_longest_path(
         eager=True
     )
     prev_sum = 0
-    for it in range(1, max_iter + 1):
+    it = 0
+    while it < max_iter:
         t0 = time.monotonic()
-        upd = (
-            e.join(lvl.select(F.col("id").alias("src"), "lvl"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg((F.max("lvl") + F.lit(1)).alias("nl"))
-        )
-        lvl = (
-            lvl.join(upd, "id", "left")
-            .select(
-                "id",
-                F.greatest(F.col("lvl"), F.coalesce(F.col("nl"), F.lit(0))).alias(
-                    "lvl"
-                ),
+        k = min(probe_every, max_iter - it)
+        for j in range(k):
+            upd = (
+                e.join(lvl.select(F.col("id").alias("src"), "lvl"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg((F.max("lvl") + F.lit(1)).alias("nl"))
             )
-            .localCheckpoint(eager=True)
-        )
+            lvl = (
+                lvl.join(upd, "id", "left")
+                .select(
+                    "id",
+                    F.greatest(
+                        F.col("lvl"), F.coalesce(F.col("nl"), F.lit(0))
+                    ).alias("lvl"),
+                )
+                .localCheckpoint(eager=(j == k - 1))
+            )
+        it += k
         cur_sum = lvl.agg(F.sum("lvl")).collect()[0][0]
         stats.iterations = it
         stats.iter_seconds.append(time.monotonic() - t0)
@@ -3290,21 +3299,29 @@ def dag_path_counts(
     ).localCheckpoint(eager=True)
     p = bases.select("id", F.col("b").alias("paths"))
     prev_sum = None
-    for it in range(1, max_iter + 1):
+    it = 0
+    # rounds fuse probe_every at a time (lazy chain, linear plan growth;
+    # past-fixpoint rounds are no-ops so the chunk probe is sound)
+    probe_every = 4
+    stats.fused = True
+    while it < max_iter:
         t0 = time.monotonic()
-        inc = (
-            e.join(p.select(F.col("id").alias("src"), "paths"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("paths").alias("s"))
-        )
-        p = (
-            bases.join(inc, "id", "left")
-            .select(
-                "id",
-                (F.col("b") + F.coalesce(F.col("s"), F.lit(0))).alias("paths"),
+        k = min(probe_every, max_iter - it)
+        for j in range(k):
+            inc = (
+                e.join(p.select(F.col("id").alias("src"), "paths"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("paths").alias("s"))
             )
-            .localCheckpoint(eager=True)
-        )
+            p = (
+                bases.join(inc, "id", "left")
+                .select(
+                    "id",
+                    (F.col("b") + F.coalesce(F.col("s"), F.lit(0))).alias("paths"),
+                )
+                .localCheckpoint(eager=(j == k - 1))
+            )
+        it += k
         cur_sum = p.agg(F.sum("paths")).collect()[0][0]
         stats.iterations = it
         stats.iter_seconds.append(time.monotonic() - t0)
