@@ -6264,3 +6264,121 @@ FROM deg
 
 ORACLES.update({"degree_centralization": _DEGREE_CENTRALIZATION_SQL})
 QUERIES.update({"degree_centralization": q_degree_centralization})
+
+
+def q_ppr_push4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-push approximate PPR (pregel.ppr_push, 4 synchronous
+    lazy-walk rounds from supplier 1) on the co-part graph: settled
+    mass p plus the outstanding residual r per vertex — the bounded-
+    work local-clustering primitive next to the exact `ppr_fixed3`."""
+    e = _sym(copart_edges(spark, sf_dir))
+    out = pregel.ppr_push(e, source=1, alpha=0.15, n_iter=4)
+    return out.select(
+        "id", F.round("p", 7).alias("p_r"), F.round("r", 7).alias("res_r")
+    ).orderBy("id")
+
+
+def _ppr_push_sql(n_iter: int = 4, alpha: float = 0.15) -> str:
+    half = (1.0 - alpha) / 2.0
+    parts = [
+        _COPART_SQL.strip(),
+        _SYM_SQL,
+        "verts AS (SELECT DISTINCT src AS id FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        "w AS (SELECT e.src, e.dst, 1.0 / deg.d AS wt "
+        "FROM e JOIN deg ON deg.src = e.src)",
+        "s0 AS (SELECT id, 0.0 AS p, "
+        "CASE WHEN id = 1 THEN 1.0 ELSE 0.0 END AS r FROM verts)",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"s{k} AS (SELECT v.id, s.p + {alpha} * s.r AS p, "
+            f"{half} * s.r + {half} * COALESCE(m.inm, 0) AS r "
+            f"FROM verts v JOIN s{k - 1} s ON s.id = v.id LEFT JOIN ("
+            f"SELECT w.dst AS id, SUM(w.wt * s{k - 1}.r) AS inm "
+            f"FROM w JOIN s{k - 1} ON s{k - 1}.id = w.src GROUP BY w.dst"
+            f") m ON m.id = v.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT id, ROUND(p, 7) AS p_r, ROUND(r, 7) AS res_r
+        FROM s{n_iter} ORDER BY id"""
+    )
+
+
+ORACLES.update({"ppr_push4": _ppr_push_sql(4, 0.15)})
+QUERIES.update({"ppr_push4": q_ppr_push4})
+
+
+def q_sage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style neighborhood feature aggregation: mean of each
+    vector's top-3 cosine neighbors' embeddings, per dimension — the
+    GNN message-passing prep pass (sample → aggregate) over the kNN
+    graph of the embeddings table.  Exploded (vec_id, dim, value)
+    output keeps the cross-engine compare array-free."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        q.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    nbrs = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    nx = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.posexplode("v").alias("pos", "x")
+    )
+    return (
+        nbrs.join(nx, "neighbor_id")
+        .groupBy(F.col("query_id").alias("vec_id"), "pos")
+        .agg(F.round(F.avg("x"), 6).alias("agg_r"))
+        .select("vec_id", F.col("pos").cast("long"), "agg_r")
+        .orderBy("vec_id", "pos")
+    )
+
+
+_SAGE_SQL = """
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(UNNEST(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS n FROM e GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS d
+         FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+scored AS (SELECT query_id, neighbor_id, d / (na.n * nb.n) AS cos
+           FROM dots JOIN nrm na ON na.vec_id = query_id
+                     JOIN nrm nb ON nb.vec_id = neighbor_id),
+nbrs AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM scored) t WHERE rn <= 3)
+SELECT nbrs.query_id AS vec_id, CAST(e.i - 1 AS BIGINT) AS pos,
+       ROUND(AVG(e.x), 6) AS agg_r
+FROM nbrs JOIN e ON e.vec_id = nbrs.neighbor_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLES.update({"sage_agg": _SAGE_SQL})
+QUERIES.update({"sage_agg": q_sage_agg})

@@ -3473,3 +3473,63 @@ def shortest_path_counts(
         ),
         stats,
     )
+
+
+def ppr_push(
+    edges: DataFrame,
+    source: int,
+    alpha: float = 0.15,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Approximate personalized PageRank by SYNCHRONOUS lazy-walk push
+    (the batch formulation of Andersen–Chung–Lang forward push): mass
+    starts as residual r = e_source; each round settles α·r into p and
+    spreads the rest half-lazily —
+
+        p ← p + α·r
+        r ← (1−α)/2 · r  +  (1−α)/2 · Pᵀ r
+
+    After k rounds p lower-bounds the true PPR with total outstanding
+    mass Σr = (1−α)^k; the residual column quantifies the
+    approximation, which is the operator's point — LOCAL mass stays
+    near the seed, so per-round work is proportional to the touched
+    neighborhood, not the graph (the sparse frontier is the 100 TB
+    story; the fixed round count keeps the arithmetic unrollable for
+    the SQL oracle).  Returns ``(id, p, r)`` over all vertices.
+    """
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    if e.rdd.isEmpty():
+        return spark.createDataFrame([], "id long, p double, r double")
+    verts = vertices_of(e).localCheckpoint(eager=True)
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    w = e.join(deg.withColumnRenamed("id", "src"), "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("d")).alias("wt")
+    ).localCheckpoint(eager=True)
+    state = verts.select(
+        "id",
+        F.lit(0.0).alias("p"),
+        F.when(F.col("id") == source, F.lit(1.0)).otherwise(F.lit(0.0)).alias("r"),
+    )
+    half = (1.0 - alpha) / 2.0
+    for _ in range(n_iter):
+        spread = (
+            w.join(
+                state.select(F.col("id").alias("src"), F.col("r").alias("rs")), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("wt") * F.col("rs")).alias("inm"))
+        )
+        state = (
+            state.join(spread, "id", "left")
+            .select(
+                "id",
+                (F.col("p") + F.lit(alpha) * F.col("r")).alias("p"),
+                (
+                    F.lit(half) * F.col("r")
+                    + F.lit(half) * F.coalesce(F.col("inm"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state.localCheckpoint(eager=True)

@@ -1186,3 +1186,22 @@ def test_shortest_path_counts_unreachable_and_truncated(spark):
     out2, st2 = pregel.shortest_path_counts(df, 1, max_depth=1)
     assert {r["id"] for r in out2.collect()} == {1, 2}
     assert not st2.converged
+
+
+def test_ppr_push_mass_conservation_and_locality(spark):
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    out = pregel.ppr_push(df, source=1, alpha=0.15, n_iter=4).collect()
+    p = {r["id"]: r["p"] for r in out}
+    res = {r["id"]: r["r"] for r in out}
+    # settled + residual mass is exactly 1; residual total is (1-a)^k
+    assert abs(sum(p.values()) + sum(res.values()) - 1.0) < 1e-12
+    assert abs(sum(res.values()) - 0.85**4) < 1e-12
+    # locality: mass decays with distance from the seed on the path
+    assert p[1] > p[2] > p[3] > p[4] >= p[5]
+
+
+def test_ppr_push_empty(spark):
+    out = pregel.ppr_push(spark.createDataFrame([], "src long, dst long"), source=1)
+    assert out.count() == 0
