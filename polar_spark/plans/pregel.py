@@ -3271,16 +3271,16 @@ def dag_path_counts(
     multiplicity ('how many build paths reach this artifact') and
     DAG-width diagnostics.
 
-    Fixed-point iteration of p ← base + Aᵀp, where base = 1 at
-    sources: after k rounds p(v) counts paths of length ≤ k, so the
-    sequence is monotone and reaches the exact count at
-    longest-path-length rounds.  Counts are integers, so the
-    convergence probe is an exact SUM compare; ``max_iter`` exhaustion
-    means a source-REACHABLE cycle (path count diverges) — raises, same
-    contract as :func:`dag_longest_path`.  A cycle no source reaches is
-    a valid zero-count fixpoint (no path from a source enters it), not
-    an error.  Rounds past the fixpoint recompute the same table, so
-    the oracle may safely unroll extra rounds.
+    FRONTIER-SCOPED: round k propagates f_k(v) = number of paths of
+    length exactly k ending at v (f_0 = 1 at sources); each round is
+    one edges⨝frontier join + sum-aggregate over only the still-active
+    frontier — total work is Σ_k |E(frontier_k)|, which shrinks as the
+    DAG drains, instead of |E|·depth for the full-state formulation.
+    p = Σ_k f_k is one final union-aggregate.  The frontier empties at
+    longest-path-length rounds; ``max_iter`` exhaustion means a
+    source-REACHABLE cycle (path count diverges) — raises.  A cycle no
+    source reaches never enters any frontier (zero counts inside it —
+    a valid fixpoint, not an error), and its vertices report 0.
     """
     e = normalize_edges(edges).localCheckpoint(eager=True)
     stats = IterationStats(algorithm="dag_path_counts")
@@ -3290,50 +3290,41 @@ def dag_path_counts(
     verts = vertices_of(e).localCheckpoint(eager=True)
     stats.edges = e.count()
     stats.vertices = verts.count()
-    base = (
+    frontier = (
         verts.join(e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti")
-        .select("id", F.lit(1).cast("long").alias("b"))
+        .select("id", F.lit(1).cast("long").alias("f"))
+        .localCheckpoint(eager=True)
     )
-    bases = verts.join(base, "id", "left").select(
-        "id", F.coalesce(F.col("b"), F.lit(0)).cast("long").alias("b")
-    ).localCheckpoint(eager=True)
-    p = bases.select("id", F.col("b").alias("paths"))
-    prev_sum = None
-    it = 0
-    # rounds fuse probe_every at a time (lazy chain, linear plan growth;
-    # past-fixpoint rounds are no-ops so the chunk probe is sound)
-    probe_every = 4
-    stats.fused = True
-    while it < max_iter:
+    layers = [frontier]
+    for it in range(1, max_iter + 1):
         t0 = time.monotonic()
-        k = min(probe_every, max_iter - it)
-        for j in range(k):
-            inc = (
-                e.join(p.select(F.col("id").alias("src"), "paths"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum("paths").alias("s"))
-            )
-            p = (
-                bases.join(inc, "id", "left")
-                .select(
-                    "id",
-                    (F.col("b") + F.coalesce(F.col("s"), F.lit(0))).alias("paths"),
-                )
-                .localCheckpoint(eager=(j == k - 1))
-            )
-        it += k
-        cur_sum = p.agg(F.sum("paths")).collect()[0][0]
+        frontier = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("f").alias("f"))
+            .localCheckpoint(eager=True)
+        )
+        n = frontier.count()
         stats.iterations = it
         stats.iter_seconds.append(time.monotonic() - t0)
-        if cur_sum == prev_sum:
+        stats.deltas.append(float(n))
+        if n == 0:
             stats.converged = True
             break
-        prev_sum = cur_sum
+        layers.append(frontier)
     if not stats.converged:
         raise ValueError(
-            f"dag_path_counts did not reach a fixpoint in {max_iter} rounds — "
-            "the input graph has a cycle (or raise max_iter)"
+            f"dag_path_counts did not drain its frontier in {max_iter} rounds — "
+            "a source-reachable cycle (or raise max_iter)"
         )
+    acc = layers[0]
+    for lay in layers[1:]:
+        acc = acc.unionByName(lay)
+    p = (
+        verts.join(acc.groupBy("id").agg(F.sum("f").alias("s")), "id", "left")
+        .select("id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("paths"))
+        .localCheckpoint(eager=True)
+    )
     return p, stats
 
 
