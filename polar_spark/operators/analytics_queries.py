@@ -6382,3 +6382,83 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 ORACLES.update({"sage_agg": _SAGE_SQL})
 QUERIES.update({"sage_agg": q_sage_agg})
+
+
+def q_wedge_sample_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge-sampling estimate of the global clustering coefficient on
+    the FULL co-order graph (Seshadhri et al. 2013): enumerate wedges
+    once, keep a deterministic ~2% hash sample (the shared xorshift
+    coin over the (center, endpoints) triple — SQL-replayable, no RNG
+    state), closure-check ONLY the sample.  The closure semi-join —
+    the expensive stage of exact triangle counting — touches 2% of
+    wedges; at 100 TB that is the difference between feasible and not.
+    Output: total wedges, sampled, closed, cc estimate, and the implied
+    triangle estimate."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    wedges = (
+        e.select(F.col("src").alias("v"), F.col("dst").alias("a"))
+        .join(e.select(F.col("src").alias("v"), F.col("dst").alias("b")), "v")
+        .where(F.col("a") < F.col("b"))
+    )
+    # reduce the packed key mod 2^31 BEFORE the multiply — the raw
+    # key times the mix constant overflows int64 for large part ids
+    key = (
+        F.col("v") * F.lit(4_000_037) + F.col("a") * F.lit(2_003) + F.col("b")
+    ) % F.lit(2**31)
+    x0 = (key * F.lit(2654435761) + F.lit(13)) % F.lit(2**31)
+    x1 = (x0.bitwiseXOR(F.shiftright(x0, 13)) * F.lit(1274126177)) % F.lit(2**31)
+    bucket = x1.bitwiseXOR(F.shiftright(x1, 17)) % F.lit(10_000)
+    tagged = wedges.select("v", "a", "b", (bucket < 200).alias("_s"))
+    sampled = tagged.where("_s")
+    und = coorder_edges(spark, sf_dir).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    closed = sampled.join(und, ["a", "b"], "left_semi")
+    stats = tagged.agg(
+        F.count("*").cast("long").alias("total_wedges"),
+        F.sum(F.col("_s").cast("long")).alias("sampled"),
+    ).crossJoin(F.broadcast(closed.agg(F.count("*").cast("long").alias("closed"))))
+    return stats.select(
+        "total_wedges",
+        "sampled",
+        "closed",
+        F.round(F.col("closed") / F.col("sampled"), 6).alias("cc_est_r"),
+        F.floor(
+            F.col("closed") / F.col("sampled") * F.col("total_wedges") / F.lit(3.0)
+        )
+        .cast("long")
+        .alias("tri_est"),
+    )
+
+
+_WEDGE_SAMPLE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+w AS (SELECT x.src AS v, x.dst AS a, y.dst AS b
+      FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst),
+t AS (SELECT v, a, b,
+             (xor(x1, x1 >> 17) % 10000) < 200 AS s
+      FROM (SELECT v, a, b,
+                   (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1
+            FROM (SELECT v, a, b,
+                         (((v * 4000037 + a * 2003 + b) % 2147483648)
+                              * 2654435761 + 13) % 2147483648 AS x0
+                  FROM w) q0) q1),
+c AS (SELECT COUNT(*) AS closed FROM t
+      WHERE t.s AND EXISTS (SELECT 1 FROM und u
+                            WHERE u.src = t.a AND u.dst = t.b)),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_wedges,
+               CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS sampled
+        FROM t)
+SELECT total_wedges, sampled, CAST(c.closed AS BIGINT) AS closed,
+       ROUND(CAST(c.closed AS DOUBLE) / sampled, 6) AS cc_est_r,
+       CAST(FLOOR(CAST(c.closed AS DOUBLE) / sampled * total_wedges / 3.0)
+            AS BIGINT) AS tri_est
+FROM agg CROSS JOIN c
+"""
+
+
+ORACLES.update({"wedge_sample_cc": _WEDGE_SAMPLE_SQL})
+QUERIES.update({"wedge_sample_cc": q_wedge_sample_cc})
