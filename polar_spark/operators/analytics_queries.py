@@ -6462,3 +6462,59 @@ FROM agg CROSS JOIN c
 
 ORACLES.update({"wedge_sample_cc": _WEDGE_SAMPLE_SQL})
 QUERIES.update({"wedge_sample_cc": q_wedge_sample_cc})
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage diagnostic: share of each source's
+    tokens covered by the corpus-wide top-10 word vocabulary (count
+    desc, word asc cut — deterministic; the synthetic corpus has only
+    31 distinct words, so any larger cut is vacuously 1.0) — the
+    out-of-vocabulary-rate report read before fixing a tokenizer
+    vocab.  Vocabulary rides a broadcast semi-join; two linear
+    aggregates otherwise."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(10)
+        .select("w")
+    )
+    cover = toks.join(F.broadcast(vocab), "w", "left_semi")
+    tot = toks.groupBy("source").agg(F.count("*").alias("n"))
+    cov = cover.groupBy("source").agg(F.count("*").alias("k"))
+    return (
+        tot.join(cov, "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("covered"),
+            F.round(F.coalesce(F.col("k"), F.lit(0)) / F.col("n"), 6).alias(
+                "coverage_r"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_VOCAB_COVERAGE_SQL = """
+WITH toks AS (SELECT source, t.w AS w
+              FROM (SELECT source, string_split(trim(lower(text)), ' ') AS ws
+                    FROM documents) d, unnest(d.ws) t(w)),
+vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+                         ORDER BY c DESC, w ASC LIMIT 10) v),
+tot AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
+cov AS (SELECT source, COUNT(*) AS k FROM toks
+        WHERE w IN (SELECT w FROM vocab) GROUP BY source)
+SELECT tot.source, CAST(tot.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cov.k, 0) AS BIGINT) AS covered,
+       ROUND(CAST(COALESCE(cov.k, 0) AS DOUBLE) / tot.n, 6) AS coverage_r
+FROM tot LEFT JOIN cov USING (source) ORDER BY tot.source
+"""
+
+
+ORACLES.update({"vocab_coverage": _VOCAB_COVERAGE_SQL})
+QUERIES.update({"vocab_coverage": q_vocab_coverage})
