@@ -243,46 +243,43 @@ def main() -> None:
         from polar_spark.operators.similarity import (
             cosine_topk_bruteforce,
             cosine_topk_lsh,
+            hnsw_topk,
             ivf_topk,
             pq_topk,
         )
         from polar_spark.sources.tables import load_table
 
         emb = load_table(spark, "embeddings", sf_dir).persist()
-        n_emb = emb.count()
+        emb.count()
         qids = list(range(200))
         exact = cosine_topk_bruteforce(emb, query_ids=qids, k=3).persist()
         n_exact = exact.count()
-        # plane count scaled so hyperplane buckets hold ~32 vectors (the
-        # recall/candidate-cost knob; corpus-size-dependent by design)
-        import math
-
-        planes = max(2, int(math.log2(max(n_emb / 32, 2))))
-        t0 = time.monotonic()
-        lsh = cosine_topk_lsh(emb, k=3, n_tables=10, n_planes=planes)
-        lsh.count()
-        t_lsh = round(time.monotonic() - t0, 3)
-        t0 = time.monotonic()
-        ivf = ivf_topk(emb, query_ids=qids, k=3)
-        ivf.count()
-        t_ivf = round(time.monotonic() - t0, 3)
-        t0 = time.monotonic()
-        pq = pq_topk(emb, query_ids=qids, k=3)
-        pq.count()
-        t_pq = round(time.monotonic() - t0, 3)
-        hits_lsh = exact.join(lsh, ["query_id", "neighbor_id"], "left_semi").count()
-        hits_ivf = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi").count()
-        hits_pq = exact.join(pq, ["query_id", "neighbor_id"], "left_semi").count()
+        # round-5 recall-calibrated configurations: LSH auto-scales plane
+        # count for ~32-vector buckets + radius-1 multiprobe; IVF trains
+        # spherical k-means + multi-assigns top-2 cells; PQ m=16/cb=32
+        # codebooks (5 Lloyd steps) + 16·k exact rerank; HNSW-style NSW
+        # graph per shard + union reduce
+        variants = {
+            "lsh": lambda: cosine_topk_lsh(emb, k=3),
+            "ivf": lambda: ivf_topk(emb, query_ids=qids, k=3),
+            "pq": lambda: pq_topk(emb, query_ids=qids, k=3),
+            "hnsw": lambda: hnsw_topk(emb, query_ids=qids, k=3),
+        }
+        out: dict[str, object] = {}
+        for name, fn in variants.items():
+            t0 = time.monotonic()
+            res = fn()
+            res = res.persist()
+            res.count()
+            out[f"ann_{name}_sec"] = round(time.monotonic() - t0, 3)
+            hits = exact.join(res, ["query_id", "neighbor_id"], "left_semi").count()
+            out[f"ann_{name}_recall_at3"] = (
+                round(hits / n_exact, 4) if n_exact else None
+            )
+            res.unpersist()
         exact.unpersist()
         emb.unpersist()
-        return {
-            "ann_lsh_sec": t_lsh,
-            "ann_ivf_sec": t_ivf,
-            "ann_pq_sec": t_pq,
-            "ann_lsh_recall_at3": round(hits_lsh / n_exact, 4) if n_exact else None,
-            "ann_ivf_recall_at3": round(hits_ivf / n_exact, 4) if n_exact else None,
-            "ann_pq_recall_at3": round(hits_pq / n_exact, 4) if n_exact else None,
-        }
+        return out
 
     def _msf():
         # Boruvka MSF on the weighted co-part graph (O(log V) rounds,

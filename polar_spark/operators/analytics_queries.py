@@ -6518,3 +6518,22 @@ FROM tot LEFT JOIN cov USING (source) ORDER BY tot.source
 
 ORACLES.update({"vocab_coverage": _VOCAB_COVERAGE_SQL})
 QUERIES.update({"vocab_coverage": q_vocab_coverage})
+
+
+def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded graph-ANN (NSW-per-partition, the hnswlib-on-Spark
+    serving pattern) answering the SAME panel as ``knn_cosine`` — with
+    beam width ≥ shard size the shard-union reduce is exact, so the
+    exact-kNN SQL oracle checks it value-for-value (approximation shows
+    only when ef_search < shard size at corpus scale)."""
+    from polar_spark.operators.similarity import hnsw_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = hnsw_topk(emb, query_ids=list(range(20)), k=3, n_shards=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos_r"), F.col("rnk")
+    )
+
+
+ORACLES.update({"hnsw_knn": ORACLES["knn_cosine"]})
+QUERIES.update({"hnsw_knn": q_hnsw_knn})

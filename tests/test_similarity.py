@@ -336,3 +336,49 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
     got = {r["id"]: r for r in quantize_int8(cdf).collect()}
     assert got[1]["codes"][0] == 0 and got[2]["codes"][0] == 0
     assert got[1]["max_abs_err"] < 1e-12 or got[1]["codes"][1] in (0, 255)
+
+
+def test_hnsw_topk_high_recall_and_deterministic(emb):
+    df, mat = emb
+    qids = [0, 5, 30, 60, 99]
+    got = similarity.hnsw_topk(df, query_ids=qids, k=5, n_shards=4)
+    rows = got.collect()
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rnk"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    exp = _np_topk(mat, qids, 5)
+    hits = sum(len(set(by_q.get(q, [])) & set(exp[q])) for q in exp)
+    total = sum(len(exp[q]) for q in exp)
+    # beam ef >= shard size here, so the union reduce is effectively exact
+    assert hits / total >= 0.9, f"HNSW recall too low: {hits}/{total}"
+    again = similarity.hnsw_topk(df, query_ids=qids, k=5, n_shards=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hnsw_query_guard_and_empty(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.hnsw_topk(df, query_ids=[1, 2], k=3)
+    assert out.count() == 0
+    small = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_queries"):
+        similarity.hnsw_topk(small, query_ids=list(range(20)), k=3, max_queries=10)
+
+
+def test_nsw_graph_search_matches_bruteforce_single_shard(emb):
+    """One shard => one NSW graph over the whole fixture; with ef large
+    the beam search must return the exact top-k."""
+    df, mat = emb
+    qids = [0, 77]
+    got = similarity.hnsw_topk(
+        df, query_ids=qids, k=3, n_shards=1, ef_search=200, ef_construction=96
+    )
+    by_q = {}
+    for r in sorted(got.collect(), key=lambda r: (r["query_id"], r["rnk"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    exp = _np_topk(mat, qids, 3)
+    for q in qids:
+        assert by_q[q] == exp[q]
