@@ -370,7 +370,34 @@ def main() -> None:
             wund.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
         )
         comm = _pg.louvain_move(sym)
-        return {"louvain_communities": comm.select("comm").distinct().count()}
+        n1 = comm.select("comm").distinct().count()
+        prev = state.get("louvain_sym")
+        state["louvain_sym"] = sym.persist()
+        state["louvain_sym"].count()
+        if prev is not None:
+            prev.unpersist()
+        state["louvain_move1"] = comm
+        return {"louvain_communities": n1}
+
+    def _louvain_full():
+        # full multi-level Louvain on the same weighted co-order graph;
+        # the modularity-vs-phase-1 comparison is the round-5 evidence
+        # that the hierarchy actually improves the partition
+        from polar_spark.plans import pregel as _pg
+
+        sym = state["louvain_sym"]
+        comm, st = _pg.louvain(sym, max_levels=4, max_sweeps=8)
+        n_comms = comm.select("comm").distinct().count()
+        q_full = _pg.modularity(sym, comm)
+        q_move = _pg.modularity(
+            sym, state["louvain_move1"].select("id", "comm")
+        )
+        return {
+            "louvain_full_communities": n_comms,
+            "louvain_full_sweeps": st.iterations,
+            "louvain_full_modularity": round(q_full, 6),
+            "louvain_move1_modularity": round(q_move, 6),
+        }
 
     def _squares():
         # per-vertex 4-cycle motif counts on the bounded co-order graph
@@ -406,6 +433,7 @@ def main() -> None:
         ("stream_scenarios", _stream_scenarios, 1),
         ("dag_path_counts", _dag_paths, min(REPS, 2)),
         ("louvain_move_full", _louvain, min(REPS, 2)),
+        ("louvain_multilevel", _louvain_full, min(REPS, 2)),
         ("squares_coorder", _squares, min(REPS, 2)),
     ]
 

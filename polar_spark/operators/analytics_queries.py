@@ -6537,3 +6537,53 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES.update({"hnsw_knn": ORACLES["knn_cosine"]})
 QUERIES.update({"hnsw_knn": q_hnsw_knn})
+
+
+# ---------------------------------------------------------------------------
+# Driver CORRECTNESS-window rotation (round 5).  The round driver samples
+# the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
+# checked the identical first-registered 50, leaving every newer query
+# without an artifact-of-record row.  Reorder so the window covers the
+# newest/riskiest families first (iterative graph ops, sketches, curation
+# ops), then the remaining never-driver-checked queries in registration
+# order, then the 50 the driver already verified green in r3+r4.  The
+# full-registry sweep stays covered by tests/test_entry_contract.py (all
+# oracles at sf0.001) and the committed SWEEP_r5.json (sf0.01).
+
+_CHECKED_R3_R4 = [
+    "copart_edges", "coorder_edges", "triangles_coorder", "top_depended",
+    "pagerank_fixed5", "ppr_fixed3", "bfs_hops", "pagerank_weighted4",
+    "degree_histogram", "edge_embeddedness", "components", "components_star",
+    "lpa_fixed2", "triangles", "current_state", "state_history",
+    "upsert_latest_wins", "dedup_exact", "text_stats", "doc_fingerprint",
+    "knn_cosine", "bigram_jaccard", "anti_join_customers", "window_topk",
+    "rollup_lineitem", "gitlab_pipeline_rollup", "gitlab_users_per_group",
+    "gitlab_runner_util", "gitlab_member_access", "asof_last_signup",
+    "sessionize", "pivot_events", "cube_orders", "intersect_users", "langid",
+    "quality", "token_counts", "knn_bruteforce_op", "minhash_pairs",
+    "simhash_pairs", "prov_stage_rollup", "prov_depends_fanout",
+    "kube_deploy_transitions", "kube_owns_chain", "kube_containers_guard",
+    "exact_jaccard_pairs", "kcore10", "harmonic_centrality", "cosine_pairs",
+    "embed_neardup",
+]
+
+# riskiest-first within the fresh window (VERDICT r4 families)
+_ROUND5_PRIORITY = [
+    "msf_copart", "dag_paths", "dag_levels", "louvain_move1",
+    "random_walks_biased3", "semdedup8", "seq_packing", "cm_heavy_hitters",
+    "fm_distinct_parts", "bloom_prune", "skew_report", "betweenness_w3",
+    "closeness_w4", "ktruss6", "ppr_push4", "wedge_sample_cc", "sage_agg",
+    "hnsw_knn", "kmeans8", "int8_quant", "pii_scrub", "dup_spans8",
+    "source_overlap", "vocab_coverage", "bowtie_parts", "matching_coorder",
+    "simrank3", "spam_mass3", "scc_custgraph", "mis_luby",
+]
+
+
+def _rotated(order_first: list[str], then_last: list[str]) -> list[str]:
+    rest = [q for q in QUERIES if q not in set(order_first) | set(then_last)]
+    return order_first + rest + then_last
+
+
+_ROTATION = _rotated(_ROUND5_PRIORITY, _CHECKED_R3_R4)
+QUERIES = {name: QUERIES[name] for name in _ROTATION}
+ORACLES = {name: ORACLES[name] for name in _ROTATION if name in ORACLES}

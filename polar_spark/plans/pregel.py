@@ -3262,6 +3262,203 @@ def louvain_move(weighted_sym_edges: DataFrame) -> DataFrame:
     )
 
 
+def modularity(weighted_sym_edges: DataFrame, comm: DataFrame) -> float:
+    """Newman modularity Q = Σ_c [Σin_c/(2m) − (Σtot_c/(2m))²] of a
+    partition over a SYMMETRIZED weighted edge table (self-loop rows
+    carry 2× their undirected weight — the contraction convention of
+    :func:`louvain`).  One edge⨝comm join + one community aggregate."""
+    e = weighted_sym_edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("double")
+    )
+    c = comm.select(F.col("id").cast("long"), F.col("comm").cast("long"))
+    two_m = e.agg(F.sum("w")).collect()[0][0]
+    if not two_m:
+        return 0.0
+    lab = (
+        e.join(c.withColumnRenamed("id", "src").withColumnRenamed("comm", "cs"), "src")
+        .join(c.withColumnRenamed("id", "dst").withColumnRenamed("comm", "cd"), "dst")
+    )
+    intra = (
+        lab.where(F.col("cs") == F.col("cd"))
+        .groupBy("cs")
+        .agg(F.sum("w").alias("win"))
+    )
+    tot = lab.groupBy("cs").agg(F.sum("w").alias("ktot"))
+    row = (
+        tot.join(intra, "cs", "left")
+        .select(
+            (
+                F.coalesce(F.col("win"), F.lit(0.0)) / F.lit(float(two_m))
+                - (F.col("ktot") / F.lit(float(two_m))) ** 2
+            ).alias("q")
+        )
+        .agg(F.sum("q"))
+        .collect()[0][0]
+    )
+    return float(row or 0.0)
+
+
+def louvain(
+    weighted_sym_edges: DataFrame,
+    max_levels: int = 6,
+    max_sweeps: int = 12,
+) -> tuple[DataFrame, IterationStats]:
+    """Full multi-level Louvain (Blondel et al. 2008) on a weighted
+    undirected graph, distributed-deterministic.
+
+    Phase 1 runs SYNCHRONOUS move sweeps with parity alternation (only
+    vertices with ``id % 2 == sweep % 2`` may move in a sweep — the
+    standard distributed-Louvain guard against two adjacent vertices
+    swapping communities forever; deterministic, unlike per-thread visit
+    order in the sequential original).  Each sweep considers moving v to
+    a NEIGHBOR community: ΔQ = (w_{v→c'} − w_{v→c_v∖v})/m −
+    k_v·(Σtot_{c'} − Σtot_{c_v} + k_v)/(2m²), ties (gain desc, comm
+    asc); a move needs ΔQ > 0.  Phase 1 ends when a sweep PAIR (both
+    parities) moves nothing.  Phase 2 contracts communities to vertices
+    (groupBy-sum; intra weight becomes self-loop rows at 2× undirected
+    weight — the convention ``modularity`` reads) and recurses until a
+    level makes no moves or ``max_levels``.
+
+    Graph-state convention: ``(src, dst, w)`` with both directions
+    present for src≠dst and self-loops carrying 2× undirected weight;
+    m = Σw/2; k_v = Σ_dst w(v,dst) (self-loop included — its 2× weight
+    is exactly the standard 2·w_loop term).  Per sweep: one strength
+    agg, one community-total agg, one edges⨝comm join-agg, one
+    per-vertex top-1 window — the LPA shuffle shape.  Sums stay exact
+    (hence deterministic) when weights are integers; the pytest golden
+    replays the identical schedule in pure python.  Returns
+    ``(orig_id → comm, stats)``; stats.iterations = total sweeps,
+    stats.deltas = moves per sweep.
+
+    Reference parity: rebuilds the community hierarchy Polar's graph
+    queries read off its store (cf. /root/reference/src/agents/graph —
+    vocabulary-level only; the reference ships no Louvain), as the
+    natural multi-level extension of :func:`louvain_move`.
+    """
+    from pyspark.sql.window import Window
+
+    stats = IterationStats(algorithm="louvain")
+    spark = weighted_sym_edges.sparkSession
+    e = (
+        weighted_sym_edges.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("w").cast("double"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    if e.rdd.isEmpty():
+        return spark.createDataFrame([], "id long, comm long"), stats
+    stats.edges = e.count()
+    # orig_id -> current community (community ids live in vertex-id space)
+    mapping = vertices_of(e).select("id", F.col("id").alias("comm"))
+    mapping = _hard_cut(mapping)
+    stats.vertices = mapping.count()
+
+    for _level in range(max_levels):
+        comm = vertices_of(e).select("id", F.col("id").alias("comm"))
+        comm = _hard_cut(comm)
+        m_total = e.agg((F.sum("w") / F.lit(2.0)).alias("m")).collect()[0][0]
+        if not m_total:
+            break
+        strength = _hard_cut(
+            e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+        )
+        level_moves = 0
+        idle_pair = 0
+        for sweep in range(max_sweeps):
+            t0 = time.monotonic()
+            # community totals under the current assignment
+            tot = (
+                comm.join(strength, "id")
+                .groupBy("comm")
+                .agg(F.sum("k").alias("ktot"))
+            )
+            # v -> neighbor-community edge mass (self edge excluded)
+            vc = (
+                e.where(F.col("src") != F.col("dst"))
+                .join(
+                    comm.withColumnRenamed("id", "dst").withColumnRenamed(
+                        "comm", "c_dst"
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"), F.col("c_dst").alias("cand"))
+                .agg(F.sum("w").alias("w_vc"))
+            )
+            cur = comm.withColumnRenamed("comm", "c_cur")
+            own = vc.join(
+                cur.withColumnRenamed("c_cur", "cand"), ["id", "cand"], "left_semi"
+            ).select("id", F.col("w_vc").alias("w_own"))
+            base = (
+                vc.join(cur, "id")
+                .where(F.col("cand") != F.col("c_cur"))
+                .join(own, "id", "left")
+                .na.fill({"w_own": 0.0})
+                .join(strength.withColumnRenamed("k", "kv"), "id")
+                .join(tot.withColumnRenamed("comm", "cand").withColumnRenamed("ktot", "t_cand"), "cand")
+                .join(tot.withColumnRenamed("comm", "c_cur").withColumnRenamed("ktot", "t_cur"), "c_cur")
+            )
+            gain = (
+                (F.col("w_vc") - F.col("w_own")) / F.lit(float(m_total))
+                - F.col("kv")
+                * (F.col("t_cand") - F.col("t_cur") + F.col("kv"))
+                / (F.lit(2.0) * F.lit(float(m_total)) * F.lit(float(m_total)))
+            )
+            win = Window.partitionBy("id").orderBy(F.desc("g"), F.asc("cand"))
+            moves = (
+                base.select("id", "cand", gain.alias("g"))
+                .where(F.col("g") > 0)
+                .where(F.pmod(F.col("id"), F.lit(2)) == F.lit(sweep % 2))
+                .withColumn("_rn", F.row_number().over(win))
+                .where(F.col("_rn") == 1)
+                .select("id", F.col("cand").alias("comm_new"))
+            )
+            comm = _hard_cut(
+                comm.join(moves, "id", "left").select(
+                    "id", F.coalesce(F.col("comm_new"), F.col("comm")).alias("comm")
+                )
+            )
+            n_moves = moves.count()
+            stats.iterations += 1
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(n_moves))
+            level_moves += n_moves
+            idle_pair = idle_pair + 1 if n_moves == 0 else 0
+            if idle_pair >= 2:  # both parities idle -> phase-1 fixpoint
+                break
+        if level_moves == 0:
+            stats.converged = True
+            break
+        # relabel each community to its min member id (stable ids across
+        # levels; keeps labels in vertex-id space)
+        rep = comm.groupBy("comm").agg(F.min("id").alias("rep"))
+        comm = comm.join(rep, "comm").select("id", F.col("rep").alias("comm"))
+        comm = _hard_cut(comm)
+        # compose the orig->comm mapping
+        mapping = _hard_cut(
+            mapping.join(
+                comm.select(F.col("id").alias("comm"), F.col("comm").alias("comm_new")),
+                "comm",
+            ).select("id", F.col("comm_new").alias("comm"))
+        )
+        # phase 2: contract communities (intra mass -> self-loops, 2x)
+        e_new = (
+            e.join(comm.withColumnRenamed("id", "src").withColumnRenamed("comm", "cs"), "src")
+            .join(comm.withColumnRenamed("id", "dst").withColumnRenamed("comm", "cd"), "dst")
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+        )
+        e = _hard_cut(e_new)
+        n_next = vertices_of(e).count()
+        if n_next <= 1:
+            stats.converged = True
+            break
+    return mapping, stats
+
+
 def dag_path_counts(
     edges: DataFrame, max_iter: int = 200
 ) -> tuple[DataFrame, IterationStats]:

@@ -375,3 +375,104 @@ def py_betweenness_weighted(
             if v != s:
                 bc[v] += delta[v]
     return bc
+
+
+def py_modularity(sym_edges: list[tuple[int, int, float]], comm: dict[int, int]) -> float:
+    """Q over a SYMMETRIZED weighted edge list (self-loops at 2x their
+    undirected weight — the louvain contraction convention)."""
+    two_m = sum(w for _u, _v, w in sym_edges)
+    if not two_m:
+        return 0.0
+    win: dict[int, float] = {}
+    ktot: dict[int, float] = {}
+    for u, v, w in sym_edges:
+        cu, cv = comm[u], comm[v]
+        ktot[cu] = ktot.get(cu, 0.0) + w
+        if cu == cv:
+            win[cu] = win.get(cu, 0.0) + w
+    return sum(
+        win.get(c, 0.0) / two_m - (ktot[c] / two_m) ** 2 for c in ktot
+    )
+
+
+def py_louvain(
+    sym_edges: list[tuple[int, int, float]],
+    max_levels: int = 6,
+    max_sweeps: int = 12,
+) -> dict[int, int]:
+    """Replays pregel.louvain's EXACT schedule in pure python: parity-
+    alternating synchronous sweeps, gain (w_vc − w_own)/m −
+    k_v(Σtot_c' − Σtot_cv + k_v)/(2m²), ties (gain desc, comm asc),
+    phase-1 ends after an idle sweep pair, min-member relabel,
+    contraction with 2x self-loops."""
+    # dedup parallel rows like the engine's groupBy(src,dst).sum
+    acc: dict[tuple[int, int], float] = {}
+    for u, v, w in sym_edges:
+        acc[(u, v)] = acc.get((u, v), 0.0) + w
+    edges = {k: w for k, w in acc.items()}
+    mapping = {v: v for k in edges for v in k}
+    for _level in range(max_levels):
+        nodes = sorted({v for k in edges for v in k})
+        comm = {v: v for v in nodes}
+        m = sum(edges.values()) / 2.0
+        if not m:
+            break
+        k_str = {v: 0.0 for v in nodes}
+        for (u, v), w in edges.items():
+            k_str[u] += w
+        level_moves = 0
+        idle = 0
+        for sweep in range(max_sweeps):
+            tot: dict[int, float] = {}
+            for v in nodes:
+                tot[comm[v]] = tot.get(comm[v], 0.0) + k_str[v]
+            # v -> neighbor community mass (self edge excluded)
+            w_vc: dict[int, dict[int, float]] = {}
+            for (u, v), w in edges.items():
+                if u == v:
+                    continue
+                d = w_vc.setdefault(u, {})
+                c = comm[v]
+                d[c] = d.get(c, 0.0) + w
+            moved = {}
+            for v in nodes:
+                if v % 2 != sweep % 2:
+                    continue
+                cands = w_vc.get(v, {})
+                w_own = cands.get(comm[v], 0.0)
+                best = None
+                for c, wc in cands.items():
+                    if c == comm[v]:
+                        continue
+                    g = (wc - w_own) / m - k_str[v] * (
+                        tot[c] - tot[comm[v]] + k_str[v]
+                    ) / (2.0 * m * m)
+                    if g > 0 and (
+                        best is None or g > best[0] or (g == best[0] and c < best[1])
+                    ):
+                        best = (g, c)
+                if best is not None:
+                    moved[v] = best[1]
+            for v, c in moved.items():
+                comm[v] = c
+            level_moves += len(moved)
+            idle = idle + 1 if not moved else 0
+            if idle >= 2:
+                break
+        if level_moves == 0:
+            break
+        # min-member relabel
+        rep: dict[int, int] = {}
+        for v in nodes:
+            rep[comm[v]] = min(rep.get(comm[v], v), v)
+        comm = {v: rep[comm[v]] for v in nodes}
+        mapping = {o: comm[c] for o, c in mapping.items()}
+        # contract
+        new_edges: dict[tuple[int, int], float] = {}
+        for (u, v), w in edges.items():
+            key = (comm[u], comm[v])
+            new_edges[key] = new_edges.get(key, 0.0) + w
+        edges = new_edges
+        if len({v for k in edges for v in k}) <= 1:
+            break
+    return mapping

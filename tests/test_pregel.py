@@ -1205,3 +1205,72 @@ def test_ppr_push_mass_conservation_and_locality(spark):
 def test_ppr_push_empty(spark):
     out = pregel.ppr_push(spark.createDataFrame([], "src long, dst long"), source=1)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# full multi-level Louvain
+
+
+def _sym_w(pairs):
+    out = []
+    for u, v, w in pairs:
+        out.append((u, v, float(w)))
+        out.append((v, u, float(w)))
+    return out
+
+
+def _louvain_fixture():
+    # two-level hierarchy: 4 cliques of 4 (heavy), cliques bridged in
+    # pairs (light) — integer weights so distributed sums stay exact
+    und = []
+    for base in (0, 4, 8, 12):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                und.append((base + i, base + j, 5))
+    und += [(0, 4, 1), (8, 12, 1), (3, 11, 1)]
+    return _sym_w(und)
+
+
+def test_louvain_matches_python_golden(spark):
+    from tests import oracles
+
+    sym = _louvain_fixture()
+    df = spark.createDataFrame(sym, "src long, dst long, w double")
+    comm_df, stats = pregel.louvain(df)
+    got = {r["id"]: r["comm"] for r in comm_df.collect()}
+    exp = oracles.py_louvain(sym)
+    assert got == exp
+    # the cliques must collapse (level-1 work happened)
+    assert len(set(got.values())) < 16
+    assert stats.iterations >= 2
+    # every clique ends in ONE community
+    for base in (0, 4, 8, 12):
+        assert len({got[base + i] for i in range(4)}) == 1
+
+
+def test_louvain_modularity_beats_single_move(spark):
+    from tests import oracles
+
+    sym = _louvain_fixture()
+    df = spark.createDataFrame(sym, "src long, dst long, w double")
+    full, _st = pregel.louvain(df)
+    move1 = pregel.louvain_move(df)
+    q_full = pregel.modularity(df, full)
+    q_move = pregel.modularity(df, move1)
+    assert q_full >= q_move - 1e-12, (q_full, q_move)
+    assert q_full > 0.3
+    # spark-side modularity agrees with the python formula
+    got = {r["id"]: r["comm"] for r in full.collect()}
+    assert abs(q_full - oracles.py_modularity(sym, got)) < 1e-9
+
+
+def test_louvain_empty_and_selfloops(spark):
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    out, st = pregel.louvain(empty)
+    assert out.count() == 0 and st.iterations == 0
+    # a pure self-loop graph: every vertex stays its own community
+    loops = spark.createDataFrame(
+        [(1, 1, 4.0), (2, 2, 2.0)], "src long, dst long, w double"
+    )
+    out2, _ = pregel.louvain(loops)
+    assert {r["id"]: r["comm"] for r in out2.collect()} == {1: 1, 2: 2}
