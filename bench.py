@@ -328,6 +328,8 @@ def main() -> None:
                 assert m.lost == 0 and m.integrity_failures == 0, m.as_dict()
                 out[f"scn_{spec.name}_msgs_per_sec"] = m.msgs_per_sec
                 out[f"scn_{spec.name}_sent"] = m.sent
+                out[f"scn_{spec.name}_lat_p50_ms"] = m.latency_p50_ms
+                out[f"scn_{spec.name}_lat_p99_ms"] = m.latency_p99_ms
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
         return out

@@ -240,24 +240,62 @@ def decode_audio_features(
     zero-crossing rate (crossings/sec), spectral centroid via rfft, and
     ``n_bands`` linear band log-energies — the compact fingerprint a
     curation pipeline filters/clusters on.  Same mapInPandas shape as
-    the image path; no external library."""
+    the image path; no external library.
+
+    Vectorization (round 5, mirrors the image path): the RIFF header
+    walk is per-file by nature (opaque variable-length blobs), but all
+    FEATURE math pools — clips group by (sample_rate, n_samples), each
+    group stacks into one (g, n) matrix, and RMS / ZCR / rfft / band
+    energies run once per GROUP along axis 1 instead of once per row
+    (batched FFT is where the time goes).  No ``iterrows``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["media_id"].to_numpy(dtype=np.int64)
+            decoded = [decode_wav_pcm16(bytes(b)) for b in pdf["content"]]
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (sr, x) in enumerate(decoded):
+                groups.setdefault((int(sr), len(x)), []).append(i)
             out = []
-            for _, row in pdf.iterrows():
-                sr, x = decode_wav_pcm16(bytes(row["content"]))
-                n = len(x)
-                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
-                zcr = float(np.sum(np.abs(np.diff(np.signbit(x)))) * sr / max(n, 1))
-                spec = np.abs(np.fft.rfft(x))
+            for (sr, n), idxs in sorted(groups.items()):
+                if n == 0:
+                    out.extend(
+                        (int(ids[i]), sr, 0, 0.0, 0.0, 0.0, [0.0] * n_bands)
+                        for i in idxs
+                    )
+                    continue
+                X = np.stack([decoded[i][1] for i in idxs])  # (g, n)
+                rms = np.sqrt((X * X).mean(axis=1))
+                zcr = (
+                    np.abs(np.diff(np.signbit(X), axis=1)).sum(axis=1) * sr / n
+                )
+                power = np.abs(np.fft.rfft(X, axis=1)) ** 2  # (g, n//2+1)
                 freqs = np.fft.rfftfreq(n, d=1.0 / sr)
-                power = spec * spec
-                tot = power.sum()
-                centroid = float((freqs * power).sum() / tot) if tot > 0 else 0.0
-                bands = np.array_split(power, n_bands)
-                be = [float(np.log1p(b.sum())) for b in bands]
-                out.append((int(row["media_id"]), sr, n, rms, zcr, centroid, be))
+                tot = power.sum(axis=1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    centroid = np.where(
+                        tot > 0, (power * freqs).sum(axis=1) / np.where(tot > 0, tot, 1.0), 0.0
+                    )
+                # same segment boundaries as np.array_split(power_row, n_bands)
+                cuts = np.cumsum(
+                    [0] + [len(s) for s in np.array_split(np.empty(power.shape[1]), n_bands)]
+                )
+                be = np.stack(
+                    [
+                        np.log1p(power[:, cuts[b] : cuts[b + 1]].sum(axis=1))
+                        for b in range(n_bands)
+                    ],
+                    axis=1,
+                )  # (g, n_bands)
+                out.extend(
+                    (
+                        int(ids[i]), sr, n, float(rms[j]), float(zcr[j]),
+                        float(centroid[j]), be[j].tolist(),
+                    )
+                    for j, i in enumerate(idxs)
+                )
             yield pd.DataFrame(
                 out,
                 columns=[

@@ -335,6 +335,85 @@ class IcebergBackend(StoreBackend):
             "docstring for the required Spark conf"
         )
 
+    # -------------------------------------------------------- SQL builders
+    # The exact statements the contract methods run once construction
+    # succeeds.  Static so they are testable WITHOUT the jars: the
+    # golden-text contract suite (tests/test_store_backend.py) pins each
+    # one, making the adapter's SQL reviewable/checkable in this env.
+
+    @staticmethod
+    def ddl_create_table(
+        fq: str, schema: T.StructType, partition_col: str, bucket_by: list[str], buckets: int
+    ) -> str:
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString().upper()}" for f in schema.fields)
+        transforms = [f"{partition_col}"] + [f"bucket({buckets}, {c})" for c in bucket_by]
+        return (
+            f"CREATE TABLE IF NOT EXISTS {fq} ({cols}) USING iceberg "
+            f"PARTITIONED BY ({', '.join(transforms)}) "
+            f"TBLPROPERTIES ('format-version'='2', 'write.merge.mode'='merge-on-read')"
+        )
+
+    @staticmethod
+    def sql_merge_into(fq: str, key_cols: list[str], cols: list[str], source_view: str) -> str:
+        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+        sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in key_cols)
+        ins_cols = ", ".join(cols)
+        ins_vals = ", ".join(f"s.{c}" for c in cols)
+        return (
+            f"MERGE INTO {fq} t USING {source_view} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+
+    @staticmethod
+    def sql_delete_cells(fq: str, partition_col: str, values: list[str]) -> str:
+        in_list = ", ".join(f"'{v}'" for v in values)
+        return f"DELETE FROM {fq} WHERE {partition_col} IN ({in_list})"
+
+    @staticmethod
+    def sql_read_pruned(
+        fq: str, partition_col: str, values: list[str], bucket_pred: str | None = None
+    ) -> str:
+        in_list = ", ".join(f"'{v}'" for v in values)
+        where = f"{partition_col} IN ({in_list})"
+        if bucket_pred:
+            where += f" AND {bucket_pred}"
+        return f"SELECT * FROM {fq} WHERE {where}"
+
+    @staticmethod
+    def sql_time_travel(fq: str, snapshot_id: int) -> str:
+        return f"SELECT * FROM {fq} VERSION AS OF {snapshot_id}"
+
+    @staticmethod
+    def sql_snapshots(fq: str) -> str:
+        return (
+            f"SELECT snapshot_id, committed_at, operation FROM {fq}.snapshots "
+            f"ORDER BY committed_at"
+        )
+
+    @staticmethod
+    def sql_compact(catalog: str, db_table: str) -> str:
+        return (
+            f"CALL {catalog}.system.rewrite_data_files("
+            f"table => '{db_table}', strategy => 'binpack')"
+        )
+
+    @staticmethod
+    def sql_expire_snapshots(catalog: str, db_table: str, retain_last: int) -> str:
+        return (
+            f"CALL {catalog}.system.expire_snapshots("
+            f"table => '{db_table}', retain_last => {retain_last})"
+        )
+
+    @staticmethod
+    def sql_wap_publish(catalog: str, db_table: str, branch: str) -> str:
+        # multi-table atomicity: stage every table's MERGE on a WAP
+        # branch, then fast-forward main to it once — one commit point
+        return (
+            f"CALL {catalog}.system.fast_forward("
+            f"table => '{db_table}', branch => 'main', to => '{branch}')"
+        )
+
     # contract methods unreachable until construction succeeds
     def table(self, name, values=None):  # pragma: no cover
         raise NotImplementedError

@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MSG_SCHEMA = "topic string, seq long, payload string, checksum string"
+MSG_SCHEMA = "topic string, seq long, payload string, checksum string, ts timestamp"
 
 
 @dataclass
@@ -86,6 +86,9 @@ def generate_messages(spark: SparkSession, spec: ScenarioSpec) -> DataFrame:
         (F.col("id") / spec.topics).cast("long").alias("seq"),
         payload.alias("payload"),
         F.sha2(payload, 256).alias("checksum"),
+        # producer-side timestamp: consumer-side latency = batch arrival
+        # wall − ts (the reference harness's per-message latency metric)
+        F.current_timestamp().alias("ts"),
     )
 
 
@@ -102,6 +105,12 @@ class ScenarioMetrics:
     drain_sec: float = 0.0
     msgs_per_sec: float = 0.0
     batch_durations_ms: list[int] = field(default_factory=list)
+    # per-message consumer-side latency (batch arrival − produce ts),
+    # the reference harness's latency metric family (cassini/test/
+    # README.md: metrics collection — throughput, latency, loss)
+    latency_p50_ms: float | None = None
+    latency_p99_ms: float | None = None
+    latency_max_ms: float | None = None
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -138,9 +147,11 @@ def run_scenario(
     produce_sec = time.monotonic() - t0
 
     received: list[DataFrame] = []
+    arrivals_us: list[int] = []
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         received.append(batch_df.localCheckpoint(eager=True))
+        arrivals_us.append(time.time_ns() // 1000)
 
     stream = (
         spark.readStream.schema(MSG_SCHEMA)
@@ -184,4 +195,22 @@ def run_scenario(
     # message — mid-stream gaps and entirely-missing topics alike
     m.lost = sent - int(agg["n_distinct"])
     m.msgs_per_sec = round(m.received / drain_sec, 1) if drain_sec else 0.0
+    # consumer-side latency per MESSAGE: arrival wall of the batch that
+    # delivered it (post-materialization) − its producer timestamp
+    lat = None
+    for b, arr in zip(received, arrivals_us):
+        one = b.select(
+            ((F.lit(arr) - F.unix_micros(F.col("ts"))) / F.lit(1000.0)).alias("lat_ms")
+        )
+        lat = one if lat is None else lat.unionByName(one)
+    if lat is not None:
+        row = lat.agg(
+            F.percentile_approx("lat_ms", 0.5, 10_000).alias("p50"),
+            F.percentile_approx("lat_ms", 0.99, 10_000).alias("p99"),
+            F.max("lat_ms").alias("mx"),
+        ).collect()[0]
+        if row["p50"] is not None:
+            m.latency_p50_ms = round(float(row["p50"]), 1)
+            m.latency_p99_ms = round(float(row["p99"]), 1)
+            m.latency_max_ms = round(float(row["mx"]), 1)
     return m

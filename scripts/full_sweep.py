@@ -26,7 +26,10 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        r = round(v, 9)
+        return 0.0 if r == 0.0 else r  # collapse -0.0 (repr differs)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
     return v
 
 

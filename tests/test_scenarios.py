@@ -123,3 +123,15 @@ class ScenarioNoop(scenarios.ScenarioSpec):
 
     def __init__(self):
         super().__init__("noop", 0, 0, 1)
+
+
+def test_latency_percentiles_recorded(spark, tmp_path):
+    m = scenarios.run_scenario(
+        spark, scenarios.throughput_scenario(n=2000), str(tmp_path / "lat")
+    )
+    assert m.lost == 0 and m.integrity_failures == 0
+    assert m.latency_p50_ms is not None
+    # ordering + sanity: p50 <= p99 <= max, all positive
+    assert 0 < m.latency_p50_ms <= m.latency_p99_ms <= m.latency_max_ms
+    d = m.as_dict()
+    assert {"latency_p50_ms", "latency_p99_ms", "latency_max_ms"} <= set(d)
