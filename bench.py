@@ -392,8 +392,11 @@ def main() -> None:
         # that the hierarchy actually improves the partition
         from polar_spark.plans import pregel as _pg
 
+        # 3 levels x 6 sweeps: the move-count tail beyond this adds
+        # <0.001 modularity on this graph but pays the ~2s/sweep local
+        # action floor (32 sweeps = 71s, 18 = ~40s; same 16 communities)
         sym = state["louvain_sym"]
-        comm, st = _pg.louvain(sym, max_levels=4, max_sweeps=8)
+        comm, st = _pg.louvain(sym, max_levels=3, max_sweeps=6)
         n_comms = comm.select("comm").distinct().count()
         q_full = _pg.modularity(sym, comm)
         q_move = _pg.modularity(
@@ -442,7 +445,7 @@ def main() -> None:
         ("stream_scenarios", _stream_scenarios, 1),
         ("dag_path_counts", _dag_paths, min(REPS, 2)),
         ("louvain_move_full", _louvain, min(REPS, 2)),
-        ("louvain_multilevel", _louvain_full, min(REPS, 2)),
+        ("louvain_multilevel", _louvain_full, 1),
         ("squares_coorder", _squares, min(REPS, 2)),
     ]
 

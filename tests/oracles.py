@@ -422,14 +422,18 @@ def py_louvain(
             k_str[u] += w
         level_moves = 0
         idle = 0
+        frontier = None  # None => every vertex (mirrors the engine)
         for sweep in range(max_sweeps):
             tot: dict[int, float] = {}
             for v in nodes:
                 tot[comm[v]] = tot.get(comm[v], 0.0) + k_str[v]
-            # v -> neighbor community mass (self edge excluded)
+            # v -> neighbor community mass (self edge excluded),
+            # frontier-scoped like the engine
             w_vc: dict[int, dict[int, float]] = {}
             for (u, v), w in edges.items():
                 if u == v:
+                    continue
+                if frontier is not None and u not in frontier:
                     continue
                 d = w_vc.setdefault(u, {})
                 c = comm[v]
@@ -437,6 +441,8 @@ def py_louvain(
             moved = {}
             for v in nodes:
                 if v % 2 != sweep % 2:
+                    continue
+                if frontier is not None and v not in frontier:
                     continue
                 cands = w_vc.get(v, {})
                 w_own = cands.get(comm[v], 0.0)
@@ -455,9 +461,20 @@ def py_louvain(
                     moved[v] = best[1]
             for v, c in moved.items():
                 comm[v] = c
+            pool = frontier if frontier is not None else set(nodes)
+            unprocessed = {v for v in pool if v % 2 != sweep % 2}
+            movers = set(moved)
+            nbrs = {
+                v
+                for (u, v) in edges
+                if u in movers and u != v
+            }
+            frontier = unprocessed | movers | nbrs
             level_moves += len(moved)
             idle = idle + 1 if not moved else 0
             if idle >= 2:
+                break
+            if not frontier:
                 break
         if level_moves == 0:
             break
