@@ -6677,6 +6677,127 @@ QUERIES.update(
 )
 
 
+def q_salsa3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hubs & authorities (degree-normalized HITS — damps the
+    tightly-knit-community over-amplification) on the directed demand
+    graph, 3 fixed iterations, L1 half-step normalization — unrolled
+    identically in the SQL oracle."""
+    e = demand_edges(spark, sf_dir)
+    out = pregel.salsa(e, n_iter=3)
+    return out.select(
+        "id", F.round("hub", 7).alias("hub_r"), F.round("authority", 7).alias("auth_r")
+    ).orderBy("id")
+
+
+def _salsa_sql(n_iter: int) -> str:
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey)",
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "od AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outd FROM e GROUP BY src)",
+        "idg AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS ind FROM e GROUP BY dst)",
+        "s0 AS (SELECT id, 1.0 AS hub, 1.0 AS auth FROM v)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"ar{i} AS (SELECT e.dst AS id, SUM(s{i - 1}.hub / od.outd) AS a "
+            f"FROM e JOIN s{i - 1} ON s{i - 1}.id = e.src "
+            f"JOIN od ON od.id = e.src GROUP BY e.dst)",
+            f"af{i} AS (SELECT v.id, COALESCE(ar{i}.a, 0) AS a FROM v LEFT JOIN ar{i} USING (id))",
+            f"an{i} AS (SELECT id, a / (SELECT SUM(a) FROM af{i}) AS auth FROM af{i})",
+            f"hr{i} AS (SELECT e.src AS id, SUM(an{i}.auth / idg.ind) AS h "
+            f"FROM e JOIN an{i} ON an{i}.id = e.dst "
+            f"JOIN idg ON idg.id = e.dst GROUP BY e.src)",
+            f"hf{i} AS (SELECT v.id, COALESCE(hr{i}.h, 0) AS h FROM v LEFT JOIN hr{i} USING (id))",
+            f"s{i} AS (SELECT hn.id, hn.hub, an{i}.auth FROM "
+            f"(SELECT id, h / (SELECT SUM(h) FROM hf{i}) AS hub FROM hf{i}) hn "
+            f"JOIN an{i} USING (id))",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id, ROUND(hub, 7) AS hub_r,
+               ROUND(auth, 7) AS auth_r
+        FROM s{n_iter} ORDER BY id"""
+    )
+
+
+ORACLES.update({"salsa3": _salsa_sql(3)})
+QUERIES.update({"salsa3": q_salsa3})
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-balancing (the multilingual-corpus
+    upsampling rule, XLM/mT5 style, α = 0.5): target share q_s ∝ c_s^α
+    flattens the source distribution; per-source keep rate =
+    min(1, N_target·√c_s / (Σ√c · c_s)) with N_target = half the corpus,
+    decided per doc by the deterministic hash-bucket coin (integer
+    compare, partitioning-invariant).  α = 0.5 keeps the powers on
+    IEEE-exact sqrt so both engines compute identical rates.  Returns
+    per-source (n_docs, n_kept, rate_r)."""
+    from polar_spark.operators.sampling import BUCKETS, hash_bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("source").agg(F.count("*").alias("c"))
+    consts = stats.agg(
+        F.sum(F.sqrt(F.col("c"))).alias("z"), F.sum("c").alias("n")
+    )
+    rates = stats.crossJoin(F.broadcast(consts)).select(
+        "source",
+        "c",
+        F.least(
+            F.lit(1.0),
+            (F.col("n") / 2.0) * F.sqrt(F.col("c")) / (F.col("z") * F.col("c")),
+        ).alias("rate"),
+    )
+    coin = hash_bucket(F.col("doc_id"), 53)
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .where(coin < F.col("rate") * F.lit(BUCKETS))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("c").alias("n_docs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round("rate", 6).alias("rate_r"),
+        )
+        .orderBy("source")
+    )
+
+
+_TEMPERATURE_SQL = """
+WITH stats AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+consts AS (SELECT SUM(SQRT(c)) AS z, SUM(c) AS n FROM stats),
+rates AS (SELECT source, c,
+                 LEAST(1.0, (n / 2.0) * SQRT(c) / (z * c)) AS rate
+          FROM stats CROSS JOIN consts),
+coin AS (SELECT doc_id, source, xor(x1, x1 >> 17) % 10000 AS bucket FROM (
+           SELECT doc_id, source,
+                  (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM (
+             SELECT doc_id, source,
+                    (doc_id * 2654435761 + 53) % 2147483648 AS x0
+             FROM documents) a) b),
+kept AS (SELECT coin.source, COUNT(*) AS n_kept
+         FROM coin JOIN rates ON rates.source = coin.source
+         WHERE bucket < rate * 10000 GROUP BY coin.source)
+SELECT rates.source, CAST(c AS BIGINT) AS n_docs,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       ROUND(rate, 6) AS rate_r
+FROM rates LEFT JOIN kept ON kept.source = rates.source
+ORDER BY rates.source
+"""
+
+
+ORACLES.update({"temperature_sample": _TEMPERATURE_SQL})
+QUERIES.update({"temperature_sample": q_temperature_sample})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
