@@ -3361,6 +3361,8 @@ def louvain(
     weighted_sym_edges: DataFrame,
     max_levels: int = 6,
     max_sweeps: int = 12,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> tuple[DataFrame, IterationStats]:
     """Full multi-level Louvain (Blondel et al. 2008) on a weighted
     undirected graph, distributed-deterministic.
@@ -3397,6 +3399,14 @@ def louvain(
     ``(orig_id → comm, stats)``; stats.iterations = total sweeps,
     stats.deltas = moves per sweep.
 
+    Checkpoint/resume (the pagerank/cc contract, level granularity):
+    with ``checkpoint_dir``, each completed level durably snapshots the
+    orig→comm mapping AND the contracted graph as one packed parquet
+    (kind 'm'/'e' rows) with per-partition lineage in meta.json;
+    ``resume=True`` reloads the latest level and continues — a killed
+    multi-hour hierarchy run restarts at its last contraction, not from
+    scratch.
+
     Reference parity: rebuilds the community hierarchy Polar's graph
     queries read off its store (cf. /root/reference/src/agents/graph —
     vocabulary-level only; the reference ships no Louvain), as the
@@ -3424,7 +3434,24 @@ def louvain(
     mapping = _hard_cut(mapping)
     stats.vertices = mapping.count()
 
-    for _level in range(max_levels):
+    ckpt = _Ckpt(spark, checkpoint_dir, "louvain") if checkpoint_dir else None
+    start_level = 0
+    if resume and ckpt is not None and (last := ckpt.latest()) is not None:
+        packed = ckpt.load(last["iteration"])
+        mapping = _hard_cut(
+            packed.where(F.col("kind") == "m").select(
+                F.col("a").alias("id"), F.col("b").alias("comm")
+            )
+        )
+        e = _hard_cut(
+            packed.where(F.col("kind") == "e").select(
+                F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+            )
+        )
+        start_level = int(last["iteration"])
+        stats.resumed_from = start_level
+
+    for _level in range(start_level, max_levels):
         comm = vertices_of(e).select("id", F.col("id").alias("comm"))
         comm = _hard_cut(comm)
         m_total = e.agg((F.sum("w") / F.lit(2.0)).alias("m")).collect()[0][0]
@@ -3545,6 +3572,21 @@ def louvain(
             .agg(F.sum("w").alias("w"))
         )
         e = _hard_cut(e_new)
+        if ckpt is not None:
+            packed = mapping.select(
+                F.lit("m").alias("kind"),
+                F.col("id").alias("a"),
+                F.col("comm").alias("b"),
+                F.lit(None).cast("double").alias("w"),
+            ).unionByName(
+                e.select(
+                    F.lit("e").alias("kind"),
+                    F.col("src").alias("a"),
+                    F.col("dst").alias("b"),
+                    "w",
+                )
+            )
+            ckpt.save(_level + 1, packed, float(level_moves))
         n_next = vertices_of(e).count()
         if n_next <= 1:
             stats.converged = True

@@ -1274,3 +1274,28 @@ def test_louvain_empty_and_selfloops(spark):
     )
     out2, _ = pregel.louvain(loops)
     assert {r["id"]: r["comm"] for r in out2.collect()} == {1: 1, 2: 2}
+
+
+def test_louvain_checkpoint_resume_identity(spark, tmp_path):
+    """Kill after level 1, resume — the final hierarchy must be
+    IDENTICAL to the uninterrupted run (the pagerank/cc resume
+    contract at level granularity), and meta.json must carry
+    per-partition lineage."""
+    import json
+    import os
+
+    sym = _louvain_fixture()
+    df = spark.createDataFrame(sym, "src long, dst long, w double")
+    full, _ = pregel.louvain(df)
+    want = {r["id"]: r["comm"] for r in full.collect()}
+
+    ck = str(tmp_path / "ck")
+    part1, st1 = pregel.louvain(df, max_levels=1, checkpoint_dir=ck)
+    meta = json.load(open(os.path.join(ck, "louvain", "meta.json")))
+    assert meta and meta[-1]["iteration"] == 1
+    assert all("partitions" in m and m["partitions"] for m in meta)
+
+    resumed, st2 = pregel.louvain(df, checkpoint_dir=ck, resume=True)
+    assert st2.resumed_from == 1
+    got = {r["id"]: r["comm"] for r in resumed.collect()}
+    assert got == want
