@@ -6798,6 +6798,66 @@ ORACLES.update({"temperature_sample": _TEMPERATURE_SQL})
 QUERIES.update({"temperature_sample": q_temperature_sample})
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection per document: k-gram
+    count, selected-fingerprint count, and the fingerprint checksum —
+    the whole selection is a per-document map (zero shuffle)."""
+    from polar_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = winnow_fingerprints(docs, "text", "doc_id", k=4, w=5)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "n_kgrams",
+        "n_fps",
+        F.aggregate("fps", F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "fps_sum"
+        ),
+    ).orderBy("doc_id")
+
+
+def _winnow_sql(k: int = 4, w: int = 5) -> str:
+    from polar_spark.operators.dedup import _P31, _polyhash_sql
+    from polar_spark.operators.text import _WIN_POS_BITS, SPAN_B
+
+    pos_mul = 1 << _WIN_POS_BITS
+    # mirror text.winnow_fingerprints: token polyhash once, k-wide
+    # second-level fold per position, (hash·2^20 + pos) keys, min per
+    # w-window (DuckDB list slices clamp at the list end exactly like
+    # the operator's F.least(w, nk-s+1) slice length), >> to recover
+    # the hash, distinct, sum (order-independent checksum)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+th AS (SELECT doc_id, list_transform(t, x -> {_polyhash_sql("x")}) AS ths FROM toks),
+kg AS (SELECT doc_id,
+        CASE WHEN len(ths) >= {k} THEN
+          list_transform(range(1, len(ths) - {k} + 2),
+            p -> list_reduce(list_prepend(0::BIGINT, ths[p:p+{k - 1}]),
+                             (acc, hv) -> (acc * {SPAN_B} + hv) % {_P31}))
+        ELSE []::BIGINT[] END AS kgs
+       FROM th),
+keyed AS (SELECT doc_id, len(kgs) AS nk,
+        list_transform(range(1, len(kgs) + 1), p -> kgs[p] * {pos_mul} + p) AS ks
+       FROM kg),
+win AS (SELECT doc_id, nk,
+        CASE WHEN nk >= 1 THEN
+          list_distinct(list_transform(
+            range(1, greatest(nk - {w - 1}, 1) + 1),
+            s -> list_min(ks[s:s+{w - 1}]) >> {_WIN_POS_BITS}))
+        ELSE []::BIGINT[] END AS fps
+       FROM keyed)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(nk AS BIGINT) AS n_kgrams,
+       CAST(len(fps) AS BIGINT) AS n_fps,
+       CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fps_sum
+FROM win ORDER BY doc_id
+"""
+
+
+ORACLES.update({"winnow_fp": _winnow_sql()})
+QUERIES.update({"winnow_fp": q_winnow_fp})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4

@@ -347,6 +347,82 @@ def dup_spans(
     )
 
 
+_WIN_POS_BITS = 20  # winnowing tie-break: key = h·2^20 + pos (h < 2^31 ⇒ key < 2^51)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting scheme): hash every
+    k-token window, then from every run of ``w`` consecutive k-gram
+    hashes select the minimum — the guarantee is at least one selected
+    fingerprint per ``w`` window, so any shared span of
+    ``k + w - 1`` tokens between two documents shares a fingerprint.
+    Positional dedup signal the global-MinHash family cannot give
+    (reference analogue: the per-file content identity of
+    `src/agents/provenance/mod.rs`-style ANALYZED_AS joins, localized
+    to spans).
+
+    Selection is made deterministic and SQL-replayable by keying
+    ``(hash, position)`` into one int64 (``h·2^20 + pos`` — leftmost
+    minimum on hash ties), and the hash is the repo's TWO-LEVEL
+    polynomial family (per-token char fold once, k-wide second-level
+    fold — the dup_spans CodegenFallback lesson).  The whole selection
+    is a PURE PER-DOCUMENT MAP — arrays never leave the row, zero
+    shuffle, so the stage scales embarrassingly; only the cross-doc
+    sharing count aggregates (one explode + one groupBy, linear in
+    selected fingerprints ≈ 2·tokens/w).
+
+    Returns ``(id, n_kgrams, n_fps, fps)`` — selected distinct
+    fingerprint hashes per document.
+    """
+    from polar_spark.operators.dedup import _P31, polyhash
+
+    pos_mul = F.lit(1 << _WIN_POS_BITS)
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), polyhash).alias("_th"),
+    )
+    n_kg = F.size("_th") - F.lit(k - 1)
+    staged = staged.select(
+        "_id",
+        F.when(
+            n_kg >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_kg),
+                lambda i: F.aggregate(
+                    F.slice(F.col("_th"), i, F.lit(k)),
+                    F.lit(0).cast("long"),
+                    lambda acc, hv: (acc * SPAN_B + hv) % F.lit(_P31),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_kg"),
+    )
+    nk = F.size("_kg")
+    keys = F.transform(F.col("_kg"), lambda h, i: h * pos_mul + i + 1)
+    staged = staged.select("_id", F.col("_kg"), keys.alias("_keys"))
+    n_win = F.greatest(nk - F.lit(w - 1), F.least(nk, F.lit(1)))
+    winners = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda s: F.array_min(F.slice(F.col("_keys"), s, F.least(F.lit(w), nk - s + 1))),
+    )
+    fps = F.array_distinct(
+        F.transform(winners, lambda key: F.shiftright(key, _WIN_POS_BITS))
+    )
+    return staged.select(
+        F.col("_id").alias(id_col),
+        F.greatest(nk, F.lit(0)).cast("long").alias("n_kgrams"),
+        F.when(nk >= 1, fps).otherwise(F.array().cast("array<bigint>")).alias("fps"),
+    ).withColumn("n_fps", F.size("fps").cast("long"))
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-LM quality scoring, unigram form (the CCNet/Gopher
     perplexity-filter posture with the corpus itself as the language

@@ -279,6 +279,87 @@ def test_dup_spans_stays_jvm(spark):
     assert "EvalPython" not in plan
 
 
+def _py_winnow(text_str: str, k: int, w: int):
+    """Pure-python golden for winnow_fingerprints (exact replay)."""
+    from polar_spark.operators.dedup import _P31, _POLY_B
+    from polar_spark.operators.text import _WIN_POS_BITS, SPAN_B
+
+    def ph(tok):
+        acc = 0
+        for ch in tok:
+            acc = (acc * _POLY_B + ord(ch)) % _P31
+        return acc
+
+    th = [ph(t) for t in text_str.strip().split()]
+    kgs = []
+    for i in range(len(th) - k + 1):
+        acc = 0
+        for hv in th[i : i + k]:
+            acc = (acc * SPAN_B + hv) % _P31
+        kgs.append(acc)
+    keys = [(h << _WIN_POS_BITS) + i + 1 for i, h in enumerate(kgs)]
+    nk = len(kgs)
+    if nk == 0:
+        return 0, set()
+    winners = [min(keys[s : s + w]) for s in range(max(nk - w + 1, 1))]
+    return nk, {key >> _WIN_POS_BITS for key in winners}
+
+
+def test_winnow_matches_python_golden(spark):
+    from polar_spark.operators.text import winnow_fingerprints
+
+    rows = [
+        (0, "one two three alpha beta gamma delta epsilon four five six seven"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "a b c d"),  # exactly k tokens → one k-gram, one fingerprint
+        (3, "x y"),  # fewer than k tokens → zero windows
+        (4, "rep rep rep rep rep rep rep rep rep rep"),  # degenerate ties
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kgrams"], set(r["fps"]), r["n_fps"])
+        for r in winnow_fingerprints(df, "text", "doc_id", k=4, w=5).collect()
+    }
+    for doc_id, text_str in rows:
+        nk, fps = _py_winnow(text_str, 4, 5)
+        assert got[doc_id] == (nk, fps, len(fps)), doc_id
+
+
+def test_winnow_guarantee_shared_span(spark):
+    """SWA guarantee: any shared run of k+w-1 tokens shares a
+    selected fingerprint between the two documents."""
+    from polar_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # k+w-1 = 8 tokens
+    rows = [
+        (0, f"one two three {shared} four five six"),
+        (1, f"{shared} nine ten eleven twelve thirteen"),
+        (2, "totally different words with no overlap at all here friend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints(df, "text", "doc_id", k=4, w=5).collect()
+    }
+    assert fps[0] & fps[1], "shared 8-token span must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_winnow_pure_map_plan(spark):
+    """Selection is a per-document map: no python stage, no Exchange."""
+    from polar_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l m n")], "doc_id long, text string"
+    )
+    out = winnow_fingerprints(df, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    row = out.collect()[0]
+    assert 1 <= row["n_fps"] <= row["n_kgrams"]
+
+
 def test_unigram_logprob_hand_computed(spark):
     import math
 
