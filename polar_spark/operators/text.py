@@ -423,6 +423,76 @@ def winnow_fingerprints(
     ).withColumn("n_fps", F.size("fps").cast("long"))
 
 
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 8,
+    min_occ: int = 2,
+) -> DataFrame:
+    """Block-level exact-substring dedup WITH corpus rewrite — the
+    scalable aligned-block approximation of suffix-array ExactSubstr
+    dedup (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better"): chunk each document into fixed ``block``-token
+    blocks, hash each block, drop every occurrence of any block whose
+    corpus-wide occurrence count reaches ``min_occ``, and reassemble
+    the surviving blocks in document order.  Unlike `dup_spans` (a
+    *report* of duplicated spans) this operator emits the cleaned
+    corpus — the transform a training pipeline actually applies.
+
+    Plan shape: one explode (linear), ONE map-side-combinable count
+    aggregate on the block hash, one linear join back (AQE handles a
+    boilerplate-block skew key), one per-doc reassembly aggregate —
+    no quadratic stage, no Python.  Returns
+    ``(id, n_blocks, n_kept, n_removed, clean_text)``; documents whose
+    every block is duplicated come back with ``clean_text = ''``.
+    """
+    from polar_spark.operators.dedup import polyhash
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+    )
+    nb = F.ceil(F.size("_t") / F.lit(block)).cast("int")
+    blocks = toks.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda i: F.array_join(
+                    F.slice("_t", i * block + 1, F.lit(block)), " "
+                ),
+            )
+        ).alias("idx", "btxt"),
+    )
+    hashed = blocks.withColumn("bh", polyhash(F.col("btxt")))
+    counts = hashed.groupBy("bh").agg(F.count("*").alias("_occ"))
+    kept = hashed.join(counts, "bh").where(F.col("_occ") < min_occ)
+    totals = hashed.groupBy("_id").agg(F.count("*").alias("n_blocks"))
+    clean = kept.groupBy("_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "btxt"))),
+                lambda s: s.btxt,
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(clean, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_blocks").cast("long"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-LM quality scoring, unigram form (the CCNet/Gopher
     perplexity-filter posture with the corpus itself as the language

@@ -881,6 +881,53 @@ def bfs_distances(
         return visited.select(F.col("id").cast("long").alias("id"), "dist"), stats
 
 
+def pseudo_diameter(
+    edges: DataFrame,
+    start: int | None = None,
+    max_depth: int = 12,
+) -> DataFrame:
+    """Pseudo-diameter by double-sweep BFS (Magnien/Latapy/Habib; the
+    igraph/NetworKit `pseudo_diameter` surface): BFS from ``start``
+    (default: the minimum vertex id), take the farthest vertex (max
+    dist, ties to the smaller id), BFS again from it — the second
+    eccentricity is a lower bound on the true diameter that is exact
+    on trees and empirically tight on real graphs, at the cost of TWO
+    frontier BFS runs instead of all-pairs (the only tractable form at
+    10^9 vertices).  Both sweeps reuse :func:`bfs_distances` (frontier
+    anti-join discipline, O(E) total per sweep).  The two argmax picks
+    are 1-row collects — bounded by construction.
+
+    Directed edges are used as given — pass a symmetrized table for
+    the undirected bound.  ``max_depth`` truncates both sweeps
+    identically (distances ≤ max_depth are exact minima).  Returns one
+    row: ``(start_id, reached, far_id, ecc1, far2_id,
+    pseudo_diameter)``.
+    """
+    spark = edges.sparkSession
+    e = normalize_edges(edges)
+    if start is None:
+        start = e.agg(F.min("src")).collect()[0][0]
+    d1, _ = bfs_distances(e, [int(start)], max_depth=max_depth)
+    far1 = d1.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+    reached = d1.count()
+    d2, _ = bfs_distances(e, [int(far1["id"])], max_depth=max_depth)
+    far2 = d2.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(start),
+                int(reached),
+                int(far1["id"]),
+                int(far1["dist"]),
+                int(far2["id"]),
+                int(far2["dist"]),
+            )
+        ],
+        "start_id long, reached long, far_id long, ecc1 long, "
+        "far2_id long, pseudo_diameter long",
+    )
+
+
 def bfs_per_source(
     edges: DataFrame,
     sources: list[int],

@@ -232,6 +232,35 @@ def test_bfs_distances_exact(graph, spark):
     assert st.converged
 
 
+def test_pseudo_diameter_path_graph(spark):
+    # undirected path 0-1-2-3-4: start=0 → far=4/ecc 4; sweep 2 from 4
+    # → pseudo-diameter 4 (double sweep is exact on trees)
+    und = [(i, i + 1) for i in range(4)]
+    sym = und + [(b, a) for a, b in und]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    row = pregel.pseudo_diameter(edf).collect()[0]
+    assert (row["start_id"], row["reached"]) == (0, 5)
+    assert (row["far_id"], row["ecc1"]) == (4, 4)
+    assert (row["far2_id"], row["pseudo_diameter"]) == (0, 4)
+
+
+def test_pseudo_diameter_star_tiebreak_and_truncation(spark):
+    # star center 0, leaves 1..5: sweep 1 ends at the SMALLEST farthest
+    # id (1); sweep 2 from 1 reaches another leaf at distance 2
+    und = [(0, i) for i in range(1, 6)]
+    sym = und + [(b, a) for a, b in und]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    row = pregel.pseudo_diameter(edf).collect()[0]
+    assert (row["far_id"], row["ecc1"]) == (1, 1)
+    assert (row["far2_id"], row["pseudo_diameter"]) == (2, 2)
+    # truncation: both sweeps stop at max_depth on the path graph
+    path = [(i, i + 1) for i in range(9)]
+    psym = path + [(b, a) for a, b in path]
+    pdf = spark.createDataFrame(psym, "src long, dst long")
+    row = pregel.pseudo_diameter(pdf, max_depth=3).collect()[0]
+    assert row["ecc1"] == 3 and row["pseudo_diameter"] == 3 and row["reached"] == 4
+
+
 def test_personalized_pagerank_matches_python(graph):
     edges, edf = graph
     sources = [0, 3]

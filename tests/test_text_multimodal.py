@@ -360,6 +360,36 @@ def test_winnow_pure_map_plan(spark):
     assert 1 <= row["n_fps"] <= row["n_kgrams"]
 
 
+def test_block_dedup_rewrites_corpus(spark):
+    from polar_spark.operators.text import block_dedup
+
+    rows = [
+        (0, "a b c d e f g h"),  # dup block + unique block
+        (1, "a b c d x y z w"),  # same dup block, different tail
+        (2, "a b c d"),  # entirely duplicated → empty rewrite
+        (3, "p q r s p q r s"),  # within-doc repeat also removed
+        (4, "m n o p q"),  # partial tail block, all unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["n_removed"], r["clean_text"])
+        for r in block_dedup(df, "text", "doc_id", block=4).collect()
+    }
+    assert got[0] == (2, 1, 1, "e f g h")
+    assert got[1] == (2, 1, 1, "x y z w")
+    assert got[2] == (1, 0, 1, "")
+    assert got[3] == (2, 0, 2, "")
+    assert got[4] == (2, 2, 0, "m n o p q")
+
+
+def test_block_dedup_stays_jvm(spark):
+    from polar_spark.operators.text import block_dedup
+
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    plan = block_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_unigram_logprob_hand_computed(spark):
     import math
 
