@@ -7016,6 +7016,330 @@ ORACLES.update({"block_dedup": _block_dedup_sql()})
 QUERIES.update({"block_dedup": q_block_dedup})
 
 
+_BM25_QUERIES = [
+    ("q0", "table scan fast"),
+    ("q1", "join merge batch"),
+    ("q2", "stream window agg"),
+    ("q3", "customer order value"),
+    ("q4", "spark query key sort"),
+]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval over the documents corpus for a fixed
+    5-query panel — inverted-index scoring with the query-term table
+    broadcast, per-term contributions floored to scaled BIGINTs so
+    scores are order-independent integer sums (see text.bm25_topk)."""
+    from polar_spark.operators.text import bm25_topk
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    return bm25_topk(load_table(spark, "documents", sf_dir), qdf)
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75, scale: int = 1_000_000) -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    # float constants mirror the Spark expression bit-for-bit: repr()
+    # is the shortest round-tripping form of the python-computed double
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {vals}),
+toks AS (SELECT doc_id AS _id, UNNEST(string_split(trim(text), ' ')) AS term
+         FROM documents),
+postings AS (SELECT _id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT _id, COUNT(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS L FROM dl),
+dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+qt AS (SELECT DISTINCT query_id, UNNEST(string_split(trim(qtext), ' ')) AS term
+       FROM q),
+sc AS (SELECT query_id, _id,
+         SUM(CAST(FLOOR({float(scale)!r} * LN(1.0 + (n - df + 0.5) / (df + 0.5))
+             * (tf * {k1 + 1.0!r})
+             / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl * n / L)))
+             AS BIGINT)) AS score_scaled,
+         COUNT(*) AS n_hit_terms
+       FROM postings JOIN qt USING (term) JOIN dft USING (term)
+            JOIN dl USING (_id), st
+       GROUP BY 1, 2),
+ranked AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY query_id ORDER BY score_scaled DESC, _id ASC) AS rnk
+           FROM sc)
+SELECT query_id, CAST(_id AS BIGINT) AS doc_id,
+       CAST(score_scaled AS BIGINT) AS score_scaled,
+       CAST(n_hit_terms AS BIGINT) AS n_hit_terms, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk
+"""
+
+
+ORACLES.update({"bm25_search": _bm25_sql()})
+QUERIES.update({"bm25_search": q_bm25_search})
+
+
+def q_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier: trained on the
+    deterministic 80% hash split, scored over every document —
+    integer-exact counts and scaled-BIGINT log-probabilities make
+    train AND predict bit-reproducible (see classify.nb_classify)."""
+    from polar_spark.operators.classify import nb_classify
+
+    return nb_classify(load_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+def _nb_sql(scale: int = 1_000_000, train_bp: int = 8000, seed: int = 0) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id AS _id, lang AS label, string_split(trim(text), ' ') AS t,
+         CASE WHEN xor(x1, x1 >> 17) % 10000 < {train_bp} THEN 1 ELSE 0 END
+           AS is_train
+  FROM (SELECT *, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1
+        FROM (SELECT *, (doc_id * 2654435761 + {seed}) % 2147483648 AS x0
+              FROM documents) a) b),
+toks AS (SELECT _id, label, is_train, UNNEST(t) AS tok FROM base),
+tr AS (SELECT * FROM toks WHERE is_train = 1),
+c_lt AS (SELECT label AS cls, tok, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+tot_l AS (SELECT label AS cls, COUNT(*) AS tot FROM tr GROUP BY 1),
+vv AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tr),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base WHERE is_train = 1),
+nl AS (SELECT label AS cls, COUNT(*) AS nl FROM base WHERE is_train = 1
+       GROUP BY 1),
+llp AS (SELECT cls, tok,
+          CAST(FLOOR({float(scale)!r} * LN((c + 1.0) / (tot + v))) AS BIGINT)
+            AS llp
+        FROM c_lt JOIN tot_l USING (cls), vv),
+ls AS (SELECT cls,
+         CAST(FLOOR({float(scale)!r} * LN(1.0 / (tot + v))) AS BIGINT)
+           AS default_llp,
+         CAST(FLOOR({float(scale)!r} * LN(nl / n)) AS BIGINT) AS prior
+       FROM tot_l JOIN nl USING (cls), vv, nd),
+sc AS (SELECT _id, cls,
+         SUM(COALESCE(llp, default_llp)) + ANY_VALUE(prior) AS score_scaled
+       FROM toks CROSS JOIN ls LEFT JOIN llp USING (cls, tok)
+       GROUP BY 1, 2),
+pred AS (SELECT _id, cls AS pred, score_scaled FROM
+           (SELECT *, ROW_NUMBER() OVER
+              (PARTITION BY _id ORDER BY score_scaled DESC, cls ASC) AS rnk
+            FROM sc) WHERE rnk = 1)
+SELECT CAST(b._id AS BIGINT) AS doc_id, b.label, p.pred,
+       CAST(CASE WHEN b.label = p.pred THEN 1 ELSE 0 END AS BIGINT) AS correct,
+       CAST(b.is_train AS BIGINT) AS is_train,
+       CAST(p.score_scaled AS BIGINT) AS score_scaled
+FROM base b JOIN pred p ON p._id = b._id ORDER BY doc_id
+"""
+
+
+ORACLES.update({"nb_lang_classify": _nb_sql()})
+QUERIES.update({"nb_lang_classify": q_nb_lang_classify})
+
+
+def q_densest_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(2+2ε)-approx densest subgraph (ε=0.5) of the co-order graph by
+    Bahmani-style parallel peeling — per-vertex peel round + membership
+    of the densest prefix; integer-exact schedule (see
+    pregel.densest_subgraph)."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    out, _ = pregel.densest_subgraph(e, eps_num=3, eps_den=2)
+    return out.orderBy("id")
+
+
+def _densest_sql(n_rounds: int = 28, eps_num: int = 3, eps_den: int = 2) -> str:
+    # MATERIALIZED: each round references `e`/`v{r}` several times —
+    # without it DuckDB inlines the CTE and re-opens the parquet per
+    # reference, blowing the fd limit at 28 unrolled rounds
+    parts = [
+        _COORDER_SQL.strip().rstrip(","),
+        _SYM_SQL.replace("e AS (", "e AS MATERIALIZED (", 1),
+        "v1 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (SELECT v.id, COUNT(ee.src) AS deg
+  FROM v{r} v LEFT JOIN (SELECT a.src, a.dst FROM e a
+       JOIN v{r} x ON a.src = x.id JOIN v{r} y ON a.dst = y.id) ee
+    ON ee.src = v.id GROUP BY v.id)"""
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT COUNT(*) AS nv, "
+            f"COALESCE(SUM(deg), 0) AS m2 FROM d{r})"
+        )
+        parts.append(
+            f"rm{r} AS MATERIALIZED (SELECT id FROM d{r}, s{r} "
+            f"WHERE deg * nv * {eps_den} <= m2 * {eps_num})"
+        )
+        parts.append(
+            f"v{r + 1} AS MATERIALIZED "
+            f"(SELECT id FROM v{r} EXCEPT SELECT id FROM rm{r})"
+        )
+    stats_union = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, nv, m2 FROM s{r}" for r in range(1, n_rounds + 1)
+    )
+    peel_union = " UNION ALL ".join(
+        f"SELECT id, {r} AS peel_round FROM rm{r}" for r in range(1, n_rounds + 1)
+    )
+    parts.append(f"stats AS ({stats_union})")
+    parts.append(
+        """best AS (SELECT rnd FROM stats s1 WHERE s1.nv > 0 AND NOT EXISTS (
+  SELECT 1 FROM stats s2 WHERE s2.nv > 0 AND
+    (s2.m2 * s1.nv > s1.m2 * s2.nv OR
+     (s2.m2 * s1.nv = s1.m2 * s2.nv AND s2.rnd < s1.rnd))))"""
+    )
+    parts.append(f"peeled AS ({peel_union})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(p.id AS BIGINT) AS id, CAST(p.peel_round AS BIGINT) AS peel_round,
+       CAST(CASE WHEN p.peel_round >= b.rnd THEN 1 ELSE 0 END AS BIGINT)
+         AS in_densest
+FROM peeled p, best b ORDER BY id
+"""
+    )
+
+
+ORACLES.update({"densest_sub": _densest_sql()})
+QUERIES.update({"densest_sub": q_densest_sub})
+
+
+def q_bfs_relabel_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS locality relabeling of the co-order graph (WebGraph ordering
+    posture) + per-vertex delta-encoded adjacency cost: bits to gap-
+    encode each sorted neighbor list under the OLD ids vs the NEW BFS
+    ids (zigzag first gap vs the source, plain gaps after; cost =
+    bit-length, length(bin(x)) in both engines).  The summary judges
+    whether the reordering actually buys compression."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    mapping = pregel.bfs_relabel(e, max_depth=32)
+
+    def gap_bits(adj: DataFrame) -> DataFrame:
+        w = Window.partitionBy("u").orderBy("n")
+        g = adj.withColumn("p", F.lag("n").over(w))
+        enc = F.when(
+            F.col("p").isNull(),
+            F.when(
+                F.col("n") >= F.col("u"), 2 * (F.col("n") - F.col("u"))
+            ).otherwise(2 * (F.col("u") - F.col("n")) + 1),
+        ).otherwise(F.col("n") - F.col("p"))
+        return g.groupBy("u").agg(
+            F.count("*").alias("deg"),
+            F.sum(F.length(F.bin(enc))).alias("bits"),
+        )
+
+    old_bits = gap_bits(e.select(F.col("src").alias("u"), F.col("dst").alias("n")))
+    m1 = mapping.select(F.col("id").alias("src"), F.col("new_id").alias("u"))
+    m2 = mapping.select(F.col("id").alias("dst"), F.col("new_id").alias("n"))
+    new_bits = gap_bits(e.join(m1, "src").join(m2, "dst").select("u", "n"))
+    return (
+        mapping.join(
+            old_bits.select(F.col("u").alias("id"), F.col("bits").alias("bits_old"), "deg"),
+            "id",
+        )
+        .join(
+            new_bits.select(F.col("u").alias("new_id"), F.col("bits").alias("bits_new")),
+            "new_id",
+        )
+        .select(
+            F.col("id").cast("long"),
+            F.col("level").cast("long"),
+            F.col("new_id").cast("long"),
+            F.col("deg").cast("long"),
+            F.col("bits_old").cast("long"),
+            F.col("bits_new").cast("long"),
+        )
+        .orderBy("id")
+    )
+
+
+_BFS_RELABEL_SQL = f"""
+WITH RECURSIVE {_COORDER_SQL},
+{_SYM_SQL},
+s0 AS (SELECT MIN(src) AS s FROM e),
+r1(id, d) AS (
+    SELECT s, 0 FROM s0
+    UNION
+    SELECT e.dst, r1.d + 1 FROM r1 JOIN e ON e.src = r1.id WHERE r1.d < 32),
+lvl AS (SELECT id, MIN(d) AS level FROM r1 GROUP BY id),
+verts AS (SELECT DISTINCT src AS id FROM e),
+lv AS (SELECT v.id, COALESCE(lvl.level, 33) AS level
+       FROM verts v LEFT JOIN lvl ON lvl.id = v.id),
+map AS (SELECT id, level,
+          ROW_NUMBER() OVER (ORDER BY level, id) - 1 AS new_id FROM lv),
+go AS (SELECT src AS u, dst AS n, LAG(dst) OVER
+         (PARTITION BY src ORDER BY dst) AS p FROM e),
+bo AS (SELECT u, COUNT(*) AS deg, SUM(length(bin(
+         CASE WHEN p IS NULL THEN
+           CASE WHEN n >= u THEN 2 * (n - u) ELSE 2 * (u - n) + 1 END
+         ELSE n - p END))) AS bits FROM go GROUP BY u),
+en AS (SELECT m1.new_id AS u, m2.new_id AS n
+       FROM e JOIN map m1 ON e.src = m1.id JOIN map m2 ON e.dst = m2.id),
+gn AS (SELECT u, n, LAG(n) OVER (PARTITION BY u ORDER BY n) AS p FROM en),
+bn AS (SELECT u, SUM(length(bin(
+         CASE WHEN p IS NULL THEN
+           CASE WHEN n >= u THEN 2 * (n - u) ELSE 2 * (u - n) + 1 END
+         ELSE n - p END))) AS bits FROM gn GROUP BY u)
+SELECT CAST(map.id AS BIGINT) AS id, CAST(map.level AS BIGINT) AS level,
+       CAST(map.new_id AS BIGINT) AS new_id, CAST(bo.deg AS BIGINT) AS deg,
+       CAST(bo.bits AS BIGINT) AS bits_old, CAST(bn.bits AS BIGINT) AS bits_new
+FROM map JOIN bo ON bo.u = map.id JOIN bn ON bn.u = map.new_id
+ORDER BY id
+"""
+
+
+ORACLES.update({"bfs_relabel_gaps": _BFS_RELABEL_SQL})
+QUERIES.update({"bfs_relabel_gaps": q_bfs_relabel_gaps})
+
+
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption over the documents table: deterministic
+    hash-coin masking, contiguous runs collapsed to sentinels, input
+    and target texts reassembled in token order (see
+    text.span_corruption)."""
+    from polar_spark.operators.text import span_corruption
+
+    return span_corruption(load_table(spark, "documents", sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def _span_corrupt_sql(mask_rate_bp: int = 1500, seed: int = 11) -> str:
+    key = "(_id * 8191 + pos % 8191)"
+    x0 = f"(({key} * 2654435761 + {seed}) % 2147483648)"
+    x1 = f"((xor({x0}, {x0} >> 13) * 1274126177) % 2147483648)"
+    coin = f"(xor({x1}, {x1} >> 17) % 10000)"
+    return f"""
+WITH toks0 AS (SELECT doc_id AS _id, string_split(trim(text), ' ') AS t
+               FROM documents),
+toks1 AS (SELECT _id, p AS pos, t[p + 1] AS tok
+          FROM toks0, UNNEST(range(0, len(t))) AS u(p)),
+toks2 AS (SELECT _id, pos, tok,
+            CASE WHEN {coin} < {mask_rate_bp} THEN 1 ELSE 0 END AS masked
+          FROM toks1),
+toks3 AS (SELECT *, CASE WHEN masked = 1 AND COALESCE(LAG(masked) OVER
+              (PARTITION BY _id ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END
+            AS is_head FROM toks2),
+toks4 AS (SELECT *, CASE WHEN masked = 1 THEN SUM(is_head) OVER
+              (PARTITION BY _id ORDER BY pos ROWS UNBOUNDED PRECEDING) - 1
+            END AS span FROM toks3),
+agg AS (SELECT _id, COUNT(*) AS n_tokens, SUM(masked) AS n_masked,
+          COALESCE(MAX(span), -1) + 1 AS n_spans,
+          string_agg(CASE WHEN masked = 0 THEN tok
+                          WHEN is_head = 1 THEN '<extra_id_' || span || '>'
+                     END, ' ' ORDER BY pos) AS input_text,
+          string_agg(CASE WHEN is_head = 1
+                            THEN '<extra_id_' || span || '> ' || tok
+                          WHEN masked = 1 THEN tok
+                     END, ' ' ORDER BY pos) AS target_text
+        FROM toks4 GROUP BY _id)
+SELECT CAST(_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_masked AS BIGINT) AS n_masked, CAST(n_spans AS BIGINT) AS n_spans,
+       COALESCE(input_text, '') AS input_text,
+       CASE WHEN n_spans > 0
+            THEN COALESCE(target_text, '') || ' <extra_id_' || n_spans || '>'
+            ELSE '' END AS target_text
+FROM agg ORDER BY doc_id
+"""
+
+
+ORACLES.update({"span_corrupt": _span_corrupt_sql()})
+QUERIES.update({"span_corrupt": q_span_corrupt})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # minimal stopword profiles (top function words per language)
 STOPWORDS: dict[str, list[str]] = {
@@ -602,3 +603,184 @@ def textrank(
     )
     ranks = pregel.pagerank_fixed(sym, n_iter=n_iter)
     return ranks.join(words, "id").select("word", "rank")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Spärck Jones, the Lucene-default
+    ranking function) over the corpus for a set of queries: classic
+    inverted-index scoring expressed as DataFrame joins — postings =
+    per-(doc, term) term frequencies, the tiny query-term table is
+    BROADCAST onto the postings (never the other way), scores aggregate
+    per (query, doc), top-``topk`` per query by a bounded window.
+
+    ``queries`` must be ``(query_id: string, qtext: string)``.  IDF is
+    the standard ``ln(1 + (N − df + 0.5)/(df + 0.5))``; the per-term
+    contribution ``idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl·N/L))`` is
+    floored to a ``scale``-scaled BIGINT **before** summation so the
+    per-(query, doc) score is an order-independent integer sum —
+    float-addition order would otherwise differ between engines and
+    partitionings.  (L = total corpus token count, so ``dl·N/L`` is
+    dl/avgdl with the division order fixed.)  Duplicate terms in a
+    query count once (standard bag-of-words query with binary qtf).
+
+    Returns ``(query_id, doc_id, score_scaled, n_hit_terms, rnk)``.
+    At 100 TB the postings table shuffles once on term; corpus stats
+    (N, L) are a 1-row aggregate broadcast into the expression.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    postings = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    ).collect()[0]
+    n_docs, total_len = int(stats["n_docs"]), int(stats["total_len"])
+    df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("qtext")), r"\s+"))).alias(
+            "term"
+        ),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl") * F.lit(float(n_docs)) / F.lit(float(total_len))
+    )
+    contrib = F.floor(
+        F.lit(float(scale)) * idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(df_t, "term")
+        .join(dl, "_id")
+        .groupBy("query_id", "_id")
+        .agg(
+            F.sum(contrib).alias("score_scaled"),
+            F.count("*").alias("n_hit_terms"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .where(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            F.col("_id").alias(id_col).cast("long"),
+            F.col("score_scaled").cast("long"),
+            F.col("n_hit_terms").cast("long"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_rate_bp: int = 1500,
+    seed: int = 11,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020): mask ~15% of
+    tokens with a deterministic hash coin, collapse each contiguous
+    masked run into one ``<extra_id_k>`` sentinel in the input, and emit
+    the target as sentinel-prefixed spans plus the closing sentinel —
+    the actual seq2seq pretraining example builder, as one explode +
+    per-doc windows (no Python, no shuffle beyond the doc key).
+
+    The coin is the shared xorshift bucket on ``doc_id·8191 + pos%8191``
+    (SQL-replayable, partitioning-invariant); ``mask_rate_bp`` is in
+    basis points of 10000.  Returns ``(id, n_tokens, n_masked, n_spans,
+    input_text, target_text)``.
+    """
+    from polar_spark.operators.sampling import hash_bucket
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    )
+    key = F.col("_id") * F.lit(8191) + F.col("pos") % F.lit(8191)
+    toks = toks.withColumn(
+        "masked", (hash_bucket(key, seed) < F.lit(mask_rate_bp)).cast("int")
+    )
+    # islands: a masked run starts where masked flips 0→1; span id =
+    # running count of run heads (0-based) — no dense_rank over a
+    # null-polluted key
+    mwin = Window.partitionBy("_id").orderBy("pos")
+    toks = toks.withColumn(
+        "is_head",
+        ((F.col("masked") == 1) & (F.lag("masked", 1, 0).over(mwin) == 0)).cast(
+            "int"
+        ),
+    ).withColumn(
+        "span",
+        F.when(
+            F.col("masked") == 1,
+            F.sum("is_head").over(
+                mwin.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - 1,
+        ),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("span"), F.lit(">"))
+    inp_tok = F.when(F.col("masked") == 0, F.col("tok")).when(
+        F.col("is_head") == 1, sentinel
+    )
+    tgt_tok = F.when(
+        F.col("is_head") == 1, F.concat(sentinel, F.lit(" "), F.col("tok"))
+    ).when(F.col("masked") == 1, F.col("tok"))
+    agg = toks.groupBy("_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("masked").alias("n_masked"),
+        (F.coalesce(F.max("span"), F.lit(-1)) + 1).alias("n_spans"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(inp_tok.isNotNull(), F.struct("pos", inp_tok.alias("t")))
+                    )
+                ),
+                lambda s: s.t,
+            ),
+        ).alias("input_text"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(tgt_tok.isNotNull(), F.struct("pos", tgt_tok.alias("t")))
+                    )
+                ),
+                lambda s: s.t,
+            ),
+        ).alias("target_text"),
+    )
+    closing = F.concat(F.lit("<extra_id_"), F.col("n_spans"), F.lit(">"))
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long"),
+        F.col("n_masked").cast("long"),
+        F.col("n_spans").cast("long"),
+        "input_text",
+        F.when(F.col("n_spans") > 0, F.concat(F.col("target_text"), F.lit(" "), closing))
+        .otherwise(F.lit(""))
+        .alias("target_text"),
+    )

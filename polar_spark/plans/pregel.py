@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 # --------------------------------------------------------------------------
@@ -925,6 +926,171 @@ def pseudo_diameter(
         ],
         "start_id long, reached long, far_id long, ecc1 long, "
         "far2_id long, pseudo_diameter long",
+    )
+
+
+def densest_subgraph(
+    edges: DataFrame,
+    eps_num: int = 3,
+    eps_den: int = 2,
+    max_rounds: int = 100,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """(2+2ε)-approximate densest subgraph by parallel peeling (Bahmani,
+    Kumar & Vassilvitskii, VLDB 2012, "Densest subgraph in streaming and
+    MapReduce"): each round removes EVERY vertex whose degree is ≤
+    (1+ε)·(average degree of the current subgraph), records the round's
+    density, and the answer is the subgraph alive at the start of the
+    densest round.  ε = ``eps_num/eps_den − 1`` (default 3/2 → ε=0.5);
+    the sequential exact peel (Charikar's one-vertex-at-a-time 2-approx)
+    does not distribute, this removes a constant fraction per round so
+    the schedule is O(log_{1+ε} |V|) rounds of one degree aggregate +
+    two semi-joins each — the MapReduce formulation.
+
+    Determinism across engines/partitionings: the removal test is the
+    cross-multiplied integer comparison ``deg·V·eps_den ≤ 2E·eps_num``
+    (no float enters the schedule), and the best round is chosen by the
+    exact rational compare ``2E_r·V_s vs 2E_s·V_r`` with ties to the
+    earliest round.  Each round removes at least the minimum-degree
+    vertex (min ≤ avg ≤ (1+ε)avg), so termination is guaranteed; the
+    per-round 2-row stats collect is the only driver action (bounded by
+    the O(log V) round count).  Overflow bound: ``deg·V·eps_den`` stays
+    below 2⁶³ for |V| ≤ 10⁹ with single-digit ε ratios.
+
+    Returns ``(per_vertex, stats)`` where per_vertex is
+    ``(id, peel_round, in_densest)`` — peel_round is 1-based, and
+    ``in_densest = 1`` iff the vertex was still alive at the start of
+    the densest round (peel_round ≥ best_round).  Pass an undirected
+    edge table; it is symmetrized internally.
+    """
+    spark = edges.sparkSession
+    sym0 = symmetrize(normalize_edges(edges)).persist()
+    m0 = sym0.count()
+    stats = IterationStats(algorithm="densest_subgraph", edges=m0)
+    if m0 == 0:
+        sym0.unpersist()
+        stats.converged = True
+        return (
+            spark.createDataFrame([], "id long, peel_round long, in_densest long"),
+            stats,
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        verts = vertices_of(e).localCheckpoint(eager=True)
+        sym0.unpersist()
+        peeled: list[DataFrame] = []
+        round_stats: list[tuple[int, int, int]] = []  # (round, V, 2E)
+        for rnd in range(1, max_rounds + 1):
+            t0 = time.monotonic()
+            degs = (
+                verts.join(
+                    e.groupBy(F.col("src").alias("id")).agg(
+                        F.count("*").alias("deg")
+                    ),
+                    "id",
+                    "left",
+                )
+                .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+                .localCheckpoint(eager=True)
+            )
+            agg = degs.agg(
+                F.count("*").alias("nv"), F.sum("deg").alias("m2")
+            ).collect()[0]
+            nv, m2 = int(agg["nv"]), int(agg["m2"] or 0)
+            if nv == 0:
+                break
+            round_stats.append((rnd, nv, m2))
+            removed = degs.where(
+                F.col("deg") * F.lit(nv) * F.lit(eps_den)
+                <= F.lit(m2) * F.lit(eps_num)
+            ).select("id")
+            peeled.append(
+                removed.select("id", F.lit(rnd).cast("long").alias("peel_round"))
+                .localCheckpoint(eager=True)
+            )
+            verts = verts.join(removed, "id", "left_anti").localCheckpoint(eager=True)
+            e = (
+                e.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            stats.iterations = rnd
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(nv))
+        # exact rational argmax over per-round densities, ties → earliest
+        best_round, best_v, best_m2 = 1, 1, 0
+        for rnd, nv, m2 in round_stats:
+            if m2 * best_v > best_m2 * nv:
+                best_round, best_v, best_m2 = rnd, nv, m2
+        stats.converged = True
+        out = peeled[0]
+        for p in peeled[1:]:
+            out = out.unionByName(p)
+        return (
+            out.select(
+                F.col("id").cast("long"),
+                "peel_round",
+                (F.col("peel_round") >= F.lit(best_round))
+                .cast("long")
+                .alias("in_densest"),
+            ),
+            stats,
+        )
+
+
+def bfs_relabel(
+    edges: DataFrame,
+    start: int | None = None,
+    max_depth: int = 32,
+    rank_buckets: int = 4096,
+) -> DataFrame:
+    """Locality-preserving BFS vertex relabeling — the ordering step of
+    WebGraph-style compressed adjacency layouts (Boldi & Vigna, WWW'04):
+    vertices are renumbered in breadth-first order from ``start``
+    (default: minimum id) so that neighbors get nearby ids and the
+    delta-encoded adjacency gaps shrink.  New id = rank in the global
+    ``(level, old_id)`` order; unreached vertices sort after all reached
+    ones (level = max_depth+1), again by old id — fully deterministic.
+
+    The global rank is NOT a single-partition window: ranks are
+    assigned with the two-phase distributed prefix sum used by
+    ``packing.pack_sequences`` — bucket by ``(level, old_id range)``,
+    compute per-bucket counts (small), broadcast exclusive offsets
+    back, then row_number WITHIN each bucket — so the heavy pass
+    parallelises across ``rank_buckets``·levels partitions.
+
+    Returns ``(id, level, new_id)``; new_id is 0-based.
+    """
+    e = normalize_edges(edges)
+    if start is None:
+        start = e.agg(F.min("src")).collect()[0][0]
+    dists, _ = bfs_distances(e, [int(start)], max_depth=max_depth)
+    verts = vertices_of(e)
+    lv = verts.join(dists, "id", "left").select(
+        "id", F.coalesce("dist", F.lit(max_depth + 1)).cast("long").alias("level")
+    )
+    hi = lv.agg(F.max("id").alias("hi")).collect()[0]["hi"]
+    width = max(1, (int(hi) + rank_buckets) // rank_buckets)
+    lv = lv.withColumn("_bkt", (F.col("id") / F.lit(width)).cast("long"))
+    counts = lv.groupBy("level", "_bkt").agg(F.count("*").alias("_n"))
+    # exclusive running offsets over the tiny (levels × buckets) table
+    w = Window.orderBy("level", "_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "level", "_bkt", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off")
+    )
+    in_bkt = Window.partitionBy("level", "_bkt").orderBy("id")
+    return (
+        lv.join(F.broadcast(offsets), ["level", "_bkt"])
+        .select(
+            "id",
+            "level",
+            (F.col("_off") + F.row_number().over(in_bkt) - 1)
+            .cast("long")
+            .alias("new_id"),
+        )
     )
 
 

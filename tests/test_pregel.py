@@ -1328,3 +1328,80 @@ def test_louvain_checkpoint_resume_identity(spark, tmp_path):
     assert st2.resumed_from == 1
     got = {r["id"]: r["comm"] for r in resumed.collect()}
     assert got == want
+
+
+def test_densest_subgraph_peels_to_clique(spark):
+    # K5 clique {0..4} + star center 10 with 8 leaves 20..27:
+    # round 1 removes only the leaves (deg 1 ≤ 1.5·avg), round 2 removes
+    # the rest; best density is the round-2 start state (K5 + isolated
+    # center), so in_densest = clique ∪ {center}
+    und = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    und += [(10, 20 + i) for i in range(8)]
+    edf = spark.createDataFrame(und, "src long, dst long")
+    out, st = pregel.densest_subgraph(edf, eps_num=3, eps_den=2)
+    rows = {r["id"]: (r["peel_round"], r["in_densest"]) for r in out.collect()}
+    assert len(rows) == 14
+    for leaf in range(20, 28):
+        assert rows[leaf] == (1, 0)
+    for v in range(5):
+        assert rows[v] == (2, 1)
+    assert rows[10] == (2, 1)
+    assert st.iterations == 2 and st.converged
+
+
+def test_densest_subgraph_empty(spark):
+    edf = spark.createDataFrame([], "src long, dst long")
+    out, st = pregel.densest_subgraph(edf)
+    assert out.count() == 0 and st.converged
+
+
+def test_bfs_relabel_path_star_and_unreached(spark):
+    # path 0-1-2-3-4: BFS order is already id order → new_id == id
+    path = [(i, i + 1) for i in range(4)]
+    sym = path + [(b, a) for a, b in path]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["id"]: (r["level"], r["new_id"]) for r in pregel.bfs_relabel(edf).collect()}
+    assert got == {i: (i, i) for i in range(5)}
+    # two components 0-1 and 5-6: unreached vertices order last by id
+    two = [(0, 1), (1, 0), (5, 6), (6, 5)]
+    edf2 = spark.createDataFrame(two, "src long, dst long")
+    got2 = {r["id"]: (r["level"], r["new_id"]) for r in pregel.bfs_relabel(edf2).collect()}
+    assert got2 == {0: (0, 0), 1: (1, 1), 5: (33, 2), 6: (33, 3)}
+
+
+def test_bfs_relabel_improves_locality_on_shuffled_ring(spark):
+    # a ring whose ids are bit-reversed (maximally non-local): BFS
+    # relabeling must cut the total gap-encoding bits
+    import random
+
+    rnd = random.Random(3)
+    perm = list(range(64))
+    rnd.shuffle(perm)
+    ring = [(perm[i], perm[(i + 1) % 64]) for i in range(64)]
+    sym = ring + [(b, a) for a, b in ring]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    mapping = pregel.bfs_relabel(edf)
+    m = {r["id"]: r["new_id"] for r in mapping.collect()}
+
+    def bits(edges):
+        from collections import defaultdict
+
+        adj = defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+        tot = 0
+        for u, ns in adj.items():
+            prev = None
+            for n in sorted(ns):
+                if prev is None:
+                    d = n - u
+                    enc = 2 * d if d >= 0 else 2 * (-d) + 1
+                else:
+                    enc = n - prev
+                tot += len(bin(enc)) - 2
+                prev = n
+        return tot
+
+    old = bits(sym)
+    new = bits([(m[a], m[b]) for a, b in sym])
+    assert new < old
