@@ -7340,6 +7340,95 @@ ORACLES.update({"span_corrupt": _span_corrupt_sql()})
 QUERIES.update({"span_corrupt": q_span_corrupt})
 
 
+def q_suffix_ranks40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix-array ranks (prefix doubling) over the token
+    stream of docs 0..39 — the exact-substring-dedup index machinery.
+    The oracle is INDEPENDENT, not a replay: DuckDB sorts the actual
+    suffix strings directly (token-sequence order coincides with
+    space-joined string order because ' ' < every token character), so
+    agreement here validates the doubling algorithm itself."""
+    from polar_spark.operators.text import suffix_ranks
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 40)
+    return suffix_ranks(docs).orderBy("pos")
+
+
+_SUFFIX_RANKS_SQL = """
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+           FROM documents WHERE doc_id < 40),
+off AS (SELECT doc_id, t, COALESCE(SUM(len(t)) OVER
+          (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) AS o FROM d),
+toks AS (SELECT doc_id, o + p AS pos, t[p + 1] AS tok
+         FROM off, UNNEST(range(0, len(t))) AS u(p)),
+s AS (SELECT list(tok ORDER BY pos) AS arr FROM toks)
+SELECT CAST(pos AS BIGINT) AS pos, CAST(doc_id AS BIGINT) AS doc_id, tok,
+       CAST(DENSE_RANK() OVER
+         (ORDER BY array_to_string(arr[pos + 1:], ' ')) AS BIGINT) AS rank
+FROM toks, s ORDER BY pos
+"""
+
+
+ORACLES.update({"suffix_ranks40": _SUFFIX_RANKS_SQL})
+QUERIES.update({"suffix_ranks40": q_suffix_ranks40})
+
+
+def q_bpe_train8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 8-round BPE tokenizer training over the documents corpus:
+    per-word final segmentation after the learned merge schedule (ties
+    → lexicographically smallest pair; greedy left-to-right merge
+    application — see text.bpe_train)."""
+    from polar_spark.operators.text import bpe_train
+
+    out, _ = bpe_train(load_table(spark, "documents", sf_dir), n_merges=8)
+    return out.orderBy("word")
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    sep = "chr(31)"
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt,
+         array_to_string(string_split(word, ''), chr(31)) AS cur
+  FROM (SELECT UNNEST(string_split(trim(text), ' ')) AS word FROM documents)
+  GROUP BY word)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT l[i] AS a, l[i + 1] AS b, SUM(cnt) AS c
+  FROM (SELECT cnt, string_split(cur, {sep}) AS l FROM w{r}),
+       UNNEST(range(1, len(l))) AS t(i)
+  GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{r + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+    CASE WHEN p.a IS NULL THEN cur ELSE
+      list_reduce(list_prepend('', string_split(cur, {sep})), (acc, s) ->
+        CASE WHEN acc = '' THEN s
+             WHEN (acc = p.a OR ends_with(acc, {sep} || p.a)) AND s = p.b
+               THEN left(acc, length(acc) - length(p.a)) || p.a || p.b
+             ELSE acc || {sep} || s END)
+    END AS cur
+  FROM w{r} LEFT JOIN p{r} p ON TRUE)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       replace(cur, {sep}, ' ') AS seg,
+       CAST(len(string_split(cur, {sep})) AS BIGINT) AS n_syms
+FROM w{n_merges} ORDER BY word
+"""
+    )
+
+
+ORACLES.update({"bpe_train8": _bpe_sql()})
+QUERIES.update({"bpe_train8": q_bpe_train8})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4

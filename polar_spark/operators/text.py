@@ -784,3 +784,191 @@ def span_corruption(
         .otherwise(F.lit(""))
         .alias("target_text"),
     )
+
+
+def _dense_rank_pairs(
+    pairs: DataFrame, c1: str = "r1", c2: str = "r2", n_buckets: int = 512
+) -> DataFrame:
+    """Dense rank of (c1, c2) pairs WITHOUT a single-partition global
+    window: distinct pairs are bucketed by a monotone range function of
+    ``c1``, per-bucket counts give broadcastable exclusive offsets (the
+    only sequential pass runs over ≤ n_buckets rows), and the in-bucket
+    row_number is a window partitioned BY BUCKET — the two-phase
+    distributed prefix-sum pattern shared with ``packing`` and
+    ``pregel.bfs_relabel``.  Adds ``new_rank`` (1-based, dense)."""
+    d = pairs.select(c1, c2).distinct()
+    hi = d.agg(F.max(c1).alias("hi")).collect()[0]["hi"]
+    if hi is None:
+        return pairs.withColumn("new_rank", F.lit(None).cast("long"))
+    width = max(1, (int(hi) + n_buckets) // n_buckets)
+    db = d.withColumn("_bkt", (F.col(c1) / F.lit(width)).cast("long"))
+    w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        db.groupBy("_bkt")
+        .agg(F.count("*").alias("_n"))
+        .select("_bkt", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off"))
+    )
+    inb = Window.partitionBy("_bkt").orderBy(c1, c2)
+    ranked = db.join(F.broadcast(offs), "_bkt").select(
+        c1,
+        c2,
+        (F.col("_off") + F.row_number().over(inb)).cast("long").alias("new_rank"),
+    )
+    return pairs.join(ranked, [c1, c2])
+
+
+def suffix_ranks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Distributed suffix-array construction over the corpus token
+    stream by prefix doubling (Manber & Myers 1990) — the index behind
+    exact-substring dedup (Lee et al. 2022 build suffix arrays for
+    ExactSubstr; ``block_dedup`` is the aligned approximation, this is
+    the exact machinery).  Documents concatenate in ``id_col`` order
+    into one global token stream; after round j every position carries
+    the dense rank of its first 2^j tokens, and doubling joins each
+    position with ``pos + 2^j`` until all ranks are distinct — O(log n)
+    rounds, each one self-equi-join on the position key plus one
+    two-phase dense rank (no single-partition window anywhere; see
+    :func:`_dense_rank_pairs`).  The initial token ranking is a window
+    over DISTINCT tokens — bounded by vocabulary, not corpus, size.
+
+    Returns ``(pos, doc_id, tok, rank)``: ``rank`` is the 1-based
+    lexicographic rank of the suffix starting at ``pos`` under token-
+    sequence order (shorter suffix sorts before its extensions, the
+    standard convention).  One 1-row convergence aggregate per round.
+    """
+    spark = df.sparkSession
+    from polar_spark.operators.packing import pack_sequences
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+    ).withColumn("n_tokens", F.size("_t").cast("long"))
+    laid = pack_sequences(base, seq_len=2**62, sep_tokens=0, id_col="_id")
+    toks = laid.select(
+        "_id",
+        F.posexplode("_t").alias("p", "tok"),
+        F.col("start_offset"),
+    ).select(
+        (F.col("start_offset") + F.col("p")).alias("pos"),
+        F.col("_id").alias("doc_id"),
+        "tok",
+    )
+    n = toks.count()
+    vocab = toks.select("tok").distinct()
+    vw = Window.orderBy("tok")  # bounded by |vocab|, documented above
+    tok_rank = vocab.select("tok", F.row_number().over(vw).cast("long").alias("rank"))
+    cur = (
+        toks.join(F.broadcast(tok_rank), "tok")
+        .select("pos", "doc_id", "tok", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shift = 1
+    for _ in range(max_rounds):
+        if cur.agg(F.max("rank")).collect()[0][0] == n:
+            break
+        nxt = cur.select((F.col("pos") - F.lit(shift)).alias("pos"), F.col("rank").alias("r2"))
+        paired = (
+            cur.withColumnRenamed("rank", "r1")
+            .join(nxt, "pos", "left")
+            .withColumn("r2", F.coalesce("r2", F.lit(0)))
+        )
+        cur = (
+            _dense_rank_pairs(paired)
+            .select("pos", "doc_id", "tok", F.col("new_rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        shift *= 2
+        if shift >= n:
+            # one final pass may still be pending; loop re-checks via max
+            if cur.agg(F.max("rank")).collect()[0][0] == n:
+                break
+    return cur.select(F.col("pos").cast("long"), F.col("doc_id").cast("long"), "tok", "rank")
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    sep: str = "\x1f",
+) -> tuple[DataFrame, list[tuple[str, str, int]]]:
+    """Full iterative byte-pair-encoding training (Sennrich et al.
+    2016) over the corpus word-type table: each round counts adjacent
+    symbol pairs weighted by word frequency, merges the most frequent
+    pair (ties → lexicographically smallest (a, b)) greedily
+    left-to-right in every word, and repeats ``n_merges`` times — the
+    actual tokenizer-training loop, not just one merge-candidate round.
+
+    The greedy merge is a fold over each word's symbol string (unit
+    separator ``sep``): merge when the accumulator's LAST symbol is
+    ``a`` and the incoming symbol is ``b`` — exactly the sequential
+    left-to-right scan (a merged symbol a||b can never re-trigger as
+    ``a`` because it is strictly longer), and the same fold replays in
+    DuckDB's list_reduce character-for-character.
+
+    Scale: the state is the DISTINCT word table (vocabulary-, not
+    corpus-sized); each round is one explode + one map-side-combinable
+    count + a 1-row argmax collect + one pure-map fold.  Returns
+    ``(words, merges)`` where words is ``(word, cnt, seg, n_syms)``
+    with ``seg`` the final space-joined segmentation, and merges is the
+    learned ``[(a, b, pair_count), ...]`` schedule.
+    """
+    words = (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cur", F.array_join(F.split("word", ""), sep))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.split("cur", sep)
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (
+            words.select("cnt", F.explode(pairs).alias("pr"))
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((a, b, c))
+        merged = a + b
+        fold = F.aggregate(
+            F.split("cur", sep),
+            F.lit(""),
+            lambda acc, s: F.when(acc == F.lit(""), s)
+            .when(
+                ((acc == F.lit(a)) | acc.endswith(F.lit(sep + a)))
+                & (s == F.lit(b)),
+                F.concat(
+                    acc.substr(F.lit(1), F.length(acc) - F.lit(len(a))),
+                    F.lit(merged),
+                ),
+            )
+            .otherwise(F.concat(acc, F.lit(sep), s)),
+        )
+        words = words.withColumn("cur", fold).localCheckpoint(eager=True)
+    out = words.select(
+        "word",
+        F.col("cnt").cast("long"),
+        F.replace(F.col("cur"), F.lit(sep), F.lit(" ")).alias("seg"),
+        F.size(F.split("cur", sep)).cast("long").alias("n_syms"),
+    )
+    return out, merges

@@ -211,3 +211,83 @@ def test_span_corruption_stays_jvm(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = span_corruption(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def _bpe_golden(texts, n_merges):
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    segs = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, cnt in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return words, segs, merges
+
+
+def test_bpe_train_matches_python_golden(spark):
+    from polar_spark.operators.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new wider wide",
+        "low new wide widest lowest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    out, merges = bpe_train(df, n_merges=6)
+    words, segs, gold_merges = _bpe_golden(texts, 6)
+    assert merges == gold_merges
+    got = {r["word"]: (r["cnt"], r["seg"], r["n_syms"]) for r in out.collect()}
+    want = {w: (c, " ".join(segs[w]), len(segs[w])) for w, c in words.items()}
+    assert got == want
+
+
+def test_bpe_merge_fold_overlap_rule(spark):
+    # 'aaaa' with pair (a,a): greedy left-to-right gives [aa, aa], never
+    # [a, aa, a] or a triple-consume
+    from polar_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(0, "aaaa aaa")], "doc_id long, text string")
+    out, merges = bpe_train(df, n_merges=1)
+    got = {r["word"]: r["seg"] for r in out.collect()}
+    assert merges[0][:2] == ("a", "a")
+    assert got == {"aaaa": "aa aa", "aaa": "aa a"}
+
+
+def test_suffix_ranks_matches_sorted_suffixes(spark):
+    from polar_spark.operators.text import suffix_ranks
+
+    texts = ["b a b a", "a b b", "c a b a b"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["pos"]: (r["doc_id"], r["tok"], r["rank"])
+           for r in suffix_ranks(df).collect()}
+    stream = []
+    for i, t in enumerate(texts):
+        stream += [(i, w) for w in t.split()]
+    suffixes = sorted(range(len(stream)),
+                      key=lambda p: [w for _, w in stream[p:]])
+    rank = {p: i + 1 for i, p in enumerate(suffixes)}
+    want = {p: (stream[p][0], stream[p][1], rank[p]) for p in range(len(stream))}
+    assert got == want
+    # all ranks distinct and 1..n
+    assert sorted(r for _, _, r in got.values()) == list(range(1, len(stream) + 1))
