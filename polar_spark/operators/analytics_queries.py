@@ -7429,6 +7429,81 @@ ORACLES.update({"bpe_train8": _bpe_sql()})
 QUERIES.update({"bpe_train8": q_bpe_train8})
 
 
+def q_kmeanspp_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| scalable seeding over the embeddings table (Bahmani
+    et al. 2012): 3 oversampling rounds at l=4, integer-exact Bernoulli
+    schedule, per-candidate nearest-point weights (see
+    similarity.kmeans_parallel_init)."""
+    from polar_spark.operators.similarity import kmeans_parallel_init
+
+    return kmeans_parallel_init(load_table(spark, "embeddings", sf_dir))
+
+
+def _kmeanspp_sql(
+    l: int = 4, rounds: int = 3, seed: int = 5, scale: int = 2**20
+) -> str:
+    def d2(vx: str, vc: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"range(1, len({vx}) + 1), i -> ({vx}[i] - {vc}[i]) * "
+            f"({vx}[i] - {vc}[i]))), (acc, x) -> acc + x)"
+        )
+
+    def bucket(key: str) -> str:
+        x0 = f"(({key}) * 2654435761 + {seed}) % 2147483648"
+        x1 = f"((xor(({x0}), ({x0}) >> 13)) * 1274126177) % 2147483648"
+        return f"(xor(({x1}), ({x1}) >> 17) % 10000)"
+
+    parts = [
+        """b AS MATERIALIZED (SELECT vec_id AS id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)""",
+        """c0 AS MATERIALIZED (SELECT id AS cand_id, 0 AS round_added, v
+  FROM b ORDER BY id LIMIT 1)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT b.id, CAST(FLOOR({float(scale)!r} * MIN({d2('b.v', 'c.v')}))
+    AS BIGINT) AS cost
+  FROM b, c{r - 1} c GROUP BY b.id)"""
+        )
+        parts.append(f"t{r} AS (SELECT SUM(cost) AS total FROM k{r})")
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT b.id, b.v FROM b JOIN k{r} USING (id), t{r}
+  WHERE {bucket(f'b.id * 131 + {r}')} <
+        LEAST(({l * 10000} * cost) // NULLIF(total, 0), 10000)
+    AND b.id NOT IN (SELECT cand_id FROM c{r - 1}))"""
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT * FROM c{r - 1} UNION ALL SELECT id, {r}, v FROM s{r})"""
+        )
+    parts.append(
+        f"""nearest AS (SELECT id, cand_id FROM (
+  SELECT b.id, c.cand_id, ROW_NUMBER() OVER (PARTITION BY b.id
+    ORDER BY {d2('b.v', 'c.v')}, c.cand_id) AS rn
+  FROM b, c{rounds} c) WHERE rn = 1)"""
+    )
+    parts.append(
+        "w AS (SELECT cand_id, COUNT(*) AS weight FROM nearest GROUP BY 1)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(c.cand_id AS BIGINT) AS cand_id,
+       CAST(c.round_added AS BIGINT) AS round_added,
+       CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight
+FROM c{rounds} c LEFT JOIN w USING (cand_id) ORDER BY cand_id
+"""
+    )
+
+
+ORACLES.update({"kmeanspp_seed": _kmeanspp_sql()})
+QUERIES.update({"kmeanspp_seed": q_kmeanspp_seed})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4

@@ -1078,3 +1078,124 @@ def quantize_int8(
         F.avg(F.col("err") * F.col("err")).alias("mse"),
         F.max(F.abs(F.col("err"))).alias("max_abs_err"),
     )
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    l: int = 4,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 5,
+    scale: int = 2**20,
+    max_candidates: int = 256,
+) -> DataFrame:
+    """k-means|| scalable seeding (Bahmani et al., VLDB 2012 "Scalable
+    k-means++"): instead of k-means++'s k sequential passes, each of
+    ``rounds`` rounds samples ~``l`` points with probability
+    proportional to their squared distance to the nearest candidate —
+    O(rounds) passes total, the only seeding that works at 100 TB.
+
+    Determinism across engines/partitionings: per-point costs are
+    floored to ``scale``-scaled BIGINTs (one ordered zip_with/aggregate
+    fold each — pure map), the corpus cost total is an integer sum, the
+    Bernoulli test is the shared xorshift bucket against the EXACT
+    integer threshold ``(l·10000·cost) DIV total`` — no float division
+    enters the schedule.  The first candidate is the minimum-id vector;
+    final weights assign every point to its nearest candidate (ties →
+    smaller candidate id).
+
+    Driver state is the candidate list itself (expected 1 + l·rounds
+    rows, ``max_candidates``-guarded) — the same bounded-collect
+    posture as ``kmeans_lloyd``'s centroid literals, so every distance
+    evaluation stays a JVM map stage.  Returns
+    ``(cand_id, round_added, weight)`` — feed the weighted candidates
+    to ``kmeans_lloyd`` to finish the reduction to k centers.
+    """
+    from polar_spark.operators.sampling import hash_bucket
+
+    base = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .where(F.col("v").isNotNull())
+        .persist()
+    )
+    first = base.orderBy("id").limit(1).collect()
+    if not first:
+        base.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], "cand_id long, round_added long, weight long"
+        )
+    cands: list[tuple[int, int, list[float]]] = [
+        (int(first[0]["id"]), 0, list(first[0]["v"]))
+    ]
+
+    def _d2(c: list[float]) -> F.Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    try:
+        for r in range(1, rounds + 1):
+            dists = [_d2(v) for _, _, v in cands]
+            min_d = dists[0] if len(dists) == 1 else F.least(*dists)
+            cost = F.floor(F.lit(float(scale)) * min_d).cast("long")
+            costed = base.withColumn("cost_scaled", cost)
+            total = int(
+                costed.agg(F.sum("cost_scaled").alias("t")).collect()[0]["t"] or 0
+            )
+            if total == 0:
+                break
+            known = {cid for cid, _, _ in cands}
+            sampled = (
+                costed.withColumn(
+                    "thr",
+                    F.expr(
+                        f"CAST(({l * 10000} * cost_scaled) DIV {total} AS BIGINT)"
+                    ),
+                )
+                .where(
+                    hash_bucket(F.col("id") * F.lit(131) + F.lit(r), seed)
+                    < F.least(F.col("thr"), F.lit(10000))
+                )
+                .where(~F.col("id").isin(*known))
+                .select("id", "v")
+                .collect()
+            )
+            cands.extend((int(row["id"]), r, list(row["v"])) for row in sampled)
+            if len(cands) > max_candidates:
+                raise ValueError(
+                    f"k-means|| oversampled: {len(cands)} candidates > "
+                    f"max_candidates={max_candidates}; lower l"
+                )
+        nearest = F.array_min(
+            F.array(
+                *[
+                    F.struct(_d2(v).alias("d"), F.lit(cid).alias("c"))
+                    for cid, _, v in cands
+                ]
+            )
+        )
+        weights = (
+            base.select(nearest["c"].alias("cand_id"))
+            .groupBy("cand_id")
+            .agg(F.count("*").alias("weight"))
+        )
+    finally:
+        base.unpersist()
+    cdf = df.sparkSession.createDataFrame(
+        [(cid, r) for cid, r, _ in cands], "cand_id long, round_added long"
+    )
+    return (
+        cdf.join(weights, "cand_id", "left")
+        .select(
+            F.col("cand_id").cast("long"),
+            F.col("round_added").cast("long"),
+            F.coalesce("weight", F.lit(0)).cast("long").alias("weight"),
+        )
+        .orderBy("cand_id")
+    )

@@ -382,3 +382,55 @@ def test_nsw_graph_search_matches_bruteforce_single_shard(emb):
     exp = _np_topk(mat, qids, 3)
     for q in qids:
         assert by_q[q] == exp[q]
+
+
+def test_kmeans_parallel_init_matches_python_golden(spark):
+    from polar_spark.operators.similarity import kmeans_parallel_init
+
+    def bucket(key, seed=5):
+        x0 = (key * 2654435761 + seed) % 2**31
+        x1 = ((x0 ^ (x0 >> 13)) * 1274126177) % 2**31
+        return (x1 ^ (x1 >> 17)) % 10000
+
+    import math
+
+    # 3 well-separated blobs on a line, deterministic coords
+    pts = {i: [float(i % 7), float((i * 3) % 5) + 40.0 * (i % 3)] for i in range(60)}
+    rows = [(i, v) for i, v in sorted(pts.items())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    l, rounds, scale = 4, 3, 2**20
+    cands = [(0, 0)]
+    for r in range(1, rounds + 1):
+        cost = {}
+        for i, v in pts.items():
+            md = min(
+                sum((a - b) * (a - b) for a, b in zip(v, pts[c]))
+                for c, _ in cands
+            )
+            cost[i] = math.floor(scale * md)
+        total = sum(cost.values())
+        if total == 0:
+            break
+        known = {c for c, _ in cands}
+        for i in sorted(pts):
+            if i in known:
+                continue
+            thr = min((l * 10000 * cost[i]) // total, 10000)
+            if bucket(i * 131 + r) < thr:
+                cands.append((i, r))
+    weight = {}
+    for i, v in pts.items():
+        best = min(
+            ((sum((a - b) * (a - b) for a, b in zip(v, pts[c])), c) for c, _ in cands)
+        )[1]
+        weight[best] = weight.get(best, 0) + 1
+    want = sorted((c, r, weight.get(c, 0)) for c, r in cands)
+
+    got = [
+        (row["cand_id"], row["round_added"], row["weight"])
+        for row in kmeans_parallel_init(df).collect()
+    ]
+    assert got == want
+    assert len(want) > 1  # the schedule actually sampled beyond the seed
+    assert sum(w for _, _, w in want) == len(pts)
