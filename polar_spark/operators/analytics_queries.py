@@ -7504,6 +7504,44 @@ ORACLES.update({"kmeanspp_seed": _kmeanspp_sql()})
 QUERIES.update({"kmeanspp_seed": q_kmeanspp_seed})
 
 
+def q_wl_colors3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round Weisfeiler-Lehman color refinement on the co-order
+    graph — per-vertex structural fingerprints (see pregel.wl_colors)."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    return pregel.wl_colors(e, rounds=3).orderBy("id")
+
+
+def _wl_sql(rounds: int = 3) -> str:
+    parts = [
+        _COORDER_SQL.strip().rstrip(","),
+        _SYM_SQL.replace("e AS (", "e AS MATERIALIZED (", 1),
+        "c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS col FROM e GROUP BY src)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT e.src AS id, string_agg(c.col, ',' ORDER BY c.col) AS sig
+  FROM e JOIN c{r - 1} c ON c.id = e.dst GROUP BY e.src)"""
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT c.id, DENSE_RANK() OVER (ORDER BY c.col, s.sig) AS col
+  FROM c{r - 1} c JOIN s{r} s USING (id))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(col AS BIGINT) AS color
+FROM c{rounds} ORDER BY id
+"""
+    )
+
+
+ORACLES.update({"wl_colors3": _wl_sql()})
+QUERIES.update({"wl_colors3": q_wl_colors3})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4

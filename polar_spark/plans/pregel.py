@@ -1094,6 +1094,53 @@ def bfs_relabel(
     )
 
 
+def wl_colors(
+    edges: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Weisfeiler-Lehman color refinement (1-WL): iteratively recolor
+    every vertex by the dense rank of (its color, the sorted multiset
+    of its neighbors' colors) — the canonical structural fingerprint
+    (graph-isomorphism screening, GNN expressiveness bound, structural
+    dedup of subgraphs).  ``rounds`` sweeps; colors start at degree.
+
+    Engine-exact: the multiset signature is the comma-joined
+    numerically-sorted neighbor color list, and the recoloring is a
+    dense rank over ``(previous color, signature)`` computed with the
+    two-phase distributed prefix sum (bucketed by the previous color —
+    refinement only ever SPLITS classes, so that order is monotone and
+    no single-partition window appears).  Each round is one join + one
+    groupBy + the rank — O(E) per round.  Pass a symmetrized table for
+    undirected semantics.  Returns ``(id, color)``; equal colors after
+    k rounds ⇔ indistinguishable by k-hop 1-WL.
+    """
+    from polar_spark.operators.text import _dense_rank_pairs
+
+    e = normalize_edges(edges)
+    colors = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("color"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        neigh = e.join(
+            colors.select(F.col("id").alias("dst"), F.col("color").alias("nc")),
+            "dst",
+        ).select(F.col("src").alias("id"), "nc")
+        sigs = neigh.groupBy("id").agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("nc"))).alias("sig")
+        )
+        paired = colors.join(sigs, "id").select(
+            "id", F.col("color").alias("r1"), F.col("sig").alias("r2")
+        )
+        colors = (
+            _dense_rank_pairs(paired)
+            .select("id", F.col("new_rank").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+    return colors.select(F.col("id").cast("long"), F.col("color").cast("long"))
+
+
 def bfs_per_source(
     edges: DataFrame,
     sources: list[int],

@@ -1405,3 +1405,28 @@ def test_bfs_relabel_improves_locality_on_shuffled_ring(spark):
     old = bits(sym)
     new = bits([(m[a], m[b]) for a, b in sym])
     assert new < old
+
+
+def test_wl_colors_path_hand_computed(spark):
+    # path 0-1-2-3-4: endpoints / near-endpoints / center split into
+    # exactly three stable classes: {0,4}, {1,3}, {2}
+    path = [(i, i + 1) for i in range(4)]
+    sym = path + [(b, a) for a, b in path]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["id"]: r["color"] for r in pregel.wl_colors(edf, rounds=3).collect()}
+    assert got == {0: 1, 4: 1, 1: 2, 3: 2, 2: 3}
+
+
+def test_wl_colors_regular_graphs_collapse(spark):
+    # the canonical 1-WL limitation: every vertex of a 2-regular graph
+    # (here C6 ⊎ C3 ⊎ C3) gets the SAME color — degree-regular graphs
+    # are 1-WL-indistinguishable.  That this reproduces exactly is a
+    # correctness check, not a bug.
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    t1 = [(10, 11), (11, 12), (12, 10)]
+    t2 = [(20, 21), (21, 22), (22, 20)]
+    und = c6 + t1 + t2
+    sym = und + [(b, a) for a, b in und]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    colors = {r["color"] for r in pregel.wl_colors(edf, rounds=4).collect()}
+    assert colors == {1}
