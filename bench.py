@@ -416,6 +416,48 @@ def main() -> None:
         out = q_squares_coorder(spark, sf_dir)
         return {"squares_total": out.agg(F.sum("squares")).collect()[0][0]}
 
+    def _round5_text():
+        # the round-5 text/training operators end to end at bench SF:
+        # full BPE training, BM25 panel, suffix-array doubling, NB filter
+        from polar_spark.operators.analytics_queries import (
+            q_bm25_search,
+            q_bpe_train8,
+            q_nb_lang_classify,
+            q_suffix_ranks40,
+        )
+
+        nb = q_nb_lang_classify(spark, sf_dir)
+        acc = nb.agg(F.avg("correct")).collect()[0][0]
+        return {
+            "bpe_word_types": q_bpe_train8(spark, sf_dir).count(),
+            "bm25_rows": q_bm25_search(spark, sf_dir).count(),
+            "suffix_positions": q_suffix_ranks40(spark, sf_dir).count(),
+            "nb_accuracy": round(float(acc), 4),
+        }
+
+    def _round5_graph():
+        # round-5 graph operators on the full co-order graph: WL
+        # refinement, densest-subgraph peeling, BFS locality relabel
+        from polar_spark.operators.analytics_queries import (
+            q_bfs_relabel_gaps,
+            q_densest_sub,
+            q_wl_colors3,
+        )
+
+        wl = q_wl_colors3(spark, sf_dir)
+        n_classes = wl.select("color").distinct().count()
+        dens = q_densest_sub(spark, sf_dir)
+        in_best = dens.where(F.col("in_densest") == 1).count()
+        gaps = q_bfs_relabel_gaps(spark, sf_dir).agg(
+            F.sum("bits_old").alias("bo"), F.sum("bits_new").alias("bn")
+        ).collect()[0]
+        return {
+            "wl_classes": n_classes,
+            "densest_members": in_best,
+            "relabel_bits_old": int(gaps["bo"]),
+            "relabel_bits_new": int(gaps["bn"]),
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -447,6 +489,8 @@ def main() -> None:
         ("louvain_move_full", _louvain, min(REPS, 2)),
         ("louvain_multilevel", _louvain_full, 1),
         ("squares_coorder", _squares, min(REPS, 2)),
+        ("round5_text_ops", _round5_text, 1),
+        ("round5_graph_ops", _round5_graph, 1),
     ]
 
     draws: dict[str, list[float]] = {name: [] for name, _f, _r in sections}
