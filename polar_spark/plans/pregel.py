@@ -908,6 +908,12 @@ def pseudo_diameter(
     e = normalize_edges(edges)
     if start is None:
         start = e.agg(F.min("src")).collect()[0][0]
+        if start is None:  # empty edge table → empty result, not a crash
+            return spark.createDataFrame(
+                [],
+                "start_id long, reached long, far_id long, ecc1 long, "
+                "far2_id long, pseudo_diameter long",
+            )
     d1, _ = bfs_distances(e, [int(start)], max_depth=max_depth)
     far1 = d1.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
     reached = d1.count()
@@ -1065,6 +1071,10 @@ def bfs_relabel(
     e = normalize_edges(edges)
     if start is None:
         start = e.agg(F.min("src")).collect()[0][0]
+        if start is None:  # empty edge table → empty mapping, not a crash
+            return edges.sparkSession.createDataFrame(
+                [], "id long, level long, new_id long"
+            )
     dists, _ = bfs_distances(e, [int(start)], max_depth=max_depth)
     verts = vertices_of(e)
     lv = verts.join(dists, "id", "left").select(

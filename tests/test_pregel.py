@@ -1430,3 +1430,10 @@ def test_wl_colors_regular_graphs_collapse(spark):
     edf = spark.createDataFrame(sym, "src long, dst long")
     colors = {r["color"] for r in pregel.wl_colors(edf, rounds=4).collect()}
     assert colors == {1}
+
+
+def test_pseudo_diameter_and_relabel_empty(spark):
+    edf = spark.createDataFrame([], "src long, dst long")
+    assert pregel.pseudo_diameter(edf).count() == 0
+    assert pregel.bfs_relabel(edf).count() == 0
+    assert pregel.wl_colors(edf).count() == 0
