@@ -7421,12 +7421,65 @@ SELECT word, CAST(cnt AS BIGINT) AS cnt,
        replace(cur, {sep}, ' ') AS seg,
        CAST(len(string_split(cur, {sep})) AS BIGINT) AS n_syms
 FROM w{n_merges} ORDER BY word
+""",
+        parts,
+    )
+
+
+ORACLES.update({"bpe_train8": _bpe_sql()[0]})
+QUERIES.update({"bpe_train8": q_bpe_train8})
+
+
+def q_bpe_encode8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the 8-merge
+    BPE model just trained on the same corpus — the train→apply
+    composition a real pipeline runs.  The model is the vocab-sized
+    word→segmentation table broadcast onto one corpus explode; output
+    is per-doc whitespace vs BPE token counts (the packing/accounting
+    input)."""
+    from polar_spark.operators.text import bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    words, _ = bpe_train(docs, n_merges=8)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    return (
+        toks.join(F.broadcast(words.select("word", "n_syms")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("ws_tokens"),
+            F.sum("n_syms").alias("bpe_tokens"),
+        )
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("ws_tokens").cast("long"),
+            F.col("bpe_tokens").cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    _, parts = _bpe_sql(n_merges)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(string_split(cur, chr(31)))) AS BIGINT) AS bpe_tokens
+FROM (SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS word
+      FROM documents) t
+JOIN w{n_merges} USING (word)
+GROUP BY doc_id ORDER BY doc_id
 """
     )
 
 
-ORACLES.update({"bpe_train8": _bpe_sql()})
-QUERIES.update({"bpe_train8": q_bpe_train8})
+ORACLES.update({"bpe_encode8": _bpe_encode_sql()})
+QUERIES.update({"bpe_encode8": q_bpe_encode8})
 
 
 def q_kmeanspp_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
