@@ -7596,6 +7596,491 @@ QUERIES.update({"wl_colors3": q_wl_colors3})
 
 
 # ---------------------------------------------------------------------------
+# round-5 session additions: vertex cover, bipartiteness audit, robust
+# outliers (MAD), exact AUC (Mann-Whitney), HyperLogLog distinct counts,
+# reciprocal-rank-fusion hybrid retrieval
+
+
+def q_vertex_cover2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approximation vertex cover = endpoints of a maximal matching
+    (Gavril/Yannakakis — the classic primal-dual bound): reuses
+    pregel.maximal_matching on the bounded co-part graph, so the cover
+    inherits the O(log E)-round mutual-proposal schedule and the SQL
+    oracle wraps the identical 12-round unrolled matching replay.
+    Every edge has >= 1 endpoint in the cover (tested), and |cover| <=
+    2 OPT.  Reference posture: minimal guard sets over the dependency
+    graph (which vertices to monitor so every edge is observed)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    m, _stats = pregel.maximal_matching(und)
+    return (
+        m.select(F.col("a").alias("v"))
+        .unionByName(m.select(F.col("b").alias("v")))
+        .distinct()
+        .select(F.col("v").cast("long").alias("v"))
+        .orderBy("v")
+    )
+
+
+_VCOVER_SQL = f"""
+WITH m AS ({_matching_sql(12)})
+SELECT DISTINCT CAST(v AS BIGINT) AS v
+FROM (SELECT a AS v FROM m UNION ALL SELECT b FROM m) t
+ORDER BY v
+"""
+
+
+def q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component bipartiteness audit (pregel.bipartite_report) over
+    a deliberately heterogeneous graph: the order->part incidence slice
+    (bipartite by construction, part ids offset into a disjoint range)
+    unioned with the dense co-part core (odd cycles).  BFS 2-coloring
+    from every component representative SIMULTANEOUSLY (seeds come from
+    a join, not a collect), one edge-side parity join — a component is
+    bipartite iff no edge connects equal BFS-layer parity.  The oracle
+    replays components, the multi-seed BFS, and the parity count with
+    two recursive CTEs."""
+    li = load_table(spark, "lineitem", sf_dir)
+    inc = (
+        li.where(F.col("l_orderkey") % 97 == 0)
+        .select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cop = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .where((F.col("a.l_partkey") < 60) & (F.col("b.l_partkey") < 60))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return pregel.bipartite_report(inc.unionByName(cop)).orderBy("comp")
+
+
+_BIPARTITE_SQL = """
+WITH RECURSIVE
+inc AS (SELECT DISTINCT l_orderkey AS src, l_partkey + 10000000 AS dst
+        FROM lineitem WHERE l_orderkey % 97 = 0),
+cop AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey < 60 AND b.l_partkey < 60),
+und AS (SELECT src, dst FROM inc UNION SELECT src, dst FROM cop),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+verts AS (SELECT DISTINCT src AS id FROM e),
+reach(id, comp) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id WHERE r.comp < e.dst
+),
+c AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+bfs(id, d) AS (
+    SELECT comp, 0 FROM (SELECT DISTINCT comp FROM c) s
+    UNION
+    SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.id WHERE b.d < 64
+),
+dist AS MATERIALIZED (SELECT id, MIN(d) AS d FROM bfs GROUP BY id),
+ep AS (SELECT c.comp,
+              CASE WHEN d1.d % 2 = d2.d % 2 THEN 1 ELSE 0 END AS odd
+       FROM und
+       JOIN c ON c.id = und.src
+       JOIN dist d1 ON d1.id = und.src
+       JOIN dist d2 ON d2.id = und.dst)
+SELECT CAST(ep.comp AS BIGINT) AS comp,
+       nv.n_vertices,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(odd) AS BIGINT) AS odd_edges,
+       SUM(odd) = 0 AS is_bipartite
+FROM ep
+JOIN (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM c GROUP BY comp) nv
+  ON nv.comp = ep.comp
+GROUP BY ep.comp, nv.n_vertices
+ORDER BY comp
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (median
+    absolute deviation) of the event value, outliers = deviation >
+    3 * MAD — the robust z-score every telemetry pipeline runs before
+    alerting (Polar's metrics actors threshold raw counters; this is
+    the distribution-aware form).  CROSS-ENGINE-EXACT BY CONSTRUCTION:
+    values are scaled to BIGINT micro-units first, so every percentile
+    interpolation lands on exact binary fractions (halves/quarters)
+    and the > comparison can never flip on a ulp.  Three passes, each
+    one group-aggregate with the tiny stats table broadcast back."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.floor(F.col("value") * 1e6 + F.lit(0.5)).alias("v6")
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("v6", 0.5).alias("med6"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med6", F.abs(F.col("v6") - F.col("med6")).alias("dev6")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med6").alias("med6"),
+        F.percentile("dev6", 0.5).alias("mad6"),
+        F.count("*").alias("n"),
+    )
+    flagged = dev.select("event_type", "dev6").join(
+        F.broadcast(mad.select("event_type", "mad6")), "event_type"
+    )
+    cnt = flagged.groupBy("event_type").agg(
+        F.sum((F.col("dev6") > F.lit(3.0) * F.col("mad6")).cast("long")).alias(
+            "n_outliers"
+        )
+    )
+    return (
+        mad.join(cnt, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("med6") * 2).cast("long").alias("med6_x2"),
+            (F.col("mad6") * 4).cast("long").alias("mad6_x4"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MAD_SQL = """
+WITH ev AS (SELECT event_type, CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v6
+            FROM events),
+med AS (SELECT event_type, quantile_cont(v6, 0.5) AS med6 FROM ev GROUP BY 1),
+dev AS (SELECT ev.event_type, med.med6, ABS(ev.v6 - med.med6) AS dev6
+        FROM ev JOIN med USING (event_type)),
+mad AS (SELECT event_type, ANY_VALUE(med6) AS med6,
+               quantile_cont(dev6, 0.5) AS mad6, COUNT(*) AS n
+        FROM dev GROUP BY event_type),
+cnt AS (SELECT dev.event_type,
+               SUM(CASE WHEN dev.dev6 > 3.0 * mad.mad6 THEN 1 ELSE 0 END) AS n_outliers
+        FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(med6 * 2 AS BIGINT) AS med6_x2,
+       CAST(mad6 * 4 AS BIGINT) AS mad6_x4,
+       CAST(n_outliers AS BIGINT) AS n_outliers
+FROM mad JOIN cnt USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the event value as a predictor of the
+    'purchase' class — the Mann-Whitney U rank-sum identity
+    (AUC = P(score_pos > score_neg) + P(=)/2), the quality-classifier
+    calibration readout every filter-model pipeline needs.  INTEGER-
+    EXACT end-to-end: values scale to BIGINT micro-units, ties get
+    2x-midranks (always integer), and the rank prefix sum is the
+    repo's TWO-PHASE distributed pattern (per-bucket totals on a
+    monotone shiftright bucketing -> tiny bucket window -> within-
+    bucket window) — no single-partition global window at any scale.
+    u2 = 2*R_pos - n_pos*(n_pos+1) is the exact integer statistic;
+    auc = u2 / (2*n_pos*n_neg)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).alias("v6"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    g = ev.groupBy("v6").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("np")
+    )
+    # two-phase prefix sum over ascending v6: shiftright(v6, 22) is
+    # monotone in v6 -> bucket-level cumulative totals are a window
+    # over a ~hundreds-row table, never the data
+    g = g.withColumn("bkt", F.shiftright(F.col("v6"), 22))
+    btot = g.groupBy("bkt").agg(F.sum("cnt").alias("btot"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = btot.select("bkt", F.coalesce(F.sum("btot").over(wb), F.lit(0)).alias("bpre"))
+    ww = (
+        Window.partitionBy("bkt")
+        .orderBy("v6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        g.join(F.broadcast(bpre), "bkt")
+        .withColumn("wpre", F.coalesce(F.sum("cnt").over(ww), F.lit(0)))
+        .withColumn("cum_before", F.col("bpre") + F.col("wpre"))
+        .withColumn("midrank2", F.lit(2) * F.col("cum_before") + F.col("cnt") + F.lit(1))
+    )
+    agg = ranked.agg(
+        F.sum(F.col("np") * F.col("midrank2")).alias("r2"),
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("np")).alias("n_neg"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long"),
+        F.col("n_neg").cast("long"),
+        (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("long").alias("u2"),
+        F.round(
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_AUC_SQL = """
+WITH ev AS (SELECT CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v6,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+            FROM events),
+g AS (SELECT v6, COUNT(*) AS cnt, SUM(pos) AS np FROM ev GROUP BY v6),
+ranked AS (SELECT v6, cnt, np,
+                  COALESCE(SUM(cnt) OVER (ORDER BY v6
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM g),
+agg AS (SELECT SUM(np * (2 * cum_before + cnt + 1)) AS r2,
+               SUM(np) AS n_pos, SUM(cnt - np) AS n_neg
+        FROM ranked)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       ROUND(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * n_pos * n_neg), 6) AS auc
+FROM agg
+"""
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type
+    (sketches.hll_registers/hll_estimate): 256 registers per group in
+    ONE map-side-combinable max-aggregation — the bounded-state
+    COUNT(DISTINCT) that merges across shards/batches.  The oracle
+    replays the xorshift hash, bucket/rho split, register maxima, the
+    integer harmonic reduction s2 = sum 2^(60-M_j), and the final
+    estimate expression bit-for-bit."""
+    from polar_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = load_table(spark, "events", sf_dir)
+    regs = hll_registers(ev, "user_id", "event_type")
+    return hll_estimate(regs).orderBy("grp")
+
+
+def _hll_sql(p: int = 8, seed: int = 0) -> str:
+    m = 1 << p
+    width = 31 - p
+    from polar_spark.operators.sketches import HLL_ALPHA_256
+
+    return f"""
+WITH h0 AS (SELECT event_type AS grp,
+                   (user_id * 2654435761 + {1000003 + seed}) % 2147483648 AS x0
+            FROM events),
+h1 AS (SELECT grp, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM h0),
+h AS (SELECT grp, xor(x1, x1 >> 17) AS h FROM h1),
+b AS (SELECT grp, h % {m} AS bucket, h >> {p} AS suffix FROM h),
+r AS (SELECT grp, bucket,
+             CASE WHEN suffix = 0 THEN {width + 1}
+                  ELSE {width + 1} - LENGTH(bin(suffix)) END AS rho
+      FROM b),
+regs AS (SELECT grp, bucket, MAX(rho) AS m_j FROM r GROUP BY grp, bucket),
+agg AS (SELECT grp, COUNT(*) AS present,
+               SUM(CAST(1 AS BIGINT) << (50 - CAST(m_j AS INT))) AS s_present
+        FROM regs GROUP BY grp),
+est AS (SELECT grp, present,
+               CAST({m} - present AS BIGINT) AS zeros,
+               s_present + ({m} - present) * CAST(1125899906842624 AS BIGINT) AS s2
+        FROM agg),
+fin AS (SELECT grp, present, zeros, s2,
+               CAST({HLL_ALPHA_256!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+                 * CAST({float(2**50)!r} AS DOUBLE) / CAST(s2 AS DOUBLE) AS raw
+        FROM est)
+SELECT grp, CAST(present AS BIGINT) AS present, zeros, s2,
+       ROUND(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND zeros > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * LN(CAST({float(m)!r} AS DOUBLE) / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 4) AS est
+FROM fin
+ORDER BY grp
+"""
+
+
+_RRF_PANEL = (3, 11, 19, 27, 42)
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/
+    Buettcher SIGIR'09, the Elasticsearch/Vespa default): fuse BM25
+    (lexical, text.bm25_topk over the documents corpus with the query
+    document's own text as the query) and dense cosine top-20 (over
+    the aligned embeddings table) with score = sum floor(1e9/(60+rank))
+    — integer RRF so the fused ordering is engine-exact.  Self-hits
+    are excluded from both arms; each arm contributes its top-20; the
+    fused top-10 per query is returned.  At 100 TB both arms are
+    already bounded (inverted-index join / ANN), and the fusion is a
+    join on (query, doc) of two rank tables."""
+    from polar_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    panel = list(_RRF_PANEL)
+    qdf = docs.where(F.col("doc_id").isin(panel)).select(
+        F.col("doc_id").cast("string").alias("query_id"), F.col("text").alias("qtext")
+    )
+    bm = (
+        bm25_topk(docs, qdf, topk=21)
+        .select(
+            F.col("query_id").cast("long").alias("qid"),
+            F.col("doc_id").alias("did"),
+            "score_scaled",
+        )
+        .where(F.col("qid") != F.col("did"))
+    )
+    wb = Window.partitionBy("qid").orderBy(F.desc("score_scaled"), F.asc("did"))
+    bm = bm.withColumn("brank", F.row_number().over(wb)).where(F.col("brank") <= 20)
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id").isin(panel)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        q.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("did"),
+            (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cos"),
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("did"))
+    co = scored.withColumn("crank", F.row_number().over(wc)).where(F.col("crank") <= 20)
+
+    fused = (
+        bm.select("qid", "did", "brank")
+        .join(co.select("qid", "did", "crank"), ["qid", "did"], "full_outer")
+        .select(
+            "qid",
+            "did",
+            F.coalesce("brank", F.lit(0)).cast("long").alias("brank"),
+            F.coalesce("crank", F.lit(0)).cast("long").alias("crank"),
+        )
+        .withColumn(
+            "rrf",
+            (
+                F.when(
+                    F.col("brank") > 0,
+                    F.floor(F.lit(1e9) / (F.lit(60.0) + F.col("brank"))),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("crank") > 0,
+                    F.floor(F.lit(1e9) / (F.lit(60.0) + F.col("crank"))),
+                ).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("did"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .where(F.col("rnk") <= 10)
+        .select("qid", "did", "rrf", "brank", "crank", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+def _rrf_sql(k1: float = 1.2, b: float = 0.75, scale: int = 1_000_000) -> str:
+    panel = ", ".join(str(i) for i in _RRF_PANEL)
+    return f"""
+WITH toks AS (SELECT doc_id AS _id, UNNEST(string_split(trim(text), ' ')) AS term
+              FROM documents),
+postings AS (SELECT _id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT _id, COUNT(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS L FROM dl),
+dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+qt AS (SELECT DISTINCT _id AS qid, term FROM toks WHERE _id IN ({panel})),
+sc AS (SELECT qt.qid, p._id AS did,
+         SUM(CAST(FLOOR({float(scale)!r} * LN(1.0 + (n - df + 0.5) / (df + 0.5))
+             * (tf * {k1 + 1.0!r})
+             / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl * n / L)))
+             AS BIGINT)) AS score_scaled
+       FROM postings p
+       JOIN qt ON qt.term = p.term
+       JOIN dft ON dft.term = p.term
+       JOIN dl ON dl._id = p._id
+       CROSS JOIN st
+       WHERE p._id != qt.qid
+       GROUP BY qt.qid, p._id),
+bm AS (SELECT qid, did, rn AS brank FROM (
+         SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY score_scaled DESC, did ASC) AS rn
+         FROM sc) t WHERE rn <= 20),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nn FROM e GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS qid, b.vec_id AS did, SUM(a.x * b.x) AS d
+         FROM e a JOIN e b ON a.i = b.i AND a.vec_id IN ({panel})
+          AND a.vec_id != b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+cosr AS (SELECT qid, did, d / (na.nn * nb.nn) AS cos
+         FROM dots JOIN nrm na ON na.vec_id = qid JOIN nrm nb ON nb.vec_id = did),
+co AS (SELECT qid, did, rn AS crank FROM (
+         SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, did ASC) AS rn
+         FROM cosr) t WHERE rn <= 20),
+fused AS (SELECT COALESCE(bm.qid, co.qid) AS qid,
+                 COALESCE(bm.did, co.did) AS did,
+                 COALESCE(brank, 0) AS brank, COALESCE(crank, 0) AS crank
+          FROM bm FULL OUTER JOIN co ON bm.qid = co.qid AND bm.did = co.did),
+rr AS (SELECT qid, did, brank, crank,
+              (CASE WHEN brank > 0
+                    THEN CAST(FLOOR(1e9 / (60.0 + brank)) AS BIGINT) ELSE 0 END
+             + CASE WHEN crank > 0
+                    THEN CAST(FLOOR(1e9 / (60.0 + crank)) AS BIGINT) ELSE 0 END)
+              AS rrf
+       FROM fused)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(did AS BIGINT) AS did, rrf,
+       CAST(brank AS BIGINT) AS brank, CAST(crank AS BIGINT) AS crank,
+       CAST(rn AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY rrf DESC, did ASC) AS rn FROM rr) t
+WHERE rn <= 10
+ORDER BY qid, rnk
+"""
+
+
+ORACLES.update(
+    {
+        "vertex_cover2": _VCOVER_SQL,
+        "bipartite_check": _BIPARTITE_SQL,
+        "mad_outliers": _MAD_SQL,
+        "auc_score": _AUC_SQL,
+        "hll_users": _hll_sql(),
+        "rrf_hybrid": _rrf_sql(),
+    }
+)
+QUERIES.update(
+    {
+        "vertex_cover2": q_vertex_cover2,
+        "bipartite_check": q_bipartite_check,
+        "mad_outliers": q_mad_outliers,
+        "auc_score": q_auc_score,
+        "hll_users": q_hll_users,
+        "rrf_hybrid": q_rrf_hybrid,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query

@@ -344,3 +344,100 @@ def log_hist_quantiles(
         "q",
         (F.lit(1.5) * F.pow(F.lit(2.0), F.col("bucket").cast("double"))).alias("est"),
     )
+
+
+HLL_ALPHA_256 = 0.7213 / (1.0 + 1.079 / 256.0)  # Flajolet et al. 2007, m >= 128
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """HyperLogLog register table per group — COUNT(DISTINCT key)'s
+    mergeable bounded-state substitute (Flajolet/Fusy/Gandouet/Meunier,
+    AofA 2007): ``m = 2^p`` registers per group, register j = max over
+    keys hashing to bucket j of rho(suffix) (position of the leftmost
+    1-bit in the remaining hash bits).
+
+    One map stage (bucket + rho are pure JVM integer expressions) plus
+    ONE map-side-combinable max-aggregation into at most ``m`` rows per
+    group — at 100 TB the shuffle carries register rows, never keys.
+    Registers from disjoint shards merge by element-wise MAX
+    (max-of-max), exactly like FM — tested.
+
+    The hash is the repo's SQL-replayable xorshift-multiply family
+    (2^31 space ⇒ 31 − p suffix bits: rho ≤ 32 − p, cardinality
+    ceiling ~10^8 per group before hash collisions bias the estimate —
+    swap ``xxhash64`` for the production 64-bit family, agreement
+    pattern as text.dup_spans).  Reference analog: Polar counts
+    distinct entities with exact per-actor sets
+    (src/agents/*/metrics); this is the sublinear form.
+    """
+    key = F.col(key_col).cast("long")
+    x0 = (key * F.lit(2654435761) + F.lit(1000003 + seed)) % F.lit(2**31)
+    x1 = (x0.bitwiseXOR(F.shiftright(x0, 13)) * F.lit(1274126177)) % F.lit(2**31)
+    h = x1.bitwiseXOR(F.shiftright(x1, 17))
+    m = 1 << p
+    bucket = (h % F.lit(m)).cast("long")
+    suffix = F.shiftright(h, p)  # 31 - p significant bits
+    width = 31 - p
+    rho = (
+        F.when(suffix == 0, F.lit(width + 1))
+        .otherwise(F.lit(width + 1) - F.length(F.bin(suffix)))
+        .cast("long")
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Element-wise MAX merge of register tables (shards / batches)."""
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("grp", "bucket").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    All-integer reduction: ``s2 = Σ_j 2^(50 − M_j)`` with absent
+    registers contributing ``2^50`` (M = 0) — exact in BIGINT since
+    M ≤ 32 − p ≪ 50 and the 256-register sum stays below 2^58 — then one double division for the harmonic mean
+    (IEEE-deterministic, replayed by the oracle with the identical
+    expression shape).  Small-range correction: linear counting
+    ``m·ln(m/zeros)`` when raw ≤ 2.5·m and zero registers remain.
+    Returns ``(grp, present, zeros, s2, est)`` with est rounded 4dp.
+    """
+    m = 1 << p
+    agg = registers.groupBy("grp").agg(
+        F.count("*").alias("present"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 50 - cast(m_j as int))")).alias(
+            "s_present"
+        ),
+    )
+    s2 = F.col("s_present") + (F.lit(m) - F.col("present")) * F.lit(2**50)
+    zeros = (F.lit(m) - F.col("present")).cast("long")
+    raw = (
+        F.lit(HLL_ALPHA_256 if p == 8 else 0.7213 / (1.0 + 1.079 / m))
+        * F.lit(float(m * m))
+        * F.lit(float(2**50))
+        / s2.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "grp",
+        F.col("present").cast("long").alias("present"),
+        zeros.alias("zeros"),
+        s2.cast("long").alias("s2"),
+        F.round(est, 4).alias("est"),
+    )

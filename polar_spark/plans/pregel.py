@@ -4126,3 +4126,112 @@ def ppr_push(
             .localCheckpoint(eager=False)
         )
     return state.localCheckpoint(eager=True)
+
+
+def bipartite_report(
+    edges: DataFrame,
+    max_depth: int = 64,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-component bipartiteness audit by BFS 2-coloring — the
+    pre-flight every bipartite-only algorithm (SALSA, bipartite
+    projection, Hopcroft-Karp matching) needs before trusting its
+    input.  A component is bipartite iff BFS layering from any vertex
+    yields no edge inside a layer-parity class, i.e. no edge whose
+    endpoints sit at equal hop-distance parity (such an edge closes an
+    odd cycle; König).
+
+    Three O(E)-per-round primitives, no per-vertex Python:
+
+    1. hash-min :func:`connected_components` → every vertex labelled
+       with its component's minimum id;
+    2. one multi-source frontier BFS seeded at every component
+       representative **simultaneously** (``id == comp`` — seeds come
+       from a join, never a driver-side collect, so a 10^9-component
+       graph costs the same plan);  distances are exact minima per
+       component because components are disjoint;
+    3. one edge-side join of both endpoint distances + a per-component
+       aggregate counting equal-parity edges.
+
+    Returns one row per component:
+    ``(comp, n_vertices, n_edges, odd_edges, is_bipartite)`` where
+    ``n_edges`` counts undirected (canonical ``src < dst``) edges and
+    ``odd_edges`` the parity-violating ones.  Reference posture:
+    structural audits over the extracted dependency graph (cmu-sei/
+    Polar queries walk typed edge families that are bipartite by
+    schema; this verifies the property instead of assuming it).
+    """
+    spark = edges.sparkSession
+    und = normalize_edges(edges).where(F.col("src") != F.col("dst"))
+    und = (
+        und.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    m0 = und.count()
+    if m0 == 0:
+        und.unpersist()
+        return spark.createDataFrame(
+            [],
+            "comp long, n_vertices long, n_edges long, odd_edges long, "
+            "is_bipartite boolean",
+        )
+    comps, _stats = connected_components(und, num_partitions=num_partitions)
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = (
+            und.select("src", "dst")
+            .unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .repartition(shuffle, "src")
+            .localCheckpoint(eager=True)
+        )
+        comps = comps.localCheckpoint(eager=True)
+        und.unpersist()
+        # seeds: the component representative itself (id == comp) — a
+        # filter, not a collect; all components BFS in the same rounds
+        frontier = comps.where(F.col("id") == F.col("comp")).select(
+            "id", F.lit(0).alias("dist")
+        ).localCheckpoint(eager=True)
+        visited = frontier
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), F.lit(depth).alias("dist"))
+                .dropDuplicates(["id"])
+                .join(visited.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        parity = visited.select("id", (F.col("dist") % 2).alias("par"))
+        edge_par = (
+            und_from_sym(e)
+            .join(parity.withColumnRenamed("id", "src").withColumnRenamed("par", "ps"), "src")
+            .join(parity.withColumnRenamed("id", "dst").withColumnRenamed("par", "pd"), "dst")
+            .join(comps.withColumnRenamed("id", "src"), "src")
+        )
+        out = (
+            edge_par.groupBy("comp")
+            .agg(
+                F.count("*").alias("n_edges"),
+                F.sum((F.col("ps") == F.col("pd")).cast("long")).alias("odd_edges"),
+            )
+            .join(comps.groupBy("comp").agg(F.count("*").alias("n_vertices")), "comp")
+            .select(
+                F.col("comp").cast("long"),
+                "n_vertices",
+                "n_edges",
+                "odd_edges",
+                (F.col("odd_edges") == 0).alias("is_bipartite"),
+            )
+        )
+        return out
+
+
+def und_from_sym(e: DataFrame) -> DataFrame:
+    """Canonical undirected (src < dst) edge view of a symmetrized table."""
+    return e.where(F.col("src") < F.col("dst"))

@@ -1,0 +1,206 @@
+"""Round-5 session additions: bipartiteness audit, HyperLogLog,
+vertex cover, exact AUC, MAD outliers, RRF hybrid retrieval.
+
+Each operator also has a registered query + DuckDB oracle
+(test_entry_contract replays those at sf0.001); these tests pin the
+algorithmic properties on hand-built graphs/golden values instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+from polar_spark.plans import pregel
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+# ---------------------------------------------------------------- bipartite
+
+
+def test_bipartite_odd_cycle_detected(spark):
+    rep = pregel.bipartite_report(_edges(spark, [(1, 2), (2, 3), (3, 1)]))
+    row = rep.collect()[0]
+    assert row["comp"] == 1 and row["n_edges"] == 3
+    assert row["odd_edges"] >= 1 and row["is_bipartite"] is False
+
+
+def test_bipartite_even_cycle_and_path(spark):
+    # C4 (bipartite) + disjoint P3 (bipartite): two components, both clean
+    rep = pregel.bipartite_report(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (10, 11), (11, 12)])
+    ).orderBy("comp")
+    rows = rep.collect()
+    assert [r["comp"] for r in rows] == [1, 10]
+    assert all(r["is_bipartite"] for r in rows)
+    assert [r["n_vertices"] for r in rows] == [4, 3]
+    assert [r["n_edges"] for r in rows] == [4, 2]
+
+
+def test_bipartite_mixed_components(spark):
+    # triangle (odd) + star K1,3 (bipartite), self-loops/dups ignored
+    rep = pregel.bipartite_report(
+        _edges(
+            spark,
+            [(1, 2), (2, 3), (3, 1), (1, 1), (2, 1), (20, 21), (20, 22), (20, 23)],
+        )
+    ).orderBy("comp")
+    rows = {r["comp"]: r for r in rep.collect()}
+    assert rows[1]["is_bipartite"] is False and rows[1]["odd_edges"] == 1
+    assert rows[20]["is_bipartite"] is True and rows[20]["n_edges"] == 3
+
+
+def test_bipartite_empty(spark):
+    assert pregel.bipartite_report(_edges(spark, [])).count() == 0
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+
+def test_hll_estimate_accuracy(spark):
+    # 2000 distinct keys, duplicated 3x: estimate within ~3 standard
+    # errors (1.04/sqrt(256) ~ 6.5% relative)
+    df = spark.range(2000).selectExpr(
+        "id AS k", "'g' AS grp"
+    ).unionAll(spark.range(2000).selectExpr("id AS k", "'g' AS grp")).unionAll(
+        spark.range(2000).selectExpr("id AS k", "'g' AS grp")
+    )
+    regs = hll_registers(df, "k", "grp")
+    assert regs.count() <= 256
+    est = hll_estimate(regs).collect()[0]
+    assert abs(est["est"] - 2000) / 2000 < 0.20
+
+
+def test_hll_merge_equals_whole(spark):
+    df = spark.range(5000).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS grp")
+    whole = hll_registers(df, "k", "grp")
+    a = hll_registers(df.where("id % 2 = 0"), "k", "grp")
+    b = hll_registers(df.where("id % 2 = 1"), "k", "grp")
+    merged = hll_merge(a, b)
+    w = {(r["grp"], r["bucket"]): r["m_j"] for r in whole.collect()}
+    m = {(r["grp"], r["bucket"]): r["m_j"] for r in merged.collect()}
+    assert w == m
+    # estimates therefore identical
+    ew = {r["grp"]: r["est"] for r in hll_estimate(whole).collect()}
+    em = {r["grp"]: r["est"] for r in hll_estimate(merged).collect()}
+    assert ew == em
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 30 distinct keys in one group: raw << 2.5m so the linear-counting
+    # branch fires and is near-exact at this density
+    df = spark.range(30).selectExpr("id AS k", "'s' AS grp")
+    est = hll_estimate(hll_registers(df, "k", "grp")).collect()[0]
+    assert est["zeros"] > 0
+    assert abs(est["est"] - 30) <= 3
+
+
+# ----------------------------------------------------------- vertex cover
+
+
+def test_vertex_cover_covers_every_edge(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5), (6, 7)]
+    e = _edges(spark, pairs)
+    m, _ = pregel.maximal_matching(e)
+    cover = {
+        r["v"]
+        for r in m.select(F.col("a").alias("v"))
+        .unionByName(m.select(F.col("b").alias("v")))
+        .distinct()
+        .collect()
+    }
+    for s, d in pairs:
+        assert s in cover or d in cover
+    # 2-approximation: cover size is exactly 2|M|
+    assert len(cover) == 2 * m.count()
+
+
+# --------------------------------------------------------------- AUC / MAD
+
+
+def _events_pdf() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def test_auc_matches_python_midrank(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    row = QUERIES["auc_score"](spark, SF).collect()[0]
+    pdf = _events_pdf()
+    v6 = (pdf["value"] * 1e6 + 0.5).apply(math.floor).astype("int64")
+    pos = (pdf["event_type"] == "purchase").astype(int)
+    ranks = pd.Series(v6).rank(method="average")  # midranks
+    n_pos, n_neg = int(pos.sum()), int((1 - pos).sum())
+    r_pos = float(ranks[pos == 1].sum())
+    auc = (r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert row["n_pos"] == n_pos and row["n_neg"] == n_neg
+    assert row["u2"] == round(2 * r_pos - n_pos * (n_pos + 1))
+    assert abs(row["auc"] - round(auc, 6)) <= 1e-6
+
+
+def test_mad_outliers_matches_python(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = {r["event_type"]: r for r in QUERIES["mad_outliers"](spark, SF).collect()}
+    pdf = _events_pdf()
+    pdf["v6"] = (pdf["value"] * 1e6 + 0.5).apply(math.floor).astype("int64")
+    for et, g in pdf.groupby("event_type"):
+        med = g["v6"].median()
+        dev = (g["v6"] - med).abs()
+        mad = dev.median()
+        r = rows[et]
+        assert r["n"] == len(g)
+        assert r["med6_x2"] == int(med * 2)
+        assert r["mad6_x4"] == int(mad * 4)
+        assert r["n_outliers"] == int((dev > 3 * mad).sum())
+
+
+# ------------------------------------------------------------- RRF fusion
+
+
+def test_rrf_fusion_arithmetic_and_shape(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    out = QUERIES["rrf_hybrid"](spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {3, 11, 19, 27, 42}
+    for qid, rows in by_q.items():
+        assert len(rows) == 10
+        for r in rows:
+            exp = 0
+            if r["brank"] > 0:
+                exp += math.floor(1e9 / (60 + r["brank"]))
+            if r["crank"] > 0:
+                exp += math.floor(1e9 / (60 + r["crank"]))
+            assert r["rrf"] == exp
+            assert r["did"] != qid  # self excluded
+            assert r["brank"] <= 20 and r["crank"] <= 20
+        # rnk is the (rrf desc, did asc) order
+        ordered = sorted(rows, key=lambda r: (-r["rrf"], r["did"]))
+        assert [r["rnk"] for r in ordered] == list(range(1, 11))
+
+
+def test_rrf_doc_in_both_arms_beats_single_arm_tail(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    out = QUERIES["rrf_hybrid"](spark, SF).collect()
+    both = [r for r in out if r["brank"] > 0 and r["crank"] > 0]
+    single_tail = [
+        r
+        for r in out
+        if (r["brank"] == 0) != (r["crank"] == 0)
+        and max(r["brank"], r["crank"]) >= 15
+    ]
+    if both and single_tail:
+        assert max(r["rrf"] for r in both) > max(r["rrf"] for r in single_tail)
