@@ -6278,7 +6278,9 @@ def q_ppr_push4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-def _ppr_push_sql(n_iter: int = 4, alpha: float = 0.15) -> str:
+def _ppr_push_parts(n_iter: int = 4, alpha: float = 0.15) -> list[str]:
+    """CTE chain for the unrolled forward-push PPR on the co-part
+    graph — shared by the ppr_push4 oracle and the ppr_nibble sweep."""
     half = (1.0 - alpha) / 2.0
     parts = [
         _COPART_SQL.strip(),
@@ -6299,9 +6301,13 @@ def _ppr_push_sql(n_iter: int = 4, alpha: float = 0.15) -> str:
             f"FROM w JOIN s{k - 1} ON s{k - 1}.id = w.src GROUP BY w.dst"
             f") m ON m.id = v.id)"
         )
+    return parts
+
+
+def _ppr_push_sql(n_iter: int = 4, alpha: float = 0.15) -> str:
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_ppr_push_parts(n_iter, alpha))
         + f"""
         SELECT id, ROUND(p, 7) AS p_r, ROUND(r, 7) AS res_r
         FROM s{n_iter} ORDER BY id"""
@@ -8076,6 +8082,340 @@ QUERIES.update(
         "auc_score": q_auc_score,
         "hll_users": q_hll_users,
         "rrf_hybrid": q_rrf_hybrid,
+    }
+)
+
+
+def q_ppr_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-Nibble local clustering (Andersen/Chung/Lang FOCS'06):
+    approximate PPR by forward push from supplier 1 (pregel.ppr_push,
+    6 rounds) on the co-part graph, then the conductance sweep over
+    the degree-normalized-mass order (pregel.ppr_sweep) — the full
+    24-row sweep table IS the deliverable; its minimum-phi prefix is
+    the local community.  The oracle unrolls the identical push
+    recursion and replays the sweep."""
+    e = _sym(copart_edges(spark, sf_dir))
+    return pregel.ppr_sweep(e, source=1, alpha=0.15, n_iter=6, top=24)
+
+
+def _ppr_nibble_sql(n_iter: int = 6, alpha: float = 0.15, top: int = 24) -> str:
+    parts = _ppr_push_parts(n_iter, alpha)
+    parts += [
+        f"""cand AS (SELECT s.id, deg.d, ROUND(s.p / deg.d, 7) AS score
+        FROM s{n_iter} s JOIN deg ON deg.src = s.id WHERE s.p > 0)""",
+        f"""rk AS MATERIALIZED (SELECT id, d, t FROM (
+          SELECT id, d, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS t
+          FROM cand) q WHERE t <= {top})""",
+        "vt AS (SELECT COUNT(*) AS vol_total FROM e)",
+        """ev AS (SELECT GREATEST(ra.t, rb.t) AS hi
+        FROM e JOIN rk ra ON ra.id = e.src JOIN rk rb ON rb.id = e.dst
+        WHERE e.src < e.dst)""",
+        """deltas AS (SELECT hi AS t, COUNT(*) AS dint FROM ev GROUP BY hi)""",
+        """sweep AS (SELECT t, id, d, vol, vol - 2 * internal AS cut FROM (
+          SELECT rk.t, rk.id, rk.d,
+            SUM(COALESCE(deltas.dint, 0)) OVER (ORDER BY rk.t) AS internal,
+            SUM(rk.d) OVER (ORDER BY rk.t) AS vol
+          FROM rk LEFT JOIN deltas ON deltas.t = rk.t) q)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+        SELECT CAST(t AS BIGINT) AS t, CAST(id AS BIGINT) AS id,
+               CAST(d AS BIGINT) AS d, CAST(cut AS BIGINT) AS cut,
+               CAST(vol AS BIGINT) AS vol,
+               ROUND(CASE WHEN LEAST(vol, vt.vol_total - vol) = 0 THEN 0.0
+                          ELSE CAST(cut AS DOUBLE)
+                               / CAST(LEAST(vol, vt.vol_total - vol) AS DOUBLE)
+                     END, 6) AS phi
+        FROM sweep CROSS JOIN vt ORDER BY t"""
+    )
+
+
+def q_disparity_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparity-filter graph backbone (Serrano/Boguna/Vespignani PNAS
+    2009): keep a weighted edge iff its weight is statistically
+    significant against the uniform null for EITHER endpoint —
+    p = (1 - w/s_i)^(k_i - 1) < alpha with vertex strength s_i and
+    degree k_i.  The multiscale alternative to the global-threshold /
+    top-k backbone (q_backbone_top3): hubs keep only their salient
+    edges, leaf vertices keep their few.  One strength/degree
+    aggregate joined back to edges — a pure linear pass, no iteration.
+    Weighted graph: customer-supplier demand (w = lineitem
+    multiplicity; supplier ids offset into a disjoint range) — the
+    co-order/co-part graphs are too weight-uniform for the null to
+    reject; the demand graph's skewed weights give a real backbone.
+    Output = surviving canonical edges with both one-sided p-values
+    rounded; alpha = 0.05."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    sym = e.select("src", "dst", "w").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    sd = sym.groupBy("src").agg(
+        F.sum("w").alias("s"), F.count("*").alias("k")
+    )
+    j = (
+        e.join(
+            sd.select(F.col("src").alias("a"), F.col("s").alias("sa"), F.col("k").alias("ka")),
+            F.col("src") == F.col("a"),
+        )
+        .join(
+            sd.select(F.col("src").alias("b"), F.col("s").alias("sb"), F.col("k").alias("kb")),
+            F.col("dst") == F.col("b"),
+        )
+        .select(
+            "src",
+            "dst",
+            "w",
+            F.pow(
+                F.lit(1.0) - F.col("w").cast("double") / F.col("sa").cast("double"),
+                (F.col("ka") - F.lit(1)).cast("double"),
+            ).alias("pa"),
+            F.pow(
+                F.lit(1.0) - F.col("w").cast("double") / F.col("sb").cast("double"),
+                (F.col("kb") - F.lit(1)).cast("double"),
+            ).alias("pb"),
+        )
+    )
+    return (
+        j.where((F.col("pa") < 0.05) | (F.col("pb") < 0.05))
+        .select(
+            "src",
+            "dst",
+            F.col("w").cast("long").alias("w"),
+            F.round("pa", 6).alias("pa_r"),
+            F.round("pb", 6).alias("pb_r"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+_DISPARITY_SQL = """
+WITH wund AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst,
+                COUNT(*) AS w
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+sym AS (SELECT src, dst, w FROM wund UNION ALL SELECT dst, src, w FROM wund),
+sd AS (SELECT src, SUM(w) AS s, COUNT(*) AS k FROM sym GROUP BY src),
+j AS (SELECT wund.src, wund.dst, wund.w,
+        POWER(1.0 - CAST(wund.w AS DOUBLE) / CAST(sa.s AS DOUBLE),
+              CAST(sa.k - 1 AS DOUBLE)) AS pa,
+        POWER(1.0 - CAST(wund.w AS DOUBLE) / CAST(sb.s AS DOUBLE),
+              CAST(sb.k - 1 AS DOUBLE)) AS pb
+      FROM wund JOIN sd sa ON sa.src = wund.src JOIN sd sb ON sb.src = wund.dst)
+SELECT src, dst, CAST(w AS BIGINT) AS w,
+       ROUND(pa, 6) AS pa_r, ROUND(pb, 6) AS pb_r
+FROM j WHERE pa < 0.05 OR pb < 0.05
+ORDER BY src, dst
+"""
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit (Kusupati et al. NeurIPS
+    2022 posture): for the first 20 query vectors, exact cosine top-3
+    under the FULL embedding vs top-3 under the first-16-dimension
+    prefix, reporting the per-query overlap — the cheap-first-pass /
+    rerank-depth calibration every truncated-vector index needs.
+    Both rankings are the knn_cosine expression (deterministic
+    (cos desc, id) order); overlap is an integer join count."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+    def top3(frame: DataFrame) -> DataFrame:
+        q = frame.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        scored = (
+            q.crossJoin(frame)
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = top3(emb)
+    pref = top3(emb.select("vec_id", F.slice("v", 1, 16).alias("v")))
+    inter = (
+        full.join(pref, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("overlap3"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(inter, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long"),
+            F.coalesce("overlap3", F.lit(0)).cast("long").alias("overlap3"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_MATRYOSHKA_SQL = """
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(UNNEST(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+nrmf AS (SELECT vec_id, SQRT(SUM(x * x)) AS n FROM e GROUP BY vec_id),
+dotsf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS d
+          FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 20 AND a.vec_id != b.vec_id
+          GROUP BY a.vec_id, b.vec_id),
+topf AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY d / (na.n * nb.n) DESC, neighbor_id ASC) AS rn
+           FROM dotsf JOIN nrmf na ON na.vec_id = query_id
+                      JOIN nrmf nb ON nb.vec_id = neighbor_id) t
+         WHERE rn <= 3),
+ep AS (SELECT vec_id, i, x FROM e WHERE i <= 16),
+nrmp AS (SELECT vec_id, SQRT(SUM(x * x)) AS n FROM ep GROUP BY vec_id),
+dotsp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS d
+          FROM ep a JOIN ep b ON a.i = b.i AND a.vec_id < 20 AND a.vec_id != b.vec_id
+          GROUP BY a.vec_id, b.vec_id),
+topp AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY d / (na.n * nb.n) DESC, neighbor_id ASC) AS rn
+           FROM dotsp JOIN nrmp na ON na.vec_id = query_id
+                      JOIN nrmp nb ON nb.vec_id = neighbor_id) t
+         WHERE rn <= 3),
+inter AS (SELECT f.query_id, COUNT(*) AS overlap3
+          FROM topf f JOIN topp p
+            ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+          GROUP BY f.query_id)
+SELECT q.query_id, CAST(COALESCE(inter.overlap3, 0) AS BIGINT) AS overlap3
+FROM (SELECT DISTINCT query_id FROM topf) q
+LEFT JOIN inter ON inter.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity with add-one smoothing — the
+    two-gram upgrade of `unigram_ppl` (CCNet-posture quality filter:
+    the corpus is its own language model).  logp(w2|w1) =
+    ln((c(w1 w2) + 1) / (c(w1 ·) + V)); per-bigram contributions are
+    floored to 1e6-scaled BIGINTs BEFORE summation (bm25 discipline)
+    so the per-doc log-likelihood is an order-independent integer sum;
+    ppl = exp(-ll / (1e6 · n)) is one deterministic float on exact
+    integers, rounded 4dp.  Skew discipline: (doc, bigram, count)
+    collapses BEFORE the Zipf-skewed corpus-count join."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w"),
+    )
+    big = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", F.col("a.w"), F.col("b.w")).alias("g"),
+            F.col("a.w").alias("w1"),
+        )
+    )
+    dg = big.groupBy("doc_id", "g", "w1").agg(F.count("*").alias("n"))
+    cb = dg.groupBy("g").agg(F.sum("n").alias("cb"))
+    cu = dg.groupBy("w1").agg(F.sum("n").alias("cu"))
+    v = toks.select("w").distinct().count()
+    contrib = F.floor(
+        F.lit(1e6)
+        * F.log(
+            (F.col("cb") + F.lit(1.0)).cast("double")
+            / (F.col("cu") + F.lit(float(v))).cast("double")
+        )
+    )
+    per_doc = (
+        dg.join(cb, "g")
+        .join(cu, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * contrib).alias("ll_scaled"),
+            F.sum("n").alias("n_bigrams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long"),
+        F.col("ll_scaled").cast("long"),
+        F.round(
+            F.exp(
+                -F.col("ll_scaled").cast("double")
+                / (F.lit(1e6) * F.col("n_bigrams").cast("double"))
+            ),
+            4,
+        ).alias("ppl_r"),
+    ).orderBy("doc_id")
+
+
+_BIGRAM_PPL_SQL = r"""
+WITH toks AS (SELECT doc_id,
+                     generate_subscripts(regexp_split_to_array(TRIM(text), '\s+'), 1) AS i,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+              FROM documents),
+big AS (SELECT a.doc_id, a.w || ' ' || b.w AS g, a.w AS w1
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+dg AS (SELECT doc_id, g, w1, COUNT(*) AS n FROM big GROUP BY 1, 2, 3),
+cb AS (SELECT g, SUM(n) AS cb FROM dg GROUP BY g),
+cu AS (SELECT w1, SUM(n) AS cu FROM dg GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM toks),
+per_doc AS (SELECT dg.doc_id,
+              SUM(dg.n * CAST(FLOOR(1e6 * LN(
+                CAST(cb.cb + 1.0 AS DOUBLE) / CAST(cu.cu + v.v AS DOUBLE)
+              )) AS BIGINT)) AS ll_scaled,
+              SUM(dg.n) AS n_bigrams
+            FROM dg JOIN cb USING (g) JOIN cu USING (w1) CROSS JOIN v
+            GROUP BY dg.doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(ll_scaled AS BIGINT) AS ll_scaled,
+       ROUND(EXP(-CAST(ll_scaled AS DOUBLE) / (1e6 * CAST(n_bigrams AS DOUBLE))), 4)
+         AS ppl_r
+FROM per_doc ORDER BY doc_id
+"""
+
+
+ORACLES.update(
+    {
+        "ppr_nibble": _ppr_nibble_sql(),
+        "disparity_backbone": _DISPARITY_SQL,
+        "matryoshka_recall": _MATRYOSHKA_SQL,
+        "bigram_ppl": _BIGRAM_PPL_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "ppr_nibble": q_ppr_nibble,
+        "disparity_backbone": q_disparity_backbone,
+        "matryoshka_recall": q_matryoshka_recall,
+        "bigram_ppl": q_bigram_ppl,
     }
 )
 

@@ -4235,3 +4235,78 @@ def bipartite_report(
 def und_from_sym(e: DataFrame) -> DataFrame:
     """Canonical undirected (src < dst) edge view of a symmetrized table."""
     return e.where(F.col("src") < F.col("dst"))
+
+
+def ppr_sweep(
+    edges_sym: DataFrame,
+    source: int,
+    alpha: float = 0.15,
+    n_iter: int = 6,
+    top: int = 24,
+) -> DataFrame:
+    """PageRank-Nibble conductance sweep (Andersen/Chung/Lang
+    FOCS'06): run :func:`ppr_push` from ``source``, order touched
+    vertices by degree-normalized mass p/d (ties: rounded score desc,
+    id asc), and for every prefix of the top-``top`` candidates report
+    ``(t, id, d, cut, vol, phi)`` with conductance
+    phi = cut / min(vol, vol_total − vol).  The minimum-phi prefix is
+    the local community around the seed.
+
+    Scale shape: the push touches O(1/(alpha·eps)) mass, not O(V);
+    the sweep windows run over ``top`` rows, never the graph; cut and
+    vol are INTEGER-exact via rank difference arrays (+1 at the edge's
+    min rank, −1 at its max rank, prefix-summed), so phi is one exact
+    integer division, rounded 6dp (0.0 when the prefix is the whole
+    graph).  ``edges_sym`` must be a symmetrized edge table.
+
+    Reference posture: local neighborhood queries around a flagged
+    entity (Polar walks bounded-depth typed edges from a seed node —
+    e.g. src/agents/graph queries); this is the density-aware version
+    that finds the seed's community boundary instead of a fixed-depth
+    ball."""
+    out = ppr_push(edges_sym, source=source, alpha=alpha, n_iter=n_iter)
+    deg = edges_sym.groupBy("src").agg(F.count("*").alias("d"))
+    vol_total = edges_sym.count()  # sum of degrees = 2m
+    cand = (
+        out.join(deg, out.id == deg.src)
+        .where(F.col("p") > 0)
+        .select("id", "d", F.round(F.col("p") / F.col("d"), 7).alias("score"))
+    )
+    wt = Window.orderBy(F.desc("score"), F.asc("id"))
+    rk = (
+        cand.withColumn("t", F.row_number().over(wt))
+        .where(F.col("t") <= top)
+        .select("id", "d", "t")
+        .localCheckpoint(eager=True)  # <= top rows; reused by three joins
+    )
+    # cut(t) = vol(t) - 2*internal(t): internal edges have BOTH
+    # endpoints at rank <= t, so edges leaving the prefix to
+    # non-candidate vertices are counted through vol automatically
+    und = edges_sym.where(F.col("src") < F.col("dst"))
+    ev = (
+        und.join(rk.select(F.col("id").alias("src"), F.col("t").alias("ta")), "src")
+        .join(rk.select(F.col("id").alias("dst"), F.col("t").alias("tb")), "dst")
+        .select(F.greatest("ta", "tb").alias("hi"))
+    )
+    deltas = ev.groupBy(F.col("hi").alias("t")).agg(F.count("*").alias("dint"))
+    ws = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (
+        rk.join(deltas, "t", "left")
+        .withColumn("internal", F.sum(F.coalesce("dint", F.lit(0))).over(ws))
+        .withColumn("vol", F.sum("d").over(ws))
+        .withColumn("cut", F.col("vol") - F.lit(2) * F.col("internal"))
+    )
+    denom = F.least(F.col("vol"), F.lit(int(vol_total)) - F.col("vol"))
+    return sweep.select(
+        F.col("t").cast("long").alias("t"),
+        F.col("id").cast("long").alias("id"),
+        F.col("d").cast("long").alias("d"),
+        F.col("cut").cast("long").alias("cut"),
+        F.col("vol").cast("long").alias("vol"),
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                F.col("cut").cast("double") / denom.cast("double")
+            ),
+            6,
+        ).alias("phi"),
+    ).orderBy("t")

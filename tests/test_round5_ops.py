@@ -204,3 +204,102 @@ def test_rrf_doc_in_both_arms_beats_single_arm_tail(spark):
     ]
     if both and single_tail:
         assert max(r["rrf"] for r in both) > max(r["rrf"] for r in single_tail)
+
+
+# ----------------------------------------------------- PPR-Nibble sweep
+
+
+def test_ppr_sweep_finds_planted_community(spark):
+    # two 4-cliques joined by a single bridge: the min-phi prefix from
+    # a seed inside clique A is exactly clique A
+    cl_a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    cl_b = [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    bridge = [(4, 11)]
+    e = _edges(spark, cl_a + cl_b + bridge)
+    sym = e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
+    # top=6 < |V| so the guarded whole-graph prefix (phi := 0) is not
+    # in the sweep — at scale top << V makes that row unreachable anyway
+    sweep = pregel.ppr_sweep(sym, source=1, alpha=0.15, n_iter=8, top=6).collect()
+    # integer consistency: vol strictly increases, cut >= 0
+    vols = [r["vol"] for r in sweep]
+    assert vols == sorted(vols) and vols[0] >= 1
+    assert all(r["cut"] >= 0 for r in sweep)
+    best = min(sweep, key=lambda r: (r["phi"], r["t"]))
+    prefix = {r["id"] for r in sweep if r["t"] <= best["t"]}
+    assert prefix == {1, 2, 3, 4}
+    assert best["cut"] == 1  # only the bridge crosses
+
+
+# ---------------------------------------------------- disparity filter
+
+
+def test_disparity_backbone_matches_python(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["disparity_backbone"](spark, SF).collect()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    w = (
+        j.assign(src=j["o_custkey"], dst=j["l_suppkey"] + 1_000_000)
+        .groupby(["src", "dst"])
+        .size()
+        .reset_index(name="w")
+    )
+    sym = pd.concat(
+        [w, w.rename(columns={"src": "dst", "dst": "src"})], ignore_index=True
+    )
+    sd = sym.groupby("src").agg(s=("w", "sum"), k=("w", "count")).reset_index()
+    m = w.merge(sd.rename(columns={"src": "src", "s": "sa", "k": "ka"}), on="src")
+    m = m.merge(
+        sd.rename(columns={"src": "dst", "s": "sb", "k": "kb"}), on="dst"
+    )
+    m["pa"] = (1.0 - m["w"] / m["sa"]) ** (m["ka"] - 1)
+    m["pb"] = (1.0 - m["w"] / m["sb"]) ** (m["kb"] - 1)
+    keep = m[(m["pa"] < 0.05) | (m["pb"] < 0.05)].sort_values(["src", "dst"])
+    assert len(rows) == len(keep)
+    for r, (_, g) in zip(rows, keep.iterrows()):
+        assert (r["src"], r["dst"], r["w"]) == (g["src"], g["dst"], g["w"])
+        assert abs(r["pa_r"] - round(g["pa"], 6)) <= 1e-9
+        assert abs(r["pb_r"] - round(g["pb"], 6)) <= 1e-9
+
+
+# ------------------------------------------------- matryoshka / bigram
+
+
+def test_matryoshka_recall_shape(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["matryoshka_recall"](spark, SF).collect()
+    assert [r["query_id"] for r in rows] == list(range(20))
+    assert all(0 <= r["overlap3"] <= 3 for r in rows)
+    # prefix ranking is a real approximation: overlap is not all-3
+    # but also far from all-0 on isotropic synthetic embeddings
+    total = sum(r["overlap3"] for r in rows)
+    assert 0 < total < 60
+
+
+def test_bigram_ppl_matches_python(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = {r["doc_id"]: r for r in QUERIES["bigram_ppl"](spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = {r.doc_id: r.text.strip().split() for r in docs.itertuples()}
+    from collections import Counter
+
+    cb: Counter = Counter()
+    cu: Counter = Counter()
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] += 1
+            cu[a] += 1
+    v = len({w for ws in toks.values() for w in ws})
+    for doc_id, ws in list(toks.items())[:40]:
+        ll = 0
+        n = 0
+        for a, b in zip(ws, ws[1:]):
+            ll += math.floor(1e6 * math.log((cb[(a, b)] + 1.0) / (cu[a] + float(v))))
+            n += 1
+        r = rows[doc_id]
+        assert r["n_bigrams"] == n and r["ll_scaled"] == ll
+        assert abs(r["ppl_r"] - round(math.exp(-ll / (1e6 * n)), 4)) <= 1e-9
