@@ -1199,3 +1199,67 @@ def kmeans_parallel_init(
         )
         .orderBy("cand_id")
     )
+
+
+def kcenter_init(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    start_id: int = 0,
+) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985, the 2-approximation for the k-center objective): start from
+    ``start_id``, repeatedly add the point with the LARGEST cosine
+    distance to its nearest already-chosen center — the diversity
+    sampler under coreset-based data selection and the standard
+    k-means warm start beside `kmeans_parallel_init`.
+
+    Scale shape: each of the k−1 rounds is ONE pure-map distance
+    update against the single newly-added center (its vector rides the
+    plan as a 64-literal array — no join, no shuffle) plus one bounded
+    argmax (1-row collect, k−1 total).  dmin never recomputes against
+    all centers.  The argmax compares ROUND(dmin, 9) with an id
+    tie-break, the repo's cross-engine float-ordering discipline.
+
+    Returns ``(sel, center_id, dmin_r)`` — selection order, chosen id,
+    and its distance-to-nearest-center at selection time (0.0 for the
+    start point), rounded 6dp.
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    base = base.select("_id", "v", nrm.alias("n")).localCheckpoint(eager=True)
+    first = base.where(F.col("_id") == start_id).collect()
+    if not first:
+        raise ValueError(f"start_id {start_id} not present in {id_col}")
+    chosen = [(0, int(start_id), 0.0)]
+    cur = base.select("_id", "v", "n", F.lit(None).cast("double").alias("dmin"))
+    cvec, cn = list(first[0]["v"]), float(first[0]["n"])
+    for r in range(1, k):
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), lit_c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        dist = F.lit(1.0) - dot / (F.col("n") * F.lit(cn))
+        cur = cur.select(
+            "_id", "v", "n", F.least(F.coalesce("dmin", dist), dist).alias("dmin")
+        ).localCheckpoint(eager=True)
+        nxt = (
+            cur.where(~F.col("_id").isin([c[1] for c in chosen]))
+            .orderBy(F.desc(F.round("dmin", 9)), F.asc("_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, int(nxt["_id"]), float(nxt["dmin"])))
+        cvec, cn = list(nxt["v"]), float(nxt["n"])
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        [(s, c, d) for s, c, d in chosen], "sel long, center_id long, dmin double"
+    )
+    return out.select("sel", "center_id", F.round("dmin", 6).alias("dmin_r")).orderBy(
+        "sel"
+    )

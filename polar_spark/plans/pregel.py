@@ -4310,3 +4310,92 @@ def ppr_sweep(
             6,
         ).alias("phi"),
     ).orderBy("t")
+
+
+def harmonic_labels(
+    edges_sym: DataFrame,
+    seeds: DataFrame,
+    n_labels: int,
+    rounds: int = 3,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Semi-supervised label spreading by the harmonic-function
+    iteration (Zhu/Ghahramani/Lafferty ICML'03): seed vertices carry a
+    clamped one-hot label distribution; every round each vertex
+    replaces its distribution with the degree-normalized sum of its
+    neighbors', seeds re-clamped.  The label-mass algebra here is
+    INTEGER-EXACT: masses are ``scale``-scaled BIGINTs and each
+    neighbor contribution is ``f_u DIV d_u`` (integer floor division),
+    so the per-vertex sums are order- and partitioning-independent —
+    a SQL engine replays the fixpoint bit-for-bit (the same discipline
+    as the repo's scaled-BIGINT log-prob sums).  The floor leaks
+    < d_u ulps of mass per vertex per round — a defined, deterministic
+    variant of the textbook float iteration.
+
+    ``seeds``: (id, lbl) with lbl in [0, n_labels).  Returns
+    ``(id, pred, m0..m{n-1})`` after ``rounds`` sweeps, where pred is
+    the argmax label (ties → smaller label; vertices never reached
+    carry pred = -1).  One join + one aggregate per round, same
+    exchange shape as PageRank.  Reference posture: propagating a
+    known classification (e.g. vulnerability state) from a few labeled
+    nodes across the dependency graph."""
+    spark = edges_sym.sparkSession
+    e = edges_sym.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    verts = vertices_of(e)
+    onehot = [
+        F.when(F.col("lbl") == i, F.lit(scale)).otherwise(F.lit(0)).cast("long").alias(f"m{i}")
+        for i in range(n_labels)
+    ]
+    seed_state = seeds.select("id", *onehot)
+    state = (
+        verts.join(seed_state, "id", "left")
+        .select(
+            "id",
+            *[F.coalesce(F.col(f"m{i}"), F.lit(0)).cast("long").alias(f"m{i}") for i in range(n_labels)],
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed_ids = seeds.select("id", F.col("lbl").alias("_slbl"))
+    for _ in range(rounds):
+        contrib = state.join(deg, state.id == deg.src).select(
+            F.col("src").alias("_u"),
+            # true integer division (never float-divide-then-cast: the
+            # double quotient can round UP across an integer boundary)
+            *[F.expr(f"m{i} div d").cast("long").alias(f"c{i}") for i in range(n_labels)],
+        )
+        inm = (
+            e.join(contrib, e.src == F.col("_u"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.sum(f"c{i}").alias(f"m{i}") for i in range(n_labels)])
+        )
+        state = (
+            verts.join(inm, "id", "left")
+            .join(seed_ids, "id", "left")
+            .select(
+                "id",
+                *[
+                    F.when(F.col("_slbl").isNotNull(),
+                           F.when(F.col("_slbl") == i, F.lit(scale)).otherwise(F.lit(0)))
+                    .otherwise(F.coalesce(F.col(f"m{i}"), F.lit(0)))
+                    .cast("long")
+                    .alias(f"m{i}")
+                    for i in range(n_labels)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    total = sum(F.col(f"m{i}") for i in range(n_labels))
+    best = F.lit(-1)
+    bestm = F.lit(-1).cast("long")
+    # argmax with smaller-label ties: scan labels in reverse so the
+    # earliest label wins on >=
+    for i in reversed(range(n_labels)):
+        cond = F.col(f"m{i}") >= bestm
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        bestm = F.when(cond, F.col(f"m{i}")).otherwise(bestm)
+    return state.select(
+        "id",
+        F.when(total == 0, F.lit(-1)).otherwise(best).cast("int").alias("pred"),
+        *[F.col(f"m{i}") for i in range(n_labels)],
+    )

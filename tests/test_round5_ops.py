@@ -303,3 +303,116 @@ def test_bigram_ppl_matches_python(spark):
         r = rows[doc_id]
         assert r["n_bigrams"] == n and r["ll_scaled"] == ll
         assert abs(r["ppl_r"] - round(math.exp(-ll / (1e6 * n)), 4)) <= 1e-9
+
+
+# ------------------------------------------------ harmonic label spread
+
+
+def test_harmonic_labels_path_graph(spark):
+    # path 1-2-3-4-5, seeds: 1 -> label 0, 5 -> label 1.  With the
+    # integer-floor Jacobi algebra the masses stay exactly replayable;
+    # the ends' neighbors adopt the nearer seed's label
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    sym = e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
+    seeds = spark.createDataFrame([(1, 0), (5, 1)], "id long, lbl int")
+    out = {r["id"]: r for r in pregel.harmonic_labels(sym, seeds, 2, rounds=6).collect()}
+    assert out[1]["pred"] == 0 and out[5]["pred"] == 1  # clamped
+    assert out[2]["pred"] == 0 and out[4]["pred"] == 1
+    # center vertex: symmetric masses -> tie broken to smaller label
+    assert out[3]["m0"] == out[3]["m1"] and out[3]["pred"] == 0
+
+
+def test_harmonic_labels_matches_python_replay(spark):
+    # integer algebra replayed exactly in python on a small graph
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6), (2, 6)]
+    e = _edges(spark, pairs)
+    sym = e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
+    seeds = [(1, 0), (6, 1)]
+    sdf = spark.createDataFrame(seeds, "id long, lbl int")
+    rounds, scale = 4, 1_000_000_000
+    got = {r["id"]: (r["m0"], r["m1"]) for r in
+           pregel.harmonic_labels(sym, sdf, 2, rounds=rounds).collect()}
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    seed_map = dict(seeds)
+    f = {v: [scale if seed_map.get(v) == l else 0 for l in (0, 1)] for v in adj}
+    for _ in range(rounds):
+        nxt = {v: [0, 0] for v in adj}
+        for v in adj:
+            for u in adj[v]:
+                du = len(adj[u])
+                nxt[v][0] += f[u][0] // du
+                nxt[v][1] += f[u][1] // du
+        for v, l in seed_map.items():
+            nxt[v] = [scale if l == 0 else 0, scale if l == 1 else 0]
+        f = nxt
+    assert got == {v: tuple(f[v]) for v in adj}
+
+
+# ------------------------------------------------------ k-center coreset
+
+
+def test_kcenter_planted_directions(spark):
+    import math as _m
+
+    # four unit vectors at 0, 90, 180, 270 degrees (ids 0..3) plus a
+    # near-duplicate of id 0 (id 4): greedy from 0 picks the opposite
+    # direction first, then one of the orthogonals (smaller id on tie),
+    # and the near-dup is never an early pick
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [-1.0, 0.0]),
+        (3, [0.0, -1.0]),
+        (4, [0.999, 0.0447]),
+    ]
+    from polar_spark.operators.similarity import kcenter_init
+
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = kcenter_init(emb, k=4, start_id=0).collect()
+    order = [r["center_id"] for r in rows]
+    assert order[0] == 0 and order[1] == 2
+    assert set(order[2:]) == {1, 3}
+    assert order[2] == 1  # tie on dmin -> smaller id
+    dmins = [r["dmin_r"] for r in rows[1:]]
+    assert dmins == sorted(dmins, reverse=True)  # farthest-first monotone
+    assert 4 not in order
+
+
+def test_kcenter_centers_distinct_and_monotone(spark):
+    from polar_spark.operators.similarity import kcenter_init
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    rows = kcenter_init(emb, k=8, start_id=0).collect()
+    ids = [r["center_id"] for r in rows]
+    assert len(set(ids)) == 8
+    dmins = [r["dmin_r"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dmins, dmins[1:]))
+
+
+# ---------------------------------------------------- split leakage
+
+
+def test_split_leakage_is_cross_split_subset_of_neardups(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    leaks = QUERIES["split_leakage"](spark, SF).collect()
+    assert len(leaks) > 0  # planted near-dups do cross the split
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_j"]
+        for r in QUERIES["minhash_pairs"](spark, SF).collect()
+    }
+    splits = {
+        r["doc_id"]: r["split"] for r in QUERIES["split_assign"](spark, SF).collect()
+    }
+    for r in leaks:
+        assert r["est_j"] >= 0.5
+        assert r["split_a"] != r["split_b"]
+        assert splits[r["id_a"]] == r["split_a"]
+        assert splits[r["id_b"]] == r["split_b"]
+        assert pairs[(r["id_a"], r["id_b"])] == r["est_j"]
