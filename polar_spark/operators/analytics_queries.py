@@ -8613,6 +8613,109 @@ QUERIES.update(
 )
 
 
+def q_burt_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burt's network constraint (structural-holes brokerage) on the
+    degree-bounded co-order subgraph (pregel.burt_constraint, cutoff
+    60): high constraint = redundant contacts, low = a broker bridging
+    groups.  Fully INTEGER-EXACT p-term algebra (scale DIV d products,
+    reduced-precision squares) so the oracle replays every sum
+    bit-for-bit.  Graph: the sparse l_partkey % 7 = 0 co-order slice
+    (degrees ~6-36 at test SFs) — the full co-order graph's degrees
+    exceed any brokerage-meaningful cutoff."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.where(F.col("l_partkey") % 7 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a_, b_ = op.alias("a"), op.alias("b")
+    e = (
+        a_.join(b_, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return pregel.burt_constraint(e, max_degree=60).orderBy("id")
+
+
+_BURT_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE l_partkey % 7 = 0),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+sym AS (SELECT src, dst FROM und UNION SELECT dst, src FROM und),
+degf AS (SELECT src, COUNT(*) AS d0 FROM sym GROUP BY src),
+keep AS (SELECT src AS id FROM degf WHERE d0 <= 60),
+e2 AS MATERIALIZED (SELECT sym.src, sym.dst FROM sym
+      JOIN keep ka ON ka.id = sym.src JOIN keep kb ON kb.id = sym.dst),
+d AS (SELECT src, COUNT(*) AS d FROM e2 GROUP BY src),
+wedge AS (SELECT iq.src AS i, iq.dst AS q, qj.dst AS j
+          FROM e2 iq JOIN e2 qj ON qj.src = iq.dst
+          WHERE iq.src != qj.dst),
+closed AS (SELECT w.i, w.q, w.j FROM wedge w
+           WHERE EXISTS (SELECT 1 FROM e2 WHERE e2.src = w.i AND e2.dst = w.j)),
+ind AS (SELECT c.i, c.j, SUM(1000000000000 // (di.d * dq.d)) AS ts
+        FROM closed c JOIN d di ON di.src = c.i JOIN d dq ON dq.src = c.q
+        GROUP BY c.i, c.j),
+base AS (SELECT a.src AS i, di.d AS di,
+                1000000000000 // di.d + COALESCE(ind.ts, 0) AS b
+         FROM e2 a JOIN d di ON di.src = a.src
+         LEFT JOIN ind ON ind.i = a.src AND ind.j = a.dst),
+cc AS (SELECT i, di, ((b // 1000) * (b // 1000)) // 1000000 AS c FROM base)
+SELECT CAST(i AS BIGINT) AS id, CAST(ANY_VALUE(di) AS BIGINT) AS d,
+       CAST(SUM(c) AS BIGINT) AS c_scaled,
+       ROUND(CAST(SUM(c) AS DOUBLE) / 1000000000000.0, 6) AS c_r
+FROM cc GROUP BY i ORDER BY id
+"""
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-model QA: the 3-way confusion table between the true
+    language label, the Naive Bayes classifier prediction
+    (classify.nb_classify — trained on the 80% hash split) and the
+    stopword-heuristic prediction (text.language_scores) — the
+    agreement audit run before trusting either as a corpus filter.
+    Pure composition of two existing scorers + one count aggregate."""
+    from polar_spark.operators.classify import nb_classify
+    from polar_spark.operators.text import language_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    nb = nb_classify(docs).select("doc_id", "label", F.col("pred").alias("nb_pred"))
+    heur = language_scores(docs).select(
+        "doc_id", F.col("lang_pred").alias("heur_pred")
+    )
+    return (
+        nb.join(heur, "doc_id")
+        .groupBy("label", "nb_pred", "heur_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "nb_pred", "heur_pred")
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH nb AS (SELECT doc_id, label, pred AS nb_pred FROM ({_nb_sql()}) x),
+heur AS (SELECT doc_id, lang_pred AS heur_pred FROM ({ORACLES["langid"]}) y)
+SELECT label, nb_pred, heur_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM nb JOIN heur USING (doc_id)
+GROUP BY label, nb_pred, heur_pred
+ORDER BY label, nb_pred, heur_pred
+"""
+
+
+ORACLES.update(
+    {
+        "burt_constraint": _BURT_SQL,
+        "lang_confusion": _lang_confusion_sql(),
+    }
+)
+QUERIES.update(
+    {
+        "burt_constraint": q_burt_constraint,
+        "lang_confusion": q_lang_confusion,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -8641,8 +8744,14 @@ _CHECKED_R3_R4 = [
     "embed_neardup",
 ]
 
-# riskiest-first within the fresh window (VERDICT r4 families)
+# riskiest-first within the fresh window: this session's additions are
+# the newest (never driver-checked anywhere), then the VERDICT r4
+# families
 _ROUND5_PRIORITY = [
+    "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
+    "hll_users", "rrf_hybrid", "ppr_nibble", "disparity_backbone",
+    "matryoshka_recall", "bigram_ppl", "label_spread3", "kcenter8",
+    "split_leakage", "burt_constraint", "lang_confusion",
     "msf_copart", "dag_paths", "dag_levels", "louvain_move1",
     "random_walks_biased3", "semdedup8", "seq_packing", "cm_heavy_hitters",
     "fm_distinct_parts", "bloom_prune", "skew_report", "betweenness_w3",

@@ -4399,3 +4399,77 @@ def harmonic_labels(
         F.when(total == 0, F.lit(-1)).otherwise(best).cast("int").alias("pred"),
         *[F.col(f"m{i}") for i in range(n_labels)],
     )
+
+
+def burt_constraint(
+    edges: DataFrame,
+    max_degree: int = 60,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Burt's network constraint (structural holes, Burt 1992/2004) on
+    the induced subgraph of vertices with degree ≤ ``max_degree`` —
+    the brokerage metric: constraint is HIGH when a vertex's contacts
+    are redundant (all connected to each other), LOW when it bridges
+    otherwise-disconnected groups.  Unweighted form: p_ij = 1/d_i,
+    c_ij = (p_ij + Σ_q p_iq·p_qj)² over shared neighbors q, and
+    C_i = Σ_{j∈N(i)} c_ij.
+
+    INTEGER-EXACT algebra: p-terms are ``scale DIV d_i`` /
+    ``scale DIV (d_i·d_q)`` BIGINTs summed per (i,j) (order- and
+    partitioning-independent), squared at reduced precision
+    ``((b DIV 1e3)² DIV 1e6)`` to stay inside int64, then summed per
+    vertex — no float parity surface; the readable constraint is one
+    final exact-integer division.  Plan: one wedge join (Σ d² bounded
+    by the degree cutoff — the same hub-cutoff discipline as
+    node-similarity) + one adjacency semi-join + two aggregations.
+
+    Returns ``(id, d, c_scaled, c_r)``.  Reference posture: which
+    dependency in the graph brokers between otherwise-separate
+    clusters (the single point whose removal disconnects supply)."""
+    sym = symmetrize(normalize_edges(edges)).where(F.col("src") != F.col("dst")).distinct()
+    deg_full = sym.groupBy("src").agg(F.count("*").alias("d0"))
+    keep = deg_full.where(F.col("d0") <= max_degree).select(F.col("src").alias("id"))
+    e2 = (
+        sym.join(keep.withColumnRenamed("id", "src"), "src")
+        .join(keep.withColumnRenamed("id", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    d = e2.groupBy("src").agg(F.count("*").alias("d"))
+    iq = e2.select(F.col("src").alias("i"), F.col("dst").alias("q"))
+    qj = e2.select(F.col("src").alias("q"), F.col("dst").alias("j"))
+    wedge = iq.join(qj, "q").where(F.col("i") != F.col("j"))
+    adj = e2.select(F.col("src").alias("i"), F.col("dst").alias("j"))
+    closed = wedge.join(adj, ["i", "j"], "left_semi")
+    di = d.select(F.col("src").alias("i"), F.col("d").alias("di"))
+    dq = d.select(F.col("src").alias("q"), F.col("d").alias("dq"))
+    ind = (
+        closed.join(di, "i")
+        .join(dq, "q")
+        .select("i", "j", F.expr(f"{scale} div (di * dq)").alias("t"))
+        .groupBy("i", "j")
+        .agg(F.sum("t").alias("ts"))
+    )
+    base = (
+        adj.join(di, "i")
+        .join(ind, ["i", "j"], "left")
+        .select(
+            "i",
+            "di",
+            (
+                F.expr(f"{scale} div di") + F.coalesce(F.col("ts"), F.lit(0))
+            ).alias("b"),
+        )
+    )
+    cij = F.expr("((b div 1000) * (b div 1000)) div 1000000")
+    out = (
+        base.select("i", "di", cij.alias("c"))
+        .groupBy("i")
+        .agg(F.first("di").alias("d"), F.sum("c").alias("c_scaled"))
+    )
+    return out.select(
+        F.col("i").cast("long").alias("id"),
+        F.col("d").cast("long").alias("d"),
+        F.col("c_scaled").cast("long").alias("c_scaled"),
+        F.round(F.col("c_scaled").cast("double") / F.lit(float(scale)), 6).alias("c_r"),
+    )

@@ -416,3 +416,77 @@ def test_split_leakage_is_cross_split_subset_of_neardups(spark):
         assert splits[r["id_a"]] == r["split_a"]
         assert splits[r["id_b"]] == r["split_b"]
         assert pairs[(r["id_a"], r["id_b"])] == r["est_j"]
+
+
+# -------------------------------------------------- Burt's constraint
+
+
+def test_burt_constraint_triangle_and_star(spark):
+    # triangle: d=2, c_ij = (1/2 + 1/2*1/2)^2 = 0.5625, C = 1.125
+    tri = pregel.burt_constraint(_edges(spark, [(1, 2), (2, 3), (1, 3)]))
+    for r in tri.collect():
+        assert r["c_r"] == 1.125 and r["d"] == 2
+    # star K1,4: center C = 4*(1/4)^2 = 0.25, leaves C = 1.0
+    star = pregel.burt_constraint(
+        _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+    )
+    rows = {r["id"]: r for r in star.collect()}
+    assert rows[0]["c_r"] == 0.25 and rows[0]["d"] == 4
+    for leaf in (1, 2, 3, 4):
+        assert rows[leaf]["c_r"] == 1.0 and rows[leaf]["d"] == 1
+    # the broker (star center) is less constrained than clique members
+    assert rows[0]["c_r"] < 1.125
+
+
+def test_burt_constraint_degree_cutoff(spark):
+    # hub of degree 5 excluded at max_degree=4: the induced subgraph
+    # loses the hub and its edges entirely
+    e = _edges(spark, [(0, i) for i in range(1, 6)] + [(1, 2)])
+    out = pregel.burt_constraint(e, max_degree=4)
+    ids = {r["id"] for r in out.collect()}
+    assert 0 not in ids and ids == {1, 2}
+
+
+# ---------------------------------------------- streaming distinct HLL
+
+
+def test_distinct_maintainer_fold_and_restart(spark, tmp_path):
+    from polar_spark.streaming.distinct_stream import DistinctCountMaintainer
+
+    m = DistinctCountMaintainer(spark, str(tmp_path), key_col="k", group_col="g")
+    b1 = spark.range(0, 600).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS g")
+    b2 = spark.range(300, 900).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS g")
+    m.apply_batch(b1, batch_id=0)
+    m.apply_batch(b2, batch_id=1)
+    # equals the registers of the union (max-merge == whole)
+    whole = hll_registers(b1.unionByName(b2).distinct(), "k", "g")
+    got = {(r["grp"], r["bucket"]): r["m_j"] for r in m.registers().collect()}
+    want = {(r["grp"], r["bucket"]): r["m_j"] for r in whole.collect()}
+    assert got == want
+    est = {r["grp"]: r["est"] for r in m.estimates().collect()}
+    for g in ("0", "1"):
+        assert abs(est[g] - 450) / 450 < 0.15  # 900 distinct keys, 2 groups
+    # restart: a fresh instance resumes from the pointer
+    m2 = DistinctCountMaintainer(spark, str(tmp_path), key_col="k", group_col="g")
+    assert m2.state()["version"] == 2
+    # recorded replay skipped
+    out = m2.apply_batch(b2, batch_id=1)
+    assert out.get("skipped_replay") is True
+    # and even an UNrecorded replay is harmless: max-merge idempotent
+    m2.apply_batch(b2, batch_id=7)
+    got3 = {(r["grp"], r["bucket"]): r["m_j"] for r in m2.registers().collect()}
+    assert got3 == want
+
+
+# ------------------------------------------------- language confusion
+
+
+def test_lang_confusion_totals(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["lang_confusion"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    langs = {"en", "es", "de", "fr", "zh"}
+    assert {r["label"] for r in rows} <= langs
+    assert {r["heur_pred"] for r in rows} <= langs
