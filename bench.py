@@ -458,6 +458,36 @@ def main() -> None:
             "relabel_bits_new": int(gaps["bn"]),
         }
 
+    def _round5_session3():
+        # this session's additions: hybrid retrieval (RRF of BM25 +
+        # dense cosine), integer-Jacobi label spreading, HLL distinct
+        # counts, PPR-Nibble sweep, cross-split leakage audit
+        from polar_spark.operators.analytics_queries import (
+            q_hll_users,
+            q_label_spread3,
+            q_ppr_nibble,
+            q_rrf_hybrid,
+            q_split_leakage,
+        )
+
+        fused = q_rrf_hybrid(spark, sf_dir).count()
+        spread = q_label_spread3(spark, sf_dir).where(F.col("pred") >= 0).count()
+        hll = q_hll_users(spark, sf_dir).count()
+        sweep_min_phi = (
+            q_ppr_nibble(spark, sf_dir)
+            .orderBy(F.asc("phi"), F.asc("t"))
+            .limit(1)
+            .collect()[0]["phi"]
+        )
+        leaks = q_split_leakage(spark, sf_dir).count()
+        return {
+            "rrf_rows": fused,
+            "label_spread_labeled": spread,
+            "hll_groups": hll,
+            "nibble_min_phi": float(sweep_min_phi),
+            "split_leaks": leaks,
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -491,6 +521,7 @@ def main() -> None:
         ("squares_coorder", _squares, min(REPS, 2)),
         ("round5_text_ops", _round5_text, 1),
         ("round5_graph_ops", _round5_graph, 1),
+        ("round5_session3_ops", _round5_session3, min(REPS, 2)),
     ]
 
     draws: dict[str, list[float]] = {name: [] for name, _f, _r in sections}

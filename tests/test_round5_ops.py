@@ -490,3 +490,45 @@ def test_lang_confusion_totals(spark):
     langs = {"en", "es", "de", "fr", "zh"}
     assert {r["label"] for r in rows} <= langs
     assert {r["heur_pred"] for r in rows} <= langs
+
+
+# ------------------------------------------------------------ plan gates
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hll_registers_single_exchange_no_python(spark):
+    # hash + bucket + rho are pure JVM expressions; the register fold
+    # is ONE map-side-combinable aggregation -> exactly one Exchange
+    df = spark.createDataFrame([(k % 5, k) for k in range(500)], "g long, key long")
+    plan = _exec_plan(hll_registers(df, "key", "g"))
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
+
+
+def test_disparity_is_linear_no_python(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    plan = _exec_plan(QUERIES["disparity_backbone"](spark, SF))
+    # joins + aggregates only: no python stage, no cartesian product
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_auc_no_python_no_cartesian(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    for q in ("mad_outliers", "auc_score"):
+        plan = _exec_plan(QUERIES[q](spark, SF))
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_harmonic_labels_no_python(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])
+    sym = e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
+    seeds = spark.createDataFrame([(1, 0)], "id long, lbl int")
+    plan = _exec_plan(pregel.harmonic_labels(sym, seeds, 2, rounds=1))
+    assert "EvalPython" not in plan
