@@ -8716,6 +8716,147 @@ QUERIES.update(
 )
 
 
+def q_percolation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation profile of the weighted co-order graph: for
+    weight thresholds w >= 2..5, the surviving edge/vertex counts,
+    number of connected components and the giant-component size — the
+    robustness curve (does co-occurrence strength t still hold the
+    graph together?) every backbone/threshold choice should consult
+    before filtering edges.  Four hash-min component runs over rapidly
+    shrinking subgraphs; each threshold's stats are two bounded
+    aggregates.  The oracle replays each threshold with a recursive
+    reach CTE."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a_, b_ = op.alias("a"), op.alias("b")
+    wund = (
+        a_.join(b_, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    rows = []
+    for thr in (2, 3, 4, 5):
+        e = wund.where(F.col("w") >= thr).select("src", "dst")
+        n_edges = e.count()
+        if n_edges == 0:
+            rows.append((thr, 0, 0, 0, 0))
+            continue
+        comps, _stats = pregel.connected_components(e)
+        sizes = comps.groupBy("comp").agg(F.count("*").alias("n"))
+        agg = sizes.agg(
+            F.count("*").alias("nc"), F.max("n").alias("giant"), F.sum("n").alias("nv")
+        ).collect()[0]
+        rows.append((thr, int(agg["nv"]), n_edges, int(agg["nc"]), int(agg["giant"])))
+    wund.unpersist()
+    return spark.createDataFrame(
+        rows, "thr long, n_vertices long, n_edges long, n_components long, giant long"
+    ).orderBy("thr")
+
+
+def _percolation_sql(thresholds: tuple[int, ...] = (2, 3, 4, 5)) -> str:
+    parts = [
+        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        """wund AS MATERIALIZED (SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)""",
+    ]
+    selects = []
+    for t in thresholds:
+        parts += [
+            f"u{t} AS MATERIALIZED (SELECT src, dst FROM wund WHERE w >= {t})",
+            f"e{t} AS (SELECT src, dst FROM u{t} UNION ALL SELECT dst, src FROM u{t})",
+            f"v{t} AS (SELECT DISTINCT src AS id FROM e{t})",
+            f"""r{t}(id, comp) AS (
+            SELECT id, id FROM v{t}
+            UNION
+            SELECT e.dst, r.comp FROM r{t} r JOIN e{t} e ON e.src = r.id
+            WHERE r.comp < e.dst)""",
+            f"c{t} AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM r{t} GROUP BY id)",
+            f"""s{t} AS (SELECT comp, COUNT(*) AS n FROM c{t} GROUP BY comp)""",
+        ]
+        selects.append(
+            f"""SELECT {t} AS thr,
+            (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM s{t}) AS n_vertices,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM u{t}) AS n_edges,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s{t}) AS n_components,
+            (SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) FROM s{t}) AS giant"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY thr"
+    )
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size histogram: hash-min connected
+    components over the MinHash candidate pairs with est_j >= 0.5
+    (the same replayable family as `minhash_pairs`), then the count of
+    clusters at each size — the dedup report's shape summary (how much
+    of the corpus collapses, and into how large groups) that decides
+    keep-one-per-cluster budgets.  Singleton documents (no near-dup)
+    are by definition not clusters here."""
+    from polar_spark.operators.dedup import minhash_pairs_arith
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = (
+        minhash_pairs_arith(docs)
+        .where(F.col("est_j") >= 0.5)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comps, _stats = pregel.connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long"),
+            F.col("n_clusters").cast("long"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _neardup_clusters_sql() -> str:
+    from polar_spark.operators.dedup import minhash_pairs_arith_sql
+
+    return f"""
+WITH RECURSIVE mp AS ({minhash_pairs_arith_sql()}),
+p AS (SELECT id_a AS src, id_b AS dst FROM mp WHERE est_j >= 0.5),
+e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+verts AS (SELECT DISTINCT src AS id FROM e),
+reach(id, comp) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id WHERE r.comp < e.dst
+),
+c AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+ORACLES.update(
+    {
+        "percolation_profile": _percolation_sql(),
+        "neardup_clusters": _neardup_clusters_sql(),
+    }
+)
+QUERIES.update(
+    {
+        "percolation_profile": q_percolation_profile,
+        "neardup_clusters": q_neardup_clusters,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -8752,6 +8893,7 @@ _ROUND5_PRIORITY = [
     "hll_users", "rrf_hybrid", "ppr_nibble", "disparity_backbone",
     "matryoshka_recall", "bigram_ppl", "label_spread3", "kcenter8",
     "split_leakage", "burt_constraint", "lang_confusion",
+    "percolation_profile", "neardup_clusters",
     "msf_copart", "dag_paths", "dag_levels", "louvain_move1",
     "random_walks_biased3", "semdedup8", "seq_packing", "cm_heavy_hitters",
     "fm_distinct_parts", "bloom_prune", "skew_report", "betweenness_w3",

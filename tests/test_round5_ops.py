@@ -532,3 +532,36 @@ def test_harmonic_labels_no_python(spark):
     seeds = spark.createDataFrame([(1, 0)], "id long, lbl int")
     plan = _exec_plan(pregel.harmonic_labels(sym, seeds, 2, rounds=1))
     assert "EvalPython" not in plan
+
+
+# --------------------------------------- percolation / dedup clusters
+
+
+def test_percolation_profile_monotone(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["percolation_profile"](spark, SF).collect()
+    assert [r["thr"] for r in rows] == [2, 3, 4, 5]
+    for a, b in zip(rows, rows[1:]):
+        # raising the threshold can only shrink the graph
+        assert b["n_edges"] <= a["n_edges"]
+        assert b["n_vertices"] <= a["n_vertices"]
+        assert b["giant"] <= a["giant"]
+    for r in rows:
+        assert r["giant"] <= r["n_vertices"]
+        assert (r["n_edges"] == 0) == (r["n_vertices"] == 0)
+
+
+def test_neardup_clusters_consistent_with_pairs(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    hist = QUERIES["neardup_clusters"](spark, SF).collect()
+    assert all(r["cluster_size"] >= 2 for r in hist)
+    n_docs_clustered = sum(r["cluster_size"] * r["n_clusters"] for r in hist)
+    pairs = [
+        r
+        for r in QUERIES["minhash_pairs"](spark, SF).collect()
+        if r["est_j"] >= 0.5
+    ]
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert n_docs_clustered == len(ids)
