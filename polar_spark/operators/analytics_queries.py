@@ -8857,6 +8857,409 @@ QUERIES.update(
 )
 
 
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected triad census of the co-order graph: counts of
+    3-vertex subsets with 0/1/2/3 edges, derived in closed form from
+    n, m, the wedge count W = Σ C(d_v, 2) and the exact triangle total
+    T (degree-ordered orientation) — N3 = T, N2 = W − 3T,
+    N1 = m(n−2) − 2·N2 − 3T, N0 = C(n,3) − N1 − N2 − N3.  All exact
+    int64 (C(n,3) ≈ 1.3e15 at n = 200k parts — in range); the heavy
+    work is one degree aggregation plus the already-scale-shaped
+    triangle count, so this is the census a 100-TB link graph can
+    actually afford (no triad enumeration)."""
+    und = coorder_edges(spark, sf_dir)
+    sym = _sym(und)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    stats = deg.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("w"),
+    ).collect()[0]
+    n, wedges = int(stats["n"]), int(stats["w"])
+    m = und.count()
+    _pv, tri = pregel.triangle_count(und)
+    n3 = tri
+    n2 = wedges - 3 * tri
+    n1 = m * (n - 2) - 2 * n2 - 3 * tri
+    n0 = n * (n - 1) * (n - 2) // 6 - n1 - n2 - n3
+    return spark.createDataFrame(
+        [(n, m, wedges, n0, n1, n2, n3)],
+        "n long, m long, wedges long, empty long, one_edge long, path long, triangle long",
+    )
+
+
+_TRIAD_CENSUS_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w
+         FROM deg),
+m_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM und a JOIN und b ON b.src = a.src AND b.dst > a.dst
+        JOIN und c ON c.src = a.dst AND c.dst = b.dst)
+SELECT n, m, w AS wedges,
+       n * (n - 1) * (n - 2) // 6 - (m * (n - 2) - 2 * (w - 3 * t) - 3 * t)
+         - (w - 3 * t) - t AS empty,
+       m * (n - 2) - 2 * (w - 3 * t) - 3 * t AS one_edge,
+       w - 3 * t AS path,
+       t AS triangle
+FROM base, m_, tri
+"""
+
+
+def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: stream the corpus in doc_id
+    order, checkpoint at each decile, and report cumulative documents,
+    tokens and DISTINCT vocabulary — the curve that tells a data
+    pipeline whether more raw data still buys new vocabulary.  The
+    distributed shape is checkpoint-friendly: a token's contribution to
+    the curve is its FIRST-occurrence decile (one groupBy(token) MIN —
+    no prefix-distinct over an ordered stream), then a 10-row cumsum.
+    Decile = ceil(10·(doc_id+1)/N) with N = max(doc_id)+1, a pure map
+    (no global rank window)."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_scale = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    def bucket(c):
+        # ceil(10·(c+1)/N) as exact integer floor-div (values « 2^53)
+        return F.floor(((c + 1) * 10 + n_scale - 1) / n_scale).cast("long")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("first_id"))
+        .groupBy(bucket(F.col("first_id")).alias("bucket"))
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    per_doc = docs.select(
+        bucket(F.col("doc_id")).alias("bucket"),
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("ntok"),
+    ).groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("ntok").alias("n_toks")
+    )
+    buckets = spark.range(1, 11).select(F.col("id").alias("bucket"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        buckets.join(per_doc, "bucket", "left")
+        .join(vocab, "bucket", "left")
+        .na.fill(0)
+        .select(
+            "bucket",
+            F.sum("n_docs").over(w).cast("long").alias("docs_cum"),
+            F.sum("n_toks").over(w).cast("long").alias("tokens_cum"),
+            F.sum("new_vocab").over(w).cast("long").alias("vocab_cum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HEAPS_SQL = r"""
+WITH nsc AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+toks AS (SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS tok
+         FROM documents),
+firsts AS (SELECT tok, MIN(doc_id) AS first_id FROM toks GROUP BY tok),
+fb AS (SELECT ((first_id + 1) * 10 + (SELECT n FROM nsc) - 1) // (SELECT n FROM nsc) AS bucket
+       FROM firsts),
+vocab AS (SELECT bucket, COUNT(*) AS new_vocab FROM fb GROUP BY bucket),
+db AS (SELECT ((doc_id + 1) * 10 + (SELECT n FROM nsc) - 1) // (SELECT n FROM nsc) AS bucket,
+              len(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS ntok
+       FROM documents),
+per_doc AS (SELECT bucket, COUNT(*) AS n_docs, SUM(ntok) AS n_toks
+            FROM db GROUP BY bucket),
+b AS (SELECT UNNEST(generate_series(1, 10)) AS bucket)
+SELECT CAST(b.bucket AS BIGINT) AS bucket,
+       CAST(SUM(COALESCE(n_docs, 0)) OVER (ORDER BY b.bucket) AS BIGINT) AS docs_cum,
+       CAST(SUM(COALESCE(n_toks, 0)) OVER (ORDER BY b.bucket) AS BIGINT) AS tokens_cum,
+       CAST(SUM(COALESCE(new_vocab, 0)) OVER (ORDER BY b.bucket) AS BIGINT) AS vocab_cum
+FROM b LEFT JOIN per_doc ON per_doc.bucket = b.bucket
+LEFT JOIN vocab ON vocab.bucket = b.bucket
+ORDER BY b.bucket
+"""
+
+
+def q_gini_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the co-order degree distribution — the
+    inequality number next to `powerlaw_alpha` in a link-graph skew
+    report.  The ranked weighted sum Σ i·d_(i) is computed from the
+    DEGREE HISTOGRAM, not a global sort: ranks within a tied block
+    contribute c·C_prev + c(c+1)/2, so the only window runs over the
+    ≤ max-degree histogram rows.  All sums exact int64; the single
+    final division is exact-int → double (both engines correctly
+    rounded, canon round 9)."""
+    und = coorder_edges(spark, sf_dir)
+    sym = _sym(und)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    hist = deg.groupBy("d").agg(F.count("*").alias("c"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "d", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("c_prev")
+    )
+    agg = ranked.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("d") * F.col("c")).cast("long").alias("sum_d"),
+        F.sum(
+            F.col("d")
+            * (F.col("c") * F.col("c_prev") + F.expr("c * (c + 1) DIV 2"))
+        ).cast("long").alias("s"),
+    )
+    return agg.select(
+        "n",
+        "sum_d",
+        "s",
+        F.round(
+            (2 * F.col("s") - (F.col("n") + 1) * F.col("sum_d")).cast("double")
+            / (F.col("n") * F.col("sum_d")).cast("double"),
+            9,
+        ).alias("gini_r"),
+    )
+
+
+_GINI_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+hist AS (SELECT d, COUNT(*) AS c FROM deg GROUP BY d),
+ranked AS (SELECT d, c,
+                  COALESCE(SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS c_prev
+           FROM hist),
+agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(d * c) AS BIGINT) AS sum_d,
+               CAST(SUM(d * (c * c_prev + c * (c + 1) // 2)) AS BIGINT) AS s
+        FROM ranked)
+SELECT n, sum_d, s,
+       ROUND(CAST(2 * s - (n + 1) * sum_d AS DOUBLE)
+             / CAST(n * sum_d AS DOUBLE), 9) AS gini_r
+FROM agg
+"""
+
+
+def q_k4_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex 4-clique participation on the co-order graph — the
+    motif one step past triangles (used for dense-block detection in
+    link graphs).  Scale shape: vertices are ordered by the surrogate
+    key deg·2³² + id (the triangle count's degree-ordered orientation,
+    totally ordered), every K4 is enumerated exactly once rooted at its
+    lowest-rank corner, and each join extends from the root's oriented
+    adjacency — wedge fan-out is bounded by the orientation's
+    low-out-degree property (Chiba–Nishizeki), not by hub degree."""
+    und = coorder_edges(spark, sf_dir)
+    return k4_per_vertex(und)
+
+
+def k4_per_vertex(und: DataFrame) -> DataFrame:
+    """Exact per-vertex 4-clique counts of a canonical (src < dst)
+    undirected edge list — see q_k4_cliques for the orientation
+    argument."""
+    und = und.persist()
+    sym = _sym(und)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    keyed = (
+        und.join(deg.select(F.col("id").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dd")), "dst")
+        .select(
+            (F.col("ds") * F.lit(4294967296) + F.col("src")).alias("ks"),
+            (F.col("dd") * F.lit(4294967296) + F.col("dst")).alias("kd"),
+        )
+    )
+    o = keyed.select(
+        F.least("ks", "kd").alias("a"), F.greatest("ks", "kd").alias("b")
+    ).persist()
+    e1 = o.select("a", F.col("b").alias("v"))
+    e2 = o.select("a", F.col("b").alias("w"))
+    tri = (
+        e1.join(e2, "a")
+        .where(F.col("v") < F.col("w"))
+        .join(o.select(F.col("a").alias("v"), F.col("b").alias("w")), ["v", "w"])
+    )
+    ext = o.select("a", F.col("b").alias("x"))
+    k4 = (
+        tri.join(ext, "a")
+        .where(F.col("x") > F.col("w"))
+        .join(o.select(F.col("a").alias("v"), F.col("b").alias("x")), ["v", "x"])
+        .join(o.select(F.col("a").alias("w"), F.col("b").alias("x")), ["w", "x"])
+    )
+    out = (
+        k4.select(F.explode(F.array("a", "v", "w", "x")).alias("key"))
+        .select((F.col("key") % F.lit(4294967296)).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("k4"))
+        .select(F.col("id").cast("long"), F.col("k4").cast("long"))
+        .orderBy("id")
+    )
+    out = out.localCheckpoint(eager=True)
+    o.unpersist()
+    und.unpersist()
+    return out
+
+
+_K4_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+keyed AS (SELECT ds.d * 4294967296 + und.src AS ks,
+                 dd.d * 4294967296 + und.dst AS kd
+          FROM und JOIN deg ds ON ds.id = und.src JOIN deg dd ON dd.id = und.dst),
+o AS MATERIALIZED (SELECT LEAST(ks, kd) AS a, GREATEST(ks, kd) AS b FROM keyed),
+tri AS (SELECT e1.a, e1.b AS v, e2.b AS w
+        FROM o e1 JOIN o e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b),
+k4 AS (SELECT t.a, t.v, t.w, ex.b AS x
+       FROM tri t JOIN o ex ON ex.a = t.a AND ex.b > t.w
+       JOIN o f1 ON f1.a = t.v AND f1.b = ex.b
+       JOIN o f2 ON f2.a = t.w AND f2.b = ex.b),
+corners AS (SELECT a AS key FROM k4 UNION ALL SELECT v FROM k4
+            UNION ALL SELECT w FROM k4 UNION ALL SELECT x FROM k4)
+SELECT CAST(key % 4294967296 AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS k4
+FROM corners GROUP BY 1 ORDER BY id
+"""
+
+
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: MinHash candidate pairs at
+    est_j ≥ 0.5 bucketed by the (unordered) source pair of the two
+    documents — the report that tells a curation pipeline WHICH corpora
+    duplicate each other (and how much is within-source boilerplate vs
+    cross-source syndication).  One broadcast-sized join against the
+    documents dimension per side."""
+    from polar_spark.operators.dedup import minhash_pairs_arith
+
+    docs = load_table(spark, "documents", sf_dir)
+    src = docs.select("doc_id", "source")
+    pairs = (
+        minhash_pairs_arith(docs)
+        .where(F.col("est_j") >= 0.5)
+        .join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+def _source_dup_matrix_sql() -> str:
+    from polar_spark.operators.dedup import minhash_pairs_arith_sql
+
+    return f"""
+WITH mp AS ({minhash_pairs_arith_sql()})
+SELECT LEAST(da.source, db.source) AS source_lo,
+       GREATEST(da.source, db.source) AS source_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM mp JOIN documents da ON da.doc_id = mp.id_a
+JOIN documents db ON db.doc_id = mp.id_b
+WHERE mp.est_j >= 0.5
+GROUP BY 1, 2 ORDER BY source_lo, source_hi
+"""
+
+
+def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by predicted language: per langid class, the
+    exact corpus sums of whitespace tokens, BPE-ish regex tokens and
+    characters, plus fertility ratios in integer ppm (BPE tokens per
+    whitespace token; chars per BPE token ×1000) — the per-language
+    budget table (does the tokenizer fragment one language more than
+    another?).  Composes the existing langid + token-count expressions;
+    all JVM-side, one groupBy."""
+    from polar_spark.operators.text import language_scores, token_counts
+
+    docs = load_table(spark, "documents", sf_dir)
+    lang = language_scores(docs).select("doc_id", "lang_pred")
+    tok = token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+    chars = docs.select("doc_id", F.length("text").alias("n_chr"))
+    return (
+        lang.join(tok, "doc_id")
+        .join(chars, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+            F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("n_chr").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang_pred",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_chars",
+            F.expr("bpe_tokens * 1000000 DIV GREATEST(ws_tokens, 1)").alias(
+                "bpe_per_ws_ppm"
+            ),
+            F.expr("n_chars * 1000 DIV GREATEST(bpe_tokens, 1)").alias(
+                "chars_per_bpe_milli"
+            ),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+_TOK_FERTILITY_SQL = rf"""
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks,
+                  CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS ws_tokens,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+                  CAST(LENGTH(text) AS BIGINT) AS n_chr
+           FROM documents),
+s AS (SELECT doc_id, ws_tokens, bpe_tokens, n_chr,
+             {_lang_score_sql("de")} AS s_de,
+             {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("es")} AS s_es,
+             {_lang_score_sql("fr")} AS s_fr,
+             {_lang_score_sql("zh")} AS s_zh
+      FROM t),
+cls AS (SELECT doc_id, ws_tokens, bpe_tokens, n_chr,
+               CASE WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM s)
+SELECT lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+       CAST(SUM(bpe_tokens) * 1000000 // GREATEST(SUM(ws_tokens), 1) AS BIGINT) AS bpe_per_ws_ppm,
+       CAST(SUM(n_chr) * 1000 // GREATEST(SUM(bpe_tokens), 1) AS BIGINT) AS chars_per_bpe_milli
+FROM cls GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+ORACLES.update(
+    {
+        "triad_census": _TRIAD_CENSUS_SQL,
+        "heaps_curve": _HEAPS_SQL,
+        "gini_degree": _GINI_SQL,
+        "k4_cliques": _K4_SQL,
+        "source_dup_matrix": _source_dup_matrix_sql(),
+        "tok_fertility": _TOK_FERTILITY_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "triad_census": q_triad_census,
+        "heaps_curve": q_heaps_curve,
+        "gini_degree": q_gini_degree,
+        "k4_cliques": q_k4_cliques,
+        "source_dup_matrix": q_source_dup_matrix,
+        "tok_fertility": q_tok_fertility,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -8893,7 +9296,8 @@ _ROUND5_PRIORITY = [
     "hll_users", "rrf_hybrid", "ppr_nibble", "disparity_backbone",
     "matryoshka_recall", "bigram_ppl", "label_spread3", "kcenter8",
     "split_leakage", "burt_constraint", "lang_confusion",
-    "percolation_profile", "neardup_clusters",
+    "percolation_profile", "neardup_clusters", "triad_census", "heaps_curve",
+    "gini_degree", "k4_cliques", "source_dup_matrix", "tok_fertility",
     "msf_copart", "dag_paths", "dag_levels", "louvain_move1",
     "random_walks_biased3", "semdedup8", "seq_packing", "cm_heavy_hitters",
     "fm_distinct_parts", "bloom_prune", "skew_report", "betweenness_w3",

@@ -565,3 +565,81 @@ def test_neardup_clusters_consistent_with_pairs(spark):
     ]
     ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
     assert n_docs_clustered == len(ids)
+
+
+# --------------------------------------- triad census / heaps / gini / k4
+
+
+def test_triad_census_identities(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    r = QUERIES["triad_census"](spark, SF).collect()[0]
+    n = r["n"]
+    assert r["empty"] >= 0 and r["one_edge"] >= 0 and r["path"] >= 0
+    total = r["empty"] + r["one_edge"] + r["path"] + r["triangle"]
+    assert total == n * (n - 1) * (n - 2) // 6
+    assert r["wedges"] == r["path"] + 3 * r["triangle"]
+
+
+def test_heaps_curve_monotone_and_totals(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["heaps_curve"](spark, SF).collect()
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b["docs_cum"] >= a["docs_cum"]
+        assert b["tokens_cum"] >= a["tokens_cum"]
+        assert b["vocab_cum"] >= a["vocab_cum"]
+    docs = load_table(spark, "documents", SF)
+    n_docs = docs.count()
+    n_vocab = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["docs_cum"] == n_docs
+    assert rows[-1]["vocab_cum"] == n_vocab
+
+
+def test_gini_degree_bounds(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    r = QUERIES["gini_degree"](spark, SF).collect()[0]
+    assert 0.0 <= r["gini_r"] < 1.0
+    # ranked weighted sum is bracketed by the unranked extremes
+    assert r["sum_d"] <= r["s"] <= r["n"] * r["sum_d"]
+
+
+def test_k4_planted_cliques(spark):
+    from polar_spark.operators.analytics_queries import k4_per_vertex
+
+    # K5 on {1..5}: every vertex sits in C(4,3)=4 of the 5 K4s; a
+    # disjoint K4 minus one edge {10..13} has no 4-clique at all.
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    broken = [(10, 11), (10, 12), (11, 12), (11, 13), (12, 13)]  # no 10-13
+    und = spark.createDataFrame(k5 + broken, "src long, dst long")
+    got = {r["id"]: r["k4"] for r in k4_per_vertex(und).collect()}
+    assert got == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+
+
+def test_source_dup_matrix_totals(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["source_dup_matrix"](spark, SF).collect()
+    assert all(r["source_lo"] <= r["source_hi"] for r in rows)
+    n_pairs = sum(r["n_pairs"] for r in rows)
+    mh = [r for r in QUERIES["minhash_pairs"](spark, SF).collect() if r["est_j"] >= 0.5]
+    assert n_pairs == len(mh)
+
+
+def test_tok_fertility_totals(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["tok_fertility"](spark, SF).collect()
+    n_docs = load_table(spark, "documents", SF).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["bpe_per_ws_ppm"] > 0
+        assert r["chars_per_bpe_milli"] > 0
