@@ -9261,6 +9261,257 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-classic analytics over the star schema.  Revenue arithmetic is
+# EXACT: prices/discounts are 2-decimal doubles, so cents =
+# CAST(ROUND(x*100)) is an exact integer on both engines and
+# revenue_e4 = Σ cents·(100 − disc_pct) is an order-independent BIGINT
+# (≤ 1.05e9/line — no overflow at any sf) — the micro-units discipline
+# that keeps large-group revenue sums hash-stable cross-engine.
+
+_REV_SPARK = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+_REV_DUCK = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+
+def q_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
+    orders by revenue as of 1998-06-01.  Plan shape: the customer
+    dimension filter broadcasts into the orders scan, both date filters
+    push to parquet, and revenue is one map-side-combinable integer
+    aggregate — the canonical pushdown/broadcast showcase."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(f"SUM({_REV_SPARK})").alias("revenue_e4"))
+        .select(
+            F.col("l_orderkey").cast("long"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_e4",
+        )
+        .orderBy(F.desc("revenue_e4"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM({_REV_DUCK}) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): revenue per nation from orders
+    where customer and supplier share the nation, ASIA region, orders
+    in 1997.  Exercises the 6-table snowflake join with every dimension
+    broadcast and the two fact tables shuffle-joined on orderkey; the
+    nation-local predicate is applied post-join (classic Q5 shape)."""
+    nat = (
+        load_table(spark, "nation", sf_dir)
+        .join(
+            load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.expr(f"SUM({_REV_SPARK})").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "n_name")
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name, CAST(SUM({_REV_DUCK}) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue_e4 DESC, n_name
+"""
+
+
+def q_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in 1998H1 — the churn-damage report.  Fact-fact
+    shuffle join on orderkey; customer and nation dims broadcast."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.expr(f"SUM({_REV_SPARK})").alias("revenue_e4"),
+            F.round(F.first("c_acctbal"), 2).alias("c_acctbal_r"),
+        )
+        .select(
+            F.col("c_custkey").cast("long"),
+            "c_name",
+            "n_name",
+            "revenue_e4",
+            "c_acctbal_r",
+        )
+        .orderBy(F.desc("revenue_e4"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       CAST(SUM({_REV_DUCK}) AS BIGINT) AS revenue_e4,
+       ROUND(ANY_VALUE(c_acctbal), 2) AS c_acctbal_r
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+"""
+
+
+def q_cascade_lt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-threshold influence cascade (Kempe–Kleinberg–Tardos) on
+    the co-order graph, 4 unrolled rounds: seeds = the 2 highest-degree
+    parts, uniform incoming weights 1/deg(v), per-vertex threshold from
+    the replayable Knuth hash — activate when
+    active_neighbors(v)·(1e9 DIV deg(v)) ≥ thr(v)·1e6.  All-integer
+    activation algebra (no float threshold compare can flip
+    cross-engine); each round is one frontier join + one anti-join,
+    monotone so state is just (id, act_round).  The influence-reach
+    primitive for seeding/virality questions on link graphs."""
+    sym = _sym(coorder_edges(spark, sf_dir)).persist()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    stats = deg.select(
+        "id",
+        "d",
+        F.expr("(id * 2654435761) % 1000 + 1").alias("thr"),
+        F.expr("1000000000 DIV d").alias("cw"),
+    )
+    seeds = deg.orderBy(F.desc("d"), "id").limit(2).select("id")
+    act = seeds.select("id", F.lit(0).alias("act_round"))
+    for r in range(1, 5):
+        cnt = (
+            sym.join(act.select(F.col("id").alias("src")), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.count("*").alias("k"))
+        )
+        newly = (
+            cnt.join(stats, "id")
+            .where(F.col("k") * F.col("cw") >= F.col("thr") * F.lit(1000000))
+            .join(act.select("id"), "id", "left_anti")
+            .select("id", F.lit(r).alias("act_round"))
+        )
+        act = act.unionByName(newly).localCheckpoint(eager=True)
+    sym.unpersist()
+    return act.select(F.col("id").cast("long"), F.col("act_round").cast("int")).orderBy(
+        "id"
+    )
+
+
+def _cascade_lt_sql(rounds: int = 4) -> str:
+    parts = [
+        _COORDER_SQL.strip(),
+        "e AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)",
+        "deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src)",
+        "stats AS (SELECT id, d, (id * 2654435761) % 1000 + 1 AS thr,"
+        " 1000000000 // d AS cw FROM deg)",
+        "seeds AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 2)",
+        "a0 AS (SELECT id, 0 AS act_round FROM seeds)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"n{r} AS (SELECT e.dst AS id, COUNT(*) AS k FROM e "
+            f"JOIN a{r - 1} a ON a.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT id, act_round FROM a{r - 1} UNION ALL "
+            f"SELECT n.id, {r} AS act_round FROM n{r} n JOIN stats s ON s.id = n.id "
+            f"WHERE n.k * s.cw >= s.thr * 1000000 "
+            f"AND n.id NOT IN (SELECT id FROM a{r - 1}))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(id AS BIGINT) AS id, CAST(act_round AS INT) AS act_round"
+        f" FROM a{rounds} ORDER BY id"
+    )
+
+
+ORACLES.update(
+    {
+        "q3_shipping": _Q3_SQL,
+        "q5_local_volume": _Q5_SQL,
+        "q10_returned": _Q10_SQL,
+        "cascade_lt": _cascade_lt_sql(),
+    }
+)
+QUERIES.update(
+    {
+        "q3_shipping": q_q3_shipping,
+        "q5_local_volume": q_q5_local_volume,
+        "q10_returned": q_q10_returned,
+        "cascade_lt": q_cascade_lt,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -9298,6 +9549,7 @@ _ROUND5_PRIORITY = [
     "split_leakage", "burt_constraint", "lang_confusion",
     "percolation_profile", "neardup_clusters", "triad_census", "heaps_curve",
     "gini_degree", "k4_cliques", "source_dup_matrix", "tok_fertility",
+    "q3_shipping", "q5_local_volume", "q10_returned", "cascade_lt",
     "msf_copart", "dag_paths", "dag_levels", "louvain_move1",
     "random_walks_biased3", "semdedup8", "seq_packing", "cm_heavy_hitters",
     "fm_distinct_parts", "bloom_prune", "skew_report", "betweenness_w3",

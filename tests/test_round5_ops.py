@@ -643,3 +643,57 @@ def test_tok_fertility_totals(spark):
     for r in rows:
         assert r["bpe_per_ws_ppm"] > 0
         assert r["chars_per_bpe_milli"] > 0
+
+
+# --------------------------------------- TPC-H classics / LT cascade
+
+
+def test_q3_q10_topn_shape(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    q3 = QUERIES["q3_shipping"](spark, SF).collect()
+    assert len(q3) <= 10
+    revs = [r["revenue_e4"] for r in q3]
+    assert revs == sorted(revs, reverse=True)
+    assert all(v > 0 for v in revs)
+    q10 = QUERIES["q10_returned"](spark, SF).collect()
+    assert len(q10) <= 20
+    revs10 = [r["revenue_e4"] for r in q10]
+    assert revs10 == sorted(revs10, reverse=True)
+
+
+def test_q5_local_volume_nations(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q5_local_volume"](spark, SF).collect()
+    nat = load_table(spark, "nation", SF)
+    reg = load_table(spark, "region", SF).where(F.col("r_name") == "ASIA")
+    asia = {
+        r["n_name"]
+        for r in nat.join(reg, nat.n_regionkey == reg.r_regionkey).collect()
+    }
+    assert {r["n_name"] for r in rows} <= asia
+    assert all(r["revenue_e4"] > 0 for r in rows)
+
+
+def test_cascade_lt_monotone_from_seeds(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, coorder_edges, _sym
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["cascade_lt"](spark, SF).collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["act_round"], set()).add(r["id"])
+    assert len(by_round.get(0, ())) == 2  # exactly two seeds
+    # every non-seed activation has an already-active neighbor from an
+    # earlier round (cascades only spread along edges)
+    sym = _sym(coorder_edges(spark, SF))
+    adj = {}
+    for e in sym.collect():
+        adj.setdefault(e["src"], set()).add(e["dst"])
+    active_before = set(by_round.get(0, ()))
+    for rnd in sorted(k for k in by_round if k > 0):
+        for v in by_round[rnd]:
+            assert adj.get(v, set()) & active_before, (rnd, v)
+        active_before |= by_round[rnd]
