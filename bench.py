@@ -488,6 +488,47 @@ def main() -> None:
             "split_leaks": leaks,
         }
 
+    def _motif_census():
+        # session-5/6 motif analytics on the full co-order graph:
+        # closed-form triad census (no enumeration), degree-oriented
+        # 4-clique counts, histogram-algebra degree Gini
+        from polar_spark.operators.analytics_queries import (
+            q_gini_degree,
+            q_k4_cliques,
+            q_triad_census,
+        )
+
+        tc = q_triad_census(spark, sf_dir).collect()[0]
+        k4 = q_k4_cliques(spark, sf_dir).agg(F.sum("k4")).collect()[0][0]
+        gini = q_gini_degree(spark, sf_dir).collect()[0]["gini_r"]
+        return {
+            "triad_paths": int(tc["path"]),
+            "triad_triangles": int(tc["triangle"]),
+            "k4_total": int(k4) // 4,
+            "degree_gini": float(gini),
+        }
+
+    def _tpch_classics():
+        # classic star-schema joins with exact integer-cent revenue +
+        # the LT influence cascade (all-integer activation algebra)
+        from polar_spark.operators.analytics_queries import (
+            q_cascade_lt,
+            q_q3_shipping,
+            q_q5_local_volume,
+            q_q10_returned,
+        )
+
+        q3 = q_q3_shipping(spark, sf_dir).collect()
+        q5 = q_q5_local_volume(spark, sf_dir).collect()
+        q10 = q_q10_returned(spark, sf_dir).collect()
+        reach = q_cascade_lt(spark, sf_dir).count()
+        return {
+            "q3_top_revenue_e4": int(q3[0]["revenue_e4"]) if q3 else 0,
+            "q5_nations": len(q5),
+            "q10_rows": len(q10),
+            "cascade_reach": int(reach),
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -522,6 +563,8 @@ def main() -> None:
         ("round5_text_ops", _round5_text, 1),
         ("round5_graph_ops", _round5_graph, 1),
         ("round5_session3_ops", _round5_session3, min(REPS, 2)),
+        ("motif_census", _motif_census, 1),
+        ("tpch_classics", _tpch_classics, min(REPS, 2)),
     ]
 
     draws: dict[str, list[float]] = {name: [] for name, _f, _r in sections}
