@@ -9493,12 +9493,217 @@ def _cascade_lt_sql(rounds: int = 4) -> str:
     )
 
 
+def q_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-diameter curve of the demand graph via ANF: for h =
+    1..4, the total approximate neighborhood mass Σ_v |ball(v, h)| from
+    the deterministic FM sketch, plus the 90 %-threshold flag — the
+    smallest flagged h IS the effective diameter (Leskovec et al.'s
+    shrinking-diameter diagnostic).  Per-vertex estimates are fixed to
+    BIGINT micro-units before summation (order-independent), and the
+    0.9 threshold is the INTEGER compare 10·reach ≥ 9·final — no float
+    boundary can flip cross-engine.  Report shape: one anf() run per h
+    here; at scale the per-round curve rides a single run's round
+    snapshots."""
+    e = demand_edges(spark, sf_dir)
+    rows = []
+    for h in (1, 2, 3, 4):
+        est, _stats = pregel.anf(e, rounds=h, replicas=8, seed=1)
+        tot = est.agg(
+            F.sum(F.expr("CAST(ROUND(est * 1000000) AS BIGINT)")).alias("m")
+        ).collect()[0]["m"]
+        rows.append((h, int(tot)))
+    final = rows[-1][1]
+    return spark.createDataFrame(
+        [(h, t, 10 * t >= 9 * final) for h, t in rows],
+        "h int, reach_micro long, within_90pct boolean",
+    ).orderBy("h")
+
+
+def _eff_diameter_sql(rounds: int = 4, replicas: int = 8, seed: int = 1) -> str:
+    # identical register chain to _anf_sql (demand graph), with a
+    # per-round micro-unit total instead of the final-round per-id view
+    parts = [
+        "e AS MATERIALIZED (SELECT src, dst FROM ("
+        "SELECT DISTINCT o_custkey AS src, l_suppkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) "
+        "WHERE src != dst)",
+        "verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        f"js AS (SELECT UNNEST(range({replicas})) AS j)",
+        f"""m AS (SELECT id, CAST(j AS INT) AS j,
+              (v.id * 2654435761 + j * 97 + {seed}) % 2147483648 AS x0
+            FROM verts v CROSS JOIN js)""",
+        "m1 AS (SELECT id, j, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM m)",
+        "m2 AS (SELECT id, j, xor(x1, x1 >> 17) AS h FROM m1)",
+        "r0 AS MATERIALIZED (SELECT id, j, "
+        "CAST(1 AS BIGINT) << LEAST(bit_count(((h & -h) - 1)), 62) AS reg FROM m2)",
+    ]
+    est = (
+        "POW(2.0, AVG(CAST(bit_count((((~reg) & (reg + 1)) - 1)) AS DOUBLE)))"
+        " / 0.77351"
+    )
+    sums = []
+    for i in range(rounds):
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT e.src AS id, r.j, bit_or(r.reg) AS nreg "
+            f"FROM e JOIN r{i} r ON r.id = e.dst GROUP BY e.src, r.j)"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT r.id, r.j, "
+            f"r.reg | COALESCE(n.nreg, 0) AS reg "
+            f"FROM r{i} r LEFT JOIN n{i} n ON n.id = r.id AND n.j = r.j)"
+        )
+        parts.append(
+            f"s{i + 1} AS (SELECT CAST(SUM(CAST(ROUND(est * 1000000) AS BIGINT)) AS BIGINT)"
+            f" AS reach FROM (SELECT id, {est} AS est FROM r{i + 1} GROUP BY id))"
+        )
+        sums.append(
+            f"SELECT {i + 1} AS h, (SELECT reach FROM s{i + 1}) AS reach_micro,"
+            f" 10 * (SELECT reach FROM s{i + 1}) >= 9 * (SELECT reach FROM s{rounds})"
+            f" AS within_90pct"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(sums)
+        + "\nORDER BY h"
+    )
+
+
+def q_densification_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densification curve of the co-order graph: per order-month, the
+    NEW edges (part pairs first co-ordered that month) and NEW vertices
+    (parts in their first co-order edge), with running totals — the
+    Leskovec densification-law audit (is |E| growing superlinearly in
+    |V|?) every growing link graph should track.  First-appearance is
+    one groupBy-MIN per entity; the cumulative window runs over ≤ the
+    number of months, never the data."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    op = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"), "ym")
+        .distinct()
+    )
+    a_, b_ = op.alias("a"), op.alias("b")
+    efirst = (
+        a_.join(b_, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(
+            F.col("a.p").alias("src"), F.col("b.p").alias("dst"), F.col("a.ym").alias("ym")
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("ym").alias("first_ym"))
+    )
+    vfirst = (
+        efirst.select(F.col("src").alias("id"), "first_ym")
+        .unionByName(efirst.select(F.col("dst").alias("id"), "first_ym"))
+        .groupBy("id")
+        .agg(F.min("first_ym").alias("first_ym"))
+    )
+    em = efirst.groupBy(F.col("first_ym").alias("ym")).agg(
+        F.count("*").alias("new_edges")
+    )
+    vm = vfirst.groupBy(F.col("first_ym").alias("ym")).agg(
+        F.count("*").alias("new_vertices")
+    )
+    w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        em.join(vm, "ym", "full")
+        .na.fill(0)
+        .select(
+            F.col("ym").cast("int"),
+            F.col("new_edges").cast("long"),
+            F.col("new_vertices").cast("long"),
+            F.sum("new_edges").over(w).cast("long").alias("cum_edges"),
+            F.sum("new_vertices").over(w).cast("long").alias("cum_vertices"),
+        )
+        .orderBy("ym")
+    )
+
+
+_DENSIFICATION_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p,
+                   CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS ym
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+efirst AS (SELECT a.p AS src, b.p AS dst, MIN(a.ym) AS first_ym
+           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+vfirst AS (SELECT id, MIN(first_ym) AS first_ym FROM (
+             SELECT src AS id, first_ym FROM efirst
+             UNION ALL SELECT dst, first_ym FROM efirst) GROUP BY id),
+em AS (SELECT first_ym AS ym, COUNT(*) AS new_edges FROM efirst GROUP BY 1),
+vm AS (SELECT first_ym AS ym, COUNT(*) AS new_vertices FROM vfirst GROUP BY 1)
+SELECT CAST(COALESCE(em.ym, vm.ym) AS INT) AS ym,
+       CAST(COALESCE(new_edges, 0) AS BIGINT) AS new_edges,
+       CAST(COALESCE(new_vertices, 0) AS BIGINT) AS new_vertices,
+       CAST(SUM(COALESCE(new_edges, 0)) OVER (ORDER BY COALESCE(em.ym, vm.ym)) AS BIGINT) AS cum_edges,
+       CAST(SUM(COALESCE(new_vertices, 0)) OVER (ORDER BY COALESCE(em.ym, vm.ym)) AS BIGINT) AS cum_vertices
+FROM em FULL JOIN vm ON vm.ym = em.ym
+ORDER BY ym
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability profile: sentence / word / vowel-group
+    counts and the two Flesch-family ratios in exact integer milli
+    units (words per sentence, vowel-groups-as-syllables per word) —
+    the curation feature that separates prose from boilerplate.  Pure
+    map over the corpus, zero shuffles, all JVM regex expressions."""
+    docs = load_table(spark, "documents", sf_dir)
+    sents = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    ).cast("long")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    vgroups = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        sents.alias("n_sentences"),
+        words.alias("n_words"),
+        vgroups.alias("n_vowel_groups"),
+    ).select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_vowel_groups",
+        F.expr("n_words * 1000 DIV GREATEST(n_sentences, 1)").alias(
+            "words_per_sent_milli"
+        ),
+        F.expr("n_vowel_groups * 1000 DIV GREATEST(n_words, 1)").alias(
+            "syll_per_word_milli"
+        ),
+    )
+
+
+_READABILITY_SQL = r"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                       s -> LENGTH(TRIM(s)) > 0)) AS BIGINT) AS n_sentences,
+                  CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS BIGINT) AS n_vowel_groups
+           FROM documents)
+SELECT doc_id, n_sentences, n_words, n_vowel_groups,
+       CAST(n_words * 1000 // GREATEST(n_sentences, 1) AS BIGINT) AS words_per_sent_milli,
+       CAST(n_vowel_groups * 1000 // GREATEST(n_words, 1) AS BIGINT) AS syll_per_word_milli
+FROM t
+"""
+
+
 ORACLES.update(
     {
         "q3_shipping": _Q3_SQL,
         "q5_local_volume": _Q5_SQL,
         "q10_returned": _Q10_SQL,
         "cascade_lt": _cascade_lt_sql(),
+        "eff_diameter": _eff_diameter_sql(),
+        "densification_curve": _DENSIFICATION_SQL,
+        "readability": _READABILITY_SQL,
     }
 )
 QUERIES.update(
@@ -9507,6 +9712,9 @@ QUERIES.update(
         "q5_local_volume": q_q5_local_volume,
         "q10_returned": q_q10_returned,
         "cascade_lt": q_cascade_lt,
+        "eff_diameter": q_eff_diameter,
+        "densification_curve": q_densification_curve,
+        "readability": q_readability,
     }
 )
 
@@ -9550,6 +9758,7 @@ _ROUND5_PRIORITY = [
     "percolation_profile", "neardup_clusters", "triad_census", "heaps_curve",
     "gini_degree", "k4_cliques", "source_dup_matrix", "tok_fertility",
     "q3_shipping", "q5_local_volume", "q10_returned", "cascade_lt",
+    "eff_diameter", "densification_curve", "readability",
     "msf_copart", "dag_paths", "dag_levels", "louvain_move1",
     "random_walks_biased3", "semdedup8", "seq_packing", "cm_heavy_hitters",
     "fm_distinct_parts", "bloom_prune", "skew_report", "betweenness_w3",

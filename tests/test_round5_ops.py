@@ -697,3 +697,43 @@ def test_cascade_lt_monotone_from_seeds(spark):
         for v in by_round[rnd]:
             assert adj.get(v, set()) & active_before, (rnd, v)
         active_before |= by_round[rnd]
+
+
+# --------------------------------------- eff diameter / densification / readability
+
+
+def test_eff_diameter_monotone(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["eff_diameter"](spark, SF).collect()
+    assert [r["h"] for r in rows] == [1, 2, 3, 4]
+    reach = [r["reach_micro"] for r in rows]
+    assert reach == sorted(reach)  # neighborhood mass only grows with h
+    assert rows[-1]["within_90pct"]  # the final hop is trivially within 90%
+    # flags are monotone: once within 90%, stays within
+    flags = [r["within_90pct"] for r in rows]
+    assert flags == sorted(flags)
+
+
+def test_densification_curve_cumulative(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, coorder_edges
+
+    rows = QUERIES["densification_curve"](spark, SF).collect()
+    assert rows == sorted(rows, key=lambda r: r["ym"])
+    assert sum(r["new_edges"] for r in rows) == rows[-1]["cum_edges"]
+    assert sum(r["new_vertices"] for r in rows) == rows[-1]["cum_vertices"]
+    # the curve's totals equal the static co-order graph
+    und = coorder_edges(spark, SF)
+    assert rows[-1]["cum_edges"] == und.count()
+
+
+def test_readability_bounds(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["readability"](spark, SF).collect()
+    assert len(rows) == load_table(spark, "documents", SF).count()
+    for r in rows:
+        assert r["n_sentences"] >= 0 and r["n_words"] > 0
+        assert r["syll_per_word_milli"] >= 0
+        if r["n_sentences"] > 0:
+            assert r["words_per_sent_milli"] >= 1000 // max(r["n_sentences"], 1)
