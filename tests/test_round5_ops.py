@@ -737,3 +737,53 @@ def test_readability_bounds(spark):
         assert r["syll_per_word_milli"] >= 0
         if r["n_sentences"] > 0:
             assert r["words_per_sent_milli"] >= 1000 // max(r["n_sentences"], 1)
+
+
+# ------------------------------- containment / calibration / attack tolerance
+
+
+def test_containment_brackets_jaccard(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["containment_pairs"](spark, SF).collect()
+    for r in rows:
+        assert 0 < max(r["cont_a_ppm"], r["cont_b_ppm"]) <= 1000000
+        # containment of the smaller side is >= 40% by the filter
+        assert max(r["cont_a_ppm"], r["cont_b_ppm"]) >= 400000
+    # every exact-jaccard >= 0.4 pair must appear (containment >= jaccard)
+    jacc = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["exact_jaccard_pairs"](spark, SF).collect()
+        if r["jaccard_r"] >= 0.4
+    }
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert jacc <= got
+
+
+def test_minhash_calibration_sane(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["minhash_calibration"](spark, SF).collect()
+    assert sum(r["n_pairs"] for r in rows) == len(
+        QUERIES["minhash_pairs"](spark, SF).collect()
+    )
+    for r in rows:
+        assert 0 <= r["band"] <= 10
+        assert 0 <= r["pooled_est_ppm"] <= 1000000
+        assert 0 <= r["pooled_exact_ppm"] <= 1000000
+    # pooled estimates are ordered with their bands
+    ests = [r["pooled_est_ppm"] for r in sorted(rows, key=lambda r: r["band"])]
+    assert ests == sorted(ests)
+
+
+def test_attack_tolerance_monotone(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["attack_tolerance"](spark, SF).collect()
+    assert [r["k"] for r in rows] == [0, 10, 50, 100]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_edges"] <= a["n_edges"]
+        assert b["n_vertices"] <= a["n_vertices"]
+        assert b["giant"] <= a["giant"]
+    for r in rows:
+        assert r["giant"] <= r["n_vertices"]
