@@ -9976,6 +9976,227 @@ QUERIES.update(
 )
 
 
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between NATION_0 and
+    NATION_1 — revenue per (supplier nation, customer nation, year) for
+    the two cross directions, 1996–1998.  Same exact integer-cent
+    revenue discipline as Q3/Q5; the nation-pair predicate collapses to
+    two broadcast semi-filters."""
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    ).where(F.col("yr").between(1996, 1998))
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(
+            ((F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1"))
+            | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
+        )
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.expr(f"SUM({_REV_SPARK})").alias("revenue_e4"))
+        .select("supp_nation", "cust_nation", F.col("yr").cast("int"), "revenue_e4")
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+_Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(YEAR(o_orderdate) AS INT) AS yr,
+       CAST(SUM({_REV_DUCK}) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE ((sn.n_name = 'NATION_0' AND cn.n_name = 'NATION_1')
+    OR (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_0'))
+  AND YEAR(o_orderdate) BETWEEN 1996 AND 1998
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 essence on this schema (no shipmode column): per order
+    priority, line items shipped more than 90 days after the order date
+    — the SLA-breach profile, with the breach rate in exact integer
+    ppm.  One fact-fact join, one aggregate; the date math is integer
+    day arithmetic on both engines."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(
+                (
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+                ).cast("long")
+            ).alias("n_late"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            "n_late",
+            F.expr("n_late * 1000000 DIV n_lines").alias("late_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q12_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 120 units, with customer and exact centi-unit totals —
+    HAVING pushdown + the order-level semi-join back to detail.  Top-20
+    by quantity with deterministic tie-break."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)").alias("qc")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qc").alias("total_qty_c"))
+        .where(F.col("total_qty_c") > 12000)
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long"),
+            "c_name",
+            F.col("l_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "total_qty_c",
+        )
+        .orderBy(F.desc("total_qty_c"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 12000)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(big.l_orderkey AS BIGINT) AS o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       total_qty_c
+FROM big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty_c DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction (exact ppm) of a
+    document's distinct 3-grams whose FIRST corpus occurrence (by
+    doc_id order) is this document — the marginal-information score a
+    dedup-aware curation pass ranks on (near-1.0 = fresh content,
+    near-0 = recombined boilerplate).  One global groupBy(gram) MIN +
+    one per-doc aggregate — same first-occurrence shape as
+    ``heaps_curve``, so it scales the same way."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w")
+    )
+    a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
+    grams = (
+        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("b.i") == F.col("a.i") + 1))
+        .join(c, (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.i") == F.col("a.i") + 2))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", F.col("a.w"), F.col("b.w"), F.col("c.w")).alias("g"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("first_id") == F.col("doc_id")).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("n_novel * 1000000 DIV n_grams").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NOVELTY_SQL = r"""
+WITH toks AS (SELECT doc_id,
+                     generate_subscripts(regexp_split_to_array(TRIM(text), '\s+'), 1) AS i,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+              FROM documents),
+grams AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+          FROM toks a
+          JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+first AS (SELECT g, MIN(doc_id) AS first_id FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_id = grams.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first_id = grams.doc_id THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM grams JOIN first ON first.g = grams.g
+GROUP BY grams.doc_id ORDER BY grams.doc_id
+"""
+
+
+ORACLES.update(
+    {
+        "q7_nation_volume": _Q7_SQL,
+        "late_shipments": _Q12_SQL,
+        "q18_large_orders": _Q18_SQL,
+        "novelty": _NOVELTY_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "q7_nation_volume": q_q7_nation_volume,
+        "late_shipments": q_late_shipments,
+        "q18_large_orders": q_q18_large_orders,
+        "novelty": q_novelty,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -10017,6 +10238,7 @@ _ROUND5_PRIORITY = [
     "q3_shipping", "q5_local_volume", "q10_returned", "cascade_lt",
     "eff_diameter", "densification_curve", "readability",
     "containment_pairs", "minhash_calibration", "attack_tolerance",
+    "q7_nation_volume", "late_shipments", "q18_large_orders", "novelty",
     "msf_copart", "dag_paths", "dag_levels", "louvain_move1",
     "random_walks_biased3", "semdedup8", "seq_packing", "cm_heavy_hitters",
     "fm_distinct_parts", "bloom_prune", "skew_report", "betweenness_w3",

@@ -787,3 +787,51 @@ def test_attack_tolerance_monotone(spark):
         assert b["giant"] <= a["giant"]
     for r in rows:
         assert r["giant"] <= r["n_vertices"]
+
+
+# --------------------------------------- Q7/Q12/Q18 / novelty
+
+
+def test_q7_bilateral_directions(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["q7_nation_volume"](spark, SF).collect()
+    for r in rows:
+        assert {r["supp_nation"], r["cust_nation"]} == {"NATION_0", "NATION_1"}
+        assert 1996 <= r["yr"] <= 1998
+        assert r["revenue_e4"] > 0
+
+
+def test_late_shipments_partition(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["late_shipments"](spark, SF).collect()
+    total = sum(r["n_lines"] for r in rows)
+    assert total == load_table(spark, "lineitem", SF).count()
+    for r in rows:
+        assert 0 <= r["n_late"] <= r["n_lines"]
+        assert 0 <= r["late_ppm"] <= 1000000
+
+
+def test_q18_threshold_and_order(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["q18_large_orders"](spark, SF).collect()
+    assert len(rows) <= 20
+    qtys = [r["total_qty_c"] for r in rows]
+    assert qtys == sorted(qtys, reverse=True)
+    assert all(q > 12000 for q in qtys)
+
+
+def test_novelty_conservation(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["novelty"](spark, SF).collect()
+    # the first document is 100% novel by definition
+    first = min(rows, key=lambda r: r["doc_id"])
+    assert first["novelty_ppm"] == 1000000
+    # total novel grams across docs == global distinct gram count
+    n_novel = sum(r["n_novel"] for r in rows)
+    assert n_novel <= sum(r["n_grams"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"]
