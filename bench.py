@@ -555,7 +555,9 @@ def main() -> None:
         ("seq_packing", _packing, min(REPS, 2)),
         ("cm_heavy_hitters", _cm_sketch, min(REPS, 2)),
         ("corpus_curation", _curation, min(REPS, 2)),
-        ("stream_scenarios", _stream_scenarios, 1),
+        # best-of-2: the first streaming draw pays query/trigger JIT
+        # warm-up (9k cold vs 32k warm msgs/s measured standalone)
+        ("stream_scenarios", _stream_scenarios, min(REPS, 2)),
         ("dag_path_counts", _dag_paths, min(REPS, 2)),
         ("louvain_move_full", _louvain, min(REPS, 2)),
         ("louvain_multilevel", _louvain_full, 1),
