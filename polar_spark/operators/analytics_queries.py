@@ -10197,6 +10197,154 @@ QUERIES.update(
 )
 
 
+def q_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): per 1998 month, PROMO-type revenue
+    vs total revenue with the share in exact integer ppm — the
+    campaign-effect monitor.  The part dimension joins on partkey (left
+    to AQE: broadcast at bench scale, shuffle at 100 TB where part is
+    fact-sized); revenue stays in exact integer micro-units end to
+    end."""
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    ).where((F.col("ym") >= 199801) & (F.col("ym") <= 199812))
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("ym")
+        .agg(
+            F.expr(f"SUM({_REV_SPARK})").alias("total_rev_e4"),
+            F.expr(
+                f"SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SPARK} ELSE CAST(0 AS BIGINT) END)"
+            ).alias("promo_rev_e4"),
+        )
+        .select(
+            F.col("ym").cast("int"),
+            "promo_rev_e4",
+            "total_rev_e4",
+            F.expr("promo_rev_e4 * 1000000 DIV total_rev_e4").alias("promo_ppm"),
+        )
+        .orderBy("ym")
+    )
+
+
+_Q14_SQL = f"""
+SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS ym,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_DUCK} ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+       CAST(SUM({_REV_DUCK}) AS BIGINT) AS total_rev_e4,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_DUCK} ELSE 0 END) * 1000000
+            // SUM({_REV_DUCK}) AS BIGINT) AS promo_ppm
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE YEAR(o_orderdate) = 1998
+GROUP BY 1 ORDER BY ym
+"""
+
+
+def q_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): per (brand, type), how
+    many parts and how many DISTINCT suppliers ship them — the sourcing
+    diversity report.  Supply pairs come from lineitem (this schema has
+    no partsupp table); two count-distincts in one aggregate."""
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_type")
+    pairs = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        )
+        .orderBy("p_brand", "p_type")
+    )
+
+
+_Q16_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM pairs JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): per nation, customers with
+    above-average positive account balance and no orders since
+    1999-01-01 (the "recent window" that makes the opportunity set
+    non-empty at TPC-H order densities — every customer has SOME
+    historical order).  The
+    average compare is the INTEGER cross-multiplication
+    cents·n_pos > sum_pos_cents (no float average can flip a boundary
+    customer cross-engine); the no-orders test is one anti-join."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("bal_c"),
+    )
+    pos = cust.where(F.col("bal_c") > 0).agg(
+        F.count("*").alias("n_pos"), F.sum("bal_c").alias("sum_pos")
+    ).collect()[0]
+    n_pos, sum_pos = int(pos["n_pos"]), int(pos["sum_pos"])
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.where(F.col("bal_c") * n_pos > sum_pos)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_custs"),
+            F.sum("bal_c").cast("long").alias("total_bal_c"),
+        )
+        .select(F.col("c_nationkey").cast("long"), "n_custs", "total_bal_c")
+        .orderBy("c_nationkey")
+    )
+
+
+_Q22_SQL = """
+WITH cb AS (SELECT c_custkey, c_nationkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+            FROM customer),
+pos AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos, CAST(SUM(bal_c) AS BIGINT) AS sum_pos
+        FROM cb WHERE bal_c > 0)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+FROM cb, pos
+WHERE bal_c * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = cb.c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES.update(
+    {
+        "q14_promo_ratio": _Q14_SQL,
+        "q16_supplier_counts": _Q16_SQL,
+        "q22_idle_rich": _Q22_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "q14_promo_ratio": q_q14_promo_ratio,
+        "q16_supplier_counts": q_q16_supplier_counts,
+        "q22_idle_rich": q_q22_idle_rich,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -10239,6 +10387,7 @@ _ROUND5_PRIORITY = [
     "eff_diameter", "densification_curve", "readability",
     "containment_pairs", "minhash_calibration", "attack_tolerance",
     "q7_nation_volume", "late_shipments", "q18_large_orders", "novelty",
+    "q14_promo_ratio", "q16_supplier_counts", "q22_idle_rich",
     "msf_copart", "dag_paths", "dag_levels", "louvain_move1",
     "random_walks_biased3", "semdedup8", "seq_packing", "cm_heavy_hitters",
     "fm_distinct_parts", "bloom_prune", "skew_report", "betweenness_w3",

@@ -835,3 +835,49 @@ def test_novelty_conservation(spark):
     assert n_novel <= sum(r["n_grams"] for r in rows)
     for r in rows:
         assert 0 <= r["n_novel"] <= r["n_grams"]
+
+
+# --------------------------------------- Q14 / Q16 / Q22
+
+
+def test_q14_ratio_bounds(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["q14_promo_ratio"](spark, SF).collect()
+    for r in rows:
+        assert 199801 <= r["ym"] <= 199812
+        assert 0 <= r["promo_rev_e4"] <= r["total_rev_e4"]
+        assert 0 <= r["promo_ppm"] <= 1000000
+
+
+def test_q16_counts_consistent(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q16_supplier_counts"](spark, SF).collect()
+    # per-category part totals can't exceed the catalog size, and the
+    # category breakdown partitions the supplied parts
+    n_supplied = (
+        load_table(spark, "lineitem", SF).select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows) == n_supplied
+    n_supp = load_table(spark, "supplier", SF).count()
+    assert all(0 < r["n_suppliers"] <= n_supp for r in rows)
+
+
+def test_q22_idle_rich_semantics(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q22_idle_rich"](spark, SF).collect()
+    cust = load_table(spark, "customer", SF)
+    orders = (
+        load_table(spark, "orders", SF)
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    idle = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").count()
+    assert sum(r["n_custs"] for r in rows) <= idle
+    for r in rows:
+        assert r["n_custs"] > 0 and r["total_bal_c"] > 0
