@@ -10345,6 +10345,187 @@ QUERIES.update(
 )
 
 
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: the exact share (integer ppm) of
+    total lifetime revenue captured by the top 1 % and top 10 % of
+    customers — the whale-curve number a marketplace health report
+    leads with.  Top-k selection is a distributed ORDER BY ... LIMIT k
+    with the deterministic (revenue DESC, custkey) tie-break; revenue
+    stays in exact integer micro-units throughout, so both shares are
+    pure integer arithmetic."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir)
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.expr(f"SUM({_REV_SPARK})").alias("rev"))
+        .persist()
+    )
+    agg = per_cust.agg(F.count("*").alias("n"), F.sum("rev").alias("tot")).collect()[0]
+    n, tot = int(agg["n"]), int(agg["tot"])
+    shares = []
+    for pct in (1, 10):
+        k = max(n * pct // 100, 1)
+        top = (
+            per_cust.orderBy(F.desc("rev"), "o_custkey")
+            .limit(k)
+            .agg(F.sum("rev"))
+            .collect()[0][0]
+        )
+        shares.append((pct, k, int(top), int(top) * 1000000 // tot))
+    per_cust.unpersist()
+    return spark.createDataFrame(
+        shares, "top_pct int, k_customers long, top_rev_e4 long, share_ppm long"
+    ).orderBy("top_pct")
+
+
+_REV_CONC_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, CAST(SUM({_REV_DUCK}) AS BIGINT) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev) AS BIGINT) AS t FROM per_cust),
+ranked AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk FROM per_cust)
+SELECT p.top_pct,
+       CAST(GREATEST(t.n * p.top_pct // 100, 1) AS BIGINT) AS k_customers,
+       (SELECT CAST(SUM(rev) AS BIGINT) FROM ranked
+        WHERE rk <= GREATEST(t.n * p.top_pct // 100, 1)) AS top_rev_e4,
+       (SELECT CAST(SUM(rev) * 1000000 // t.t AS BIGINT) FROM ranked
+        WHERE rk <= GREATEST(t.n * p.top_pct // 100, 1)) AS share_ppm
+FROM (SELECT CAST(UNNEST([1, 10]) AS INT) AS top_pct) p, tot t
+ORDER BY p.top_pct
+"""
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order cadence per customer: number of orders, median and
+    maximum day-gap between consecutive orders — the churn-risk
+    cadence feature.  The lag window is PARTITIONED by customer (never
+    a global sort); the median is computed on 2×-scaled integer days so
+    even-count interpolation lands on an exact integer (the mad_outliers
+    micro-unit lesson).  Customers with < 2 orders are excluded (no
+    gap is defined)."""
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lag("o_orderdate").over(
+                    Window.partitionBy("o_custkey").orderBy("o_orderdate")
+                ),
+            ).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            (F.count("*") + 1).cast("long").alias("n_orders"),
+            F.expr("CAST(percentile(gap * 2, 0.5) AS BIGINT)").alias("median_gap_x2"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+        )
+        .select(
+            F.col("o_custkey").cast("long"),
+            "n_orders",
+            "median_gap_x2",
+            "max_gap_days",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_ORDER_GAPS_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day', LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+                   o_orderdate) AS gap
+  FROM orders),
+gg AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+       CAST(MEDIAN(gap * 2) AS BIGINT) AS median_gap_x2,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days
+FROM gg GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def q_degree_core_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between degree and core number on the demand
+    graph — the one-number audit of whether hubs actually sit in the
+    dense core (they can be star centers with low coreness).  All five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64
+    sums; the final r is one deterministic IEEE expression over them,
+    rounded to 9."""
+    e = demand_edges(spark, sf_dir).where(F.col("src") != F.col("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("x"))
+    core, _stats = pregel.core_numbers(e)
+    joined = deg.join(core.select("id", F.col("core").alias("y")), "id")
+    s = joined.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            9,
+        ).alias("pearson_r"),
+    )
+
+
+def _degree_core_corr_sql() -> str:
+    return f"""
+WITH core AS ({_coreness_sql(20)}),
+undc AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_custkey != l_suppkey),
+ec AS (SELECT src, dst FROM undc UNION SELECT dst, src FROM undc),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS x FROM ec GROUP BY src),
+j AS (SELECT deg.x, core.core AS y FROM deg JOIN core ON core.id = deg.id),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM j)
+SELECT n, sx, sy,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS pearson_r
+FROM s
+"""
+
+
+ORACLES.update(
+    {
+        "revenue_concentration": _REV_CONC_SQL,
+        "order_gaps": _ORDER_GAPS_SQL,
+        "degree_core_corr": _degree_core_corr_sql(),
+    }
+)
+QUERIES.update(
+    {
+        "revenue_concentration": q_revenue_concentration,
+        "order_gaps": q_order_gaps,
+        "degree_core_corr": q_degree_core_corr,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -10388,6 +10569,7 @@ _ROUND5_PRIORITY = [
     "containment_pairs", "minhash_calibration", "attack_tolerance",
     "q7_nation_volume", "late_shipments", "q18_large_orders", "novelty",
     "q14_promo_ratio", "q16_supplier_counts", "q22_idle_rich",
+    "revenue_concentration", "order_gaps", "degree_core_corr",
     "msf_copart", "dag_paths", "dag_levels", "louvain_move1",
     "random_walks_biased3", "semdedup8", "seq_packing", "cm_heavy_hitters",
     "fm_distinct_parts", "bloom_prune", "skew_report", "betweenness_w3",

@@ -881,3 +881,46 @@ def test_q22_idle_rich_semantics(spark):
     assert sum(r["n_custs"] for r in rows) <= idle
     for r in rows:
         assert r["n_custs"] > 0 and r["total_bal_c"] > 0
+
+
+# -------------------------- revenue concentration / order gaps / degree-core
+
+
+def test_revenue_concentration_shape(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = {r["top_pct"]: r for r in QUERIES["revenue_concentration"](spark, SF).collect()}
+    assert set(rows) == {1, 10}
+    # more customers capture more revenue, and shares are valid ppm
+    assert rows[10]["share_ppm"] >= rows[1]["share_ppm"]
+    assert rows[10]["k_customers"] >= rows[1]["k_customers"]
+    for r in rows.values():
+        assert 0 < r["share_ppm"] <= 1000000
+        # top-p% must capture at least p% of revenue (by definition of top)
+        assert r["share_ppm"] >= r["top_pct"] * 10000
+
+
+def test_order_gaps_consistency(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["order_gaps"](spark, SF).collect()
+    multi = (
+        load_table(spark, "orders", SF)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .count()
+    )
+    assert len(rows) == multi
+    for r in rows:
+        assert r["n_orders"] >= 2
+        assert 0 <= r["median_gap_x2"] <= 2 * r["max_gap_days"]
+
+
+def test_degree_core_corr_range(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    r = QUERIES["degree_core_corr"](spark, SF).collect()[0]
+    assert -1.0 <= r["pearson_r"] <= 1.0
+    assert r["n"] > 0
