@@ -10526,6 +10526,88 @@ QUERIES.update(
 )
 
 
+def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row profile card of the co-order graph — the summary every
+    other graph query's docstring assumes: vertices, edges, density
+    (exact ppm), max/mean degree (milli), triangle total, global
+    clustering coefficient (ppm, from the same integer wedge/triangle
+    counts as triad_census), component count and giant-component share
+    (ppm).  Pure composition of the scale-shaped primitives; every
+    ratio is integer-derived so the row is hash-stable."""
+    und = coorder_edges(spark, sf_dir).persist()
+    sym = _sym(und)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    stats = deg.agg(
+        F.count("*").alias("n"),
+        F.max("d").alias("dmax"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("w"),
+    ).collect()[0]
+    n, dmax, wedges = int(stats["n"]), int(stats["dmax"]), int(stats["w"])
+    m = und.count()
+    _pv, tri = pregel.triangle_count(und)
+    comps, _s = pregel.connected_components(und)
+    csz = (
+        comps.groupBy("comp")
+        .agg(F.count("*").alias("s"))
+        .agg(F.count("*").alias("nc"), F.max("s").alias("giant"))
+        .collect()[0]
+    )
+    und.unpersist()
+    row = (
+        n,
+        m,
+        m * 2000000 // (n * (n - 1)),
+        dmax,
+        2 * m * 1000 // n,
+        tri,
+        (3 * tri * 1000000 // wedges) if wedges else 0,
+        int(csz["nc"]),
+        int(csz["giant"]) * 1000000 // n,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vertices long, n_edges long, density_ppm long, max_degree long, "
+        "mean_degree_milli long, triangles long, global_cc_ppm long, "
+        "n_components long, giant_share_ppm long",
+    )
+
+
+_GRAPH_PROFILE_SQL = f"""
+WITH RECURSIVE {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(d) AS BIGINT) AS dmax,
+                CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w
+         FROM deg),
+m_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM und a JOIN und b ON b.src = a.src AND b.dst > a.dst
+        JOIN und c ON c.src = a.dst AND c.dst = b.dst),
+v AS (SELECT DISTINCT src AS id FROM e),
+r(id, comp) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id WHERE r.comp < e.dst),
+c AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM r GROUP BY id),
+cs AS (SELECT CAST(COUNT(DISTINCT comp) AS BIGINT) AS nc,
+              CAST(MAX(s) AS BIGINT) AS giant
+       FROM (SELECT comp, COUNT(*) AS s FROM c GROUP BY comp))
+SELECT n AS n_vertices, m AS n_edges,
+       m * 2000000 // (n * (n - 1)) AS density_ppm,
+       dmax AS max_degree,
+       2 * m * 1000 // n AS mean_degree_milli,
+       t AS triangles,
+       CASE WHEN w > 0 THEN 3 * t * 1000000 // w ELSE 0 END AS global_cc_ppm,
+       nc AS n_components,
+       giant * 1000000 // n AS giant_share_ppm
+FROM base, m_, tri, cs
+"""
+
+
+ORACLES.update({"graph_profile": _GRAPH_PROFILE_SQL})
+QUERIES.update({"graph_profile": q_graph_profile})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -10570,6 +10652,7 @@ _ROUND5_PRIORITY = [
     "q7_nation_volume", "late_shipments", "q18_large_orders", "novelty",
     "q14_promo_ratio", "q16_supplier_counts", "q22_idle_rich",
     "revenue_concentration", "order_gaps", "degree_core_corr",
+    "graph_profile",
     "msf_copart", "dag_paths", "dag_levels", "louvain_move1",
     "random_walks_biased3", "semdedup8", "seq_packing", "cm_heavy_hitters",
     "fm_distinct_parts", "bloom_prune", "skew_report", "betweenness_w3",

@@ -924,3 +924,15 @@ def test_degree_core_corr_range(spark):
     r = QUERIES["degree_core_corr"](spark, SF).collect()[0]
     assert -1.0 <= r["pearson_r"] <= 1.0
     assert r["n"] > 0
+
+
+def test_graph_profile_consistent_with_census(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    p = QUERIES["graph_profile"](spark, SF).collect()[0]
+    t = QUERIES["triad_census"](spark, SF).collect()[0]
+    assert p["n_vertices"] == t["n"] and p["n_edges"] == t["m"]
+    assert p["triangles"] == t["triangle"]
+    assert 0 < p["density_ppm"] <= 2000000
+    assert 0 <= p["giant_share_ppm"] <= 1000000
+    assert p["max_degree"] * p["n_vertices"] >= 2 * p["n_edges"] // 1  # dmax >= mean
