@@ -1495,17 +1495,16 @@ def q_kube_containers_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard ≥ 0.2 over the (bounded, ≤500-doc)
-    documents slice — the SQL-expressible ground truth that brackets the
-    MinHash-LSH rows-only queries (VERDICT r2 #8); recall vs this set is
-    pinned in tests/test_dedup.py."""
-    docs = load_table(spark, "documents", sf_dir)
+def doc_trigrams(docs: DataFrame) -> DataFrame:
+    """Distinct word 3-grams per document as (doc_id, g) — the shared
+    exact-ngram base of `exact_jaccard_pairs`, `containment_pairs`,
+    `minhash_calibration` and `novelty` (positional self-joins on the
+    whitespace tokenization; same gram text as the DuckDB oracles)."""
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w")
     )
     a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
-    grams = (
+    return (
         a.join(b, (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("b.i") == F.col("a.i") + 1))
         .join(c, (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.i") == F.col("a.i") + 2))
         .select(
@@ -1514,6 +1513,15 @@ def q_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def q_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ 0.2 over the (bounded, ≤500-doc)
+    documents slice — the SQL-expressible ground truth that brackets the
+    MinHash-LSH rows-only queries (VERDICT r2 #8); recall vs this set is
+    pinned in tests/test_dedup.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    grams = doc_trigrams(docs)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g"))
@@ -9729,19 +9737,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float surface.  Same bounded documents slice as
     ``exact_jaccard_pairs``."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w")
-    )
-    a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
-    grams = (
-        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("b.i") == F.col("a.i") + 1))
-        .join(c, (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.i") == F.col("a.i") + 2))
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.concat_ws(" ", F.col("a.w"), F.col("b.w"), F.col("c.w")).alias("g"),
-        )
-        .distinct()
-    )
+    grams = doc_trigrams(docs)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g"))
@@ -9806,19 +9802,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = minhash_pairs_arith(docs).select(
         "id_a", "id_b", F.expr("CAST(ROUND(est_j * 64) AS BIGINT)").alias("k")
     )
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w")
-    )
-    a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
-    grams = (
-        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("b.i") == F.col("a.i") + 1))
-        .join(c, (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.i") == F.col("a.i") + 2))
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.concat_ws(" ", F.col("a.w"), F.col("b.w"), F.col("c.w")).alias("g"),
-        )
-        .distinct()
-    )
+    grams = doc_trigrams(docs)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g"))
@@ -10129,19 +10113,7 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc aggregate — same first-occurrence shape as
     ``heaps_curve``, so it scales the same way."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w")
-    )
-    a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
-    grams = (
-        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("b.i") == F.col("a.i") + 1))
-        .join(c, (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.i") == F.col("a.i") + 2))
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.concat_ws(" ", F.col("a.w"), F.col("b.w"), F.col("c.w")).alias("g"),
-        )
-        .distinct()
-    )
+    grams = doc_trigrams(docs)
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
     return (
         grams.join(first, "g")
