@@ -10580,6 +10580,129 @@ ORACLES.update({"graph_profile": _GRAPH_PROFILE_SQL})
 QUERIES.update({"graph_profile": q_graph_profile})
 
 
+def q_hitting_time6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon-truncated expected hitting time to the 4 smallest
+    co-order vertices (pregel.hitting_time, 6 value-iteration rounds on
+    the absorbing walk): the random-walk proximity measure dual to
+    PageRank — "how many clicks from here to a hub" — used for
+    dependency-closeness ranking on link graphs.  The SQL oracle
+    unrolls the identical recursion; the single float surface is the
+    per-round mean, rounded 6 d.p. only at output (Parity rules)."""
+    sym = _sym(coorder_edges(spark, sf_dir))
+    targets = [
+        int(r["src"]) for r in sym.select("src").distinct().orderBy("src").limit(4).collect()
+    ]
+    out = pregel.hitting_time(sym, targets, n_iter=6)
+    return out.select("id", F.round("h", 6).alias("hit_r")).orderBy("id")
+
+
+def _hitting_sql(n_iter: int, n_targets: int) -> str:
+    parts = [
+        _COORDER_SQL.strip(),
+        _SYM_SQL,
+        "v AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        f"t AS (SELECT id FROM v ORDER BY id LIMIT {n_targets})",
+        "h0 AS (SELECT id, 0.0 AS h FROM v)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"s{i} AS (SELECT e.dst AS id, SUM(h{i - 1}.h) AS s "
+            f"FROM e JOIN h{i - 1} ON h{i - 1}.id = e.src GROUP BY e.dst)",
+            f"h{i} AS (SELECT v.id, CASE WHEN v.id IN (SELECT id FROM t) THEN 0.0 "
+            f"ELSE 1.0 + COALESCE(s{i}.s, 0) / v.deg END AS h "
+            f"FROM v LEFT JOIN s{i} USING (id))",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, ROUND(h, 6) AS hit_r FROM h{n_iter} ORDER BY id"""
+    )
+
+
+ORACLES.update({"hitting_time6": _hitting_sql(6, 4)})
+QUERIES.update({"hitting_time6": q_hitting_time6})
+
+
+def temporal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interaction edges (customer ↔ supplier, day): each
+    order line is a timestamped contact, traversable in both directions
+    at its day — the temporal-graph view of the order stream.  Supplier
+    ids are offset by 1,000,000 into a disjoint vertex space; t is
+    exact integer days since 1995-01-01 (no float parity surface)."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("long").alias("t"),
+        )
+        .distinct()
+    )
+    fwd = inter.select(
+        F.col("c").alias("src"), (F.lit(1_000_000) + F.col("s")).alias("dst"), "t"
+    )
+    bwd = inter.select(
+        (F.lit(1_000_000) + F.col("s")).alias("src"), F.col("c").alias("dst"), "t"
+    )
+    return fwd.unionByName(bwd)
+
+
+def q_temporal_reach4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest-arrival reachability from the 3
+    smallest customers (pregel.temporal_earliest_arrival, 4 relaxation
+    rounds): an edge (u, v, t) is traversable only if t ≥ arr(u) — the
+    "who could have been influenced by day X" query that static
+    reachability over-approximates (a path through an EARLIER contact
+    is not a causal path).  Exact integer arithmetic end-to-end; the
+    oracle replays the relaxation round-for-round."""
+    et = temporal_edges(spark, sf_dir)
+    seeds = [
+        int(r["src"])
+        for r in et.where(F.col("src") < 1_000_000)
+        .select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(3)
+        .collect()
+    ]
+    out = pregel.temporal_earliest_arrival(et, seeds, n_iter=4)
+    return out.select("id", "arr").orderBy("id")
+
+
+def _temporal_reach_sql(n_iter: int, n_seeds: int) -> str:
+    parts = [
+        "inter AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s, "
+        "date_diff('day', DATE '1995-01-01', o_orderdate) AS t "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "e AS (SELECT c AS src, 1000000 + s AS dst, t FROM inter "
+        "UNION ALL SELECT 1000000 + s, c, t FROM inter)",
+        f"seeds AS (SELECT DISTINCT src AS id FROM e WHERE src < 1000000 "
+        f"ORDER BY id LIMIT {n_seeds})",
+        "a0 AS (SELECT id, CAST(0 AS BIGINT) AS arr FROM seeds)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"c{i} AS (SELECT e.dst AS id, MIN(e.t) AS arr FROM e "
+            f"JOIN a{i - 1} ON a{i - 1}.id = e.src AND e.t >= a{i - 1}.arr "
+            f"GROUP BY e.dst)",
+            f"a{i} AS (SELECT id, MIN(arr) AS arr FROM "
+            f"(SELECT * FROM a{i - 1} UNION ALL SELECT * FROM c{i}) GROUP BY id)",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(arr AS BIGINT) AS arr FROM a{n_iter} ORDER BY id"""
+    )
+
+
+ORACLES.update({"temporal_reach4": _temporal_reach_sql(4, 3)})
+QUERIES.update({"temporal_reach4": q_temporal_reach4})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -10612,6 +10735,7 @@ _CHECKED_R3_R4 = [
 # the newest (never driver-checked anywhere), then the VERDICT r4
 # families
 _ROUND5_PRIORITY = [
+    "hitting_time6", "temporal_reach4",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
     "hll_users", "rrf_hybrid", "ppr_nibble", "disparity_backbone",
     "matryoshka_recall", "bigram_ppl", "label_spread3", "kcenter8",

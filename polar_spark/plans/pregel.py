@@ -4473,3 +4473,88 @@ def burt_constraint(
         F.col("c_scaled").cast("long").alias("c_scaled"),
         F.round(F.col("c_scaled").cast("double") / F.lit(float(scale)), 6).alias("c_r"),
     )
+
+
+def hitting_time(edges: DataFrame, targets: list[int], n_iter: int = 6) -> DataFrame:
+    """Horizon-truncated expected hitting time to a landmark set by
+    fixed-round value iteration on the absorbing random walk:
+    ``h_0 ≡ 0``; ``h_{t+1}(v) = 0`` for v ∈ T, else
+    ``1 + mean_{u ∈ N(v)} h_t(u)``.  After k rounds ``h_k(v) =
+    E[min(τ_T, k)]`` — exact for walks absorbed within the horizon and
+    a uniform lower bound otherwise, the distributable form of the
+    absorbing-chain linear system (full absorption needs a solve; k
+    join-aggregate rounds stream at any |E|).  The hitting-time family
+    is the random-walk proximity the reference's graph queries motivate
+    for dependency closeness (PageRank's additive dual).  Caller
+    symmetrizes for undirected semantics; fixed rounds keep the
+    arithmetic unrollable in ANSI SQL for the cross-engine oracle.
+    Each round is one join-aggregate shuffle on the pre-partitioned
+    edge table — the eigenvector_centrality plan shape."""
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    verts = vertices_of(e)
+    deg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    if not deg.take(1):
+        return spark.createDataFrame([], "id long, h double")
+    t_set = [int(t) for t in targets]
+    h = verts.select("id", F.lit(0.0).alias("h"))
+    for _ in range(n_iter):
+        s = (
+            e.join(h.select(F.col("id").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("s"))
+        )
+        h = (
+            deg.join(s, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("id").isin(t_set), F.lit(0.0))
+                .otherwise(1.0 + F.coalesce(F.col("s"), F.lit(0.0)) / F.col("deg"))
+                .alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return h.select(F.col("id").cast("long"), "h")
+
+
+def temporal_earliest_arrival(
+    edges_t: DataFrame, seeds: list[int], n_iter: int = 4
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability (Wu et al., VLDB'14
+    single-pass semantics, expressed as synchronous relaxation): an edge
+    ``(u, v, t)`` is traversable iff ``t ≥ arr(u)``, and then
+    ``arr(v) ← min(arr(v), t)``.  Seeds start at ``arr = 0``.  Each
+    round relaxes every edge once (one join-aggregate shuffle), so k
+    rounds cover every time-respecting path of ≤ k hops — the
+    Bellman-Ford unroll discipline of betweenness_w, which keeps the
+    recursion replayable round-for-round in ANSI SQL.  arr is an exact
+    integer (days), so cross-engine parity has no float surface.
+    Min-propagation is monotone: rounds past the fixpoint are no-ops.
+    Input: ``(src, dst, t)`` with integer t ≥ 0."""
+    spark = edges_t.sparkSession
+    e = (
+        edges_t.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"), F.col("t").cast("long")
+        )
+        .dropDuplicates(["src", "dst", "t"])
+        .localCheckpoint(eager=True)
+    )
+    arr = spark.createDataFrame([(int(s), 0) for s in seeds], "id long, arr long")
+    for _ in range(n_iter):
+        cand = (
+            e.join(arr.select(F.col("id").alias("src"), F.col("arr").alias("au")), "src")
+            .where(F.col("t") >= F.col("au"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("t").alias("arr"))
+        )
+        arr = (
+            arr.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint(eager=False)
+        )
+    return arr.select(F.col("id").cast("long"), F.col("arr").cast("long"))
