@@ -10703,6 +10703,102 @@ ORACLES.update({"temporal_reach4": _temporal_reach_sql(4, 3)})
 QUERIES.update({"temporal_reach4": q_temporal_reach4})
 
 
+def q_fiedler4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiedler-direction estimate on the co-order graph
+    (pregel.fiedler_vector, 4 deflated power-iteration rounds on
+    M = cI − L): the spectral-bisection axis — sorting vertices by this
+    value is the classic min-ratio-cut partitioning heuristic, the
+    spectral capability the registry's centrality family lacks.  The
+    oracle unrolls the identical recursion (per-round re-center +
+    L2 normalize); output rounded 6 d.p. (Parity rules)."""
+    sym = _sym(coorder_edges(spark, sf_dir))
+    out = pregel.fiedler_vector(sym, n_iter=4)
+    return out.select("id", F.round("f", 6).alias("f_r")).orderBy("id")
+
+
+def _fiedler_sql(n_iter: int) -> str:
+    parts = [
+        _COORDER_SQL.strip(),
+        _SYM_SQL,
+        "v AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        "cc AS (SELECT MAX(deg) + 1.0 AS c FROM v)",
+        "y0 AS MATERIALIZED (SELECT id, CAST(id AS DOUBLE) AS y FROM v)",
+        "z0 AS MATERIALIZED (SELECT id, y - (SELECT AVG(y) FROM y0) AS z FROM y0)",
+        "x0 AS MATERIALIZED "
+        "(SELECT id, z / (SELECT sqrt(sum(z * z)) FROM z0) AS x FROM z0)",
+    ]
+    # every CTE below is referenced more than once (x_{i-1} feeds both the
+    # neighbor sum and the diagonal term; y/z feed their own mean/norm
+    # scalar subqueries) — MATERIALIZED stops DuckDB re-inlining the whole
+    # prefix chain exponentially (the densest_sub oracle lesson)
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"s{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(x{i - 1}.x) AS s "
+            f"FROM e JOIN x{i - 1} ON x{i - 1}.id = e.src GROUP BY e.dst)",
+            f"y{i} AS MATERIALIZED (SELECT v.id, "
+            f"((SELECT c FROM cc) - v.deg) * x{i - 1}.x + COALESCE(s{i}.s, 0) AS y "
+            f"FROM v JOIN x{i - 1} USING (id) LEFT JOIN s{i} USING (id))",
+            f"z{i} AS MATERIALIZED "
+            f"(SELECT id, y - (SELECT AVG(y) FROM y{i}) AS z FROM y{i})",
+            f"x{i} AS MATERIALIZED "
+            f"(SELECT id, z / (SELECT sqrt(sum(z * z)) FROM z{i}) AS x FROM z{i})",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, ROUND(x, 6) AS f_r FROM x{n_iter} ORDER BY id"""
+    )
+
+
+ORACLES.update({"fiedler4": _fiedler_sql(4)})
+QUERIES.update({"fiedler4": q_fiedler4})
+
+
+def q_influence_seeds5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence-maximization seeding on the co-order graph
+    (pregel.influence_seeds, 5 single-discount greedy rounds): the
+    campaign/probe placement primitive — beats plain top-5-degree
+    because hub neighborhoods overlap.  Integer arithmetic end-to-end;
+    the oracle replays the greedy selection round-for-round."""
+    sym = _sym(coorder_edges(spark, sf_dir))
+    return pregel.influence_seeds(sym, k=5).orderBy("rank")
+
+
+def _influence_sql(k: int) -> str:
+    parts = [
+        _COORDER_SQL.strip(),
+        _SYM_SQL,
+        "v AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)",
+        "ch0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS rank, "
+        "CAST(NULL AS BIGINT) AS dd WHERE 1 = 0)",
+    ]
+    # ch{i-1} is referenced three times per round (discount join, NOT IN
+    # screen, union) — MATERIALIZED stops exponential re-inlining
+    for i in range(1, k + 1):
+        parts += [
+            f"t{i} AS MATERIALIZED (SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS t "
+            f"FROM e JOIN ch{i - 1} c ON e.dst = c.id GROUP BY e.src)",
+            f"cand{i} AS MATERIALIZED (SELECT v.id, v.deg - COALESCE(t{i}.t, 0) AS dd "
+            f"FROM v LEFT JOIN t{i} USING (id) "
+            f"WHERE v.id NOT IN (SELECT id FROM ch{i - 1}))",
+            f"pick{i} AS MATERIALIZED (SELECT id, CAST({i} AS BIGINT) AS rank, dd "
+            f"FROM cand{i} ORDER BY dd DESC, id LIMIT 1)",
+            f"ch{i} AS MATERIALIZED (SELECT * FROM ch{i - 1} UNION ALL "
+            f"SELECT id, rank, dd FROM pick{i})",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT rank, id, dd FROM ch{k} ORDER BY rank"""
+    )
+
+
+ORACLES.update({"influence_seeds5": _influence_sql(5)})
+QUERIES.update({"influence_seeds5": q_influence_seeds5})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -10735,7 +10831,7 @@ _CHECKED_R3_R4 = [
 # the newest (never driver-checked anywhere), then the VERDICT r4
 # families
 _ROUND5_PRIORITY = [
-    "hitting_time6", "temporal_reach4",
+    "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
     "hll_users", "rrf_hybrid", "ppr_nibble", "disparity_backbone",
     "matryoshka_recall", "bigram_ppl", "label_spread3", "kcenter8",

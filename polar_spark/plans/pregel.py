@@ -4558,3 +4558,100 @@ def temporal_earliest_arrival(
             .localCheckpoint(eager=False)
         )
     return arr.select(F.col("id").cast("long"), F.col("arr").cast("long"))
+
+
+def fiedler_vector(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """Fiedler-direction estimate (the spectral-bisection axis) by
+    deflated power iteration on ``M = cI − L`` with ``c = d_max + 1``:
+    M's top eigenvector is the constant (deflated by re-centering every
+    round), so the iterate converges toward the eigenvector of the
+    SECOND-smallest Laplacian eigenvalue — the classic spectral
+    partitioning direction (Fiedler 1973).  Deterministic non-constant
+    start x₀ ∝ center(id); each round is one join-aggregate shuffle
+    plus two 1-row broadcast scalars (mean, L2 norm) — the
+    eigenvector_centrality plan shape.  Fixed rounds keep the
+    arithmetic unrollable in ANSI SQL for the cross-engine oracle.
+    Caller symmetrizes.  Returns ``(id, f)``; sign is determined by the
+    deterministic start, not meaningful on its own."""
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    deg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    if not deg.take(1):
+        return spark.createDataFrame([], "id long, f double")
+    c = float(deg.agg(F.max("deg")).collect()[0][0]) + 1.0
+
+    def _center_normalize(y: DataFrame) -> DataFrame:
+        stats = F.broadcast(y.agg(F.avg("y").alias("_m")))
+        z = y.crossJoin(stats).select("id", (F.col("y") - F.col("_m")).alias("z"))
+        nrm = F.broadcast(z.agg(F.sqrt(F.sum(F.col("z") * F.col("z"))).alias("_n")))
+        return z.crossJoin(nrm).select("id", (F.col("z") / F.col("_n")).alias("x"))
+
+    x = _center_normalize(deg.select("id", F.col("id").cast("double").alias("y")))
+    x = x.localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        s = (
+            e.join(x.select(F.col("id").alias("src"), "x"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias("s"))
+        )
+        y = (
+            deg.join(x, "id")
+            .join(s, "id", "left")
+            .select(
+                "id",
+                (
+                    (F.lit(c) - F.col("deg")) * F.col("x")
+                    + F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("y"),
+            )
+        )
+        x = _center_normalize(y).localCheckpoint(eager=False)
+    return x.select(F.col("id").cast("long"), F.col("x").alias("f"))
+
+
+def influence_seeds(edges: DataFrame, k: int = 5) -> DataFrame:
+    """Greedy influence-maximization seed selection by single discount
+    (Chen-Wang-Yang, KDD'09 "DegreeDiscount" family, the degree-only
+    variant): pick the highest-degree vertex, then repeatedly the
+    vertex maximizing ``deg(v) − |chosen ∩ N(v)|`` — discounting edges
+    already "spent" on earlier seeds, which beats plain top-k-degree
+    because hub neighborhoods overlap.  Integer arithmetic end-to-end;
+    ties break on vertex id, so selection is total-ordered and the SQL
+    oracle replays it round-for-round.  Each of the k rounds is one
+    semi-join discount aggregate plus a global top-1 (TakeOrdered — no
+    driver-side loop over collect()ed data).  Caller symmetrizes.
+    Returns ``(rank, id, dd)`` for the k seeds."""
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    deg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    chosen = spark.createDataFrame([], "id long, rank long, dd long")
+    if not deg.take(1):
+        return chosen.select("rank", "id", "dd")
+    for i in range(1, k + 1):
+        t = (
+            e.join(chosen.select(F.col("id").alias("dst")), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").cast("long").alias("t"))
+        )
+        cand = (
+            deg.join(chosen.select("id"), "id", "left_anti")
+            .join(t, "id", "left")
+            .select(
+                "id", (F.col("deg") - F.coalesce(F.col("t"), F.lit(0))).alias("dd")
+            )
+        )
+        pick = (
+            cand.orderBy(F.desc("dd"), F.asc("id"))
+            .limit(1)
+            .select("id", F.lit(i).cast("long").alias("rank"), "dd")
+        )
+        chosen = chosen.unionByName(pick).localCheckpoint(eager=True)
+    return chosen.select("rank", "id", "dd")
