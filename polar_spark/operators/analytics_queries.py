@@ -10799,6 +10799,61 @@ ORACLES.update({"influence_seeds5": _influence_sql(5)})
 QUERIES.update({"influence_seeds5": q_influence_seeds5})
 
 
+def q_scan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural clustering of the co-order graph
+    (pregel.scan_clusters, ε = 0.7, μ = 3): cores / borders / outliers
+    with min-id cluster labels — the community paradigm that separates
+    hubs and noise from communities instead of forcing every vertex
+    into one (Xu et al., KDD'07).  The ε-screen is exact integer
+    cross-multiplication, components replay via the recursive-CTE
+    hash-min pattern — no float anywhere."""
+    sym = _sym(coorder_edges(spark, sf_dir))
+    return pregel.scan_clusters(sym, eps_num=7, eps_den=10, mu=3).orderBy("id")
+
+
+_SCAN_SQL = f"""
+WITH RECURSIVE {_COORDER_SQL},
+{_SYM_SQL},
+v AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+uv AS (SELECT src AS u, dst AS v FROM e WHERE src < dst),
+cn AS MATERIALIZED (
+    SELECT uv.u, uv.v, COUNT(*) AS cn
+    FROM uv JOIN e a ON a.src = uv.u JOIN e b ON b.src = uv.v AND b.dst = a.dst
+    GROUP BY uv.u, uv.v),
+sig AS MATERIALIZED (
+    SELECT uv.u, uv.v FROM uv
+    LEFT JOIN cn USING (u, v)
+    JOIN v du ON du.id = uv.u JOIN v dv ON dv.id = uv.v
+    WHERE (COALESCE(cn.cn, 0) + 2) * (COALESCE(cn.cn, 0) + 2) * 100
+          >= 49 * (du.d + 1) * (dv.d + 1)),
+ssym AS MATERIALIZED (SELECT u, v FROM sig UNION ALL SELECT v AS u, u AS v FROM sig),
+core AS MATERIALIZED (SELECT u AS id FROM ssym GROUP BY u HAVING COUNT(*) + 1 >= 3),
+ce AS MATERIALIZED (
+    SELECT s.u AS src, s.v AS dst FROM ssym s
+    JOIN core a ON a.id = s.u JOIN core b ON b.id = s.v),
+reach(id, comp) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT ce.dst, r.comp FROM reach r JOIN ce ON ce.src = r.id WHERE r.comp < ce.dst),
+cc AS MATERIALIZED (SELECT id, MIN(comp) AS cluster FROM reach GROUP BY id),
+border AS MATERIALIZED (
+    SELECT s.u AS id, MIN(cc.cluster) AS cluster FROM ssym s
+    JOIN cc ON cc.id = s.v
+    WHERE s.u NOT IN (SELECT id FROM core) GROUP BY s.u)
+SELECT CAST(v.id AS BIGINT) AS id,
+       CASE WHEN cc.cluster IS NOT NULL THEN 'core'
+            WHEN b.cluster IS NOT NULL THEN 'border'
+            ELSE 'outlier' END AS role,
+       CAST(COALESCE(cc.cluster, b.cluster, -1) AS BIGINT) AS cluster
+FROM v LEFT JOIN cc ON cc.id = v.id LEFT JOIN border b ON b.id = v.id
+ORDER BY id
+"""
+
+
+ORACLES.update({"scan_clusters": _SCAN_SQL})
+QUERIES.update({"scan_clusters": q_scan_clusters})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -10832,6 +10887,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
+    "scan_clusters",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
     "hll_users", "rrf_hybrid", "ppr_nibble", "disparity_backbone",
     "matryoshka_recall", "bigram_ppl", "label_spread3", "kcenter8",

@@ -4655,3 +4655,92 @@ def influence_seeds(edges: DataFrame, k: int = 5) -> DataFrame:
         )
         chosen = chosen.unionByName(pick).localCheckpoint(eager=True)
     return chosen.select("rank", "id", "dd")
+
+
+def scan_clusters(
+    edges: DataFrame,
+    eps_num: int = 7,
+    eps_den: int = 10,
+    mu: int = 3,
+) -> DataFrame:
+    """SCAN structural clustering (Xu et al., KDD'07): vertices whose
+    ε-neighborhood (closed structural similarity σ(u,v) =
+    (|N(u)∩N(v)| + 2) / √((d(u)+1)(d(v)+1)) ≥ ε) has ≥ μ members are
+    CORES; clusters are connected components of core–core σ-edges;
+    non-cores σ-adjacent to a core are BORDER, the rest OUTLIER — the
+    community paradigm that, unlike modularity methods, explicitly
+    separates hubs/noise from communities.  The ε-screen is exact
+    integer cross-multiplication ((cn+2)²·den² ≥ num²·(du+1)(dv+1)) —
+    no float anywhere, so the SQL oracle replays it bit-for-bit.  Plan:
+    one wedge join for per-edge common neighbors (the triangle-count
+    shape), one degree aggregate, hash-min components on the (much
+    smaller) core subgraph.  Cluster id = min vertex id in the
+    component; outliers carry cluster −1.  Caller may pass either
+    orientation; edges are symmetrized internally."""
+    spark = edges.sparkSession
+    sym = symmetrize(normalize_edges(edges)).localCheckpoint(eager=True)
+    if not sym.take(1):
+        return spark.createDataFrame([], "id long, role string, cluster long")
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    und = sym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    su = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    sv = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cn = und.join(su, "u").join(sv, ["v", "w"]).groupBy("u", "v").agg(F.count("*").alias("cn"))
+    sig = (
+        und.join(cn, ["u", "v"], "left")
+        .join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+        .where(
+            (F.coalesce(F.col("cn"), F.lit(0)) + 2)
+            * (F.coalesce(F.col("cn"), F.lit(0)) + 2)
+            * F.lit(eps_den * eps_den)
+            >= F.lit(eps_num * eps_num) * (F.col("du") + 1) * (F.col("dv") + 1)
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    ssym = sig.unionByName(sig.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    core = (
+        ssym.groupBy(F.col("u").alias("id"))
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") + 1 >= mu)
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    core_edges = (
+        ssym.join(core.select(F.col("id").alias("u")), "u")
+        .join(core.select(F.col("id").alias("v")), "v")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    comp, _stats = connected_components(core_edges)
+    core_comp = core.join(comp, "id", "left").select(
+        "id", F.coalesce(F.col("comp"), F.col("id")).cast("long").alias("cluster")
+    )
+    border = (
+        ssym.join(
+            core_comp.select(F.col("id").alias("v"), "cluster"), "v"
+        )
+        .join(core.select(F.col("id").alias("u")), "u", "left_anti")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    verts = vertices_of(sym)
+    return (
+        verts.join(core_comp.withColumn("role", F.lit("core")), "id", "left")
+        .join(
+            border.withColumnRenamed("cluster", "b_cluster").withColumn(
+                "b_role", F.lit("border")
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            F.col("id").cast("long"),
+            F.coalesce(F.col("role"), F.col("b_role"), F.lit("outlier")).alias("role"),
+            F.coalesce(F.col("cluster"), F.col("b_cluster"), F.lit(-1))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
