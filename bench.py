@@ -529,6 +529,37 @@ def main() -> None:
             "cascade_reach": int(reach),
         }
 
+    def _session7_graph():
+        # session-7 additions on the full co-order / contact graphs:
+        # absorbing-walk hitting times, spectral bisection direction,
+        # single-discount influence seeding, SCAN structural clustering,
+        # time-respecting earliest-arrival reachability
+        from polar_spark.operators.analytics_queries import (
+            q_fiedler4,
+            q_hitting_time6,
+            q_influence_seeds5,
+            q_scan_clusters,
+            q_temporal_reach4,
+        )
+
+        hit = q_hitting_time6(spark, sf_dir).agg(F.max("hit_r")).collect()[0][0]
+        fied = q_fiedler4(spark, sf_dir).where(F.col("f_r") > 0).count()
+        seeds = q_influence_seeds5(spark, sf_dir).collect()
+        scan = (
+            q_scan_clusters(spark, sf_dir)
+            .groupBy("role")
+            .count()
+            .collect()
+        )
+        reach = q_temporal_reach4(spark, sf_dir).count()
+        return {
+            "hitting_max": float(hit),
+            "fiedler_positive_side": int(fied),
+            "influence_top_dd": int(seeds[0]["dd"]) if seeds else 0,
+            "scan_roles": {r["role"]: r["count"] for r in scan},
+            "temporal_reached": int(reach),
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -567,6 +598,7 @@ def main() -> None:
         ("round5_session3_ops", _round5_session3, min(REPS, 2)),
         ("motif_census", _motif_census, 1),
         ("tpch_classics", _tpch_classics, min(REPS, 2)),
+        ("session7_graph_ops", _session7_graph, min(REPS, 2)),
     ]
 
     draws: dict[str, list[float]] = {name: [] for name, _f, _r in sections}

@@ -10799,21 +10799,57 @@ ORACLES.update({"influence_seeds5": _influence_sql(5)})
 QUERIES.update({"influence_seeds5": q_influence_seeds5})
 
 
+def _community_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic planted-block community graph over customer keys
+    (the scc_custgraph precedent: rule-derived graphs give the
+    structure the TPC-H projection graphs lack — co-order σ maxes at
+    0.23, copart is complete, so SCAN is vacuous on both): blocks of
+    40 consecutive keys joined by 1-,2-,3-chords (interior σ = 6/7),
+    sparse block-head bridges (σ ≈ 0.5 — below ε, so blocks are
+    separate clusters)."""
+    cust = load_table(spark, "customer", sf_dir).select(F.col("c_custkey").alias("c"))
+    n = cust.count()
+    parts = [
+        cust.where(((F.col("c") % 40) + d < 40) & (F.col("c") + d < n)).select(
+            F.col("c").alias("src"), (F.col("c") + d).alias("dst")
+        )
+        for d in (1, 2, 3)
+    ]
+    bridge = cust.where((F.col("c") % 40 == 0) & (F.col("c") + 40 < n)).select(
+        F.col("c").alias("src"), (F.col("c") + 40).alias("dst")
+    )
+    out = parts[0]
+    for p in parts[1:] + [bridge]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_scan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCAN structural clustering of the co-order graph
+    """SCAN structural clustering of the planted-block community graph
     (pregel.scan_clusters, ε = 0.7, μ = 3): cores / borders / outliers
     with min-id cluster labels — the community paradigm that separates
     hubs and noise from communities instead of forcing every vertex
     into one (Xu et al., KDD'07).  The ε-screen is exact integer
     cross-multiplication, components replay via the recursive-CTE
     hash-min pattern — no float anywhere."""
-    sym = _sym(coorder_edges(spark, sf_dir))
-    return pregel.scan_clusters(sym, eps_num=7, eps_den=10, mu=3).orderBy("id")
+    return pregel.scan_clusters(
+        _community_edges(spark, sf_dir), eps_num=7, eps_den=10, mu=3
+    ).orderBy("id")
 
 
-_SCAN_SQL = f"""
-WITH RECURSIVE {_COORDER_SQL},
-{_SYM_SQL},
+_SCAN_SQL = """
+WITH RECURSIVE
+cust AS (SELECT c_custkey AS c FROM customer),
+n_ AS (SELECT COUNT(*) AS n FROM cust),
+und AS (
+    SELECT c AS src, c + d AS dst
+    FROM cust, (SELECT UNNEST([1, 2, 3]) AS d)
+    WHERE (c % 40) + d < 40 AND c + d < (SELECT n FROM n_)
+    UNION ALL
+    SELECT c AS src, c + 40 AS dst FROM cust
+    WHERE c % 40 = 0 AND c + 40 < (SELECT n FROM n_)
+),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
 v AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
 uv AS (SELECT src AS u, dst AS v FROM e WHERE src < dst),
 cn AS MATERIALIZED (
