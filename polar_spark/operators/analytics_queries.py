@@ -10890,6 +10890,86 @@ ORACLES.update({"scan_clusters": _SCAN_SQL})
 QUERIES.update({"scan_clusters": q_scan_clusters})
 
 
+def q_edge_betweenness4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark EDGE betweenness (Girvan-Newman centrality; bounded-
+    depth Brandes, 4 landmarks, depth 4) on the co-order graph
+    restricted to parts < 400 (oracle-cost cap, same as betweenness4):
+    the inter-community-bridge score whose iterative-removal form is
+    the GN community algorithm.  Identical σ/δ recursion as
+    betweenness4; the per-edge Brandes term is kept BEFORE vertex
+    aggregation and folded onto the canonical undirected edge."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    sym = _sym(und)
+    lm = [int(r[0]) for r in sym.select("src").distinct().orderBy("src").limit(4).collect()]
+    eb, _stats = pregel.edge_betweenness_landmarks(sym, lm, max_depth=4)
+    return eb.select("u", "v", F.round("eb", 6).alias("eb_r")).orderBy("u", "v")
+
+
+def _edge_betweenness_sql(depth: int) -> str:
+    parts = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_partkey < 400)",
+        "und AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "e AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)",
+        "verts AS (SELECT DISTINCT src AS id FROM e)",
+        "lm AS (SELECT id FROM verts ORDER BY id LIMIT 4)",
+        "l0 AS MATERIALIZED (SELECT id AS source, id, CAST(1 AS BIGINT) AS sigma FROM lm)",
+        "v0 AS (SELECT source, id FROM l0)",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"l{d} AS MATERIALIZED (SELECT t.source, t.id, SUM(t.sigma) AS sigma FROM ("
+            f"SELECT p.source, e.dst AS id, p.sigma FROM l{d - 1} p "
+            f"JOIN e ON e.src = p.id) t "
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{d - 1} v "
+            f"WHERE v.source = t.source AND v.id = t.id) "
+            f"GROUP BY t.source, t.id)"
+        )
+        parts.append(
+            f"v{d} AS MATERIALIZED (SELECT source, id FROM v{d - 1} "
+            f"UNION ALL SELECT source, id FROM l{d})"
+        )
+    parts.append(f"dd{depth} AS (SELECT source, id, 0.0 AS delta FROM l{depth})")
+    for d in range(depth - 1, 0, -1):
+        parts.append(
+            f"dd{d} AS MATERIALIZED (SELECT l.source, l.id, "
+            f"COALESCE(c.delta, 0.0) AS delta FROM l{d} l LEFT JOIN ("
+            f"SELECT p.source, p.id, "
+            f"SUM(CAST(p.sigma AS DOUBLE) / w.sigma * (1.0 + dw.delta)) AS delta "
+            f"FROM l{d} p JOIN e ON e.src = p.id "
+            f"JOIN l{d + 1} w ON w.source = p.source AND w.id = e.dst "
+            f"JOIN dd{d + 1} dw ON dw.source = p.source AND dw.id = e.dst "
+            f"GROUP BY p.source, p.id) c ON c.source = l.source AND c.id = l.id)"
+        )
+    # per-edge Brandes terms, one CTE per backward level INCLUDING level 0
+    # (edges incident to the source carry edge betweenness)
+    for d in range(depth - 1, -1, -1):
+        parts.append(
+            f"ce{d} AS MATERIALIZED (SELECT p.source, p.id AS a, e.dst AS b, "
+            f"CAST(p.sigma AS DOUBLE) / w.sigma * (1.0 + dw.delta) AS c "
+            f"FROM l{d} p JOIN e ON e.src = p.id "
+            f"JOIN l{d + 1} w ON w.source = p.source AND w.id = e.dst "
+            f"JOIN dd{d + 1} dw ON dw.source = p.source AND dw.id = e.dst)"
+        )
+    union = "\nUNION ALL ".join(f"SELECT a, b, c FROM ce{d}" for d in range(depth))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(und.src AS BIGINT) AS u, CAST(und.dst AS BIGINT) AS v,
+               ROUND(COALESCE(SUM(x.c), 0.0), 6) AS eb_r
+        FROM und LEFT JOIN (
+            SELECT LEAST(a, b) AS cu, GREATEST(a, b) AS cv, c FROM ({union})
+        ) x ON x.cu = und.src AND x.cv = und.dst
+        GROUP BY und.src, und.dst ORDER BY u, v"""
+    )
+
+
+ORACLES.update({"edge_betweenness4": _edge_betweenness_sql(4)})
+QUERIES.update({"edge_betweenness4": q_edge_betweenness4})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -10923,7 +11003,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
-    "scan_clusters",
+    "scan_clusters", "edge_betweenness4",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
     "hll_users", "rrf_hybrid", "ppr_nibble", "disparity_backbone",
     "matryoshka_recall", "bigram_ppl", "label_spread3", "kcenter8",

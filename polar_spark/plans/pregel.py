@@ -4744,3 +4744,120 @@ def scan_clusters(
             .alias("cluster"),
         )
     )
+
+
+def edge_betweenness_landmarks(
+    edges: DataFrame,
+    landmarks: list[int],
+    max_depth: int = 4,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Bounded-depth EDGE betweenness from a landmark set — the
+    Girvan-Newman centrality (edges with high betweenness are the
+    inter-community bridges; iteratively removing the max is the GN
+    community algorithm).  Identical forward σ sweep and backward δ
+    recursion as :func:`betweenness_landmarks`; the per-edge score is
+    the Brandes backward term BEFORE vertex aggregation:
+    c(u→w) = σ(u)/σ(w) · (1 + δ(w)) summed over sources, folded onto
+    the canonical undirected edge (min, max).  Unlike the vertex form,
+    edges incident to the source DO contribute (level-0 rows are
+    included).  Returns ``(u, v, eb)`` for every undirected edge."""
+    spark = edges.sparkSession
+    sym0 = symmetrize(normalize_edges(edges)).persist()
+    m0 = sym0.count()
+    if m0 == 0:
+        sym0.unpersist()
+        return (
+            spark.createDataFrame([], "u long, v long, eb double"),
+            IterationStats(algorithm="edge_betweenness", edges=0, vertices=0, converged=True),
+        )
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        und = e.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        sym0.unpersist()
+        stats = IterationStats(algorithm="edge_betweenness", edges=m0)
+        levels: list[DataFrame] = [
+            spark.createDataFrame(
+                [(int(s), int(s), 1) for s in landmarks], "source long, id long, sigma long"
+            ).localCheckpoint(eager=True)
+        ]
+        visited = levels[0].select("source", "id")
+        for _d in range(1, max_depth + 1):
+            t0 = time.monotonic()
+            nxt = (
+                e.join(levels[-1].withColumnRenamed("id", "src"), "src")
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(visited, ["source", "id"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                break
+            levels.append(nxt)
+            visited = visited.unionByName(nxt.select("source", "id")).localCheckpoint(
+                eager=True
+            )
+            stats.iterations += 1
+            stats.iter_seconds.append(time.monotonic() - t0)
+        deep = len(levels) - 1
+        delta = levels[deep].select("source", "id", F.lit(0.0).alias("delta"))
+        edge_acc: DataFrame | None = None
+        for d in range(deep - 1, -1, -1):
+            t0 = time.monotonic()
+            succ = delta.join(
+                levels[d + 1].select("source", "id", F.col("sigma").alias("sigma_w")),
+                ["source", "id"],
+            ).select(
+                "source", F.col("id").alias("dst"), "sigma_w", F.col("delta").alias("delta_w")
+            )
+            per_edge = (
+                levels[d]
+                .withColumnRenamed("id", "src")
+                .join(e, "src")
+                .join(succ, ["source", "dst"])
+                .select(
+                    "source",
+                    "src",
+                    "dst",
+                    (
+                        F.col("sigma").cast("double")
+                        / F.col("sigma_w").cast("double")
+                        * (F.lit(1.0) + F.col("delta_w"))
+                    ).alias("c"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            edge_acc = (
+                per_edge if edge_acc is None else edge_acc.unionByName(per_edge)
+            )
+            contrib = per_edge.groupBy("source", F.col("src").alias("id")).agg(
+                F.sum("c").alias("delta")
+            )
+            delta = (
+                levels[d]
+                .select("source", "id")
+                .join(contrib, ["source", "id"], "left")
+                .select("source", "id", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+            stats.iter_seconds.append(time.monotonic() - t0)
+        stats.converged = True
+        if edge_acc is None:
+            eb = und.select("u", "v", F.lit(0.0).alias("eb"))
+        else:
+            per_und = (
+                edge_acc.select(
+                    F.least("src", "dst").alias("u"),
+                    F.greatest("src", "dst").alias("v"),
+                    "c",
+                )
+                .groupBy("u", "v")
+                .agg(F.sum("c").alias("eb"))
+            )
+            eb = und.join(per_und, ["u", "v"], "left").select(
+                "u", "v", F.coalesce(F.col("eb"), F.lit(0.0)).alias("eb")
+            )
+        return eb.select(F.col("u").cast("long"), F.col("v").cast("long"), "eb"), stats
