@@ -10970,6 +10970,76 @@ ORACLES.update({"edge_betweenness4": _edge_betweenness_sql(4)})
 QUERIES.update({"edge_betweenness4": q_edge_betweenness4})
 
 
+def q_coarsen_hem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One level of heavy-edge-matching coarsening
+    (pregel.coarsen_hem) on the weighted demand graph (edge weight =
+    order lines between the pair, the sssp_weighted graph): the
+    multilevel-partitioning primitive — weight-greedy mutual-proposal
+    matching, matched pairs contract to min-id supervertices, coarse
+    edge weights re-aggregate.  All-integer; the oracle replays the
+    matching round-for-round (12 unrolled rounds; past-fixpoint rounds
+    are no-ops) and the contraction as one aggregate."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    dir_w = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_custkey") != F.col("l_suppkey"))
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    coarse, _mapping, _stats = pregel.coarsen_hem(dir_w)
+    return coarse.orderBy("u", "v")
+
+
+def _coarsen_sql(rounds: int) -> str:
+    parts = [
+        "dw AS (SELECT o_custkey AS src, l_suppkey AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey GROUP BY 1, 2)",
+        "und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "CAST(SUM(w) AS BIGINT) AS w FROM dw GROUP BY 1, 2)",
+        "e0 AS (SELECT a, b, w FROM und)",
+        "m0 AS (SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE FALSE)",
+    ]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"inc{i} AS (SELECT a AS v, a, b, w FROM e{i - 1} "
+            f"UNION ALL SELECT b, a, b, w FROM e{i - 1})",
+            f"top{i} AS (SELECT v, a, b FROM ("
+            f"SELECT v, a, b, ROW_NUMBER() OVER (PARTITION BY v "
+            f"ORDER BY w DESC, a ASC, b ASC) AS rn FROM inc{i}) t WHERE rn = 1)",
+            f"sel{i} AS MATERIALIZED (SELECT a, b FROM top{i} "
+            f"GROUP BY a, b HAVING COUNT(*) = 2)",
+            f"m{i} AS (SELECT a, b FROM m{i - 1} UNION ALL SELECT a, b FROM sel{i})",
+            f"mv{i} AS (SELECT a AS v FROM sel{i} UNION ALL SELECT b FROM sel{i})",
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b, e.w FROM e{i - 1} e "
+            f"WHERE e.a NOT IN (SELECT v FROM mv{i}) "
+            f"AND e.b NOT IN (SELECT v FROM mv{i}))",
+        ]
+    parts += [
+        "verts AS (SELECT a AS id FROM und UNION SELECT b FROM und)",
+        f"pmap AS (SELECT a AS id, a AS s FROM m{rounds} "
+        f"UNION ALL SELECT b, a FROM m{rounds})",
+        "map_ AS MATERIALIZED (SELECT v.id, COALESCE(p.s, v.id) AS s "
+        "FROM verts v LEFT JOIN pmap p ON p.id = v.id)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+        SELECT CAST(LEAST(ma.s, mb.s) AS BIGINT) AS u,
+               CAST(GREATEST(ma.s, mb.s) AS BIGINT) AS v,
+               CAST(SUM(und.w) AS BIGINT) AS w
+        FROM und JOIN map_ ma ON ma.id = und.a JOIN map_ mb ON mb.id = und.b
+        WHERE ma.s != mb.s GROUP BY 1, 2 ORDER BY u, v"""
+    )
+
+
+ORACLES.update({"coarsen_hem": _coarsen_sql(12)})
+QUERIES.update({"coarsen_hem": q_coarsen_hem})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -11003,7 +11073,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
-    "scan_clusters", "edge_betweenness4",
+    "scan_clusters", "edge_betweenness4", "coarsen_hem",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
     "hll_users", "rrf_hybrid", "ppr_nibble", "disparity_backbone",
     "matryoshka_recall", "bigram_ppl", "label_spread3", "kcenter8",

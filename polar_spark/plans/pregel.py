@@ -4861,3 +4861,111 @@ def edge_betweenness_landmarks(
                 "u", "v", F.coalesce(F.col("eb"), F.lit(0.0)).alias("eb")
             )
         return eb.select(F.col("u").cast("long"), F.col("v").cast("long"), "eb"), stats
+
+
+def coarsen_hem(
+    wedges: DataFrame, max_iter: int = 60
+) -> tuple[DataFrame, DataFrame, IterationStats]:
+    """One level of heavy-edge-matching graph coarsening (the METIS /
+    multilevel-partitioning primitive, Karypis-Kumar 1998): compute a
+    maximal matching that greedily prefers HEAVY edges — every free
+    vertex points at its max-weight incident edge ((w desc, a, b)
+    total order, so the run is deterministic and SQL-replayable),
+    mutual proposals match — then contract each matched pair into a
+    supervertex labeled min(a, b) and re-aggregate edge weights
+    (parallel coarse edges sum, self-loops drop).  Coarsening halves
+    the graph while preserving heavy structure, which is why the
+    matching must be weight-greedy rather than random.  All-integer
+    arithmetic.  Input ``(src, dst, w)`` in either orientation
+    (parallel inputs sum).  Returns ``(coarse_edges(u, v, w),
+    mapping(id, super), stats)``; raises if ``max_iter`` mutual-
+    proposal rounds leave edges standing."""
+    spark = wedges.sparkSession
+    und = (
+        wedges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    stats = IterationStats(algorithm="coarsen_hem")
+    if not und.take(1):
+        empty_e = spark.createDataFrame([], "u long, v long, w long")
+        empty_m = spark.createDataFrame([], "id long, super long")
+        stats.converged = True
+        return empty_e, empty_m, stats
+    e = und
+    stats.edges = e.count()
+    matched = spark.createDataFrame([], "a long, b long")
+    from pyspark.sql.window import Window as _W
+
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        inc = e.select(F.col("a").alias("v"), "a", "b", "w").unionByName(
+            e.select(F.col("b").alias("v"), "a", "b", "w")
+        )
+        win = _W.partitionBy("v").orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
+        top = (
+            inc.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("v", "a", "b")
+        )
+        sel = (
+            top.groupBy("a", "b")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") == 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_sel = sel.count()
+        matched = matched.unionByName(sel).localCheckpoint(eager=True)
+        mv = sel.select(F.col("a").alias("v")).unionByName(
+            sel.select(F.col("b").alias("v"))
+        )
+        e = (
+            e.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
+            .select("a", "b", "w")
+            .localCheckpoint(eager=True)
+        )
+        m = e.count()
+        stats.iterations = it
+        stats.iter_seconds.append(time.monotonic() - t0)
+        stats.deltas.append(float(n_sel))
+        if m == 0:
+            stats.converged = True
+            break
+    if not stats.converged:
+        raise RuntimeError(f"coarsen_hem left {m} edges after {max_iter} rounds")
+    verts = und.select(F.col("a").alias("id")).unionByName(
+        und.select(F.col("b").alias("id"))
+    ).distinct()
+    pair_map = matched.select(F.col("a").alias("id"), F.col("a").alias("super")).unionByName(
+        matched.select(F.col("b").alias("id"), F.col("a").alias("super"))
+    )
+    mapping = (
+        verts.join(pair_map, "id", "left")
+        .select("id", F.coalesce(F.col("super"), F.col("id")).cast("long").alias("super"))
+        .localCheckpoint(eager=True)
+    )
+    coarse = (
+        und.join(mapping.select(F.col("id").alias("a"), F.col("super").alias("sa")), "a")
+        .join(mapping.select(F.col("id").alias("b"), F.col("super").alias("sb")), "b")
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"),
+            F.greatest("sa", "sb").alias("v"),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    return (
+        coarse.select(F.col("u").cast("long"), F.col("v").cast("long"), F.col("w").cast("long")),
+        mapping.select(F.col("id").cast("long"), "super"),
+        stats,
+    )
