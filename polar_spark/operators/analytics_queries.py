@@ -11040,6 +11040,85 @@ ORACLES.update({"coarsen_hem": _coarsen_sql(12)})
 QUERIES.update({"coarsen_hem": q_coarsen_hem})
 
 
+def q_fiedler_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilevel spectral partitioning (the METIS composition): one
+    HEM coarsening level of the weighted demand graph, the Fiedler
+    direction computed ON THE COARSE GRAPH (4 deflated power-iteration
+    rounds — coarsening is exactly what makes spectral methods
+    affordable at scale), then projected back to every original vertex
+    through the supervertex mapping.  Isolated supervertices carry 0.
+    The oracle concatenates the coarsening replay with the fiedler
+    recursion on the coarse edge set."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    dir_w = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_custkey") != F.col("l_suppkey"))
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    coarse, mapping, _stats = pregel.coarsen_hem(dir_w)
+    f = pregel.fiedler_vector(
+        pregel.symmetrize(coarse.select(F.col("u").alias("src"), F.col("v").alias("dst"))),
+        n_iter=4,
+    )
+    return (
+        mapping.join(f.withColumnRenamed("id", "super"), "super", "left")
+        .select(
+            "id",
+            "super",
+            F.round(F.coalesce(F.col("f"), F.lit(0.0)), 6).alias("f_r"),
+        )
+        .orderBy("id")
+    )
+
+
+def _fiedler_coarse_sql(rounds: int, n_iter: int) -> str:
+    # coarsening replay (same CTE chain as _coarsen_sql) ...
+    coarsen_with = _coarsen_sql(rounds)
+    prefix, _final = coarsen_with.rsplit("SELECT CAST(LEAST", 1)
+    parts = [
+        prefix.removeprefix("WITH ").rstrip().rstrip(","),
+        """co AS MATERIALIZED (
+    SELECT LEAST(ma.s, mb.s) AS u, GREATEST(ma.s, mb.s) AS v
+    FROM und JOIN map_ ma ON ma.id = und.a JOIN map_ mb ON mb.id = und.b
+    WHERE ma.s != mb.s GROUP BY 1, 2)""",
+        "fe AS MATERIALIZED (SELECT u AS src, v AS dst FROM co "
+        "UNION ALL SELECT v, u FROM co)",
+        "fv AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM fe GROUP BY src)",
+        "fcc AS (SELECT MAX(deg) + 1.0 AS c FROM fv)",
+        "fy0 AS MATERIALIZED (SELECT id, CAST(id AS DOUBLE) AS y FROM fv)",
+        "fz0 AS MATERIALIZED (SELECT id, y - (SELECT AVG(y) FROM fy0) AS z FROM fy0)",
+        "fx0 AS MATERIALIZED "
+        "(SELECT id, z / (SELECT sqrt(sum(z * z)) FROM fz0) AS x FROM fz0)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"fs{i} AS MATERIALIZED (SELECT fe.dst AS id, SUM(fx{i - 1}.x) AS s "
+            f"FROM fe JOIN fx{i - 1} ON fx{i - 1}.id = fe.src GROUP BY fe.dst)",
+            f"fy{i} AS MATERIALIZED (SELECT fv.id, "
+            f"((SELECT c FROM fcc) - fv.deg) * fx{i - 1}.x + COALESCE(fs{i}.s, 0) AS y "
+            f"FROM fv JOIN fx{i - 1} USING (id) LEFT JOIN fs{i} USING (id))",
+            f"fz{i} AS MATERIALIZED "
+            f"(SELECT id, y - (SELECT AVG(y) FROM fy{i}) AS z FROM fy{i})",
+            f"fx{i} AS MATERIALIZED "
+            f"(SELECT id, z / (SELECT sqrt(sum(z * z)) FROM fz{i}) AS x FROM fz{i})",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(m.id AS BIGINT) AS id, CAST(m.s AS BIGINT) AS super,
+       ROUND(COALESCE(fx{n_iter}.x, 0.0), 6) AS f_r
+FROM map_ m LEFT JOIN fx{n_iter} ON fx{n_iter}.id = m.s
+ORDER BY id"""
+    )
+
+
+ORACLES.update({"fiedler_coarse": _fiedler_coarse_sql(12, 4)})
+QUERIES.update({"fiedler_coarse": q_fiedler_coarse})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -11073,7 +11152,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
-    "scan_clusters", "edge_betweenness4", "coarsen_hem",
+    "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
     "hll_users", "rrf_hybrid", "ppr_nibble", "disparity_backbone",
     "matryoshka_recall", "bigram_ppl", "label_spread3", "kcenter8",

@@ -102,3 +102,29 @@ def test_hem_empty(spark):
     e = spark.createDataFrame([], "src long, dst long, w long")
     coarse, mapping, stats = pregel.coarsen_hem(e)
     assert coarse.collect() == [] and mapping.collect() == [] and stats.converged
+
+
+def test_multilevel_fiedler_composition_splits_weighted_barbell(spark):
+    # two w=10 K4 cliques + a w=1 bridge: HEM contracts within cliques
+    # (heavy edges first), the coarse graph is a 4-path whose Fiedler
+    # direction signs the two sides apart; projecting through the
+    # mapping must split the ORIGINAL vertices exactly by clique
+    a = [(i, j, 10) for i in (1, 2, 3, 4) for j in (1, 2, 3, 4) if i < j]
+    b = [(i, j, 10) for i in (11, 12, 13, 14) for j in (11, 12, 13, 14) if i < j]
+    coarse, mapping, _s = pregel.coarsen_hem(_wedges(spark, a + b + [(4, 11, 1)]))
+    from pyspark.sql import functions as F
+
+    f = pregel.fiedler_vector(
+        pregel.symmetrize(coarse.select(F.col("u").alias("src"), F.col("v").alias("dst"))),
+        n_iter=20,
+    )
+    out = {
+        r["id"]: r["f"]
+        for r in mapping.join(f.withColumnRenamed("id", "super"), "super").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 11, 12, 13, 14}
+    left = [out[v] for v in (1, 2, 3, 4)]
+    right = [out[v] for v in (11, 12, 13, 14)]
+    assert all(x < 0 for x in left) != all(x < 0 for x in right)
+    assert all(x < 0 for x in left) or all(x > 0 for x in left)
+    assert all(x < 0 for x in right) or all(x > 0 for x in right)
