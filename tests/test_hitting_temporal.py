@@ -133,3 +133,32 @@ def test_temporal_reach_fixpoint_stable_past_convergence(spark):
         for b, t in upd.items():
             arr[b] = min(arr.get(b, t), t)
     assert arr8 == arr
+
+
+# ------------------------------------------------------------- plan gates
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_session7_ops_no_python_stages(spark):
+    # every session-7 operator is pure DataFrame algebra: whole plans
+    # stay JVM-side (no EvalPython) and never fall back to a cartesian
+    # product — the two plan smells that do not survive a 100x scale-up
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for q in (
+        "hitting_time6",
+        "temporal_reach4",
+        "fiedler4",
+        "influence_seeds5",
+        "scan_clusters",
+        "edge_betweenness4",
+        "coarsen_hem",
+        "fiedler_coarse",
+    ):
+        plan = _exec_plan(QUERIES[q](spark, sf))
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
