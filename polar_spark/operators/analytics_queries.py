@@ -11120,6 +11120,139 @@ QUERIES.update({"fiedler_coarse": q_fiedler_coarse})
 
 
 # ---------------------------------------------------------------------------
+# Session-8: completing the TPC-H classic family (the queries expressible
+# on this schema — no partsupp table, so Q2/Q9/Q11/Q20 are out of scope).
+# Same micro-unit discipline as Q3/Q5/Q10: revenue stays integer e4 units
+# end-to-end so Zipf-sized group sums cannot drift cross-engine.
+
+
+def q_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): one filter-aggregate over
+    lineitem — shipdate in 1997, discount 5–7 %, quantity < 24.  The
+    whole query is a single parquet scan with every predicate pushed
+    down and a map-side-combinable integer sum (revenue here is
+    price·discount, the amount that WOULD be recovered if the discount
+    were eliminated).  Discount is compared as an integer percent so no
+    float boundary can flip a row cross-engine."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_pct = F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & disc_pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                " * CAST(ROUND(l_discount * 100) AS BIGINT))"
+            ).alias("forecast_rev_e4"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS forecast_rev_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_q13_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): histogram of customers
+    by order count INCLUDING zero-order customers — the left join that
+    distinguishes Q13 from a plain groupBy.  The classic excludes
+    "special request" orders by comment pattern; this schema has no
+    comment column, so the analog exclusion is the lowest priority
+    class.  Two aggregations: per-customer count (shuffle on custkey),
+    then the count-of-counts histogram (tiny)."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue
+    from lineitems shipped in 1997Q1 — the scalar-subquery-max shape.
+    Per-supplier revenue is one shuffle; the max is a 1-row aggregate
+    broadcast back (never a sort of the full supplier list), so the
+    plan is two scans + one broadcast join at any scale.  Ties all
+    surface (integer revenue makes tie detection exact)."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.expr(f"SUM({_REV_SPARK})").alias("total_rev_e4"))
+    mx = rev.agg(F.max("total_rev_e4").alias("mx"))
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_e4 == F.col("mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "total_rev_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_REV_DUCK}) AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+ORACLES.update(
+    {"q6_forecast": _Q6_SQL, "q13_order_dist": _Q13_SQL, "q15_top_supplier": _Q15_SQL}
+)
+QUERIES.update(
+    {
+        "q6_forecast": q_q6_forecast,
+        "q13_order_dist": q_q13_order_dist,
+        "q15_top_supplier": q_q15_top_supplier,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -11151,6 +11284,7 @@ _CHECKED_R3_R4 = [
 # the newest (never driver-checked anywhere), then the VERDICT r4
 # families
 _ROUND5_PRIORITY = [
+    "q6_forecast", "q13_order_dist", "q15_top_supplier",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
