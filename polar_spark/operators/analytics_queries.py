@@ -11252,6 +11252,179 @@ QUERIES.update(
 )
 
 
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_1's share of PROMO-part
+    revenue among AMERICA-region customers per order year 1995-1997.
+    Both nation dimensions broadcast (customer side region-filtered,
+    supplier side carries the flag); the share is a conditional sum over
+    one fact join.  Numerator/denominator stay exact BIGINT e4 units;
+    the published share is their single IEEE division rounded 9 d.p.
+    (bit-identical cross-engine for identical int inputs)."""
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).where(F.col("r_name") == "AMERICA")
+    cust_nat = nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    cust = load_table(spark, "customer", sf_dir).join(
+        F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", (F.col("n_name") == "NATION_1").alias("is_target"))
+    )
+    part = load_table(spark, "part", sf_dir).where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.expr(_REV_SPARK)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("is_target"), rev).otherwise(F.lit(0))).alias(
+                "nation_rev_e4"
+            ),
+            F.sum(rev).alias("total_rev_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_e4",
+            "total_rev_e4",
+            F.round(
+                F.col("nation_rev_e4").cast("double") / F.col("total_rev_e4"), 9
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {_REV_DUCK} ELSE 0 END)
+            AS BIGINT) AS nation_rev_e4,
+       CAST(SUM({_REV_DUCK}) AS BIGINT) AS total_rev_e4,
+       ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {_REV_DUCK} ELSE 0 END)
+                  AS BIGINT)
+             / CAST(SUM({_REV_DUCK}) AS BIGINT), 9) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost to Brand#3
+    lineitems whose quantity is below 20 % of that part's average.  The
+    per-part average rides ONE window over the partkey shuffle (no
+    second join); the 0.2·avg compare is the integer cross-mult
+    5·qty_c·n < sum_qty_c so no float average can flip a boundary line.
+    The brand filter broadcasts into the fact scan first, so the window
+    only ever sees the selected parts' lines."""
+    part = load_table(spark, "part", sf_dir).where(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    li = load_table(spark, "lineitem", sf_dir).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty_c = F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
+    w = Window.partitionBy("l_partkey")
+    stats = li.select(
+        qty_c.alias("qty_c"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("price_c"),
+        F.sum(qty_c).over(w).alias("sum_qty_c"),
+        F.count("*").over(w).alias("n_part"),
+    )
+    return stats.where(F.lit(5) * F.col("qty_c") * F.col("n_part") < F.col("sum_qty_c")).agg(
+        F.sum("price_c").cast("long").alias("lost_rev_c"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+_Q17_SQL = """
+WITH sel AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+             OVER (PARTITION BY l_partkey) AS sum_qty_c,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n_part
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3')
+SELECT CAST(SUM(price_c) AS BIGINT) AS lost_rev_c,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM sel WHERE 5 * qty_c * n_part < sum_qty_c
+"""
+
+
+def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    brand/size/quantity branches OR-ed together.  The join stays a pure
+    equi-join on partkey (the disjunction never leaks into the join
+    condition — the classic Q19 planning trap that degrades to a
+    nested-loop join); branch predicates evaluate post-join as one
+    vectorized boolean.  Quantity compares as an exact integer."""
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("qty"),
+        F.expr(_REV_SPARK).alias("rev_e4"),
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("qty").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("qty").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("qty").between(20, 30))
+    )
+    return j.where(branch).agg(
+        F.sum("rev_e4").alias("revenue_e4"), F.count("*").cast("long").alias("n_lines")
+    )
+
+
+_Q19_SQL = f"""
+SELECT CAST(SUM({_REV_DUCK}) AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
+ORACLES.update(
+    {
+        "q8_market_share": _Q8_SQL,
+        "q17_small_qty": _Q17_SQL,
+        "q19_disjunctive": _Q19_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "q8_market_share": q_q8_market_share,
+        "q17_small_qty": q_q17_small_qty,
+        "q19_disjunctive": q_q19_disjunctive,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -11285,6 +11458,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "q6_forecast", "q13_order_dist", "q15_top_supplier",
+    "q8_market_share", "q17_small_qty", "q19_disjunctive",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
