@@ -11425,6 +11425,117 @@ QUERIES.update(
 )
 
 
+def q_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders placed in 1997Q3 with
+    at least ONE lineitem shipped more than 60 days after the order
+    date, counted per priority.  This is the order-level EXISTS — a
+    left-semi join, never a join-then-distinct (the semi join stops at
+    the first matching line per order, so no dedup shuffle of the fact
+    join output).  Distinct from q12/late_shipments, which counts
+    LINES; Q4 counts ORDERS."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.datediff(li.l_shipdate, orders.o_orderdate) > 60),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND date_diff('day', o_orderdate, l_shipdate) > 60)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): on multi-supplier
+    orders, the suppliers who were the ONLY late one (late = any of
+    their lines shipped > 90 days after the order date — the
+    commitdate/receiptdate analog on this schema).  Shape: collapse
+    lineitem to (order, supplier, late_any) with one groupBy, then the
+    exists/not-exists pair becomes two window counts over the SAME
+    orderkey partitioning (one shuffle, no self-joins).  Top-10 by wait
+    count with deterministic tie-break."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90).cast("long")
+            ).alias("late_any")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_suppkey",
+        "late_any",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("late_any").over(w).alias("n_late"),
+    )
+    waiting = flagged.where(
+        (F.col("late_any") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(10)
+    )
+
+
+_Q21_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                  THEN 1 ELSE 0 END) AS late_any
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey),
+flagged AS (
+  SELECT l_suppkey, late_any,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         SUM(late_any) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM per_os)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+WHERE late_any = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey LIMIT 10
+"""
+
+
+ORACLES.update({"q4_priority_check": _Q4_SQL, "q21_waiting_supplier": _Q21_SQL})
+QUERIES.update(
+    {
+        "q4_priority_check": q_q4_priority_check,
+        "q21_waiting_supplier": q_q21_waiting_supplier,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -11459,6 +11570,7 @@ _CHECKED_R3_R4 = [
 _ROUND5_PRIORITY = [
     "q6_forecast", "q13_order_dist", "q15_top_supplier",
     "q8_market_share", "q17_small_qty", "q19_disjunctive",
+    "q4_priority_check", "q21_waiting_supplier",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
