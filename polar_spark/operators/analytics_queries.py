@@ -11536,6 +11536,114 @@ QUERIES.update(
 )
 
 
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch over event user_ids (k=16 ±1-sign estimators):
+    one map-side-combinable aggregation, one row per estimator with the
+    signed sum and its square (E[x²] = Σ f_i² — the self-join-size /
+    skew moment).  Every row also carries the exact F2 (1-row broadcast
+    cross join) so the estimator error is on the result surface.  The
+    sign hash is the SQL-replayable xorshift mix — the oracle rebuilds
+    the sketch bit-for-bit."""
+    from polar_spark.operators.sketches import ams_f2
+
+    ev = load_table(spark, "events", sf_dir)
+    sk = ams_f2(ev, "user_id", k=16, seed=11)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2"))
+    )
+    return sk.crossJoin(F.broadcast(exact)).orderBy("est_id")
+
+
+def _ams_sign_sql(key: str, j: int, seed: int) -> str:
+    x0 = f"(({key} * 2654435761 + {j * 1000003 + seed}) % 2147483648)"
+    x1 = f"((xor({x0}, {x0} >> 13) * 1274126177) % 2147483648)"
+    return f"(1 - 2 * (xor({x1}, {x1} >> 17) % 2))"
+
+
+def _ams_f2_sql(k: int, seed: int) -> str:
+    xs = ",\n       ".join(
+        f"CAST(SUM({_ams_sign_sql('user_id', j, seed)}) AS BIGINT) AS x_{j}"
+        for j in range(k)
+    )
+    ests = "\nUNION ALL ".join(
+        f"SELECT {j} AS est_id, x_{j} AS x, x_{j} * x_{j} AS x2 FROM sk" for j in range(k)
+    )
+    return f"""
+WITH sk AS (SELECT {xs} FROM events),
+exact AS (SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2
+          FROM (SELECT COUNT(*) AS f FROM events GROUP BY user_id)),
+ests AS ({ests})
+SELECT CAST(est_id AS BIGINT) AS est_id, x, x2, exact_f2
+FROM ests, exact ORDER BY est_id
+"""
+
+
+def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection on the event stream: hourly
+    event counts flagged when they deviate from the trailing-24h mean
+    by more than 3 trailing standard deviations.  The heavy lift (hour
+    bucketing + counts) is one distributed groupBy; the trailing window
+    then runs on the PRE-AGGREGATED hour table (bounded by calendar
+    hours, not data volume — ~9k rows/year at any sf).  The 3σ test is
+    the all-integer cross-multiplication
+    (n·x − S)² · n > 9 · (n·SS − S²) · n  ⇔  (x−μ)² > 9σ²
+    so no float mean/variance can flip a boundary hour cross-engine."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.orderBy("hour").rowsBetween(-24, -1)
+    stats = hourly.select(
+        "hour",
+        "n_events",
+        F.count("n_events").over(w).alias("n_trail"),
+        F.sum("n_events").over(w).alias("s_trail"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss_trail"),
+    )
+    dev = F.col("n_trail") * F.col("n_events") - F.col("s_trail")
+    var_n2 = F.col("n_trail") * F.col("ss_trail") - F.col("s_trail") * F.col("s_trail")
+    return stats.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_events",
+        F.col("n_trail").cast("long").alias("n_trail"),
+        F.when(
+            (F.col("n_trail") >= 12) & (dev * dev > F.lit(9) * var_n2),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_anomaly"),
+    ).orderBy("hour")
+
+
+_HOURLY_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+stats AS (
+  SELECT hour, n_events,
+         COUNT(n_events) OVER w AS n_trail,
+         SUM(n_events) OVER w AS s_trail,
+         SUM(n_events * n_events) OVER w AS ss_trail
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT STRFTIME(hour, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
+       CAST(n_trail AS BIGINT) AS n_trail,
+       CAST(CASE WHEN n_trail >= 12
+                  AND (n_trail * n_events - s_trail) * (n_trail * n_events - s_trail)
+                      > 9 * (n_trail * ss_trail - s_trail * s_trail)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM stats ORDER BY hour
+"""
+
+
+ORACLES.update({"ams_f2": _ams_f2_sql(16, 11), "hourly_anomaly": _HOURLY_ANOMALY_SQL})
+QUERIES.update({"ams_f2": q_ams_f2, "hourly_anomaly": q_hourly_anomaly})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -11570,7 +11678,7 @@ _CHECKED_R3_R4 = [
 _ROUND5_PRIORITY = [
     "q6_forecast", "q13_order_dist", "q15_top_supplier",
     "q8_market_share", "q17_small_qty", "q19_disjunctive",
-    "q4_priority_check", "q21_waiting_supplier",
+    "q4_priority_check", "q21_waiting_supplier", "ams_f2", "hourly_anomaly",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",

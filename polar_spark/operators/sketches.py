@@ -441,3 +441,49 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         s2.cast("long").alias("s2"),
         F.round(est, 4).alias("est"),
     )
+
+
+def ams_f2(df: DataFrame, key_col: str, k: int = 16, seed: int = 0) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy, STOC'96):
+    ``k`` independent ±1 sign hashes; each estimator is
+    ``X_j = Σ_i s_j(i)·f_i`` and ``E[X_j²] = F2 = Σ f_i²``.
+
+    Built as ONE map-side-combinable aggregation: each input row
+    contributes its k signs via k conditional sums (no per-key state,
+    no explode — k columns wide, constant memory), so shards merge by
+    adding the ``x`` columns.  At 100 TB this replaces the full-width
+    ``groupBy(key).count()`` + sum-of-squares (a full shuffle of the
+    key space) with a k-cell sketch.  The sign hash is the repo's
+    SQL-replayable xorshift-multiply mix, so the oracle replays the
+    sketch bit-for-bit.
+
+    Returns one row per estimator: ``(est_id, x, x2)`` — medians/means
+    over ``x2`` are the caller's F2 estimate.
+
+    Reference analog: Polar's metrics counters are exact per-key actor
+    state (src/agents/*/metrics); this is the bounded-memory second-
+    moment (skew / self-join size) estimate a 1000-executor stream
+    would deploy.
+    """
+    key = F.col(key_col).cast("long")
+
+    def _sign(j: int) -> Column:
+        x0 = (key * F.lit(2654435761) + F.lit(j * 1000003 + seed)) % F.lit(2**31)
+        x1 = (x0.bitwiseXOR(F.shiftright(x0, 13)) * F.lit(1274126177)) % F.lit(2**31)
+        h = x1.bitwiseXOR(F.shiftright(x1, 17))
+        return F.lit(1) - F.lit(2) * (h % F.lit(2))
+
+    agg = df.agg(
+        *[F.sum(_sign(j)).cast("long").alias(f"x_{j}") for j in range(k)]
+    )
+    ests = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("est_id"),
+                F.col(f"x_{j}").alias("x"),
+                (F.col(f"x_{j}") * F.col(f"x_{j}")).alias("x2"),
+            )
+            for j in range(k)
+        ]
+    )
+    return agg.select(F.explode(ests).alias("e")).select("e.est_id", "e.x", "e.x2")
