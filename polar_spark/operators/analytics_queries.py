@@ -11644,6 +11644,183 @@ ORACLES.update({"ams_f2": _ams_f2_sql(16, 11), "hourly_anomaly": _HOURLY_ANOMALY
 QUERIES.update({"ams_f2": q_ams_f2, "hourly_anomaly": q_hourly_anomaly})
 
 
+def q_ari_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between successive label-propagation sweeps
+    (round 2 vs round 3) on the co-order graph — the clustering-
+    agreement audit (Hubert & Arabie 1985) used as a convergence-
+    stability probe: ARI → 1 as LPA stops moving vertices, so the
+    index is the principled "has the community pass settled?" signal
+    (vs counting raw label flips, which ignores chance agreement).
+    All pair-counting sufficient statistics (Σ C(n_ij,2), Σ C(a_i,2),
+    Σ C(b_j,2), C(n,2)) stay exact BIGINT from one contingency
+    groupBy; the index itself is one fixed-shape double expression
+    over those four ints (bit-stable cross-engine), with the
+    degenerate both-trivial case handled by an integer predicate."""
+    e = coorder_edges(spark, sf_dir)
+    l2, _ = pregel.label_propagation(e, max_iter=2)
+    l3, _ = pregel.label_propagation(e, max_iter=3)
+    joined = (
+        l2.select("id", F.col("label").alias("comp"))
+        .join(l3.select("id", "label"), "id")
+        .select("comp", "label")
+    )
+    cells = joined.groupBy("comp", "label").agg(F.count("*").alias("n"))
+    pij = cells.agg(
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("long").alias("sum_pairs_cells")
+    )
+    pa = (
+        cells.groupBy("comp")
+        .agg(F.sum("n").alias("a"))
+        .agg(F.sum(F.expr("a * (a - 1) DIV 2")).cast("long").alias("sum_pairs_comp"))
+    )
+    pb = (
+        cells.groupBy("label")
+        .agg(F.sum("n").alias("b"))
+        .agg(F.sum(F.expr("b * (b - 1) DIV 2")).cast("long").alias("sum_pairs_label"))
+    )
+    nn = joined.agg(
+        F.expr("COUNT(*) * (COUNT(*) - 1) DIV 2").cast("long").alias("total_pairs")
+    )
+    return (
+        pij.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "sum_pairs_cells",
+            "sum_pairs_comp",
+            "sum_pairs_label",
+            "total_pairs",
+            # denominator == 0  ⟺  nn·(a+b) == 2·a·b (integer test, no float
+            # boundary) — both partitions are then the trivial single
+            # cluster, identical by construction: ARI = 1 by convention.
+            F.when(
+                F.col("total_pairs")
+                * (F.col("sum_pairs_comp") + F.col("sum_pairs_label"))
+                == F.lit(2) * F.col("sum_pairs_comp") * F.col("sum_pairs_label"),
+                F.lit(1.0),
+            )
+            .otherwise(
+                F.round(
+                    (
+                        F.col("sum_pairs_cells").cast("double")
+                        - F.col("sum_pairs_comp").cast("double")
+                        * F.col("sum_pairs_label").cast("double")
+                        / F.col("total_pairs").cast("double")
+                    )
+                    / (
+                        (
+                            F.col("sum_pairs_comp").cast("double")
+                            + F.col("sum_pairs_label").cast("double")
+                        )
+                        / F.lit(2.0)
+                        - F.col("sum_pairs_comp").cast("double")
+                        * F.col("sum_pairs_label").cast("double")
+                        / F.col("total_pairs").cast("double")
+                    ),
+                    9,
+                )
+            )
+            .alias("ari_r"),
+        )
+    )
+
+
+def _ari_sql() -> str:
+    lpa_rounds = "".join("," + _LPA_ROUND.format(K=k, KM1=k - 1) for k in (1, 2, 3))
+    return f"""
+WITH {_COORDER_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+l0 AS (SELECT id, id AS label FROM verts)
+{lpa_rounds},
+joined AS (SELECT a.label AS comp, b.label AS label
+           FROM l2 a JOIN l3 b ON b.id = a.id),
+cells AS (SELECT comp, label, COUNT(*) AS n FROM joined GROUP BY 1, 2),
+pij AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS sum_pairs_cells FROM cells),
+pa AS (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS sum_pairs_comp
+       FROM (SELECT SUM(n) AS a FROM cells GROUP BY comp)),
+pb AS (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS sum_pairs_label
+       FROM (SELECT SUM(n) AS b FROM cells GROUP BY label)),
+nn AS (SELECT CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS total_pairs FROM joined)
+SELECT sum_pairs_cells, sum_pairs_comp, sum_pairs_label, total_pairs,
+       CASE WHEN total_pairs * (sum_pairs_comp + sum_pairs_label)
+                 = 2 * sum_pairs_comp * sum_pairs_label
+            THEN 1.0
+            ELSE ROUND((CAST(sum_pairs_cells AS DOUBLE)
+              - CAST(sum_pairs_comp AS DOUBLE) * CAST(sum_pairs_label AS DOUBLE)
+                / CAST(total_pairs AS DOUBLE))
+             / ((CAST(sum_pairs_comp AS DOUBLE) + CAST(sum_pairs_label AS DOUBLE)) / 2.0
+                - CAST(sum_pairs_comp AS DOUBLE) * CAST(sum_pairs_label AS DOUBLE)
+                  / CAST(total_pairs AS DOUBLE)), 9) END AS ari_r
+FROM pij, pa, pb, nn
+"""
+
+
+def q_tie_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granovetter weak-tie audit on the co-order graph: per-edge
+    neighborhood overlap |Γu∩Γv| / |Γu∪Γv∖{u,v}| (Onnela et al., PNAS
+    2007) bucketed into integer-exact deciles — the strength-of-weak-
+    ties distribution (overlap 0 = local bridge).  The per-edge common-
+    neighbor count is the same degree-bounded wedge join as the
+    triangle counter (one shuffle class); the decile is pure integer
+    DIV so no float boundary flips a bucket."""
+    und = coorder_edges(spark, sf_dir)
+    sym = _sym(und)
+    deg = sym.groupBy(F.col("src").alias("x")).agg(F.count("*").alias("d"))
+    su = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    sv = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cn = (
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(su, "u")
+        .join(sv, ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    per_edge = (
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(cn, ["u", "v"], "left")
+        .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+            (F.col("du") + F.col("dv") - F.lit(2)).alias("dd"),
+        )
+    )
+    decile = F.when(
+        F.col("dd") - F.col("cn") == 0, F.lit(10)
+    ).otherwise(F.expr("(10 * cn) DIV (dd - cn)"))
+    return (
+        per_edge.select(decile.cast("long").alias("overlap_decile"))
+        .groupBy("overlap_decile")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+        .orderBy("overlap_decile")
+    )
+
+
+_TIE_OVERLAP_SQL = f"""
+WITH {_COORDER_SQL}, {_SYM_SQL},
+deg AS (SELECT src AS x, COUNT(*) AS d FROM e GROUP BY src),
+cn AS (SELECT p.src AS u, p.dst AS v, COUNT(*) AS cn
+       FROM und p
+       JOIN e su ON su.src = p.src
+       JOIN e sv ON sv.src = p.dst AND sv.dst = su.dst
+       GROUP BY p.src, p.dst),
+per_edge AS (
+  SELECT COALESCE(cn.cn, 0) AS cn, du.d + dv.d - 2 AS dd
+  FROM und p
+  LEFT JOIN cn ON cn.u = p.src AND cn.v = p.dst
+  JOIN deg du ON du.x = p.src
+  JOIN deg dv ON dv.x = p.dst)
+SELECT CAST(CASE WHEN dd - cn = 0 THEN 10
+                 ELSE (10 * cn) // (dd - cn) END AS BIGINT) AS overlap_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM per_edge GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES.update({"ari_partitions": _ari_sql(), "tie_overlap": _TIE_OVERLAP_SQL})
+QUERIES.update({"ari_partitions": q_ari_partitions, "tie_overlap": q_tie_overlap})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -11679,6 +11856,7 @@ _ROUND5_PRIORITY = [
     "q6_forecast", "q13_order_dist", "q15_top_supplier",
     "q8_market_share", "q17_small_qty", "q19_disjunctive",
     "q4_priority_check", "q21_waiting_supplier", "ams_f2", "hourly_anomaly",
+    "ari_partitions", "tie_overlap",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
