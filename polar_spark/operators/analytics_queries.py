@@ -11821,6 +11821,175 @@ ORACLES.update({"ari_partitions": _ari_sql(), "tie_overlap": _TIE_OVERLAP_SQL})
 QUERIES.update({"ari_partitions": q_ari_partitions, "tie_overlap": q_tie_overlap})
 
 
+def q_silhouette8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster silhouette score for the k=8 Lloyd's clustering
+    (centroid variant: a = squared L2 to own centroid, b = to the
+    nearest other; s = (b−a)/max(a,b)) — the cluster-quality audit
+    read next to `kmeans8`.  Assignment + both distances come from ONE
+    pure map stage (the 8 final centroids inlined as array literals,
+    array_sort over (dist, cid) structs — no shuffle, no Python); the
+    per-point s is rounded to integer micro-units BEFORE the per-
+    cluster mean so the float sum is order-independent (the same
+    micro-unit discipline as the revenue queries)."""
+    from polar_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    _out, cents = kmeans_lloyd(emb, k=8, n_iter=3)
+    base = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    ).where(F.col("embedding").isNotNull())
+
+    def _d2(c: list[float]) -> F.Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(_d2(c).alias("d"), F.lit(j).alias("c"))
+                for j, c in enumerate(cents)
+            ]
+        )
+    )
+    a_d, a_c, b_d = arr[0]["d"], arr[0]["c"], arr[1]["d"]
+    s = F.when(F.greatest(a_d, b_d) == 0.0, F.lit(0.0)).otherwise(
+        (b_d - a_d) / F.greatest(a_d, b_d)
+    )
+    pts = base.select(
+        a_c.cast("long").alias("cluster"),
+        F.round(s * 1000000).cast("long").alias("s_u"),
+    )
+    return (
+        pts.groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_points"), F.sum("s_u").alias("sum_s_u"))
+        .select(
+            "cluster",
+            "n_points",
+            F.round(
+                F.col("sum_s_u").cast("double")
+                / (F.lit(1000000.0) * F.col("n_points").cast("double")),
+                6,
+            ).alias("mean_sil_r"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _silhouette_sql(k: int, n_iter: int) -> str:
+    parts, dist = _kmeans_parts(k, n_iter)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+ranked AS (SELECT e.id, c.cid, {dist} AS d2,
+                  ROW_NUMBER() OVER (PARTITION BY e.id
+                                     ORDER BY {dist}, c.cid) AS rn
+           FROM e CROSS JOIN c{n_iter} c),
+ab AS (SELECT a.id, a.cid AS cluster, a.d2 AS a2, b.d2 AS b2
+       FROM ranked a JOIN ranked b ON b.id = a.id AND b.rn = 2
+       WHERE a.rn = 1),
+su AS (SELECT cluster,
+              CAST(ROUND(CASE WHEN GREATEST(a2, b2) = 0 THEN 0.0
+                              ELSE (b2 - a2) / GREATEST(a2, b2) END
+                         * 1000000) AS BIGINT) AS s_u
+       FROM ab)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(CAST(SUM(s_u) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) AS mean_sil_r
+FROM su GROUP BY cluster ORDER BY cluster"""
+    )
+
+
+def q_greedy_cover4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage source selection (the submodular
+    data-selection primitive): pick 4 of the 20 sources that together
+    cover the most distinct word trigrams — which corpus shards buy
+    the most vocabulary.  Lazy-greedy shape: each of the 4 rounds is
+    one anti-join against the covered set + a 20-key gain aggregate +
+    a 1-row argmax collect (the bounded chained-argmax posture of
+    `kcenter8`); the (1−1/e) guarantee is the textbook one.  All
+    counts integer; tie-break (gain DESC, source ASC) replays exactly
+    in the oracle's chained scalar subqueries."""
+    docs = load_table(spark, "documents", sf_dir)
+    sg = (
+        doc_trigrams(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "g")
+        .distinct()
+        .persist()
+    )
+    covered = None
+    rows = []
+    cum = 0
+    for rank in range(1, 5):
+        remaining = sg if covered is None else sg.join(covered, "g", "left_anti")
+        best = (
+            remaining.groupBy("source")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("source"))
+            .limit(1)
+            .collect()
+        )[0]
+        cum += int(best["gain"])
+        rows.append((rank, best["source"], int(best["gain"]), cum))
+        picked = sg.where(F.col("source") == best["source"]).select("g")
+        covered = picked if covered is None else covered.unionByName(picked).distinct()
+    sg.unpersist()
+    return spark.createDataFrame(
+        rows, "pick_rank long, source string, new_grams long, cum_grams long"
+    )
+
+
+def _greedy_cover_sql(n_picks: int) -> str:
+    parts = [
+        r"""toks AS (SELECT doc_id, source,
+        generate_subscripts(regexp_split_to_array(TRIM(text), '\s+'), 1) AS i,
+        UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+      FROM documents)""",
+        """sg AS (SELECT DISTINCT a.source, a.w || ' ' || b.w || ' ' || c.w AS g
+       FROM toks a
+       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""",
+    ]
+    selects = []
+    for k in range(1, n_picks + 1):
+        prev_cov = f"c{k - 1}" if k > 1 else None
+        remaining = (
+            "sg"
+            if prev_cov is None
+            else f"(SELECT * FROM sg WHERE g NOT IN (SELECT g FROM {prev_cov}))"
+        )
+        parts.append(
+            f"g{k} AS (SELECT source, COUNT(*) AS gain FROM {remaining} r{k} "
+            f"GROUP BY source)"
+        )
+        parts.append(
+            f"p{k} AS (SELECT source, gain FROM g{k} "
+            f"ORDER BY gain DESC, source LIMIT 1)"
+        )
+        cov_body = f"SELECT g FROM sg WHERE source IN (SELECT source FROM p{k})"
+        if prev_cov is not None:
+            cov_body += f" UNION SELECT g FROM {prev_cov}"
+        parts.append(f"c{k} AS MATERIALIZED (SELECT DISTINCT g FROM ({cov_body}) u)")
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS pick_rank, "
+            f"(SELECT source FROM p{k}) AS source, "
+            f"CAST((SELECT gain FROM p{k}) AS BIGINT) AS new_grams, "
+            f"CAST((SELECT COUNT(*) FROM c{k}) AS BIGINT) AS cum_grams"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES.update(
+    {"silhouette8": _silhouette_sql(8, 3), "greedy_cover4": _greedy_cover_sql(4)}
+)
+QUERIES.update({"silhouette8": q_silhouette8, "greedy_cover4": q_greedy_cover4})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -11856,7 +12025,7 @@ _ROUND5_PRIORITY = [
     "q6_forecast", "q13_order_dist", "q15_top_supplier",
     "q8_market_share", "q17_small_qty", "q19_disjunctive",
     "q4_priority_check", "q21_waiting_supplier", "ams_f2", "hourly_anomaly",
-    "ari_partitions", "tie_overlap",
+    "ari_partitions", "tie_overlap", "silhouette8", "greedy_cover4",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
