@@ -560,6 +560,64 @@ def main() -> None:
             "temporal_reached": int(reach),
         }
 
+    def _session8_ops():
+        # session-8 additions: the TPC-H completion set (Q4/Q6/Q8/Q13/
+        # Q15/Q17/Q19/Q21), AMS F2 sketch, integer-exact hourly anomaly
+        # flags, ARI convergence-stability, tie-overlap deciles,
+        # silhouette audit, greedy max-coverage source selection
+        from polar_spark.operators.analytics_queries import (
+            q_ams_f2,
+            q_ari_partitions,
+            q_greedy_cover4,
+            q_hourly_anomaly,
+            q_q4_priority_check,
+            q_q6_forecast,
+            q_q8_market_share,
+            q_q13_order_dist,
+            q_q15_top_supplier,
+            q_q17_small_qty,
+            q_q19_disjunctive,
+            q_q21_waiting_supplier,
+            q_silhouette8,
+            q_tie_overlap,
+        )
+
+        for fn in (
+            q_q4_priority_check,
+            q_q6_forecast,
+            q_q8_market_share,
+            q_q13_order_dist,
+            q_q15_top_supplier,
+            q_q17_small_qty,
+            q_q19_disjunctive,
+        ):
+            fn(spark, sf_dir).collect()
+        q21 = q_q21_waiting_supplier(spark, sf_dir).collect()
+        ams = q_ams_f2(spark, sf_dir).collect()
+        anom = q_hourly_anomaly(spark, sf_dir).agg(F.sum("is_anomaly")).collect()[0][0]
+        ari = q_ari_partitions(spark, sf_dir).collect()[0]["ari_r"]
+        tie = q_tie_overlap(spark, sf_dir).collect()
+        sil = q_silhouette8(spark, sf_dir).collect()
+        cover = q_greedy_cover4(spark, sf_dir).collect()
+        import statistics
+
+        return {
+            "q21_top_numwait": int(q21[0]["numwait"]) if q21 else 0,
+            "ams_mean_est": int(statistics.mean(r["x2"] for r in ams)),
+            "ams_exact_f2": int(ams[0]["exact_f2"]) if ams else 0,
+            "anomalous_hours": int(anom or 0),
+            "lpa_round_ari": float(ari),
+            "tie_overlap_zero_edges": next(
+                (int(r["n_edges"]) for r in tie if r["overlap_decile"] == 0), 0
+            ),
+            "silhouette_mean": round(
+                statistics.mean(r["mean_sil_r"] for r in sil), 6
+            )
+            if sil
+            else 0.0,
+            "cover_cum_grams": int(cover[-1]["cum_grams"]) if cover else 0,
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -599,6 +657,7 @@ def main() -> None:
         ("motif_census", _motif_census, 1),
         ("tpch_classics", _tpch_classics, min(REPS, 2)),
         ("session7_graph_ops", _session7_graph, min(REPS, 2)),
+        ("session8_ops", _session8_ops, min(REPS, 2)),
     ]
 
     draws: dict[str, list[float]] = {name: [] for name, _f, _r in sections}
