@@ -11990,6 +11990,214 @@ ORACLES.update(
 QUERIES.update({"silhouette8": q_silhouette8, "greedy_cover4": q_greedy_cover4})
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS revenue report — (nation), (segment),
+    (nation, segment), and the grand total in ONE pass (completes the
+    OLAP surface next to `cube_orders`/`rollup_lineitem`: arbitrary
+    set lists, not just the cube/rollup lattices).  Spark expands the
+    sets with a single Expand node over one shuffle — no 4× re-scan;
+    `grouping_id` disambiguates the NULL-as-total rows exactly as the
+    SQL standard does."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey", "c_mktsegment")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_c")
+    )
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    )
+    base.createOrReplaceTempView("gs_base")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               CAST(grouping_id(n_name, c_mktsegment) AS BIGINT) AS gid,
+               CAST(SUM(price_c) AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM gs_base
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment), ())
+        ORDER BY gid, n_name, c_mktsegment
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+WITH base AS (
+  SELECT n_name, c_mktsegment, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT n_name, c_mktsegment,
+       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+       CAST(SUM(price_c) AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM base
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment), ())
+ORDER BY gid, n_name, c_mktsegment
+"""
+
+
+def q_rolling_revenue7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per nation — the RANGE-frame window
+    (value-based, not row-based: days with no orders still shrink the
+    frame correctly) over the PRE-AGGREGATED (nation, day) table, so
+    the window input is bounded by calendar days × nations, never raw
+    order volume.  Day key is integer days-since-epoch; revenue stays
+    integer cents."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("day"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "day")
+        .agg(F.sum("price_c").alias("rev_c"), F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("day").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            F.col("day").cast("long").alias("day"),
+            F.sum("rev_c").over(w).cast("long").alias("rev7_c"),
+            F.sum("n").over(w).cast("long").alias("n7"),
+        )
+        .where(F.col("day") % 7 == 0)  # weekly report rows; window still daily
+        .orderBy("c_nationkey", "day")
+    )
+
+
+_ROLLING7_SQL = """
+WITH daily AS (
+  SELECT c_nationkey,
+         date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c,
+         COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(day AS BIGINT) AS day,
+       CAST(SUM(rev_c) OVER w AS BIGINT) AS rev7_c,
+       CAST(SUM(n) OVER w AS BIGINT) AS n7
+FROM daily
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+QUALIFY day % 7 = 0
+ORDER BY c_nationkey, day
+"""
+
+
+def q_edit_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-duplicate pairs by edit distance: block on the
+    lowercased 16-char prefix (equi-join — candidates only ever meet
+    inside a block, the scalable fuzzy-dedup shape), then Levenshtein
+    on the 64-char heads, keep distance ≤ 8.  Levenshtein runs
+    JVM-side (built-in, no Python); the blocking keeps the quadratic
+    strictly inside prefix groups — the same bounded-candidates
+    discipline as the MinHash band buckets."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 16)).alias("pfx"),
+        F.substring("text", 1, 64).alias("s64"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.s64"), F.col("b.s64")).cast("long").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_EDIT_DIST_SQL = """
+WITH d AS (SELECT doc_id, lower(substr(text, 1, 16)) AS pfx,
+                  substr(text, 1, 64) AS s64
+           FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s64, b.s64) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+WHERE levenshtein(a.s64, b.s64) <= 8
+ORDER BY id_a, id_b
+"""
+
+
+def q_temporal_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal relay motifs (Paranjape et al., WSDM'17 class): for
+    each supplier hub w, the number of time-respecting contact relays
+    u→w→v with the second contact 1–3 days after the first and v ≠ u.
+    Counted WITHOUT pair enumeration: two RANGE-frame window counts
+    over the same (hub, day) ordering — total relays = Σ(later
+    contacts in window) minus Σ(later contacts by the SAME customer),
+    so the per-hub quadratic never materializes (the frame is a
+    value-range scan).  Top-15 hubs, all-integer."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    contacts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("w"),
+            F.col("o_custkey").alias("u"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("t"),
+        )
+        .distinct()
+    )
+    w_all = Window.partitionBy("w").orderBy("t").rangeBetween(1, 3)
+    w_same = Window.partitionBy("w", "u").orderBy("t").rangeBetween(1, 3)
+    per_contact = contacts.select(
+        "w",
+        (F.count("*").over(w_all) - F.count("*").over(w_same)).alias("relays"),
+    )
+    return (
+        per_contact.groupBy("w")
+        .agg(F.sum("relays").cast("long").alias("n_relays"))
+        .select(F.col("w").cast("long").alias("w"), "n_relays")
+        .orderBy(F.desc("n_relays"), "w")
+        .limit(15)
+    )
+
+
+_TEMPORAL_MOTIFS_SQL = """
+WITH contacts AS (
+  SELECT DISTINCT l_suppkey AS w, o_custkey AS u,
+         date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS t
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+per_contact AS (
+  SELECT w,
+         COUNT(*) OVER (PARTITION BY w ORDER BY t
+                        RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+         - COUNT(*) OVER (PARTITION BY w, u ORDER BY t
+                          RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS relays
+  FROM contacts)
+SELECT CAST(w AS BIGINT) AS w, CAST(SUM(relays) AS BIGINT) AS n_relays
+FROM per_contact GROUP BY w
+ORDER BY n_relays DESC, w LIMIT 15
+"""
+
+
+ORACLES.update(
+    {
+        "grouping_sets_orders": _GROUPING_SETS_SQL,
+        "rolling_revenue7": _ROLLING7_SQL,
+        "edit_dist_pairs": _EDIT_DIST_SQL,
+        "temporal_motifs": _TEMPORAL_MOTIFS_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "rolling_revenue7": q_rolling_revenue7,
+        "edit_dist_pairs": q_edit_dist_pairs,
+        "temporal_motifs": q_temporal_motifs,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -12026,6 +12234,8 @@ _ROUND5_PRIORITY = [
     "q8_market_share", "q17_small_qty", "q19_disjunctive",
     "q4_priority_check", "q21_waiting_supplier", "ams_f2", "hourly_anomaly",
     "ari_partitions", "tie_overlap", "silhouette8", "greedy_cover4",
+    "grouping_sets_orders", "rolling_revenue7", "edit_dist_pairs",
+    "temporal_motifs",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
