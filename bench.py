@@ -581,6 +581,14 @@ def main() -> None:
             q_silhouette8,
             q_tie_overlap,
         )
+        from polar_spark.operators.analytics_queries import (
+            q_edit_dist_pairs,
+            q_event_transitions,
+            q_grouping_sets_orders,
+            q_rolling_revenue7,
+            q_temporal_motifs,
+            q_weighted_jaccard20,
+        )
 
         for fn in (
             q_q4_priority_check,
@@ -599,6 +607,12 @@ def main() -> None:
         tie = q_tie_overlap(spark, sf_dir).collect()
         sil = q_silhouette8(spark, sf_dir).collect()
         cover = q_greedy_cover4(spark, sf_dir).collect()
+        gs = q_grouping_sets_orders(spark, sf_dir).count()
+        q_rolling_revenue7(spark, sf_dir).collect()
+        edits = q_edit_dist_pairs(spark, sf_dir).count()
+        motifs = q_temporal_motifs(spark, sf_dir).collect()
+        q_event_transitions(spark, sf_dir).collect()
+        wj = q_weighted_jaccard20(spark, sf_dir).collect()
         import statistics
 
         return {
@@ -616,6 +630,10 @@ def main() -> None:
             if sil
             else 0.0,
             "cover_cum_grams": int(cover[-1]["cum_grams"]) if cover else 0,
+            "grouping_set_rows": int(gs),
+            "edit_dist_pairs": int(edits),
+            "motif_top_relays": int(motifs[0]["n_relays"]) if motifs else 0,
+            "wjaccard_top_ppm": int(wj[0]["wj_ppm"]) if wj else 0,
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side

@@ -12198,6 +12198,119 @@ QUERIES.update(
 )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: one lag window per user (ordered ts, event_id
+    tie-break — the sessionize ordering), then a 25-key count
+    aggregate; row-normalized probabilities in exact integer ppm
+    (count·10⁶ DIV row_total).  The user-behavior model behind
+    next-event prediction and funnel-leak hunting; window input is
+    co-partitioned by user so the lag never crosses executors."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("row_total", F.sum("n").over(wrow))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 DIV row_total").cast("long").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+FROM counts ORDER BY from_type, to_type
+"""
+
+
+ORACLES.update({"event_transitions": _EVENT_TRANSITIONS_SQL})
+QUERIES.update({"event_transitions": q_event_transitions})
+
+
+def q_weighted_jaccard20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Jaccard (Ruzicka) similarity between suppliers on their
+    part-quantity vectors, evaluated ONLY on existing co-part edges —
+    never all pairs: the candidate set is the edge table, so the cost
+    is Σ|shared parts| per edge, not |S|².  Uses the identity
+    Σmax = T_a + T_b − Σmin (per-supplier totals are a broadcastable
+    dimension), so only the shared-part Σmin needs the pair join.
+    Quantities stay integer centi-units; the similarity is exact
+    integer ppm.  Top-20, deterministic tie-break."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ps = li.groupBy(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).agg(F.sum(F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")).alias("q"))
+    totals = ps.groupBy("s").agg(F.sum("q").alias("t"))
+    edges = copart_edges(spark, sf_dir)
+    pa = ps.select(F.col("s").alias("src"), "p", F.col("q").alias("qa"))
+    pb = ps.select(F.col("s").alias("dst"), "p", F.col("q").alias("qb"))
+    shared = (
+        edges.join(pa, "src")
+        .join(pb, ["dst", "p"])
+        .groupBy("src", "dst")
+        .agg(F.sum(F.least("qa", "qb")).alias("sum_min"))
+    )
+    ta = totals.select(F.col("s").alias("src"), F.col("t").alias("ta"))
+    tb = totals.select(F.col("s").alias("dst"), F.col("t").alias("tb"))
+    return (
+        shared.join(ta, "src")
+        .join(tb, "dst")
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.expr("sum_min * 1000000 DIV (ta + tb - sum_min)")
+            .cast("long")
+            .alias("wj_ppm"),
+        )
+        .orderBy(F.desc("wj_ppm"), "src", "dst")
+        .limit(20)
+    )
+
+
+_WEIGHTED_JACCARD_SQL = f"""
+WITH {_COPART_SQL},
+ps AS (SELECT l_suppkey AS s, l_partkey AS p,
+              SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q
+       FROM lineitem GROUP BY 1, 2),
+totals AS (SELECT s, SUM(q) AS t FROM ps GROUP BY s),
+shared AS (SELECT u.src, u.dst, SUM(LEAST(a.q, b.q)) AS sum_min
+           FROM und u
+           JOIN ps a ON a.s = u.src
+           JOIN ps b ON b.s = u.dst AND b.p = a.p
+           GROUP BY u.src, u.dst)
+SELECT CAST(sh.src AS BIGINT) AS src, CAST(sh.dst AS BIGINT) AS dst,
+       CAST(sum_min * 1000000 // (ta.t + tb.t - sum_min) AS BIGINT) AS wj_ppm
+FROM shared sh
+JOIN totals ta ON ta.s = sh.src
+JOIN totals tb ON tb.s = sh.dst
+ORDER BY wj_ppm DESC, src, dst LIMIT 20
+"""
+
+
+ORACLES.update({"weighted_jaccard20": _WEIGHTED_JACCARD_SQL})
+QUERIES.update({"weighted_jaccard20": q_weighted_jaccard20})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -12235,7 +12348,7 @@ _ROUND5_PRIORITY = [
     "q4_priority_check", "q21_waiting_supplier", "ams_f2", "hourly_anomaly",
     "ari_partitions", "tie_overlap", "silhouette8", "greedy_cover4",
     "grouping_sets_orders", "rolling_revenue7", "edit_dist_pairs",
-    "temporal_motifs",
+    "temporal_motifs", "event_transitions", "weighted_jaccard20",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
