@@ -636,6 +636,25 @@ def main() -> None:
             "wjaccard_top_ppm": int(wj[0]["wj_ppm"]) if wj else 0,
         }
 
+    def _session9_ops():
+        # session-9 additions: market-basket association rules, TPC-H
+        # Q9 essence (blue-part profit by nation x year), friendship-
+        # paradox audit on the co-order graph
+        from polar_spark.operators.analytics_queries import (
+            q_assoc_rules,
+            q_friendship_paradox,
+            q_q9_profit,
+        )
+
+        rules = q_assoc_rules(spark, sf_dir).collect()
+        q_q9_profit(spark, sf_dir).collect()
+        fp = q_friendship_paradox(spark, sf_dir).collect()[0]
+        return {
+            "assoc_top_lift_ppm": int(rules[0]["lift_ppm"]) if rules else 0,
+            "paradox_ppm": int(fp["paradox_ppm"]),
+            "nbr_mean_deg_ppm": int(fp["nbr_mean_deg_ppm"]),
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -676,7 +695,15 @@ def main() -> None:
         ("tpch_classics", _tpch_classics, min(REPS, 2)),
         ("session7_graph_ops", _session7_graph, min(REPS, 2)),
         ("session8_ops", _session8_ops, min(REPS, 2)),
+        ("session9_ops", _session9_ops, min(REPS, 2)),
     ]
+
+    # dev-loop filter: SPARK_GRAFT_BENCH_ONLY=a,b runs just those
+    # sections (the recorded artifacts always run the full list)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        sections = [s for s in sections if s[0] in keep]
 
     draws: dict[str, list[float]] = {name: [] for name, _f, _r in sections}
     best_extras: dict[str, dict] = {}

@@ -12311,6 +12311,177 @@ ORACLES.update({"weighted_jaccard20": _WEIGHTED_JACCARD_SQL})
 QUERIES.update({"weighted_jaccard20": q_weighted_jaccard20})
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: directed
+    rules part_a → part_b ranked by lift, with support/confidence in
+    exact integer ppm.  The pair join is keyed on the order, so cost is
+    Σ basket² (TPC-H baskets are ≤ ~10 lines) — never |parts|²; basket
+    totals and the order count are tiny broadcast dimensions.  Lift
+    rides one integer cross-multiplication, no floats anywhere."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = items.select("o").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    item_n = items.groupBy("p").agg(F.count("*").cast("long").alias("n_item"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .groupBy(F.col("a.p").alias("ante"), F.col("b.p").alias("cons"))
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    na = F.broadcast(item_n.select(F.col("p").alias("ante"), F.col("n_item").alias("n_a")))
+    nb = F.broadcast(item_n.select(F.col("p").alias("cons"), F.col("n_item").alias("n_b")))
+    return (
+        pairs.join(na, "ante")
+        .join(nb, "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("ante").cast("long").alias("ante"),
+            F.col("cons").cast("long").alias("cons"),
+            "n_ab",
+            F.expr("n_ab * 1000000 DIV n_a").cast("long").alias("conf_ppm"),
+            F.expr("n_ab * n_orders * 1000000 DIV (n_a * n_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "ante", "cons")
+        .limit(20)
+    )
+
+
+_ASSOC_RULES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+item_n AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_item FROM items GROUP BY p),
+pairs AS (
+  SELECT a.p AS ante, b.p AS cons, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT CAST(ante AS BIGINT) AS ante, CAST(cons AS BIGINT) AS cons, n_ab,
+       CAST(n_ab * 1000000 // na.n_item AS BIGINT) AS conf_ppm,
+       CAST(n_ab * n_orders * 1000000 // (na.n_item * nb.n_item) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN item_n na ON na.p = pairs.ante
+JOIN item_n nb ON nb.p = pairs.cons
+CROSS JOIN tot
+ORDER BY lift_ppm DESC, ante, cons LIMIT 20
+"""
+
+
+ORACLES.update({"assoc_rules": _ASSOC_RULES_SQL})
+QUERIES.update({"assoc_rules": q_assoc_rules})
+
+
+def q_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 essence (product-type profit): revenue from 'blue'
+    parts by supplier nation × order year.  The test schema has no
+    partsupp, so profit is the discounted-revenue term only (exact
+    integer e4 cents, same engineering as Q3/Q5).  Plan shape: part
+    filter broadcasts into the lineitem scan, supplier→nation is a
+    two-hop broadcast dimension, and the only shuffle joins the two
+    fact tables on orderkey before one small group-by."""
+    part = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.expr(f"SUM({_REV_SPARK})").alias("sum_profit_e4"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV_DUCK}) AS BIGINT) AS sum_profit_e4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%blue%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+ORACLES.update({"q9_profit": _Q9_SQL})
+QUERIES.update({"q9_profit": q_q9_profit})
+
+
+def q_friendship_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friendship paradox audit on the co-order graph: the
+    edge-perspective mean neighbor degree Σd²/Σd versus the vertex
+    mean degree Σd/n, plus the fraction of vertices whose mean
+    neighbor degree exceeds their own (compared as the exact integer
+    cross-product Σ_nbr d > d² — no division).  One degree aggregate
+    and one degree-join — both linear in |E|; everything BIGINT."""
+    und = coorder_edges(spark, sf_dir)
+    e = _sym(und)
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nbr = (
+        e.join(deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_n")), "dst")
+        .groupBy("src")
+        .agg(F.sum("deg_n").alias("s_nbr"))
+    )
+    per_v = deg.join(nbr, "src").select(
+        "deg", "s_nbr", (F.col("s_nbr") > F.col("deg") * F.col("deg")).alias("parad")
+    )
+    return per_v.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.sum(F.col("parad").cast("long")).cast("long").alias("n_paradox"),
+        F.expr("SUM(CAST(parad AS BIGINT)) * 1000000 DIV COUNT(*)")
+        .cast("long")
+        .alias("paradox_ppm"),
+        F.expr("SUM(deg) * 1000000 DIV COUNT(*)").cast("long").alias("mean_deg_ppm"),
+        F.expr("SUM(deg * deg) * 1000000 DIV SUM(deg)")
+        .cast("long")
+        .alias("nbr_mean_deg_ppm"),
+    )
+
+
+_FRIENDSHIP_PARADOX_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+nbr AS (SELECT e.src, SUM(d2.deg) AS s_nbr
+        FROM e JOIN deg d2 ON d2.src = e.dst GROUP BY e.src),
+per_v AS (SELECT deg.deg, nbr.s_nbr, nbr.s_nbr > deg.deg * deg.deg AS parad
+          FROM deg JOIN nbr ON nbr.src = deg.src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(CAST(parad AS BIGINT)) AS BIGINT) AS n_paradox,
+       CAST(SUM(CAST(parad AS BIGINT)) * 1000000 // COUNT(*) AS BIGINT) AS paradox_ppm,
+       CAST(SUM(deg) * 1000000 // COUNT(*) AS BIGINT) AS mean_deg_ppm,
+       CAST(SUM(deg * deg) * 1000000 // SUM(deg) AS BIGINT) AS nbr_mean_deg_ppm
+FROM per_v
+"""
+
+
+ORACLES.update({"friendship_paradox": _FRIENDSHIP_PARADOX_SQL})
+QUERIES.update({"friendship_paradox": q_friendship_paradox})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -12349,6 +12520,7 @@ _ROUND5_PRIORITY = [
     "ari_partitions", "tie_overlap", "silhouette8", "greedy_cover4",
     "grouping_sets_orders", "rolling_revenue7", "edit_dist_pairs",
     "temporal_motifs", "event_transitions", "weighted_jaccard20",
+    "assoc_rules", "q9_profit", "friendship_paradox",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",

@@ -936,3 +936,67 @@ def test_graph_profile_consistent_with_census(spark):
     assert 0 < p["density_ppm"] <= 2000000
     assert 0 <= p["giant_share_ppm"] <= 1000000
     assert p["max_degree"] * p["n_vertices"] >= 2 * p["n_edges"] // 1  # dmax >= mean
+
+
+# ------------------------------------------------- session-9 additions
+
+
+def test_session9_plans_no_python_no_cartesian(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    for q in (
+        "event_transitions",
+        "weighted_jaccard20",
+        "assoc_rules",
+        "q9_profit",
+        "friendship_paradox",
+    ):
+        plan = _exec_plan(QUERIES[q](spark, SF))
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_friendship_paradox_inequality(spark):
+    # Σd²/Σd ≥ Σd/n with equality only on regular graphs (Cauchy-
+    # Schwarz) — the co-order graph is far from regular, so strict
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    r = QUERIES["friendship_paradox"](spark, SF).collect()[0]
+    assert r["nbr_mean_deg_ppm"] > r["mean_deg_ppm"]
+    assert 0 <= r["paradox_ppm"] <= 1_000_000
+    assert r["n_paradox"] <= r["n_vertices"]
+
+
+def test_assoc_rules_bounds(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["assoc_rules"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["n_ab"] >= 3
+        assert 0 < r["conf_ppm"] <= 1_000_000
+
+
+def test_event_transitions_rows_sum_to_total(spark):
+    # Σ transition counts = Σ_user (events_u - 1); row probabilities
+    # never exceed 1e6 ppm
+    from polar_spark.operators.analytics_queries import QUERIES
+    from polar_spark.sources.tables import load_table
+
+    rows = QUERIES["event_transitions"](spark, SF).collect()
+    total = sum(r["n"] for r in rows)
+    ev = load_table(spark, "events", SF)
+    per_user = ev.groupBy("user_id").agg((F.count("*") - 1).alias("k"))
+    expect = per_user.agg(F.sum("k")).collect()[0][0]
+    assert total == expect
+    assert all(0 < r["p_ppm"] <= 1_000_000 for r in rows)
+
+
+def test_weighted_jaccard_bounds_and_symmetry_identity(spark):
+    # Ruzicka similarity is in (0, 1]; sum_min identity keeps it exact
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["weighted_jaccard20"](spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 < r["wj_ppm"] <= 1_000_000
