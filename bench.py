@@ -642,17 +642,25 @@ def main() -> None:
         # paradox audit on the co-order graph
         from polar_spark.operators.analytics_queries import (
             q_assoc_rules,
+            q_customer_deciles,
             q_friendship_paradox,
+            q_knn_curve,
             q_q9_profit,
+            q_revenue_mom,
         )
 
         rules = q_assoc_rules(spark, sf_dir).collect()
         q_q9_profit(spark, sf_dir).collect()
         fp = q_friendship_paradox(spark, sf_dir).collect()[0]
+        knn = q_knn_curve(spark, sf_dir).count()
+        dec = q_customer_deciles(spark, sf_dir).collect()
+        q_revenue_mom(spark, sf_dir).collect()
         return {
             "assoc_top_lift_ppm": int(rules[0]["lift_ppm"]) if rules else 0,
             "paradox_ppm": int(fp["paradox_ppm"]),
             "nbr_mean_deg_ppm": int(fp["nbr_mean_deg_ppm"]),
+            "knn_degree_classes": int(knn),
+            "top_decile_share_ppm": int(dec[0]["share_ppm"]) if dec else 0,
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side

@@ -12482,6 +12482,153 @@ ORACLES.update({"friendship_paradox": _FRIENDSHIP_PARADOX_SQL})
 QUERIES.update({"friendship_paradox": q_friendship_paradox})
 
 
+def q_knn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity curve knn(k) on the co-order graph: mean
+    neighbor degree per degree class (the shape behind the scalar
+    degree_assortativity — decaying knn(k) = disassortative hubs).
+    Because deg is constant within a class, the class mean of
+    s_nbr/deg is Σs_nbr · 10⁶ DIV (k·n_k) — exact integers, no
+    per-vertex division.  One degree aggregate + one degree join."""
+    und = coorder_edges(spark, sf_dir)
+    e = _sym(und)
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nbr = (
+        e.join(deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_n")), "dst")
+        .groupBy("src")
+        .agg(F.sum("deg_n").alias("s_nbr"))
+    )
+    return (
+        deg.join(nbr, "src")
+        .groupBy("deg")
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.expr("SUM(s_nbr) * 1000000 DIV (deg * COUNT(*))")
+            .cast("long")
+            .alias("knn_ppm"),
+        )
+        .orderBy("deg")
+    )
+
+
+_KNN_CURVE_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+nbr AS (SELECT e.src, SUM(d2.deg) AS s_nbr
+        FROM e JOIN deg d2 ON d2.src = e.dst GROUP BY e.src)
+SELECT deg.deg, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(s_nbr) * 1000000 // (deg.deg * COUNT(*)) AS BIGINT) AS knn_ppm
+FROM deg JOIN nbr ON nbr.src = deg.src
+GROUP BY deg.deg ORDER BY deg.deg
+"""
+
+
+ORACLES.update({"knn_curve": _KNN_CURVE_SQL})
+QUERIES.update({"knn_curve": q_knn_curve})
+
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value decile table: NTILE(10) over exact
+    integer order-revenue cents (deterministic ordering: revenue desc,
+    custkey), per-decile customer count / revenue / share-of-total in
+    ppm.  The whale curve behind revenue_concentration, as a full
+    table.  NTILE is one global sort of the CUSTOMER aggregate (tiny
+    vs the fact table) — at 100 TB the per-customer rollup shuffles
+    once and the decile window runs on the reduced table."""
+    orders = load_table(spark, "orders", sf_dir)
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("rev_cents")
+    )
+    w = Window.orderBy(F.desc("rev_cents"), "o_custkey")
+    tot = Window.partitionBy()
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("rev_cents").alias("rev_cents"),
+        )
+        .withColumn(
+            "share_ppm",
+            F.expr("rev_cents * 1000000 DIV SUM(rev_cents) OVER ()").cast("long"),
+        )
+        .orderBy("decile")
+    )
+
+
+_CUSTOMER_DECILES_SQL = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY o_custkey),
+tiles AS (
+  SELECT rev_cents,
+         CAST(NTILE(10) OVER (ORDER BY rev_cents DESC, o_custkey) AS BIGINT) AS decile
+  FROM rev),
+agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+  FROM tiles GROUP BY decile)
+SELECT decile, n_customers, rev_cents,
+       CAST(rev_cents * 1000000 // SUM(rev_cents) OVER () AS BIGINT) AS share_ppm
+FROM agg ORDER BY decile
+"""
+
+
+ORACLES.update({"customer_deciles": _CUSTOMER_DECILES_SQL})
+QUERIES.update({"customer_deciles": q_customer_deciles})
+
+
+def q_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly order revenue in exact
+    cents plus growth vs the previous month in ppm.  Growth rides
+    cur·10⁶ DIV prev − 10⁶ so the integer division only ever sees
+    positive operands — Spark DIV truncates toward zero while DuckDB
+    // floors, and the two disagree on negatives; keeping the quotient
+    positive sidesteps the mismatch exactly."""
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("rev_cents")
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .select(
+            "month",
+            "rev_cents",
+            F.expr(
+                "CASE WHEN prev_cents IS NULL THEN NULL"
+                " ELSE rev_cents * 1000000 DIV prev_cents - 1000000 END"
+            )
+            .cast("long")
+            .alias("growth_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
+_REVENUE_MOM_SQL = """
+WITH monthly AS (
+  SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT month, rev_cents,
+         LAG(rev_cents) OVER (ORDER BY month) AS prev_cents
+  FROM monthly)
+SELECT month, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(CASE WHEN prev_cents IS NULL THEN NULL
+                 ELSE rev_cents * 1000000 // prev_cents - 1000000 END AS BIGINT)
+         AS growth_ppm
+FROM lagged ORDER BY month
+"""
+
+
+ORACLES.update({"revenue_mom": _REVENUE_MOM_SQL})
+QUERIES.update({"revenue_mom": q_revenue_mom})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -12521,6 +12668,7 @@ _ROUND5_PRIORITY = [
     "grouping_sets_orders", "rolling_revenue7", "edit_dist_pairs",
     "temporal_motifs", "event_transitions", "weighted_jaccard20",
     "assoc_rules", "q9_profit", "friendship_paradox",
+    "knn_curve", "customer_deciles", "revenue_mom",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",

@@ -1000,3 +1000,50 @@ def test_weighted_jaccard_bounds_and_symmetry_identity(spark):
     assert len(rows) == 20
     for r in rows:
         assert 0 < r["wj_ppm"] <= 1_000_000
+
+
+def test_session9b_plans_no_python_no_cartesian(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    for q in ("knn_curve", "customer_deciles", "revenue_mom"):
+        plan = _exec_plan(QUERIES[q](spark, SF))
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_customer_deciles_partition_of_customers(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+    from polar_spark.sources.tables import load_table
+
+    rows = QUERIES["customer_deciles"](spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_cust = (
+        load_table(spark, "orders", SF).select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000  # floor rounding
+    # deciles are ordered by revenue: monotone non-increasing share
+    shares = [r["rev_cents"] for r in rows]
+    assert all(a >= b for a, b in zip(shares, shares[1:]))
+
+
+def test_knn_curve_weighted_mean_is_nbr_mean(spark):
+    # Σ_k n_k·k·knn(k) / Σ_k n_k·k  ==  Σd²/Σd from friendship_paradox
+    # (up to the ppm floor); checks the two derivations agree
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    curve = QUERIES["knn_curve"](spark, SF).collect()
+    fp = QUERIES["friendship_paradox"](spark, SF).collect()[0]
+    num = sum(r["deg"] * r["n_vertices"] * r["knn_ppm"] for r in curve)
+    den = sum(r["deg"] * r["n_vertices"] for r in curve)
+    approx = num / den
+    assert abs(approx - fp["nbr_mean_deg_ppm"]) < 1000  # ppm floor noise
+
+
+def test_revenue_mom_first_month_null_growth(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["revenue_mom"](spark, SF).collect()
+    assert rows[0]["growth_ppm"] is None
+    assert all(r["growth_ppm"] is not None for r in rows[1:])
+    assert all(r["rev_cents"] > 0 for r in rows)
