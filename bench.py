@@ -647,6 +647,7 @@ def main() -> None:
             q_knn_curve,
             q_q9_profit,
             q_revenue_mom,
+            q_session_windows,
         )
 
         rules = q_assoc_rules(spark, sf_dir).collect()
@@ -655,12 +656,14 @@ def main() -> None:
         knn = q_knn_curve(spark, sf_dir).count()
         dec = q_customer_deciles(spark, sf_dir).collect()
         q_revenue_mom(spark, sf_dir).collect()
+        sw = q_session_windows(spark, sf_dir).collect()
         return {
             "assoc_top_lift_ppm": int(rules[0]["lift_ppm"]) if rules else 0,
             "paradox_ppm": int(fp["paradox_ppm"]),
             "nbr_mean_deg_ppm": int(fp["nbr_mean_deg_ppm"]),
             "knn_degree_classes": int(knn),
             "top_decile_share_ppm": int(dec[0]["share_ppm"]) if dec else 0,
+            "session_top_events": int(sw[0]["n_events"]) if sw else 0,
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side

@@ -12629,6 +12629,65 @@ ORACLES.update({"revenue_mom": _REVENUE_MOM_SQL})
 QUERIES.update({"revenue_mom": q_revenue_mom})
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization of the events table
+    (30-min gap): per-session event count, distinct-type count, and
+    exact span seconds.  The batch twin of
+    ``streaming.session_stream.sessionize_stream`` — same engine
+    operator that runs unbounded with watermark state; the oracle
+    replays Spark's [start, start+gap) merge semantics as classic
+    gaps-and-islands SQL (new session iff Δt ≥ gap).  Top-50 sessions
+    by n_events with full deterministic tie-break."""
+    from polar_spark.streaming.session_stream import sessionize_batch
+
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        sessionize_batch(ev, gap="30 minutes")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "n_events",
+            "n_types",
+            "span_sec",
+        )
+        .orderBy(F.desc("n_events"), "user_id", "s_start")
+        .limit(50)
+    )
+
+
+_SESSION_WINDOWS_SQL = """
+WITH ev AS (
+  -- microsecond precision: Spark merges session windows on exact
+  -- timestamps; EPOCH() would compare lossy doubles
+  SELECT user_id, ts, event_type, EPOCH_US(ts) AS us FROM events),
+lagged AS (
+  SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+  FROM ev),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged),
+ids AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       -- unix_timestamp truncates each endpoint to whole seconds
+       CAST(MAX(us) // 1000000 - MIN(us) // 1000000 AS BIGINT) AS span_sec
+FROM ids GROUP BY user_id, sess_id
+ORDER BY n_events DESC, user_id, s_start LIMIT 50
+"""
+
+
+ORACLES.update({"session_windows": _SESSION_WINDOWS_SQL})
+QUERIES.update({"session_windows": q_session_windows})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -12668,7 +12727,7 @@ _ROUND5_PRIORITY = [
     "grouping_sets_orders", "rolling_revenue7", "edit_dist_pairs",
     "temporal_motifs", "event_transitions", "weighted_jaccard20",
     "assoc_rules", "q9_profit", "friendship_paradox",
-    "knn_curve", "customer_deciles", "revenue_mom",
+    "knn_curve", "customer_deciles", "revenue_mom", "session_windows",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",
