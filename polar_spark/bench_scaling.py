@@ -58,6 +58,15 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument(
+        "--algo",
+        choices=["pagerank", "cc"],
+        default="pagerank",
+        help="operator under measurement: pagerank (fixed --iters) or "
+        "cc (hash-min connected components to fixpoint; deterministic "
+        "round count on a fixed input, so throughput is comparable "
+        "across parallelism levels)",
+    )
+    ap.add_argument(
         "--no-fuse",
         action="store_true",
         help="force the classic one-job-per-iteration loop; the fused "
@@ -168,17 +177,21 @@ def run_leg(args, executors: int | None) -> dict:
             edges, tol=0.0, max_iter=args.warmup_iters, num_partitions=parts, fuse=False
         )
     t0 = time.monotonic()
-    _ranks, st = pregel.pagerank(
-        edges,
-        tol=0.0,
-        max_iter=args.iters,
-        num_partitions=parts,
-        fuse=False if args.no_fuse else None,
-    )
+    if getattr(args, "algo", "pagerank") == "cc":
+        _comp, st = pregel.connected_components(edges, num_partitions=parts)
+    else:
+        _ranks, st = pregel.pagerank(
+            edges,
+            tol=0.0,
+            max_iter=args.iters,
+            num_partitions=parts,
+            fuse=False if args.no_fuse else None,
+        )
     wall = time.monotonic() - t0
     iter_wall = sum(st.iter_seconds)
     out = {
         "mode": label,
+        "algo": getattr(args, "algo", "pagerank"),
         "executors": executors,
         "total_cores": total_cores,
         "cpus": args.cpus,
