@@ -645,6 +645,9 @@ def main() -> None:
             q_customer_deciles,
             q_friendship_paradox,
             q_knn_curve,
+            q_burstiness,
+            q_partition_performance,
+            q_q1_pricing,
             q_q9_profit,
             q_revenue_mom,
             q_session_windows,
@@ -657,6 +660,9 @@ def main() -> None:
         dec = q_customer_deciles(spark, sf_dir).collect()
         q_revenue_mom(spark, sf_dir).collect()
         sw = q_session_windows(spark, sf_dir).collect()
+        perf = q_partition_performance(spark, sf_dir).collect()[0]
+        q_burstiness(spark, sf_dir).collect()
+        q_q1_pricing(spark, sf_dir).collect()
         return {
             "assoc_top_lift_ppm": int(rules[0]["lift_ppm"]) if rules else 0,
             "paradox_ppm": int(fp["paradox_ppm"]),
@@ -664,6 +670,7 @@ def main() -> None:
             "knn_degree_classes": int(knn),
             "top_decile_share_ppm": int(dec[0]["share_ppm"]) if dec else 0,
             "session_top_events": int(sw[0]["n_events"]) if sw else 0,
+            "lpa_perf_ppm": int(perf["perf_ppm"]),
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side

@@ -12688,6 +12688,207 @@ ORACLES.update({"session_windows": _SESSION_WINDOWS_SQL})
 QUERIES.update({"session_windows": q_session_windows})
 
 
+def q_partition_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition 'performance' of the 2-round LPA communities on the
+    co-order graph: the fraction of vertex PAIRS the partition
+    classifies correctly — intra-community edges plus non-adjacent
+    inter-community pairs, over C(n,2).  Complements conductance
+    (per-community) and modularity (null-model) with the pair-counting
+    view; everything is closed-form from |V|, |E|, intra-edge count and
+    community sizes — exact BIGINT, no pair enumeration anywhere."""
+    und = coorder_edges(spark, sf_dir)
+    labels, _ = pregel.label_propagation(coorder_edges(spark, sf_dir), max_iter=2)
+    lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
+    el = und.join(
+        lab.withColumnRenamed("id", "src").withColumnRenamed("label", "ls"), "src"
+    ).join(lab.withColumnRenamed("id", "dst").withColumnRenamed("label", "ld"), "dst")
+    counts = el.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum((F.col("ls") == F.col("ld")).cast("long")).cast("long").alias("intra_e"),
+    )
+    sizes = lab.groupBy("label").agg(F.count("*").cast("long").alias("nc"))
+    pairs = sizes.agg(
+        F.sum("nc").cast("long").alias("n"),
+        F.sum(F.expr("nc * (nc - 1) DIV 2")).cast("long").alias("intra_pairs"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(pairs))
+        .select(
+            "n",
+            "m",
+            "intra_e",
+            "intra_pairs",
+            F.expr(
+                "(2 * intra_e + n * (n - 1) DIV 2 - intra_pairs - m) * 1000000"
+                " DIV (n * (n - 1) DIV 2)"
+            )
+            .cast("long")
+            .alias("perf_ppm"),
+        )
+    )
+
+
+def _partition_performance_sql() -> str:
+    lpa_rounds = "".join("," + _LPA_ROUND.format(K=k, KM1=k - 1) for k in (1, 2))
+    return f"""
+WITH {_COORDER_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+l0 AS (SELECT id, id AS label FROM verts)
+{lpa_rounds},
+el AS (SELECT a.label AS ls, b.label AS ld
+       FROM und JOIN l2 a ON a.id = und.src JOIN l2 b ON b.id = und.dst),
+counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                  CAST(SUM(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT) AS intra_e
+           FROM el),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nc FROM l2 GROUP BY label),
+pairs AS (SELECT CAST(SUM(nc) AS BIGINT) AS n,
+                 CAST(SUM(nc * (nc - 1) // 2) AS BIGINT) AS intra_pairs
+          FROM sizes)
+SELECT n, m, intra_e, intra_pairs,
+       CAST((2 * intra_e + n * (n - 1) // 2 - intra_pairs - m) * 1000000
+            // (n * (n - 1) // 2) AS BIGINT) AS perf_ppm
+FROM counts CROSS JOIN pairs
+"""
+
+
+ORACLES.update({"partition_performance": _partition_performance_sql()})
+QUERIES.update({"partition_performance": q_partition_performance})
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per user (Goh-Barabási B = (σ−μ)/(σ+μ)
+    over consecutive event gaps): B→−1 periodic, 0 Poisson, →1 bursty.
+    Gaps are exact integer seconds (µs-ordered lag, floored µs diff);
+    σ and μ derive from the BIGINT sufficient stats (n, Σg, Σg²) with
+    one identical double expression on both engines, so the rounded
+    output cannot drift.  Top-30 burstiest users, ≥5 gaps, span > 0."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select("user_id", F.expr("(us - prev_us) DIV 1000000").alias("g"))
+    )
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("g").cast("long").alias("sg"),
+            F.sum(F.expr("g * g")).cast("long").alias("sg2"),
+        )
+        .where((F.col("n_gaps") >= 5) & (F.col("sg") > 0))
+    )
+    return (
+        stats.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_gaps",
+            F.round(F.expr("sg / n_gaps"), 6).alias("mean_gap_sec"),
+            F.round(
+                F.expr(
+                    "(SQRT(sg2 / n_gaps - (sg / n_gaps) * (sg / n_gaps)) - sg / n_gaps)"
+                    " / (SQRT(sg2 / n_gaps - (sg / n_gaps) * (sg / n_gaps)) + sg / n_gaps)"
+                ),
+                6,
+            ).alias("burstiness_r"),
+        )
+        .orderBy(F.desc("burstiness_r"), "user_id")
+        .limit(30)
+    )
+
+
+_BURSTINESS_SQL = """
+WITH ev AS (SELECT user_id, EPOCH_US(ts) AS us FROM events),
+lagged AS (SELECT user_id, us,
+                  LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+           FROM ev),
+gaps AS (SELECT user_id, (us - prev_us) // 1000000 AS g
+         FROM lagged WHERE prev_us IS NOT NULL),
+stats AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(g) AS BIGINT) AS sg, CAST(SUM(g * g) AS BIGINT) AS sg2
+          FROM gaps GROUP BY user_id
+          HAVING COUNT(*) >= 5 AND SUM(g) > 0)
+SELECT CAST(user_id AS BIGINT) AS user_id, n_gaps,
+       ROUND(sg / n_gaps, 6) AS mean_gap_sec,
+       ROUND((SQRT(sg2 / n_gaps - (sg / n_gaps) * (sg / n_gaps)) - sg / n_gaps)
+             / (SQRT(sg2 / n_gaps - (sg / n_gaps) * (sg / n_gaps)) + sg / n_gaps),
+             6) AS burstiness_r
+FROM stats
+ORDER BY burstiness_r DESC, user_id LIMIT 30
+"""
+
+
+ORACLES.update({"burstiness": _BURSTINESS_SQL})
+QUERIES.update({"burstiness": q_burstiness})
+
+
+def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) proper: per (returnflag,
+    linestatus) the sums/averages/count over shipped lineitems, every
+    money column engineered exact — qty in centi-units, price in
+    cents, disc-price in e4, charge = price·(1−disc)·(1+tax) in e6
+    cents — and the averages as integer DIV of those sums (floor; both
+    engines).  One map-side-combinable aggregate over the fact scan
+    with the date filter pushed to parquet."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    cents = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    disc = "CAST(ROUND(l_discount * 100) AS BIGINT)"
+    tax = "CAST(ROUND(l_tax * 100) AS BIGINT)"
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")).alias("sum_qty_centi"),
+            F.sum(F.expr(cents)).alias("sum_base_cents"),
+            F.sum(F.expr(f"{cents} * (100 - {disc})")).alias("sum_disc_e4"),
+            F.sum(F.expr(f"{cents} * (100 - {disc}) * (100 + {tax})")).alias("sum_charge_e6"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty_centi",
+            "sum_base_cents",
+            "sum_disc_e4",
+            "sum_charge_e6",
+            F.expr("sum_qty_centi DIV count_order").cast("long").alias("avg_qty_centi"),
+            F.expr("sum_base_cents DIV count_order").cast("long").alias("avg_price_cents"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_centi,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+              * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty_centi, sum_base_cents,
+       sum_disc_e4, sum_charge_e6,
+       CAST(sum_qty_centi // count_order AS BIGINT) AS avg_qty_centi,
+       CAST(sum_base_cents // count_order AS BIGINT) AS avg_price_cents,
+       count_order
+FROM agg ORDER BY l_returnflag, l_linestatus
+"""
+
+
+ORACLES.update({"q1_pricing": _Q1_SQL})
+QUERIES.update({"q1_pricing": q_q1_pricing})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -12728,6 +12929,7 @@ _ROUND5_PRIORITY = [
     "temporal_motifs", "event_transitions", "weighted_jaccard20",
     "assoc_rules", "q9_profit", "friendship_paradox",
     "knn_curve", "customer_deciles", "revenue_mom", "session_windows",
+    "partition_performance", "burstiness", "q1_pricing",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",

@@ -1047,3 +1047,43 @@ def test_revenue_mom_first_month_null_growth(spark):
     assert rows[0]["growth_ppm"] is None
     assert all(r["growth_ppm"] is not None for r in rows[1:])
     assert all(r["rev_cents"] > 0 for r in rows)
+
+
+def test_session9c_plans_no_python(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    for q in ("burstiness", "q1_pricing", "partition_performance"):
+        plan = _exec_plan(QUERIES[q](spark, SF))
+        assert "EvalPython" not in plan, q
+
+
+def test_burstiness_range_and_regularity_sign(spark):
+    # B ∈ (-1, 1); a strictly periodic user would be -1, Poisson ~0
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["burstiness"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 < r["burstiness_r"] < 1.0
+        assert r["n_gaps"] >= 5 and r["mean_gap_sec"] > 0
+
+
+def test_partition_performance_bounds_vs_modularity_inputs(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    r = QUERIES["partition_performance"](spark, SF).collect()[0]
+    assert 0 <= r["perf_ppm"] <= 1_000_000
+    assert r["intra_e"] <= r["m"]
+    assert r["intra_pairs"] >= r["intra_e"]  # pairs within communities
+
+
+def test_q1_pricing_totals_consistent(spark):
+    # avg columns are the integer floor of sum/count; charge >= disc
+    # price x 100 never (tax >= 0 means charge_e6 >= disc_e4 * 100)
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["q1_pricing"](spark, SF).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["avg_qty_centi"] == r["sum_qty_centi"] // r["count_order"]
+        assert r["sum_charge_e6"] >= r["sum_disc_e4"] * 100
