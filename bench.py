@@ -641,15 +641,19 @@ def main() -> None:
         # Q9 essence (blue-part profit by nation x year), friendship-
         # paradox audit on the co-order graph
         from polar_spark.operators.analytics_queries import (
+            q_abc_parts,
             q_assoc_rules,
+            q_benford_digits,
+            q_burstiness,
             q_customer_deciles,
             q_friendship_paradox,
             q_knn_curve,
-            q_burstiness,
             q_partition_performance,
             q_q1_pricing,
+            q_partition_cut_audit,
             q_q9_profit,
             q_revenue_mom,
+            q_rfm_segments,
             q_session_windows,
         )
 
@@ -663,6 +667,10 @@ def main() -> None:
         perf = q_partition_performance(spark, sf_dir).collect()[0]
         q_burstiness(spark, sf_dir).collect()
         q_q1_pricing(spark, sf_dir).collect()
+        cut = q_partition_cut_audit(spark, sf_dir).collect()[0]
+        q_rfm_segments(spark, sf_dir).collect()
+        ben = q_benford_digits(spark, sf_dir).collect()
+        abc = q_abc_parts(spark, sf_dir).collect()
         return {
             "assoc_top_lift_ppm": int(rules[0]["lift_ppm"]) if rules else 0,
             "paradox_ppm": int(fp["paradox_ppm"]),
@@ -671,6 +679,10 @@ def main() -> None:
             "top_decile_share_ppm": int(dec[0]["share_ppm"]) if dec else 0,
             "session_top_events": int(sw[0]["n_events"]) if sw else 0,
             "lpa_perf_ppm": int(perf["perf_ppm"]),
+            "cut_hash_ppm": int(cut["hash_ppm"]),
+            "cut_lpa_ppm": int(cut["lpa_ppm"]),
+            "benford_max_dev_ppm": max(int(r["abs_dev_ppm"]) for r in ben),
+            "abc_a_parts": next((int(r["n_parts"]) for r in abc if r["abc"] == "A"), 0),
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side

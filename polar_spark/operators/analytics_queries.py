@@ -12889,6 +12889,266 @@ ORACLES.update({"q1_pricing": _Q1_SQL})
 QUERIES.update({"q1_pricing": q_q1_pricing})
 
 
+def q_partition_cut_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-cut audit of three 8-way partitioning strategies on the
+    co-order graph — the quantity that decides shuffle volume for
+    every iterative operator at 100 TB: hash (pmod id), range (id·8
+    DIV (max+1)), and community-aware (2-round LPA label mod 8).  An
+    edge is cut when its endpoints land in different partitions; cut
+    fraction in exact ppm.  Community-aware placement should cut far
+    fewer edges — the measured justification for bucketing the edge
+    table by community/range rather than by raw hash."""
+    und = coorder_edges(spark, sf_dir)
+    labels, _ = pregel.label_propagation(coorder_edges(spark, sf_dir), max_iter=2)
+    lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
+    mx = und.agg(
+        F.greatest(F.max("src"), F.max("dst")).cast("long").alias("mx")
+    )
+    el = (
+        und.join(lab.withColumnRenamed("id", "src").withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("label", "ld"), "dst")
+        .crossJoin(F.broadcast(mx))
+    )
+    return el.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum((F.pmod("src", F.lit(8)) != F.pmod("dst", F.lit(8))).cast("long"))
+        .cast("long")
+        .alias("cut_hash"),
+        F.sum(
+            (F.expr("src * 8 DIV (mx + 1)") != F.expr("dst * 8 DIV (mx + 1)")).cast("long")
+        )
+        .cast("long")
+        .alias("cut_range"),
+        F.sum((F.pmod("ls", F.lit(8)) != F.pmod("ld", F.lit(8))).cast("long"))
+        .cast("long")
+        .alias("cut_lpa"),
+    ).select(
+        "m",
+        "cut_hash",
+        "cut_range",
+        "cut_lpa",
+        F.expr("cut_hash * 1000000 DIV m").cast("long").alias("hash_ppm"),
+        F.expr("cut_range * 1000000 DIV m").cast("long").alias("range_ppm"),
+        F.expr("cut_lpa * 1000000 DIV m").cast("long").alias("lpa_ppm"),
+    )
+
+
+def _partition_cut_sql() -> str:
+    lpa_rounds = "".join("," + _LPA_ROUND.format(K=k, KM1=k - 1) for k in (1, 2))
+    return f"""
+WITH {_COORDER_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+l0 AS (SELECT id, id AS label FROM verts)
+{lpa_rounds},
+mx AS (SELECT CAST(GREATEST(MAX(src), MAX(dst)) AS BIGINT) AS mx FROM und),
+el AS (SELECT und.src, und.dst, a.label AS ls, b.label AS ld, mx.mx
+       FROM und JOIN l2 a ON a.id = und.src JOIN l2 b ON b.id = und.dst
+       CROSS JOIN mx),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(SUM(CASE WHEN src % 8 <> dst % 8 THEN 1 ELSE 0 END) AS BIGINT) AS cut_hash,
+       CAST(SUM(CASE WHEN src * 8 // (mx + 1) <> dst * 8 // (mx + 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS cut_range,
+       CAST(SUM(CASE WHEN ls % 8 <> ld % 8 THEN 1 ELSE 0 END) AS BIGINT) AS cut_lpa
+       FROM el)
+SELECT m, cut_hash, cut_range, cut_lpa,
+       CAST(cut_hash * 1000000 // m AS BIGINT) AS hash_ppm,
+       CAST(cut_range * 1000000 // m AS BIGINT) AS range_ppm,
+       CAST(cut_lpa * 1000000 // m AS BIGINT) AS lpa_ppm
+FROM agg
+"""
+
+
+ORACLES.update({"partition_cut_audit": _partition_cut_sql()})
+QUERIES.update({"partition_cut_audit": q_partition_cut_audit})
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order to
+    the 1998-12-31 anchor), frequency (order count), monetary (exact
+    cents) — each quintiled with fully deterministic NTILE ordering,
+    concatenated to a 3-digit segment code; output is customers and
+    revenue per segment.  Quintiles run on the per-customer rollup
+    (tiny vs the fact table), so the only full-scan work is one
+    groupBy."""
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("timestamp"), F.max("o_orderdate")
+        )
+        .cast("long")
+        .alias("rec_days"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("mon_cents"),
+    )
+    seg = per_cust.select(
+        F.ntile(5).over(Window.orderBy("rec_days", "o_custkey")).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), "o_custkey")).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("mon_cents"), "o_custkey")).alias("m"),
+        "mon_cents",
+    )
+    return (
+        seg.groupBy(
+            F.concat_ws("", F.col("r"), F.col("f"), F.col("m")).alias("segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("mon_cents").cast("long").alias("rev_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(DATE_DIFF('day', MAX(o_orderdate), TIMESTAMP '1998-12-31') AS BIGINT)
+           AS rec_days,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS mon_cents
+  FROM orders GROUP BY o_custkey),
+seg AS (
+  SELECT NTILE(5) OVER (ORDER BY rec_days, o_custkey) AS r,
+         NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+         NTILE(5) OVER (ORDER BY mon_cents DESC, o_custkey) AS m,
+         mon_cents
+  FROM per_cust)
+SELECT CONCAT(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR)) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(mon_cents) AS BIGINT) AS rev_cents
+FROM seg GROUP BY 1 ORDER BY segment
+"""
+
+
+ORACLES.update({"rfm_segments": _RFM_SQL})
+QUERIES.update({"rfm_segments": q_rfm_segments})
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed leading-digit
+    distribution of o_totalprice (in cents, so the digit is scale-
+    free) vs the Benford expectation log10(1+1/d), both in ppm, plus
+    the absolute deviation.  The classic fraud/synthetic-data screen;
+    one pure-map digit extraction and a 9-row aggregate."""
+    orders = load_table(spark, "orders", sf_dir)
+    digits = orders.select(
+        F.substring(
+            F.expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = Window.partitionBy()
+    return (
+        digits.groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 DIV SUM(n) OVER ()").cast("long").alias("obs_ppm"),
+            F.expr("CAST(ROUND(LOG10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)").alias(
+                "benford_ppm"
+            ),
+        )
+        .withColumn(
+            "abs_dev_ppm", F.abs(F.col("obs_ppm") - F.col("benford_ppm")).cast("long")
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders),
+counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit)
+SELECT digit, n,
+       CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS obs_ppm,
+       CAST(ROUND(LOG10(1.0 + 1.0 / digit) * 1000000) AS BIGINT) AS benford_ppm,
+       CAST(ABS(CAST(n * 1000000 // SUM(n) OVER () AS BIGINT)
+                - CAST(ROUND(LOG10(1.0 + 1.0 / digit) * 1000000) AS BIGINT))
+            AS BIGINT) AS abs_dev_ppm
+FROM counts ORDER BY digit
+"""
+
+
+ORACLES.update({"benford_digits": _BENFORD_SQL})
+QUERIES.update({"benford_digits": q_benford_digits})
+
+
+def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: parts sorted
+    by exact revenue_e4, classified A while the RUNNING share ≤ 80 %,
+    B ≤ 95 %, else C — the running share compare is integer
+    cross-multiplication (cum·100 vs total·80), no division.  Output:
+    class, part count, revenue, revenue share ppm.  The window runs on
+    the per-part rollup; deterministic tie-break on partkey."""
+    li = load_table(spark, "lineitem", sf_dir)
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.expr(_REV_SPARK)).alias("rev_e4")
+    )
+    w = Window.orderBy(F.desc("rev_e4"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    classed = per_part.select(
+        "rev_e4",
+        F.sum("rev_e4").over(w).alias("cum"),
+        F.sum("rev_e4").over(tot).alias("total"),
+    ).select(
+        "rev_e4",
+        F.when(F.expr("cum * 100 <= total * 80"), F.lit("A"))
+        .when(F.expr("cum * 100 <= total * 95"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_e4").cast("long").alias("rev_e4"),
+        )
+        .withColumn(
+            # rev_e4 * 1e6 overflows long past sf0.001 — downscale both
+            # operands by 1e4 first (identical on both engines)
+            "share_ppm",
+            F.expr(
+                "(rev_e4 DIV 10000) * 1000000 DIV (SUM(rev_e4) OVER () DIV 10000)"
+            ).cast("long"),
+        )
+        .orderBy("abc")
+    )
+
+
+_ABC_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, SUM({_REV_DUCK}) AS rev_e4
+  FROM lineitem GROUP BY l_partkey),
+classed AS (
+  SELECT rev_e4,
+         CASE WHEN SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                                     ROWS UNBOUNDED PRECEDING) * 100
+                   <= SUM(rev_e4) OVER () * 80 THEN 'A'
+              WHEN SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                                     ROWS UNBOUNDED PRECEDING) * 100
+                   <= SUM(rev_e4) OVER () * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM per_part),
+agg AS (
+  SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(rev_e4) AS BIGINT) AS rev_e4
+  FROM classed GROUP BY abc)
+SELECT abc, n_parts, rev_e4,
+       CAST((rev_e4 // 10000) * 1000000 // (SUM(rev_e4) OVER () // 10000)
+            AS BIGINT) AS share_ppm
+FROM agg ORDER BY abc
+"""
+
+
+ORACLES.update({"abc_parts": _ABC_SQL})
+QUERIES.update({"abc_parts": q_abc_parts})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -12930,6 +13190,7 @@ _ROUND5_PRIORITY = [
     "assoc_rules", "q9_profit", "friendship_paradox",
     "knn_curve", "customer_deciles", "revenue_mom", "session_windows",
     "partition_performance", "burstiness", "q1_pricing",
+    "partition_cut_audit", "rfm_segments", "benford_digits", "abc_parts",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",

@@ -1087,3 +1087,54 @@ def test_q1_pricing_totals_consistent(spark):
     for r in rows:
         assert r["avg_qty_centi"] == r["sum_qty_centi"] // r["count_order"]
         assert r["sum_charge_e6"] >= r["sum_disc_e4"] * 100
+
+
+def test_session9d_plans_no_python(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    for q in ("partition_cut_audit", "rfm_segments", "benford_digits", "abc_parts"):
+        plan = _exec_plan(QUERIES[q](spark, SF))
+        assert "EvalPython" not in plan, q
+
+
+def test_partition_cut_community_beats_hash(spark):
+    # the point of the audit: community-aware placement cuts fewer
+    # edges than hash placement on a graph with community structure
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    r = QUERIES["partition_cut_audit"](spark, SF).collect()[0]
+    assert r["cut_lpa"] < r["cut_hash"]
+    assert 0 <= r["lpa_ppm"] <= 1_000_000
+    assert r["cut_hash"] <= r["m"] and r["cut_range"] <= r["m"]
+
+
+def test_rfm_segments_partition_customers(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+    from polar_spark.sources.tables import load_table
+
+    rows = QUERIES["rfm_segments"](spark, SF).collect()
+    n_cust = load_table(spark, "orders", SF).select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert len(r["segment"]) == 3
+        assert all(c in "12345" for c in r["segment"])
+
+
+def test_benford_digits_cover_1_to_9(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["benford_digits"](spark, SF).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(r["obs_ppm"] for r in rows) <= 1_000_000
+    # Benford expectation must itself sum to ~1e6
+    assert abs(sum(r["benford_ppm"] for r in rows) - 1_000_000) < 10
+
+
+def test_abc_parts_pareto_shape(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = {r["abc"]: r for r in QUERIES["abc_parts"](spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    # A-class: <=80% of revenue in the fewest parts; shares ordered
+    assert rows["A"]["share_ppm"] <= 800_000
+    assert rows["A"]["rev_e4"] > rows["C"]["rev_e4"]
