@@ -636,6 +636,75 @@ def main() -> None:
             "wjaccard_top_ppm": int(wj[0]["wj_ppm"]) if wj else 0,
         }
 
+    def _bucketed_join():
+        # the pay-once layout for the persisted edge table: bucket by
+        # src at write time, then every iteration's edges-join-ranks
+        # runs with ZERO exchanges (plain layout re-shuffles the BIG
+        # edge side every iteration).  On a single host an in-memory
+        # shuffle of the toy edge table is nearly free, so the wall
+        # numbers here understate the win — the avoided cost at
+        # cluster scale is the NETWORK shuffle of the 100-TB side,
+        # which the exchange counts (not the local seconds) evidence.
+        import shutil
+        import tempfile
+
+        from polar_spark.plans.bucketing import exchange_count, write_bucketed
+
+        d = tempfile.mkdtemp(prefix="polar_bucket_bench_")
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            edges = zedges.select("src", "dst")
+            ranks = (
+                zedges.select(F.col("src").alias("id"))
+                .distinct()
+                .withColumn("rank", F.col("id") * 0.001)
+            ).persist()
+            ranks.count()
+            # apples-to-apples: BOTH variants read parquet from disk;
+            # the only difference is the bucketed layout
+            # bucket count == shuffle partitions: the per-iteration
+            # ranks side (already hash-partitioned by the previous
+            # round's aggregate) then needs NO exchange either — the
+            # bucketed loop join is fully exchange-free, vs the plain
+            # layout re-shuffling the BIG edge side every iteration
+            t0 = time.monotonic()
+            be = write_bucketed(edges, "bench_bucket_e", "src", cpus, f"{d}/e")
+            write_sec = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            edges.write.mode("overwrite").parquet(f"{d}/plain")
+            plain_write_sec = round(time.monotonic() - t0, 3)
+            pe = spark.read.parquet(f"{d}/plain")
+            # at 10^12-file scale the per-iteration ranks side is not
+            # broadcastable — pin SMJ so the audit measures the shuffle
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+            def _iters(e):
+                t0 = time.monotonic()
+                for k in range(4):
+                    r = ranks.withColumn("rank", F.col("rank") + k)
+                    e.join(r.withColumnRenamed("id", "src"), "src").groupBy(
+                        "dst"
+                    ).agg(F.sum("rank").alias("s")).count()
+                return round(time.monotonic() - t0, 3)
+
+            bucketed_sec = _iters(be)
+            plain_sec = _iters(pe)
+            probe = ranks.withColumnRenamed("id", "src")
+            out = {
+                "bucket_write_sec": write_sec,
+                "plain_write_sec": plain_write_sec,
+                "bucketed_4join_sec": bucketed_sec,
+                "plain_4join_sec": plain_sec,
+                "bucketed_exchanges": exchange_count(be.join(probe, "src")),
+                "plain_exchanges": exchange_count(pe.join(probe, "src")),
+            }
+            ranks.unpersist()
+            return out
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            spark.sql("DROP TABLE IF EXISTS bench_bucket_e")
+            shutil.rmtree(d, ignore_errors=True)
+
     def _session9_ops():
         # session-9 additions: market-basket association rules, TPC-H
         # Q9 essence (blue-part profit by nation x year), friendship-
@@ -726,6 +795,7 @@ def main() -> None:
         ("session7_graph_ops", _session7_graph, min(REPS, 2)),
         ("session8_ops", _session8_ops, min(REPS, 2)),
         ("session9_ops", _session9_ops, min(REPS, 2)),
+        ("bucketed_join", _bucketed_join, 1),
     ]
 
     # dev-loop filter: SPARK_GRAFT_BENCH_ONLY=a,b runs just those
