@@ -714,13 +714,16 @@ def main() -> None:
             q_assoc_rules,
             q_benford_digits,
             q_burstiness,
+            q_cohort_ltv,
             q_customer_deciles,
             q_friendship_paradox,
             q_knn_curve,
             q_partition_performance,
             q_q1_pricing,
+            q_mrr_eval,
             q_partition_cut_audit,
             q_q9_profit,
+            q_ship_latency,
             q_revenue_mom,
             q_rfm_segments,
             q_session_windows,
@@ -740,6 +743,9 @@ def main() -> None:
         q_rfm_segments(spark, sf_dir).collect()
         ben = q_benford_digits(spark, sf_dir).collect()
         abc = q_abc_parts(spark, sf_dir).collect()
+        mrr = q_mrr_eval(spark, sf_dir).collect()
+        q_cohort_ltv(spark, sf_dir).count()
+        lat = q_ship_latency(spark, sf_dir).collect()
         return {
             "assoc_top_lift_ppm": int(rules[0]["lift_ppm"]) if rules else 0,
             "paradox_ppm": int(fp["paradox_ppm"]),
@@ -752,6 +758,8 @@ def main() -> None:
             "cut_lpa_ppm": int(cut["lpa_ppm"]),
             "benford_max_dev_ppm": max(int(r["abs_dev_ppm"]) for r in ben),
             "abc_a_parts": next((int(r["n_parts"]) for r in abc if r["abc"] == "A"), 0),
+            "mrr_mean_ppm": sum(int(r["rr_ppm"]) for r in mrr) // max(len(mrr), 1),
+            "ship_p99_max_days": max(int(r["p99_days"]) for r in lat) if lat else 0,
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side

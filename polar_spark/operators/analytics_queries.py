@@ -13149,6 +13149,236 @@ ORACLES.update({"abc_parts": _ABC_SQL})
 QUERIES.update({"abc_parts": q_abc_parts})
 
 
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: MRR of the BM25 top-10 against an
+    exact boolean-AND relevance set (docs containing EVERY query term)
+    for the fixed 5-query panel.  Per query: relevant-corpus size,
+    rank of the first relevant hit inside the top-10 (0 = miss), and
+    the reciprocal rank in exact ppm (10⁶ DIV rank).  The relevance
+    join broadcasts the query-term table onto the postings — same
+    plan shape as the scorer it audits."""
+    from polar_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    top10 = bm25_topk(docs, qdf)
+
+    qt = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split(F.trim("qtext"), " "))).alias("term"),
+    )
+    n_terms = qt.groupBy("query_id").agg(F.count("*").cast("long").alias("n_terms"))
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), " "))).alias("term"),
+    )
+    rel = (
+        dt.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("matched"))
+        .join(F.broadcast(n_terms), "query_id")
+        .where(F.col("matched") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    n_rel = rel.groupBy("query_id").agg(F.count("*").cast("long").alias("n_relevant"))
+    first = (
+        top10.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.min("rnk").cast("long").alias("first_rank"))
+    )
+    base = spark.createDataFrame(
+        [(q,) for q, _t in _BM25_QUERIES], "query_id string"
+    )
+    return (
+        base.join(n_rel, "query_id", "left")
+        .join(first, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+            F.coalesce("first_rank", F.lit(0)).cast("long").alias("first_rank"),
+            F.when(F.col("first_rank").isNull(), F.lit(0))
+            .otherwise(F.expr("1000000 DIV first_rank"))
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _mrr_sql(k1: float = 1.2, b: float = 0.75, scale: int = 1_000_000) -> str:
+    bm25 = _bm25_sql(k1, b, scale)
+    # reuse the scorer's replay verbatim as a CTE and grade it
+    body = bm25.strip()
+    assert body.startswith("WITH ")
+    inner = body[len("WITH ") :]
+    head, _select = inner.rsplit("SELECT query_id,", 1)
+    return f"""
+WITH {head.rstrip()},
+top10 AS (SELECT query_id, CAST(_id AS BIGINT) AS doc_id, rnk
+          FROM ranked WHERE rnk <= 10),
+nt AS (SELECT query_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+       FROM qt GROUP BY query_id),
+rel AS (SELECT qt.query_id, toks._id AS doc_id
+        FROM (SELECT DISTINCT _id, term FROM toks) toks
+        JOIN qt ON qt.term = toks.term
+        JOIN nt ON nt.query_id = qt.query_id
+        GROUP BY qt.query_id, toks._id, nt.n_terms
+        HAVING COUNT(DISTINCT toks.term) = nt.n_terms),
+n_rel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+          FROM rel GROUP BY query_id),
+first AS (SELECT t.query_id, CAST(MIN(t.rnk) AS BIGINT) AS first_rank
+          FROM top10 t JOIN rel r ON r.query_id = t.query_id
+                                 AND r.doc_id = t.doc_id
+          GROUP BY t.query_id)
+SELECT q.query_id,
+       CAST(COALESCE(n_rel.n_relevant, 0) AS BIGINT) AS n_relevant,
+       CAST(COALESCE(first.first_rank, 0) AS BIGINT) AS first_rank,
+       CAST(CASE WHEN first.first_rank IS NULL THEN 0
+                 ELSE 1000000 // first.first_rank END AS BIGINT) AS rr_ppm
+FROM q LEFT JOIN n_rel ON n_rel.query_id = q.query_id
+       LEFT JOIN first ON first.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+ORACLES.update({"mrr_eval": _mrr_sql()})
+QUERIES.update({"mrr_eval": q_mrr_eval})
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-cohort LTV curve: customers grouped by first-order
+    month, revenue per (cohort, months-since-acquisition) with the
+    running cumulative — the payback curve behind every acquisition
+    decision.  Month index is pure integer arithmetic (year·12+month
+    difference); revenue exact cents; the cumulative window runs only
+    over ≤ n_months rows per cohort."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("mi"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cohort = orders.groupBy("o_custkey").agg(F.min("mi").alias("c0"))
+    w = Window.partitionBy("cohort").orderBy("month_idx")
+    return (
+        orders.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("c0").alias("cohort"),
+            (F.col("mi") - F.col("c0")).cast("long").alias("month_idx"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_active"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(w).cast("long"))
+        .orderBy("cohort", "month_idx")
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS mi,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+cohort AS (SELECT o_custkey, MIN(mi) AS c0 FROM o GROUP BY o_custkey),
+agg AS (
+  SELECT c0 AS cohort, CAST(o.mi - c0 AS BIGINT) AS month_idx,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM o JOIN cohort ON cohort.o_custkey = o.o_custkey
+  GROUP BY 1, 2)
+SELECT cohort, month_idx, n_active, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY month_idx
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_rev_cents
+FROM agg ORDER BY cohort, month_idx
+"""
+
+
+ORACLES.update({"cohort_ltv": _COHORT_LTV_SQL})
+QUERIES.update({"cohort_ltv": q_cohort_ltv})
+
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency SLA profile per order priority: P50/P90/P99
+    of (shipdate − orderdate) days by the NEAREST-RANK definition
+    (value at row ⌈p·n⌉ of the sorted latencies) — an exact integer
+    selection both engines replay identically, no interpolation
+    boundary to drift.  One partitioned row_number window over the
+    latency table; the fact join ships only two date columns."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("days")
+    ranked = lat.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("o_orderpriority"))
+    )
+    picks = ranked.where(
+        (F.col("rn") == F.expr("CAST(CEIL(n * 0.5) AS BIGINT)"))
+        | (F.col("rn") == F.expr("CAST(CEIL(n * 0.9) AS BIGINT)"))
+        | (F.col("rn") == F.expr("CAST(CEIL(n * 0.99) AS BIGINT)"))
+    )
+    return (
+        picks.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min(
+                F.when(F.col("rn") == F.expr("CAST(CEIL(n * 0.5) AS BIGINT)"), F.col("days"))
+            )
+            .cast("long")
+            .alias("p50_days"),
+            F.min(
+                F.when(F.col("rn") == F.expr("CAST(CEIL(n * 0.9) AS BIGINT)"), F.col("days"))
+            )
+            .cast("long")
+            .alias("p90_days"),
+            F.min(
+                F.when(F.col("rn") == F.expr("CAST(CEIL(n * 0.99) AS BIGINT)"), F.col("days"))
+            )
+            .cast("long")
+            .alias("p99_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SHIP_LATENCY_SQL = """
+WITH lat AS (
+  SELECT o_orderpriority,
+         CAST(DATE_DIFF('day', o_orderdate, l_shipdate) AS BIGINT) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ranked AS (
+  SELECT o_orderpriority, days,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY days) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM lat)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN days END)
+            AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN days END)
+            AS BIGINT) AS p90_days,
+       CAST(MIN(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN days END)
+            AS BIGINT) AS p99_days
+FROM ranked
+WHERE rn = CAST(CEIL(n * 0.5) AS BIGINT)
+   OR rn = CAST(CEIL(n * 0.9) AS BIGINT)
+   OR rn = CAST(CEIL(n * 0.99) AS BIGINT)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+ORACLES.update({"ship_latency": _SHIP_LATENCY_SQL})
+QUERIES.update({"ship_latency": q_ship_latency})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -13191,6 +13421,7 @@ _ROUND5_PRIORITY = [
     "knn_curve", "customer_deciles", "revenue_mom", "session_windows",
     "partition_performance", "burstiness", "q1_pricing",
     "partition_cut_audit", "rfm_segments", "benford_digits", "abc_parts",
+    "mrr_eval", "cohort_ltv", "ship_latency",
     "hitting_time6", "temporal_reach4", "fiedler4", "influence_seeds5",
     "scan_clusters", "edge_betweenness4", "coarsen_hem", "fiedler_coarse",
     "vertex_cover2", "bipartite_check", "mad_outliers", "auc_score",

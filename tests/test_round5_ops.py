@@ -1138,3 +1138,47 @@ def test_abc_parts_pareto_shape(spark):
     # A-class: <=80% of revenue in the fewest parts; shares ordered
     assert rows["A"]["share_ppm"] <= 800_000
     assert rows["A"]["rev_e4"] > rows["C"]["rev_e4"]
+
+
+def test_session9e_plans_no_python(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    for q in ("mrr_eval", "cohort_ltv", "ship_latency"):
+        plan = _exec_plan(QUERIES[q](spark, SF))
+        assert "EvalPython" not in plan, q
+
+
+def test_mrr_eval_rank_reciprocal_identity(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["mrr_eval"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        if r["first_rank"] > 0:
+            assert r["rr_ppm"] == 1_000_000 // r["first_rank"]
+            assert 1 <= r["first_rank"] <= 10
+        else:
+            assert r["rr_ppm"] == 0
+
+
+def test_cohort_ltv_cumulative_monotone(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["cohort_ltv"](spark, SF).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for seq in by_cohort.values():
+        cums = [r["cum_rev_cents"] for r in seq]
+        assert all(a < b for a, b in zip(cums, cums[1:])) or len(cums) == 1
+        assert cums[-1] == sum(r["rev_cents"] for r in seq)
+
+
+def test_ship_latency_percentiles_ordered(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["ship_latency"](spark, SF).collect()
+    assert len(rows) == 5  # five order priorities
+    for r in rows:
+        assert r["p50_days"] <= r["p90_days"] <= r["p99_days"]
+        assert r["n"] > 0
