@@ -13380,6 +13380,242 @@ QUERIES.update({"ship_latency": q_ship_latency})
 
 
 # ---------------------------------------------------------------------------
+# Session-14: completing the TPC-H family.  Q2/Q11/Q20 were declared out
+# of scope for lack of a partsupp table, but the Q9 precedent stands —
+# lineitem is the supply-fact surrogate (who supplied which part, at what
+# price and quantity), so all three get an essence on this schema and the
+# full 22-query family is covered.  Same integer micro-unit discipline as
+# the rest of the family: money in cents/e4, quantities in centi-units,
+# ratio compares by integer cross-multiplication.
+
+_UNIT_E4_SPARK = (
+    "(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000)"
+    " DIV CAST(ROUND(l_quantity * 100) AS BIGINT)"
+)
+_UNIT_E4_DUCK = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000"
+    " // CAST(ROUND(l_quantity * 100) AS BIGINT)"
+)
+_QTY_CENTI = "CAST(ROUND(l_quantity * 100) AS BIGINT)"
+
+
+def q_q2_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 essence (min-cost supplier): for every '%bolt' part, the
+    EUROPE supplier(s) offering the lowest observed unit price.  The
+    offer book is re-derived from lineitem: offer(part, supp) = MIN over
+    their lines of the unit price in e4 units, computed as the exact
+    integer division (price cents · 10⁴) DIV centi-quantity — both
+    operands positive, so Spark's truncating DIV and DuckDB's flooring
+    // agree.  Plan shape: both dimensions broadcast (the part-name
+    filter and the region-scoped supplier list), the fact aggregates
+    ONCE on (part, supplier), and the per-part minimum — a tiny table —
+    joins back; never a global sort, and ties at the best offer all
+    surface (the Q15 max-shape precedent)."""
+    part = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").like("%bolt"))
+        .select("p_partkey", "p_name")
+    )
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).where(F.col("r_name") == "EUROPE")
+    eur_nat = nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(eur_nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp.select(F.col("s_suppkey").alias("sk"))),
+            li.l_suppkey == F.col("sk"),
+        )
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.expr(f"MIN({_UNIT_E4_SPARK})").alias("offer_e4"))
+    )
+    best = offers.groupBy("p_partkey").agg(F.min("offer_e4").alias("best_e4"))
+    return (
+        offers.join(best, "p_partkey")
+        .where(F.col("offer_e4") == F.col("best_e4"))
+        .join(F.broadcast(part), "p_partkey")
+        .join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_name",
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.col("offer_e4").cast("long").alias("offer_e4"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+_Q2_SQL = f"""
+WITH pf AS (SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%bolt'),
+eur AS (SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+offers AS (SELECT p_partkey, l_suppkey, MIN({_UNIT_E4_DUCK}) AS offer_e4
+           FROM lineitem JOIN pf ON l_partkey = p_partkey
+           JOIN eur ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+best AS (SELECT p_partkey, MIN(offer_e4) AS best_e4 FROM offers GROUP BY 1)
+SELECT CAST(o.p_partkey AS BIGINT) AS p_partkey, pf.p_name,
+       CAST(o.l_suppkey AS BIGINT) AS s_suppkey, e.s_name, e.n_name,
+       CAST(o.offer_e4 AS BIGINT) AS offer_e4
+FROM offers o
+JOIN best b ON o.p_partkey = b.p_partkey AND o.offer_e4 = b.best_e4
+JOIN pf ON pf.p_partkey = o.p_partkey
+JOIN eur e ON e.s_suppkey = o.l_suppkey
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 essence (important stock): per-part supplied value from
+    NATION_3's suppliers, keeping parts whose value exceeds 0.05 % of
+    that nation's total — the scalar-subquery-threshold shape.  Value is
+    the exact integer e4 revenue (lineitem as the partsupp surrogate);
+    the threshold is the integer cross-multiply value·2000 > total, so
+    no float boundary exists (headroom: total ≈ 6·10¹⁴ e4-units at
+    sf0.1, ×2000 ≈ 1.2·10¹⁸ < 2⁶³).  The published share rides the
+    abc_parts downscale lesson: both operands DIV 10⁴ before the ppm
+    multiply.  Plan: supplier list broadcasts, one fact shuffle on
+    partkey, the 1-row total broadcasts back."""
+    nat = load_table(spark, "nation", sf_dir).where(F.col("n_name") == "NATION_3")
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("sk"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    value = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("sk"))
+        .groupBy("l_partkey")
+        .agg(F.expr(f"SUM({_REV_SPARK})").alias("value_e4"))
+    )
+    tot = value.agg(F.sum("value_e4").alias("total_e4"))
+    return (
+        value.join(F.broadcast(tot), F.col("value_e4") * 2000 > F.col("total_e4"))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.col("value_e4").cast("long").alias("value_e4"),
+            F.expr(
+                "(value_e4 DIV 10000) * 1000000 DIV (total_e4 DIV 10000)"
+            ).cast("long").alias("share_ppm"),
+        )
+        .orderBy(F.desc("value_e4"), "p_partkey")
+    )
+
+
+_Q11_SQL = f"""
+WITH supp AS (SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'),
+value AS (SELECT l_partkey, CAST(SUM({_REV_DUCK}) AS BIGINT) AS value_e4
+          FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+          GROUP BY 1),
+tot AS (SELECT SUM(value_e4) AS total_e4 FROM value)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(value_e4 AS BIGINT) AS value_e4,
+       CAST((value_e4 // 10000) * 1000000 // (total_e4 // 10000) AS BIGINT)
+         AS share_ppm
+FROM value, tot
+WHERE value_e4 * 2000 > total_e4
+ORDER BY value_e4 DESC, p_partkey
+"""
+
+
+def q_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 essence (dominant suppliers): EUROPE suppliers that
+    supplied MORE THAN HALF of some 'cold %' part's total quantity —
+    Q20's share-of-supply predicate with lineitem as the partsupp
+    surrogate.  The share compare is 2·supp_qty > part_total on exact
+    centi-quantities.  Plan: part + supplier dimensions broadcast, the
+    fact aggregates once on (part, supplier), and the per-part total is
+    a second aggregate OVER THE GROUPED RESULT (no second fact scan);
+    the dominant set then rolls up per supplier."""
+    part = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").like("cold %"))
+        .select("p_partkey")
+    )
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).where(F.col("r_name") == "EUROPE")
+    eur_nat = nat.join(reg, nat.n_regionkey == reg.r_regionkey).select("n_nationkey")
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(eur_nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    qsum = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(supp.select(F.col("s_suppkey").alias("sk"))),
+            li.l_suppkey == F.col("sk"),
+        )
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.expr(f"SUM({_QTY_CENTI})").alias("sq"))
+    )
+    tot = qsum.groupBy("p_partkey").agg(F.sum("sq").alias("tq"))
+    dom = qsum.join(tot, "p_partkey").where(F.col("sq") * 2 > F.col("tq"))
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("n_dominant_parts"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_dominant_parts",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = f"""
+WITH pf AS (SELECT p_partkey FROM part WHERE p_name LIKE 'cold %'),
+eur AS (SELECT s_suppkey, s_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+qsum AS (SELECT p_partkey, l_suppkey, SUM({_QTY_CENTI}) AS sq
+         FROM lineitem JOIN pf ON l_partkey = p_partkey
+         JOIN eur ON l_suppkey = s_suppkey
+         GROUP BY 1, 2),
+tot AS (SELECT p_partkey, SUM(sq) AS tq FROM qsum GROUP BY 1),
+dom AS (SELECT l_suppkey FROM qsum JOIN tot USING (p_partkey)
+        WHERE 2 * sq > tq)
+SELECT CAST(e.s_suppkey AS BIGINT) AS s_suppkey, e.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+FROM dom JOIN eur e ON e.s_suppkey = dom.l_suppkey
+GROUP BY 1, 2
+ORDER BY s_suppkey
+"""
+
+
+ORACLES.update(
+    {
+        "q2_min_cost_supp": _Q2_SQL,
+        "q11_important_stock": _Q11_SQL,
+        "q20_excess_suppliers": _Q20_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "q2_min_cost_supp": q_q2_min_cost_supp,
+        "q11_important_stock": q_q11_important_stock,
+        "q20_excess_suppliers": q_q20_excess_suppliers,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query

@@ -1182,3 +1182,80 @@ def test_ship_latency_percentiles_ordered(spark):
     for r in rows:
         assert r["p50_days"] <= r["p90_days"] <= r["p99_days"]
         assert r["n"] > 0
+
+
+# ----------------------------------------- Q2 / Q11 / Q20 (family complete)
+
+
+def test_q2_best_offer_is_minimum_and_ties_surface(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q2_min_cost_supp"](spark, SF).collect()
+    assert rows, "bolt parts with EUROPE offers must exist"
+    # every surfaced part is a '%bolt' part and every offer is positive
+    bolts = {
+        r["p_partkey"]
+        for r in load_table(spark, "part", SF)
+        .where(F.col("p_name").like("%bolt"))
+        .collect()
+    }
+    per_part = {}
+    for r in rows:
+        assert r["p_partkey"] in bolts
+        assert r["offer_e4"] > 0
+        per_part.setdefault(r["p_partkey"], set()).add(r["offer_e4"])
+    # all rows for one part share the single best offer (ties surface)
+    assert all(len(v) == 1 for v in per_part.values())
+
+
+def test_q11_threshold_and_share_identity(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["q11_important_stock"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["share_ppm"] <= 1_000_000
+        # threshold 1/2000 == 500 ppm: every kept share must exceed ~500
+        # ppm minus the downscale rounding slack (1 ppm)
+        assert r["share_ppm"] >= 499
+    vals = [r["value_e4"] for r in rows]
+    assert vals == sorted(vals, reverse=True) or len(set(vals)) < len(vals)
+
+
+def test_q20_dominance_recheck(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q20_excess_suppliers"](spark, SF).collect()
+    # recompute the dominant (part, supplier) set naively and compare
+    li = load_table(spark, "lineitem", SF)
+    part = (
+        load_table(spark, "part", SF)
+        .where(F.col("p_name").like("cold %"))
+        .select("p_partkey")
+    )
+    nat = load_table(spark, "nation", SF)
+    reg = load_table(spark, "region", SF).where(F.col("r_name") == "EUROPE")
+    eur = (
+        load_table(spark, "supplier", SF)
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    fact = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(eur, li.l_suppkey == eur.s_suppkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.expr("SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))").alias("sq"))
+        .collect()
+    )
+    tot = {}
+    for r in fact:
+        tot[r["p_partkey"]] = tot.get(r["p_partkey"], 0) + r["sq"]
+    expect = {}
+    for r in fact:
+        if 2 * r["sq"] > tot[r["p_partkey"]]:
+            expect[r["l_suppkey"]] = expect.get(r["l_suppkey"], 0) + 1
+    got = {r["s_suppkey"]: r["n_dominant_parts"] for r in rows}
+    assert got == expect
