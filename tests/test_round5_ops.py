@@ -1259,3 +1259,66 @@ def test_q20_dominance_recheck(spark):
             expect[r["l_suppkey"]] = expect.get(r["l_suppkey"], 0) + 1
     got = {r["s_suppkey"]: r["n_dominant_parts"] for r in rows}
     assert got == expect
+
+
+# -------------------- butterflies / config-model audit / clustering curve
+
+
+def test_butterflies_identities(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["butterflies"](spark, SF).collect()[0]
+    # each butterfly contains exactly 4 labeled 3-paths
+    assert 4 * r["butterflies"] <= r["caterpillars"]
+    assert 0 <= r["bip_clustering_ppm"] <= 1_000_000
+    # wedges_orders equals the total multiplicity of the co-order pair
+    # table (sum of per-pair co-occurrence counts)
+    li = load_table(spark, "lineitem", SF)
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pair_mult = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+    ).count()
+    assert r["wedges_orders"] == pair_mult
+    # independent butterfly recompute from the pair-count table
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p"), F.col("b.p"))
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("bf"))
+        .collect()[0]["bf"]
+    )
+    assert r["butterflies"] == co
+
+
+def test_config_model_audit_identities(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, coorder_edges
+    from polar_spark.plans import pregel
+
+    r = QUERIES["config_model_audit"](spark, SF).collect()[0]
+    assert r["n"] > 0 and r["s1"] > 0 and r["s2"] > 0
+    assert r["transitivity_ppm"] == 6 * r["triangles"] * 1_000_000 // r["s2"]
+    _pv, total = pregel.triangle_count(coorder_edges(spark, SF))
+    assert r["triangles"] == total
+    # excess ratio is triangles / expectation, both published rounded
+    assert abs(r["excess_ratio_r"] - r["triangles"] / r["expected_tri_r"]) < 1e-2
+
+
+def test_clustering_curve_partitions_and_triangle_mass(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, coorder_edges
+    from polar_spark.plans import pregel
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["clustering_curve"](spark, SF).collect()
+    e = coorder_edges(spark, SF)
+    _pv, total = pregel.triangle_count(e)
+    # vertices with degree < 2 carry no triangles, so the k>=2 classes
+    # hold the full triangle mass: sum of per-vertex counts = 3T
+    assert sum(r["tri_sum"] for r in rows) == 3 * total
+    deg2 = pregel.degrees(e).where(F.col("degree") >= 2).count()
+    assert sum(r["n_k"] for r in rows) == deg2
+    for r in rows:
+        assert 0 <= r["cc_pooled_ppm"] <= 1_000_000
