@@ -19,6 +19,8 @@ value hash):
 
 from __future__ import annotations
 
+import math as _math
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -7097,9 +7099,11 @@ def q_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_classify(load_table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
-def _nb_sql(scale: int = 1_000_000, train_bp: int = 8000, seed: int = 0) -> str:
-    return f"""
-WITH base AS (
+def _nb_cte_body(scale: int = 1_000_000, train_bp: int = 8000, seed: int = 0) -> str:
+    """The shared NB train+score CTE chain (through the per-(doc, class)
+    score table ``sc``) — composed by both the classifier oracle and the
+    margin-calibration oracle, mirroring classify.nb_class_scores."""
+    return f"""base AS (
   SELECT doc_id AS _id, lang AS label, string_split(trim(text), ' ') AS t,
          CASE WHEN xor(x1, x1 >> 17) % 10000 < {train_bp} THEN 1 ELSE 0 END
            AS is_train
@@ -7126,7 +7130,12 @@ ls AS (SELECT cls,
 sc AS (SELECT _id, cls,
          SUM(COALESCE(llp, default_llp)) + ANY_VALUE(prior) AS score_scaled
        FROM toks CROSS JOIN ls LEFT JOIN llp USING (cls, tok)
-       GROUP BY 1, 2),
+       GROUP BY 1, 2)"""
+
+
+def _nb_sql(scale: int = 1_000_000, train_bp: int = 8000, seed: int = 0) -> str:
+    return f"""
+WITH {_nb_cte_body(scale, train_bp, seed)},
 pred AS (SELECT _id, cls AS pred, score_scaled FROM
            (SELECT *, ROW_NUMBER() OVER
               (PARTITION BY _id ORDER BY score_scaled DESC, cls ASC) AS rnk
@@ -13838,6 +13847,296 @@ QUERIES.update(
         "butterflies": q_butterflies,
         "config_model_audit": q_config_model_audit,
         "clustering_curve": q_clustering_curve,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Session-14 evaluation & attribution: nDCG@10 retrieval grading, NB
+# margin-calibration (reliability) audit, last-touch conversion
+# attribution.  The nDCG log2 discounts are precomputed ONCE in Python
+# and baked into BOTH plans as integer literals, so no libm log call
+# ever runs inside either engine — the cross-engine float lesson applied
+# at the metric level.
+
+_NDCG_K = 10
+_NDCG_W = [round(1_000_000 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1)]
+_NDCG_IDCG = [sum(_NDCG_W[: i + 1]) for i in range(_NDCG_K)]
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval #2: binary-relevance nDCG@10 of the BM25
+    top-10 against the exact boolean-AND relevance set (the mrr_eval
+    ground truth).  Discount weights w_r = round(10^6 / log2(r+1)) and
+    their prefix sums (the ideal DCG) are module-level Python constants
+    embedded as literals in both engines' plans; dcg = Σ w_rank over
+    relevant hits and ndcg_ppm = dcg·10^6 DIV idcg(min(R,10)) are then
+    pure BIGINT algebra.  Same broadcast posture as the scorer under
+    audit."""
+    from polar_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    top10 = bm25_topk(docs, qdf)
+
+    qt = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split(F.trim("qtext"), " "))).alias("term"),
+    )
+    n_terms = qt.groupBy("query_id").agg(F.count("*").cast("long").alias("n_terms"))
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), " "))).alias("term"),
+    )
+    rel = (
+        dt.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("matched"))
+        .join(F.broadcast(n_terms), "query_id")
+        .where(F.col("matched") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    n_rel = rel.groupBy("query_id").agg(F.count("*").cast("long").alias("n_relevant"))
+    w_arr = "ARRAY(" + ", ".join(str(w) for w in _NDCG_W) + ")"
+    idcg_arr = "ARRAY(" + ", ".join(str(v) for v in _NDCG_IDCG) + ")"
+    dcg = (
+        top10.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("hits10"),
+            F.sum(F.expr(f"element_at({w_arr}, CAST(rnk AS INT))"))
+            .cast("long")
+            .alias("dcg_e6"),
+        )
+    )
+    base = spark.createDataFrame([(q,) for q, _t in _BM25_QUERIES], "query_id string")
+    return (
+        base.join(n_rel, "query_id", "left")
+        .join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+            F.coalesce("hits10", F.lit(0)).cast("long").alias("hits10"),
+            F.coalesce("dcg_e6", F.lit(0)).cast("long").alias("dcg_e6"),
+            F.expr(
+                f"CASE WHEN COALESCE(n_relevant, 0) = 0 THEN 0"
+                f" ELSE COALESCE(dcg_e6, 0) * 1000000 DIV element_at({idcg_arr},"
+                f" CAST(LEAST(n_relevant, {_NDCG_K}) AS INT)) END"
+            )
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ndcg_sql(k1: float = 1.2, b: float = 0.75, scale: int = 1_000_000) -> str:
+    bm25 = _bm25_sql(k1, b, scale)
+    body = bm25.strip()
+    assert body.startswith("WITH ")
+    inner = body[len("WITH ") :]
+    head, _select = inner.rsplit("SELECT query_id,", 1)
+    w_rows = ", ".join(f"({r + 1}, {w})" for r, w in enumerate(_NDCG_W))
+    i_rows = ", ".join(f"({r + 1}, {v})" for r, v in enumerate(_NDCG_IDCG))
+    return f"""
+WITH {head.rstrip()},
+top10 AS (SELECT query_id, CAST(_id AS BIGINT) AS doc_id, rnk
+          FROM ranked WHERE rnk <= 10),
+w(rnk, w) AS (VALUES {w_rows}),
+ic(r, idcg) AS (VALUES {i_rows}),
+nt AS (SELECT query_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+       FROM qt GROUP BY query_id),
+rel AS (SELECT qt.query_id, toks._id AS doc_id
+        FROM (SELECT DISTINCT _id, term FROM toks) toks
+        JOIN qt ON qt.term = toks.term
+        JOIN nt ON nt.query_id = qt.query_id
+        GROUP BY qt.query_id, toks._id, nt.n_terms
+        HAVING COUNT(DISTINCT toks.term) = nt.n_terms),
+n_rel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+          FROM rel GROUP BY query_id),
+dcg AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS hits10,
+               CAST(SUM(w.w) AS BIGINT) AS dcg_e6
+        FROM top10 t JOIN rel r ON r.query_id = t.query_id
+                             AND r.doc_id = t.doc_id
+        JOIN w ON w.rnk = t.rnk
+        GROUP BY t.query_id)
+SELECT q.query_id,
+       CAST(COALESCE(n_rel.n_relevant, 0) AS BIGINT) AS n_relevant,
+       CAST(COALESCE(dcg.hits10, 0) AS BIGINT) AS hits10,
+       CAST(COALESCE(dcg.dcg_e6, 0) AS BIGINT) AS dcg_e6,
+       CAST(CASE WHEN COALESCE(n_rel.n_relevant, 0) = 0 THEN 0
+            ELSE COALESCE(dcg.dcg_e6, 0) * 1000000 //
+                 (SELECT idcg FROM ic
+                  WHERE r = LEAST(n_rel.n_relevant, {_NDCG_K}))
+            END AS BIGINT) AS ndcg_ppm
+FROM q LEFT JOIN n_rel ON n_rel.query_id = q.query_id
+       LEFT JOIN dcg ON dcg.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+def q_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability audit: decile calibration curve of the NB
+    language classifier's confidence MARGIN (top-1 minus top-2 scaled
+    log-posterior — an exact BIGINT, unlike a softmax probability).
+    Documents are NTILE(10)-binned by (margin, doc_id) — fully
+    deterministic — and each bin reports size, accuracy in exact ppm,
+    and its margin span; a well-behaved classifier shows accuracy
+    rising with margin.  The global NTILE is a diagnostics-sized sort
+    over one row per document score, not a data-path stage."""
+    from polar_spark.operators.classify import nb_class_scores
+
+    base, scored = nb_class_scores(load_table(spark, "documents", sf_dir))
+    win = Window.partitionBy("_id").orderBy(F.desc("score_scaled"), F.asc("cls"))
+    top2 = (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= 2)
+        .groupBy("_id")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("score_scaled"))).alias("s1"),
+            F.max(F.when(F.col("rnk") == 1, F.col("cls"))).alias("pred"),
+            F.max(F.when(F.col("rnk") == 2, F.col("score_scaled"))).alias("s2"),
+        )
+    )
+    m = base.join(top2, "_id").select(
+        "_id",
+        (F.col("s1") - F.col("s2")).cast("long").alias("margin"),
+        (F.col("label") == F.col("pred")).cast("long").alias("correct"),
+    )
+    binned = m.withColumn(
+        "bin", F.ntile(10).over(Window.orderBy("margin", "_id"))
+    )
+    return (
+        binned.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("correct").cast("long").alias("n_correct"),
+            F.expr("SUM(correct) * 1000000 DIV COUNT(*)")
+            .cast("long")
+            .alias("acc_ppm"),
+            F.min("margin").cast("long").alias("margin_min"),
+            F.max("margin").cast("long").alias("margin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _nb_margin_sql(scale: int = 1_000_000, train_bp: int = 8000, seed: int = 0) -> str:
+    return f"""
+WITH {_nb_cte_body(scale, train_bp, seed)},
+ranked AS (SELECT _id, cls, score_scaled,
+                  ROW_NUMBER() OVER (PARTITION BY _id
+                    ORDER BY score_scaled DESC, cls ASC) AS rnk
+           FROM sc),
+top2 AS (SELECT _id,
+                MAX(CASE WHEN rnk = 1 THEN score_scaled END) AS s1,
+                MAX(CASE WHEN rnk = 1 THEN cls END) AS pred,
+                MAX(CASE WHEN rnk = 2 THEN score_scaled END) AS s2
+         FROM ranked WHERE rnk <= 2 GROUP BY _id),
+m AS (SELECT b._id, CAST(t.s1 - t.s2 AS BIGINT) AS margin,
+             CASE WHEN b.label = t.pred THEN 1 ELSE 0 END AS correct
+      FROM base b JOIN top2 t ON t._id = b._id),
+binned AS (SELECT *, NTILE(10) OVER (ORDER BY margin, _id) AS bin FROM m)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(correct) AS BIGINT) AS n_correct,
+       CAST(SUM(correct) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,
+       CAST(MIN(margin) AS BIGINT) AS margin_min,
+       CAST(MAX(margin) AS BIGINT) AS margin_max
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each 'purchase' event is
+    credited to the user's most recent PRECEDING non-purchase event
+    within a 24 h window ('direct' when none) — the classic marketing
+    funnel credit model.  One user-partitioned window pass with an
+    ignore-nulls last_value carries (touch ts, touch type) forward; the
+    24 h cutoff is an exact integer microsecond compare; the rollup is
+    a tiny groupBy.  Never a global sort — the window key is the
+    natural event partitioning."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_us = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("us")),
+        ignorenulls=True,
+    ).over(w)
+    pur = (
+        ev.withColumn("t_type", touch_type)
+        .withColumn("t_us", touch_us)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.when(
+                F.col("t_us").isNotNull()
+                & (F.col("us") - F.col("t_us") <= F.lit(86_400_000_000)),
+                F.col("t_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("touch_type"),
+        )
+    )
+    return (
+        pur.groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("conversions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, EPOCH_US(ts) AS us FROM events),
+tagged AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_us
+  FROM ev),
+pur AS (
+  SELECT user_id,
+         CASE WHEN t_us IS NOT NULL AND us - t_us <= 86400000000
+              THEN t_type ELSE 'direct' END AS touch_type
+  FROM tagged WHERE event_type = 'purchase')
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS conversions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pur GROUP BY touch_type ORDER BY touch_type
+"""
+
+
+ORACLES.update(
+    {
+        "ndcg_eval": _ndcg_sql(),
+        "nb_margin_calibration": _nb_margin_sql(),
+        "attribution_last_touch": _ATTRIBUTION_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "ndcg_eval": q_ndcg_eval,
+        "nb_margin_calibration": q_nb_margin_calibration,
+        "attribution_last_touch": q_attribution_last_touch,
     }
 )
 

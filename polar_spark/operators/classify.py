@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def nb_classify(
+def nb_class_scores(
     docs: DataFrame,
     text_col: str = "text",
     label_col: str = "lang",
@@ -35,19 +35,12 @@ def nb_classify(
     scale: int = 1_000_000,
     train_bp: int = 8000,
     seed: int = 0,
-) -> DataFrame:
-    """Train a multinomial Naive Bayes classifier on a deterministic
-    ~``train_bp``/10000 hash split of ``docs`` and score EVERY document
-    (the production posture: the filter model is fit on a sample, then
-    applied to the full corpus).
-
-    Laplace-smoothed: p(t|l) = (c_tl + 1)/(tot_l + V) with V = training
-    vocabulary size; unseen (token, label) pairs take the per-label
-    default ln(1/(tot_l + V)).  Every log-probability is floored to a
-    ``scale``-scaled BIGINT, so document scores are order-independent
-    integer sums; argmax ties break to the lexicographically smallest
-    label.  Returns ``(id, label, pred, correct, is_train,
-    score_scaled)`` — one row per document.
+) -> tuple[DataFrame, DataFrame]:
+    """The shared train+score passes behind :func:`nb_classify` and the
+    margin-calibration audit: returns ``(base, scored)`` where ``base``
+    is ``(_id, label, is_train)`` per document and ``scored`` is the
+    full per-(document, class) scaled-BIGINT log-posterior table —
+    one row per document per training label.
     """
     from polar_spark.operators.sampling import BUCKETS, hash_bucket
 
@@ -103,6 +96,34 @@ def nb_classify(
             ).alias("score_scaled")
         )
     )
+    return base.select("_id", "label", "is_train"), scored
+
+
+def nb_classify(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    train_bp: int = 8000,
+    seed: int = 0,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier on a deterministic
+    ~``train_bp``/10000 hash split of ``docs`` and score EVERY document
+    (the production posture: the filter model is fit on a sample, then
+    applied to the full corpus).
+
+    Laplace-smoothed: p(t|l) = (c_tl + 1)/(tot_l + V) with V = training
+    vocabulary size; unseen (token, label) pairs take the per-label
+    default ln(1/(tot_l + V)).  Every log-probability is floored to a
+    ``scale``-scaled BIGINT, so document scores are order-independent
+    integer sums; argmax ties break to the lexicographically smallest
+    label.  Returns ``(id, label, pred, correct, is_train,
+    score_scaled)`` — one row per document.
+    """
+    base, scored = nb_class_scores(
+        docs, text_col, label_col, id_col, scale, train_bp, seed
+    )
     win = Window.partitionBy("_id").orderBy(F.desc("score_scaled"), F.asc("cls"))
     pred = (
         scored.withColumn("rnk", F.row_number().over(win))
@@ -110,8 +131,7 @@ def nb_classify(
         .select("_id", F.col("cls").alias("pred"), "score_scaled")
     )
     return (
-        base.select("_id", "label", "is_train")
-        .join(pred, "_id")
+        base.join(pred, "_id")
         .select(
             F.col("_id").alias(id_col).cast("long"),
             "label",

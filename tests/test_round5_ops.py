@@ -1322,3 +1322,83 @@ def test_clustering_curve_partitions_and_triangle_mass(spark):
     assert sum(r["n_k"] for r in rows) == deg2
     for r in rows:
         assert 0 <= r["cc_pooled_ppm"] <= 1_000_000
+
+
+# -------------------- nDCG eval / NB margin calibration / attribution
+
+
+def test_ndcg_bounds_and_mrr_consistency(spark):
+    from polar_spark.operators.analytics_queries import (
+        _NDCG_IDCG,
+        _NDCG_W,
+        QUERIES,
+    )
+
+    # weight table sanity: strictly decreasing discounts, prefix sums
+    assert _NDCG_W[0] == 1_000_000 and all(
+        a > b for a, b in zip(_NDCG_W, _NDCG_W[1:])
+    )
+    assert _NDCG_IDCG[-1] == sum(_NDCG_W)
+    ndcg = {r["query_id"]: r for r in QUERIES["ndcg_eval"](spark, SF).collect()}
+    mrr = {r["query_id"]: r for r in QUERIES["mrr_eval"](spark, SF).collect()}
+    assert set(ndcg) == set(mrr)
+    for qid, r in ndcg.items():
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        assert r["n_relevant"] == mrr[qid]["n_relevant"]
+        # a first-rank-1 hit guarantees ndcg >= w1/idcg(min(R,10))
+        if mrr[qid]["first_rank"] == 1:
+            from polar_spark.operators.analytics_queries import _NDCG_K
+
+            idcg = _NDCG_IDCG[min(r["n_relevant"], _NDCG_K) - 1]
+            assert r["ndcg_ppm"] >= 1_000_000 * 1_000_000 // idcg
+        # zero relevant docs -> zero everything
+        if r["n_relevant"] == 0:
+            assert r["hits10"] == 0 and r["dcg_e6"] == 0 and r["ndcg_ppm"] == 0
+        # perfect prefix: hits10 == min(R,10) AND all at top => ndcg == 1e6
+        if r["dcg_e6"] and r["hits10"]:
+            assert r["dcg_e6"] <= _NDCG_IDCG[r["hits10"] - 1]
+
+
+def test_nb_margin_calibration_partitions_docs(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+    from polar_spark.operators.classify import nb_classify
+
+    rows = QUERIES["nb_margin_calibration"](spark, SF).collect()
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    n_docs = load_table(spark, "documents", SF).count()
+    assert sum(r["n"] for r in rows) == n_docs
+    # NTILE bin sizes differ by at most 1
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n"]
+        assert r["acc_ppm"] == r["n_correct"] * 1_000_000 // r["n"]
+        assert r["margin_min"] >= 0  # top1 >= top2 by construction
+        assert r["margin_min"] <= r["margin_max"]
+    # margins are non-decreasing across bins
+    for a, b in zip(rows, rows[1:]):
+        assert a["margin_max"] <= b["margin_min"]
+    # total correct matches the classifier's own tally
+    total_correct = nb_classify(load_table(spark, "documents", SF)).agg(
+        F.sum("correct")
+    ).collect()[0][0]
+    assert sum(r["n_correct"] for r in rows) == total_correct
+
+
+def test_attribution_conserves_purchases(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["attribution_last_touch"](spark, SF).collect()
+    n_purchases = (
+        load_table(spark, "events", SF)
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["conversions"] for r in rows) == n_purchases
+    types = {r["touch_type"] for r in rows}
+    # only non-purchase types (or 'direct') can receive credit
+    assert "purchase" not in types
+    valid = {"click", "view", "signup", "error", "direct"}
+    assert types <= valid
+    for r in rows:
+        assert 0 < r["n_users"] <= r["conversions"]
