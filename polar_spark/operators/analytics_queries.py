@@ -14142,6 +14142,225 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Session-14 paths & matching: widest (bottleneck) paths, reciprocal
+# top-1 matching, conversion-lag survival percentiles.
+
+
+def q_widest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widest (maximin bottleneck) paths from the smallest vertex over
+    the weighted undirected demand graph (edge weight = order lines
+    between the pair — link capacity): cap(v) = MAX over paths of the
+    MIN edge weight, the routing/throughput dual of sssp_weighted on
+    the SAME graph.  Frontier-scoped max-min relaxation
+    (pregel.widest_paths); the SQL oracle unrolls 20 rounds —
+    bottleneck chains run LONGER on sparser graphs (measured fixpoint:
+    6 rounds at sf0.001, 18 at sf0.01, 8 at the denser sf0.1), and
+    relaxation past the fixpoint is a no-op.  The source row carries
+    the INF sentinel and is excluded from the published result."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    dir_w = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_custkey") != F.col("l_suppkey"))
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    und = dir_w.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.sum("w").alias("w"))
+    e = und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    src0 = int(e.agg(F.min("src")).collect()[0][0])
+    cap, _stats = pregel.widest_paths(e, sources=[src0])
+    return (
+        cap.where(F.col("id") != src0)
+        .select(F.col("id").cast("long"), F.col("cap").cast("long"))
+        .orderBy("id")
+    )
+
+
+def _widest_sql(rounds: int) -> str:
+    parts = [
+        "dw AS MATERIALIZED (SELECT o_custkey AS src, l_suppkey AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_custkey != l_suppkey GROUP BY 1, 2)",
+        "und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "CAST(SUM(w) AS BIGINT) AS w FROM dw GROUP BY 1, 2)",
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM und "
+        "UNION ALL SELECT b, a, w FROM und)",
+        f"c0 AS (SELECT MIN(src) AS id, CAST({pregel.WIDEST_INF} AS BIGINT) AS cap "
+        "FROM e)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"c{i + 1} AS MATERIALIZED (SELECT id, MAX(cap) AS cap FROM ("
+            f"SELECT id, cap FROM c{i} "
+            f"UNION ALL "
+            f"SELECT e.dst AS id, LEAST(c.cap, e.w) FROM c{i} c JOIN e ON e.src = c.id"
+            f") t GROUP BY id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id, CAST(cap AS BIGINT) AS cap
+        FROM c{rounds} WHERE id != (SELECT id FROM c0) ORDER BY id"""
+    )
+
+
+def q_mutual_top1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor matching on the weighted supplier
+    co-part graph (weight = number of shared parts): pairs where each
+    endpoint is the other's single strongest neighbor — the
+    mutual-top-1 rule used for high-precision entity matching and
+    duplicate pairing.  Per-vertex top-1 is one row_number window over
+    the vertex's adjacency (co-partitioned, never global); the
+    reciprocity check is a self-join on the two directed picks.
+    Deterministic tie-break (w DESC, neighbor ASC)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    w_und = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count("*").alias("w"))
+    )
+    adj = w_und.select("x", "y", "w").unionByName(
+        w_und.select(F.col("y").alias("x"), F.col("x").alias("y"), "w")
+    )
+    win = Window.partitionBy("x").orderBy(F.desc("w"), F.asc("y"))
+    top1 = (
+        adj.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") == 1)
+        .select("x", "y", "w")
+    )
+    t1, t2 = top1.alias("t1"), top1.alias("t2")
+    return (
+        t1.join(
+            t2,
+            (F.col("t1.y") == F.col("t2.x"))
+            & (F.col("t2.y") == F.col("t1.x"))
+            & (F.col("t1.x") < F.col("t1.y")),
+        )
+        .select(
+            F.col("t1.x").cast("long").alias("a"),
+            F.col("t1.y").cast("long").alias("b"),
+            F.col("t1.w").cast("long").alias("shared_parts"),
+        )
+        .orderBy("a")
+    )
+
+
+_MUTUAL_TOP1_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+wu AS (SELECT a.s AS x, b.s AS y, CAST(COUNT(*) AS BIGINT) AS w
+       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+adj AS (SELECT x, y, w FROM wu UNION ALL SELECT y, x, w FROM wu),
+top1 AS (SELECT x, y, w FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY x
+                       ORDER BY w DESC, y ASC) AS rnk FROM adj)
+         WHERE rnk = 1)
+SELECT CAST(t1.x AS BIGINT) AS a, CAST(t1.y AS BIGINT) AS b,
+       CAST(t1.w AS BIGINT) AS shared_parts
+FROM top1 t1 JOIN top1 t2 ON t1.y = t2.x AND t2.y = t1.x AND t1.x < t1.y
+ORDER BY a
+"""
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag curve: among users whose first 'purchase' follows
+    their first 'signup', the nearest-rank p25/p50/p75/p90 of the
+    signup-to-purchase lag — the activation-latency summary a growth
+    funnel reads.  Lags are exact integer microseconds (published as
+    floored days via integer DIV); nearest-rank percentiles are
+    interpolation-free, the ship_latency precedent.  One groupBy over
+    events per user, one ranked pass over the (small) converter set."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    firsts = (
+        ev.where(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("su"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("pu"),
+        )
+        .where(F.col("su").isNotNull() & F.col("pu").isNotNull() & (F.col("pu") > F.col("su")))
+        .select((F.col("pu") - F.col("su")).alias("lag_us"))
+    )
+    win = Window.orderBy("lag_us")
+    ranked = firsts.withColumn("rn", F.row_number().over(win)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    picks = " OR ".join(
+        f"rn = CAST(CEIL(n * 0.{p}) AS BIGINT)" for p in (25, 50, 75, 90)
+    )
+    sel = [
+        F.min(
+            F.when(
+                F.expr(f"rn = CAST(CEIL(n * 0.{p}) AS BIGINT)"),
+                F.expr("lag_us DIV 86400000000"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{p}_days")
+        for p in (25, 50, 75, 90)
+    ]
+    return ranked.where(F.expr(picks)).agg(
+        F.max("n").cast("long").alias("n_converted"), *sel
+    )
+
+
+_CONVERSION_LAG_SQL = """
+WITH ev AS (SELECT user_id, event_type, EPOCH_US(ts) AS us FROM events),
+firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN us END) AS su,
+         MIN(CASE WHEN event_type = 'purchase' THEN us END) AS pu
+  FROM ev WHERE event_type IN ('signup', 'purchase')
+  GROUP BY user_id),
+lags AS (SELECT pu - su AS lag_us FROM firsts
+         WHERE su IS NOT NULL AND pu IS NOT NULL AND pu > su),
+ranked AS (SELECT lag_us, ROW_NUMBER() OVER (ORDER BY lag_us) AS rn,
+                  COUNT(*) OVER () AS n FROM lags)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MIN(CASE WHEN rn = CAST(CEIL(n * 0.25) AS BIGINT)
+                THEN lag_us // 86400000000 END) AS BIGINT) AS p25_days,
+       CAST(MIN(CASE WHEN rn = CAST(CEIL(n * 0.50) AS BIGINT)
+                THEN lag_us // 86400000000 END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN rn = CAST(CEIL(n * 0.75) AS BIGINT)
+                THEN lag_us // 86400000000 END) AS BIGINT) AS p75_days,
+       CAST(MIN(CASE WHEN rn = CAST(CEIL(n * 0.90) AS BIGINT)
+                THEN lag_us // 86400000000 END) AS BIGINT) AS p90_days
+FROM ranked
+WHERE rn = CAST(CEIL(n * 0.25) AS BIGINT)
+   OR rn = CAST(CEIL(n * 0.50) AS BIGINT)
+   OR rn = CAST(CEIL(n * 0.75) AS BIGINT)
+   OR rn = CAST(CEIL(n * 0.90) AS BIGINT)
+"""
+
+
+ORACLES.update(
+    {
+        "widest_paths": _widest_sql(20),
+        "mutual_top1_pairs": _MUTUAL_TOP1_SQL,
+        "conversion_lag": _CONVERSION_LAG_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "widest_paths": q_widest_paths,
+        "mutual_top1_pairs": q_mutual_top1_pairs,
+        "conversion_lag": q_conversion_lag,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query

@@ -2069,6 +2069,83 @@ def sssp(
         return dist.select(F.col("id").cast("long"), F.col("dist").cast("long")), stats
 
 
+#: sentinel capacity for widest-path sources — far above any realistic
+#: integer edge weight while leaving LEAST() arithmetic overflow-free.
+WIDEST_INF = 9_000_000_000_000_000
+
+
+def widest_paths(
+    edges: DataFrame,
+    sources: list[int],
+    max_iter: int = 200,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Widest (maximin / bottleneck) paths from the sources over a
+    directed ``(src, dst, w)`` edge table with positive integer
+    weights: cap(v) = MAX over paths of the MIN edge weight along the
+    path — the max-min semiring twin of :func:`sssp`, same
+    frontier-scoped relaxation (only vertices whose capacity improved
+    last round propagate) and the same relax-past-fixpoint-is-a-no-op
+    property the unrolled SQL oracles rely on.  Sources carry the
+    ``WIDEST_INF`` sentinel.  Parallel edges keep the MAXIMUM weight
+    (the widest of the parallel links is the one a bottleneck path
+    uses).  Returns (id, cap) for reached vertices, sources included."""
+    spark = edges.sparkSession
+    e0 = (
+        edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("long")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))
+        .persist()
+    )
+    m0 = e0.count()
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e0.unpersist()
+        stats = IterationStats(algorithm="widest_paths", edges=m0)
+        cap = spark.createDataFrame(
+            [(int(s), WIDEST_INF) for s in sources], "id long, cap long"
+        ).localCheckpoint(eager=True)
+        frontier = cap
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            cand = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max(F.least(F.col("cap"), F.col("w"))).alias("nc"))
+            )
+            merged = (
+                cap.join(cand, "id", "full")
+                .select(
+                    "id",
+                    F.greatest(
+                        F.coalesce(F.col("cap"), F.col("nc")),
+                        F.coalesce(F.col("nc"), F.col("cap")),
+                    ).alias("cap"),
+                    (
+                        F.col("cap").isNull()
+                        | (F.coalesce(F.col("nc"), F.col("cap")) > F.col("cap"))
+                    ).alias("_imp"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            improved = int(
+                merged.agg(F.sum(F.col("_imp").cast("long"))).collect()[0][0] or 0
+            )
+            frontier = merged.where(F.col("_imp")).select("id", "cap")
+            cap = merged.select("id", "cap")
+            stats.iterations = it
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(float(improved))
+            if improved == 0:
+                stats.converged = True
+                break
+        return cap.select(F.col("id").cast("long"), F.col("cap").cast("long")), stats
+
+
 def sssp_per_source(
     edges: DataFrame,
     sources: list[int],

@@ -1402,3 +1402,77 @@ def test_attribution_conserves_purchases(spark):
     assert types <= valid
     for r in rows:
         assert 0 < r["n_users"] <= r["conversions"]
+
+
+# ------------------- widest paths / mutual top-1 / conversion lag
+
+
+def test_widest_paths_golden_diamond(spark):
+    # 1->2 (10) ->4 (10) vs 1->3 (3) ->4 (100): bottleneck to 4 is 10,
+    # and the wide far edge cannot rescue the narrow 1->3 link
+    e = spark.createDataFrame(
+        [(1, 2, 10), (2, 4, 10), (1, 3, 3), (3, 4, 100)],
+        "src long, dst long, w long",
+    )
+    cap, st = pregel.widest_paths(e, sources=[1])
+    got = {r["id"]: r["cap"] for r in cap.collect()}
+    assert got[2] == 10 and got[3] == 3 and got[4] == 10
+    assert got[1] == pregel.WIDEST_INF
+    assert st.converged
+
+
+def test_widest_paths_parallel_edges_keep_max(spark):
+    e = spark.createDataFrame(
+        [(1, 2, 1), (1, 2, 7), (2, 3, 5)], "src long, dst long, w long"
+    )
+    cap, _ = pregel.widest_paths(e, sources=[1])
+    got = {r["id"]: r["cap"] for r in cap.collect()}
+    assert got[2] == 7 and got[3] == 5
+
+
+def test_widest_paths_reaches_same_set_as_sssp(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    wide = {r["id"] for r in QUERIES["widest_paths"](spark, SF).collect()}
+    short = {r["id"] for r in QUERIES["sssp_weighted"](spark, SF).collect()}
+    # same graph, same source: reachability is identical (source is
+    # excluded from widest's published rows, included in sssp's)
+    src = min(short)
+    assert wide == short - {src}
+
+
+def test_mutual_top1_pairs_are_reciprocal_maxima(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["mutual_top1_pairs"](spark, SF).collect()
+    # each supplier appears in at most one pair
+    seen = []
+    for r in rows:
+        seen += [r["a"], r["b"]]
+        assert r["a"] < r["b"] and r["shared_parts"] > 0
+    assert len(seen) == len(set(seen))
+    # recompute adjacency max weight per endpoint: the pair weight must
+    # equal BOTH endpoints' maximum adjacent weight
+    li = load_table(spark, "lineitem", SF)
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    wu = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    best = {}
+    for r in wu:
+        for u in (r["x"], r["y"]):
+            best[u] = max(best.get(u, 0), r["w"])
+    for r in rows:
+        assert r["shared_parts"] == best[r["a"]] == best[r["b"]]
+
+
+def test_conversion_lag_monotone(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    r = QUERIES["conversion_lag"](spark, SF).collect()[0]
+    assert r["n_converted"] > 0
+    assert 0 <= r["p25_days"] <= r["p50_days"] <= r["p75_days"] <= r["p90_days"]
