@@ -14360,6 +14360,238 @@ QUERIES.update(
 )
 
 
+def q_path3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-induced path/motif census of the co-order graph in closed
+    form — the P4 companion of ``triad_census``: wedges (paths of
+    length 2) from the degree sequence, triangles from one oriented
+    enumeration, and paths of length 3 on 4 distinct vertices via the
+    identity  P4 = Σ_{(a,b)∈E} (d_a−1)(d_b−1) − 3·T  (the u=v closures
+    of the edge-centered product are exactly 3 per triangle).  All
+    BIGINT; global transitivity as an integer ppm ratio.  At scale:
+    two degree aggregates + the oriented triangle join — no 4-vertex
+    enumeration ever materializes."""
+    und = coorder_edges(spark, sf_dir)
+    e = _sym(und)
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    wedge_row = deg.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.expr("SUM(deg * (deg - 1)) DIV 2").cast("long").alias("wedges"),
+    )
+    _per, tri_total = pregel.triangle_count(und)
+    edge_prod = (
+        und.join(deg.select(F.col("src"), F.col("deg").alias("da")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("db")),
+            "dst",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum((F.col("da") - 1) * (F.col("db") - 1)).cast("long").alias("prod_sum"),
+        )
+    )
+    tri_df = spark.createDataFrame([(int(tri_total),)], "triangles long")
+    return (
+        wedge_row.crossJoin(edge_prod)
+        .crossJoin(F.broadcast(tri_df))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "wedges",
+            "triangles",
+            (F.col("prod_sum") - 3 * F.col("triangles")).cast("long").alias("p3_paths"),
+            F.expr("3 * triangles * 1000000 DIV wedges").cast("long").alias("transitivity_ppm"),
+        )
+    )
+
+
+_PATH3_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM und a JOIN und b ON b.src = a.dst
+        JOIN und c ON c.src = a.src AND c.dst = b.dst),
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles FROM tri),
+wr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+              CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS wedges FROM deg),
+ep AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+              CAST(SUM((da.deg - 1) * (db.deg - 1)) AS BIGINT) AS prod_sum
+       FROM und JOIN deg da ON da.src = und.src
+       JOIN deg db ON db.src = und.dst)
+SELECT n_vertices, n_edges, wedges, triangles,
+       CAST(prod_sum - 3 * triangles AS BIGINT) AS p3_paths,
+       CAST(3 * triangles * 1000000 // wedges AS BIGINT) AS transitivity_ppm
+FROM wr CROSS JOIN ep CROSS JOIN tr
+"""
+
+
+def _ci_slice_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse co-order slice (l_partkey % 7 == 0, the burt_constraint
+    precedent): the full co-order graph is 2-hop-complete at sf ≥ 0.01,
+    which would make any radius-2 ball metric degenerate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.where(F.col("l_partkey") % 7 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+
+
+_CI_SLICE_SQL = """
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       FROM lineitem WHERE l_partkey % 7 = 0),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+"""
+
+
+def q_collective_influence2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collective Influence at ball radius ℓ=2 (Morone & Makse, Nature
+    2015): CI(v) = (d_v − 1) · Σ_{u ∈ ∂Ball(v,2)} (d_u − 1), the optimal-
+    percolation influencer score — hubs-of-hubs beat raw degree.  The
+    frontier ∂Ball(v,2) is the distance-EXACTLY-2 set: distinct 2-hop
+    pairs minus direct neighbors minus self.  Integer-exact end to end;
+    top-20 by (ci desc, id).  At scale the 2-hop materialization is one
+    self-join bounded by Σ d² — run on a degree-capped backbone first
+    (the documented slice here), never on a 2-hop-complete graph."""
+    und = _ci_slice_edges(spark, sf_dir)
+    e = _sym(und)
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    two = (
+        e.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+        .join(e.select(F.col("src").alias("x"), F.col("dst").alias("w")), "x")
+        .where(F.col("v") != F.col("w"))
+        .select("v", "w")
+        .distinct()
+    )
+    frontier = two.join(
+        e.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_anti",
+    )
+    ball = (
+        frontier.join(
+            deg.select(F.col("src").alias("w"), F.col("deg").alias("dw")), "w"
+        )
+        .groupBy("v")
+        .agg(F.sum(F.col("dw") - 1).cast("long").alias("ball_sum"))
+    )
+    return (
+        deg.select(F.col("src").alias("v"), "deg")
+        .join(ball, "v", "left")
+        .select(
+            F.col("v").cast("long").alias("id"),
+            F.col("deg"),
+            ((F.col("deg") - 1) * F.coalesce(F.col("ball_sum"), F.lit(0)))
+            .cast("long")
+            .alias("ci"),
+        )
+        .orderBy(F.desc("ci"), F.asc("id"))
+        .limit(20)
+    )
+
+
+_CI2_SQL = f"""
+WITH {_CI_SLICE_SQL},
+{_SYM_SQL},
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+two AS (SELECT DISTINCT a.src AS v, b.dst AS w
+        FROM e a JOIN e b ON a.dst = b.src AND a.src <> b.dst),
+frontier AS (SELECT v, w FROM two EXCEPT SELECT src, dst FROM e),
+ball AS (SELECT f.v, SUM(d.deg - 1) AS ball_sum
+         FROM frontier f JOIN deg d ON d.src = f.w GROUP BY f.v)
+SELECT CAST(deg.src AS BIGINT) AS id, deg.deg,
+       CAST((deg.deg - 1) * COALESCE(ball.ball_sum, 0) AS BIGINT) AS ci
+FROM deg LEFT JOIN ball ON ball.v = deg.src
+ORDER BY ci DESC, id ASC LIMIT 20
+"""
+
+
+def q_core_periphery_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Borgatti–Everett core–periphery audit on the co-order
+    graph: core = top ⌈n/10⌉ vertices by (degree desc, id asc), then
+    the three block-edge counts (core–core, core–periphery, periphery–
+    periphery) and their densities in integer ppm.  An ideal
+    core–periphery graph has cc_density → 1, pp_density → 0; the gap
+    between cc and pp densities is the fit signal.  One degree
+    aggregate, one rank, one labeled-edge aggregate — all linear."""
+    und = coorder_edges(spark, sf_dir)
+    e = _sym(und)
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    w = Window.orderBy(F.desc("deg"), F.asc("src"))
+    n_row = deg.agg(F.count("*").alias("n")).collect()[0][0]
+    k = (int(n_row) + 9) // 10
+    lab = deg.select(
+        F.col("src").alias("id"), (F.row_number().over(w) <= k).alias("is_core")
+    )
+    blocks = (
+        und.join(lab.select(F.col("id").alias("src"), F.col("is_core").alias("ca")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("is_core").alias("cb")), "dst")
+        .agg(
+            F.sum((F.col("ca") & F.col("cb")).cast("long")).cast("long").alias("cc_edges"),
+            F.sum((F.col("ca") != F.col("cb")).cast("long")).cast("long").alias("cp_edges"),
+            F.sum((~F.col("ca") & ~F.col("cb")).cast("long")).cast("long").alias("pp_edges"),
+        )
+    )
+    nc, np_ = k, int(n_row) - k
+    return blocks.select(
+        F.lit(nc).cast("long").alias("n_core"),
+        F.lit(np_).cast("long").alias("n_periph"),
+        "cc_edges",
+        "cp_edges",
+        "pp_edges",
+        F.expr(f"cc_edges * 1000000 DIV {nc * (nc - 1) // 2}").cast("long").alias("cc_density_ppm"),
+        F.expr(f"cp_edges * 1000000 DIV {nc * np_}").cast("long").alias("cp_density_ppm"),
+        F.expr(f"pp_edges * 1000000 DIV {max(np_ * (np_ - 1) // 2, 1)}").cast("long").alias("pp_density_ppm"),
+    )
+
+
+_CORE_PERIPHERY_SQL = f"""
+WITH {_COORDER_SQL},
+{_SYM_SQL},
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST((COUNT(*) + 9) // 10 AS BIGINT) AS k FROM deg),
+lab AS (SELECT src AS id,
+               ROW_NUMBER() OVER (ORDER BY deg DESC, src ASC) <= (SELECT k FROM nk) AS is_core
+        FROM deg),
+blocks AS (SELECT
+    CAST(SUM(CASE WHEN la.is_core AND lb.is_core THEN 1 ELSE 0 END) AS BIGINT) AS cc_edges,
+    CAST(SUM(CASE WHEN la.is_core <> lb.is_core THEN 1 ELSE 0 END) AS BIGINT) AS cp_edges,
+    CAST(SUM(CASE WHEN NOT la.is_core AND NOT lb.is_core THEN 1 ELSE 0 END) AS BIGINT) AS pp_edges
+    FROM und JOIN lab la ON la.id = und.src JOIN lab lb ON lb.id = und.dst)
+SELECT CAST(nk.k AS BIGINT) AS n_core,
+       CAST(nk.n - nk.k AS BIGINT) AS n_periph,
+       cc_edges, cp_edges, pp_edges,
+       CAST(cc_edges * 1000000 // (nk.k * (nk.k - 1) // 2) AS BIGINT) AS cc_density_ppm,
+       CAST(cp_edges * 1000000 // (nk.k * (nk.n - nk.k)) AS BIGINT) AS cp_density_ppm,
+       CAST(pp_edges * 1000000 // GREATEST((nk.n - nk.k) * (nk.n - nk.k - 1) // 2, 1) AS BIGINT) AS pp_density_ppm
+FROM blocks CROSS JOIN nk
+"""
+
+
+ORACLES.update(
+    {
+        "path3_census": _PATH3_SQL,
+        "collective_influence2": _CI2_SQL,
+        "core_periphery_fit": _CORE_PERIPHERY_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "path3_census": q_path3_census,
+        "collective_influence2": q_collective_influence2,
+        "core_periphery_fit": q_core_periphery_fit,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -14392,6 +14624,7 @@ _CHECKED_R3_R4 = [
 # the newest (never driver-checked anywhere), then the VERDICT r4
 # families
 _ROUND5_PRIORITY = [
+    "path3_census", "collective_influence2", "core_periphery_fit",
     "q6_forecast", "q13_order_dist", "q15_top_supplier",
     "q8_market_share", "q17_small_qty", "q19_disjunctive",
     "q4_priority_check", "q21_waiting_supplier", "ams_f2", "hourly_anomaly",
