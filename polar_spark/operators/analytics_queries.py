@@ -14576,9 +14576,151 @@ FROM blocks CROSS JOIN nk
 """
 
 
+def q_trophic_levels4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trophic levels (pregel.trophic_levels, 4 Jacobi rounds) on the
+    multi-parent order-succession DAG (each order → the customer's next
+    TWO orders, the commit-graph shape): basal vertices sit at level 1,
+    every other vertex at 1 + mean of its in-neighbors — the flow-
+    hierarchy coordinate (MacKay et al. 2020).  Integer micro-units end
+    to end, so the 4-round unrolled SQL oracle replays bit-for-bit."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+    a, b = r.alias("a"), r.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.rn") - F.col("a.rn")).isin(1, 2),
+    ).select(F.col("a.o_orderkey").alias("src"), F.col("b.o_orderkey").alias("dst"))
+    h = pregel.trophic_levels(edges, n_iter=4)
+    return h.select(F.col("id").cast("long"), F.col("h_us").cast("long")).orderBy("id")
+
+
+_TROPHIC_ROUND = """
+h{K} AS (SELECT base.id,
+                CASE WHEN base.indeg = 0 THEN 1000000
+                     ELSE 1000000 + s.s // base.indeg END AS h
+         FROM base
+         LEFT JOIN (SELECT de.dst AS id, SUM(p.h) AS s
+                    FROM de JOIN h{KM1} p ON p.id = de.src
+                    GROUP BY de.dst) s ON s.id = base.id)"""
+
+
+def _trophic_sql(n_iter: int = 4) -> str:
+    rounds = "".join(
+        "," + _TROPHIC_ROUND.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1)
+    )
+    return f"""
+WITH r AS (SELECT o_orderkey,
+                  o_custkey,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders),
+de AS (SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+       FROM r a JOIN r b ON a.o_custkey = b.o_custkey
+       AND b.rn - a.rn IN (1, 2)),
+verts AS (SELECT DISTINCT src AS id FROM de UNION SELECT DISTINCT dst FROM de),
+indeg AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS indeg FROM de GROUP BY dst),
+base AS (SELECT verts.id, COALESCE(indeg.indeg, 0) AS indeg
+         FROM verts LEFT JOIN indeg ON indeg.id = verts.id),
+h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM base)
+{rounds}
+SELECT CAST(id AS BIGINT) AS id, CAST(h AS BIGINT) AS h_us
+FROM h{n_iter} ORDER BY id
+"""
+
+
+def q_leiden_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden refinement pass (Traag et al. 2019's fix for Louvain's
+    disconnected-community defect): take the deterministic Louvain
+    sweep's partition on the weighted co-order graph (parts < 400, the
+    louvain_move1 query) and split every community into its CONNECTED
+    pieces — hash-min components restricted to intra-community edges;
+    a vertex with no intra-community edge keeps its own id.  Output is
+    (id, comm, refined); refined ≠ comm-rep exactly where Louvain
+    glued disconnected vertex sets together.  At scale: one label
+    join + the CC rounds on the (strictly smaller) intra-community
+    edge subset — no new quadratic surface."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    wund = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    sym = wund.unionByName(
+        wund.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    comm = pregel.louvain_move(sym).localCheckpoint(eager=True)
+    intra = (
+        wund.select("src", "dst")
+        .join(comm.select(F.col("id").alias("src"), F.col("comm").alias("ca")), "src")
+        .join(comm.select(F.col("id").alias("dst"), F.col("comm").alias("cb")), "dst")
+        .where(F.col("ca") == F.col("cb"))
+        .select("src", "dst")
+    )
+    cc, _stats = pregel.connected_components(intra)
+    return (
+        comm.join(cc, "id", "left")
+        .select(
+            F.col("id").cast("long"),
+            F.col("comm").cast("long"),
+            F.coalesce(F.col("comp"), F.col("id")).cast("long").alias("refined"),
+        )
+        .orderBy("id")
+    )
+
+
+_LEIDEN_REFINE_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+wund AS (SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+         FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+e AS (SELECT src, dst, w FROM wund UNION ALL SELECT dst, src, w FROM wund),
+m AS (SELECT SUM(w) / 2.0 AS m FROM e),
+st AS (SELECT src AS id, SUM(w) AS k FROM e GROUP BY src),
+cand AS (SELECT e.src AS id, e.dst AS u,
+                e.w / m.m - kv.k * ku.k / (2.0 * m.m * m.m) AS g
+         FROM e CROSS JOIN m
+         JOIN st kv ON kv.id = e.src JOIN st ku ON ku.id = e.dst),
+best AS (SELECT id, u FROM (
+           SELECT id, u, ROW_NUMBER() OVER (PARTITION BY id
+                                            ORDER BY g DESC, u ASC) AS rn
+           FROM cand WHERE g > 0) t WHERE rn = 1),
+v AS (SELECT DISTINCT src AS id FROM e),
+comm AS (SELECT v.id, COALESCE(best.u, v.id) AS comm
+         FROM v LEFT JOIN best ON best.id = v.id),
+intra AS (SELECT wund.src, wund.dst
+          FROM wund JOIN comm ca ON ca.id = wund.src
+          JOIN comm cb ON cb.id = wund.dst
+          WHERE ca.comm = cb.comm),
+ie AS (SELECT src, dst FROM intra UNION SELECT dst, src FROM intra),
+iv AS (SELECT DISTINCT src AS id FROM ie),
+reach(id, comp) AS (
+    SELECT id, id FROM iv
+    UNION
+    SELECT ie.dst, r.comp FROM reach r JOIN ie ON ie.src = r.id
+    WHERE r.comp < ie.dst
+),
+cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+SELECT CAST(comm.id AS BIGINT) AS id,
+       CAST(comm.comm AS BIGINT) AS comm,
+       CAST(COALESCE(cc.comp, comm.id) AS BIGINT) AS refined
+FROM comm LEFT JOIN cc ON cc.id = comm.id
+ORDER BY comm.id
+"""
+
+
 ORACLES.update(
     {
         "path3_census": _PATH3_SQL,
+        "trophic_levels4": _trophic_sql(4),
+        "leiden_refine": _LEIDEN_REFINE_SQL,
         "collective_influence2": _CI2_SQL,
         "core_periphery_fit": _CORE_PERIPHERY_SQL,
     }
@@ -14586,6 +14728,8 @@ ORACLES.update(
 QUERIES.update(
     {
         "path3_census": q_path3_census,
+        "trophic_levels4": q_trophic_levels4,
+        "leiden_refine": q_leiden_refine,
         "collective_influence2": q_collective_influence2,
         "core_periphery_fit": q_core_periphery_fit,
     }
@@ -14625,6 +14769,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "path3_census", "collective_influence2", "core_periphery_fit",
+    "trophic_levels4", "leiden_refine",
     "q6_forecast", "q13_order_dist", "q15_top_supplier",
     "q8_market_share", "q17_small_qty", "q19_disjunctive",
     "q4_priority_check", "q21_waiting_supplier", "ams_f2", "hourly_anomaly",

@@ -4598,6 +4598,54 @@ def hitting_time(edges: DataFrame, targets: list[int], n_iter: int = 6) -> DataF
     return h.select(F.col("id").cast("long"), "h")
 
 
+def trophic_levels(edges: DataFrame, n_iter: int = 4, scale: int = 1_000_000) -> DataFrame:
+    """Trophic levels (MacKay/Johnson/Jones flow-hierarchy analysis) of
+    a directed graph by fixed-round Jacobi iteration on the defining
+    linear system  h(v) = 1 + mean_{u ∈ in(v)} h(u),  basal vertices
+    (no in-edges) pinned at h = 1.  On a DAG the iteration is exact for
+    every vertex whose longest in-path is < n_iter (each round extends
+    the resolved prefix one level, the dag_longest_path discipline).
+    All arithmetic in integer micro-units: h₀ = scale everywhere,
+    h' = scale + (Σ h_in) div indeg — positive operands so Spark DIV
+    and DuckDB // agree, and the unrolled SQL oracle replays every bit.
+    Each round is one join-aggregate shuffle on the pre-partitioned
+    edge table; the level vector is the hierarchy/layering signal a
+    dependency graph reads for build staging (reference graph queries:
+    /root/reference/src/agents/graph/queries — layering family)."""
+    e = normalize_edges(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    verts = vertices_of(e)
+    indeg = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").cast("long").alias("indeg")
+    )
+    base = verts.join(indeg, "id", "left").select(
+        "id", F.coalesce(F.col("indeg"), F.lit(0)).alias("indeg")
+    ).localCheckpoint(eager=True)
+    if not base.take(1):
+        return spark.createDataFrame([], "id long, h_us long")
+    h = base.select("id", F.lit(int(scale)).cast("long").alias("h"))
+    for _ in range(n_iter):
+        s = (
+            e.join(h.select(F.col("id").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").cast("long").alias("s"))
+        )
+        h = (
+            base.join(s, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("indeg") == 0, F.lit(int(scale)).cast("long"))
+                .otherwise(
+                    F.lit(int(scale))
+                    + F.expr("s div indeg").cast("long")
+                )
+                .alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return h.select(F.col("id").cast("long"), F.col("h").alias("h_us"))
+
+
 def temporal_earliest_arrival(
     edges_t: DataFrame, seeds: list[int], n_iter: int = 4
 ) -> DataFrame:
