@@ -14716,11 +14716,288 @@ ORDER BY comm.id
 """
 
 
+def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation (quotient DAG) of a planted block-cycle graph over
+    customers: SCCs via pregel.strongly_connected_components, then the
+    quotient edge table (distinct cross-SCC edges) layered with
+    pregel.dag_longest_path — the component-DAG view a build scheduler
+    reads off a dependency graph (strongly-coupled clusters become
+    single schedulable units; lvl = stage index).  The fixture plants
+    50-vertex directed cycles (one SCC per block) with forward DAG
+    edges to the next two blocks — the functional graph of
+    scc_custgraph is one giant SCC at every sf (measured), which would
+    make the condensation a single row.  Per-SCC row: (scc, n_members,
+    lvl, out_deg)."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    n = cust.count()
+    c = F.col("c_custkey")
+    B = 50
+    blk = F.expr(f"c_custkey DIV {B}").cast("long")
+    pos = c % B
+    bs = F.least(F.lit(B).cast("long"), F.lit(int(n)) - blk * B)
+    intra = cust.select(
+        c.alias("src"), (blk * B + (pos + 1) % bs).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    cross1 = cust.where((pos == 0) & ((blk + 1) * B < n)).select(
+        c.alias("src"), ((blk + 1) * B).alias("dst")
+    )
+    cross2 = cust.where((pos == 1) & ((blk + 2) * B < n)).select(
+        c.alias("src"), ((blk + 2) * B).alias("dst")
+    )
+    e = intra.unionByName(cross1).unionByName(cross2)
+    scc, _stats = pregel.strongly_connected_components(e)
+    verts = cust.select(c.cast("long").alias("id"))
+    lab = (
+        verts.join(scc, "id", "left")
+        .select("id", F.coalesce(F.col("scc"), F.col("id")).alias("scc"))
+        .localCheckpoint(eager=True)
+    )
+    qe = (
+        e.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+        .join(lab.select(F.col("id").alias("src"), F.col("scc").alias("ca")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("scc").alias("cb")), "dst")
+        .where(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        .distinct()
+    )
+    lvl, _lp_stats = pregel.dag_longest_path(qe)
+    sizes = lab.groupBy("scc").agg(F.count("*").cast("long").alias("n_members"))
+    outd = qe.groupBy(F.col("src").alias("scc")).agg(
+        F.count("*").cast("long").alias("out_deg")
+    )
+    return (
+        sizes.join(lvl.withColumnRenamed("id", "scc"), "scc", "left")
+        .join(outd, "scc", "left")
+        .select(
+            F.col("scc").cast("long"),
+            "n_members",
+            F.coalesce(F.col("lvl"), F.lit(0)).cast("long").alias("lvl"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
+        )
+        .orderBy("scc")
+    )
+
+
+_SCC_CONDENSATION_SQL = """
+WITH RECURSIVE
+nn AS (SELECT COUNT(*) AS n FROM customer),
+verts AS (SELECT c_custkey AS id FROM customer),
+geo AS (SELECT id, id // 50 AS blk, id % 50 AS pos,
+               LEAST(50, nn.n - (id // 50) * 50) AS bs
+        FROM verts CROSS JOIN nn),
+e0 AS (SELECT id AS src, blk * 50 + (pos + 1) % bs AS dst FROM geo
+       UNION ALL
+       SELECT id, (blk + 1) * 50 FROM geo CROSS JOIN nn
+       WHERE pos = 0 AND (blk + 1) * 50 < nn.n
+       UNION ALL
+       SELECT id, (blk + 2) * 50 FROM geo CROSS JOIN nn
+       WHERE pos = 1 AND (blk + 2) * 50 < nn.n),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+reach(a, b) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (SELECT r1.a AS a, r1.b AS b
+           FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+lab AS MATERIALIZED (
+    SELECT v.id, COALESCE(MIN(m.b), v.id) AS scc
+    FROM verts v LEFT JOIN mutual m ON m.a = v.id
+    GROUP BY v.id),
+qe AS MATERIALIZED (
+    SELECT DISTINCT la.scc AS src, lb.scc AS dst
+    FROM e JOIN lab la ON la.id = e.src JOIN lab lb ON lb.id = e.dst
+    WHERE la.scc != lb.scc),
+qv AS (SELECT DISTINCT scc FROM lab),
+paths(c, l) AS (
+    SELECT scc, 0 FROM qv
+    UNION
+    SELECT qe.dst, p.l + 1 FROM paths p JOIN qe ON qe.src = p.c
+),
+lvl AS (SELECT c AS scc, MAX(l) AS lvl FROM paths GROUP BY c),
+sizes AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS n_members FROM lab GROUP BY scc),
+outd AS (SELECT src AS scc, CAST(COUNT(*) AS BIGINT) AS out_deg FROM qe GROUP BY src)
+SELECT CAST(sizes.scc AS BIGINT) AS scc,
+       sizes.n_members,
+       CAST(COALESCE(lvl.lvl, 0) AS BIGINT) AS lvl,
+       CAST(COALESCE(outd.out_deg, 0) AS BIGINT) AS out_deg
+FROM sizes LEFT JOIN lvl ON lvl.scc = sizes.scc
+LEFT JOIN outd ON outd.scc = sizes.scc
+ORDER BY sizes.scc
+"""
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98) — the retrieval-diversity pass between search and a RAG
+    context window: from each query's BM25 top-10, greedily pick 4
+    docs maximizing  relevance − max-similarity-to-already-picked.
+    Relevance is the integer rank score (11−rank)·10⁵ ppm; similarity
+    is exact 3-gram Jaccard in integer ppm between candidates, so
+    every greedy argmax (score desc, doc asc) is engine-exact and the
+    SQL oracle replays the 4-step selection verbatim.  At scale the
+    pairwise-similarity surface is k²·|queries| (candidates only),
+    never corpus-quadratic."""
+    from polar_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    top = bm25_topk(docs, qdf)
+    cand = top.select(
+        "query_id",
+        F.col("doc_id").alias("did"),
+        "rnk",
+        ((11 - F.col("rnk")) * 100000).cast("long").alias("rel_ppm"),
+    ).localCheckpoint(eager=True)
+    cdocs = cand.select(F.col("did").alias("doc_id")).distinct()
+    grams = doc_trigrams(docs.join(cdocs, "doc_id", "left_semi"))
+    sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    it = (
+        grams.select(F.col("doc_id").alias("a"), "g")
+        .join(grams.select(F.col("doc_id").alias("b"), "g"), "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    jp = (
+        it.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.expr("c * 1000000 DIV (na + nb - c)").cast("long").alias("j_ppm"),
+        )
+    )
+    jsym = jp.unionByName(
+        jp.select(F.col("b").alias("a"), F.col("a").alias("b"), "j_ppm")
+    )
+    cd = cand.select("query_id", "did")
+    pairs = (
+        cd.select("query_id", F.col("did").alias("a"))
+        .join(cd.select("query_id", F.col("did").alias("b")), "query_id")
+        .where(F.col("a") != F.col("b"))
+        .join(jsym, ["a", "b"], "left")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.coalesce(F.col("j_ppm"), F.lit(0)).cast("long").alias("j_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = cand.where(F.col("rnk") == 1).select(
+        "query_id",
+        "did",
+        F.lit(1).cast("long").alias("pick_order"),
+        F.col("rel_ppm").cast("long").alias("score"),
+    )
+    for t in range(2, 5):
+        rem = cand.join(sel.select("query_id", "did"), ["query_id", "did"], "left_anti")
+        pen = (
+            pairs.join(sel.select("query_id", F.col("did").alias("b")), ["query_id", "b"])
+            .groupBy("query_id", F.col("a").alias("did"))
+            .agg(F.max("j_ppm").alias("mj"))
+        )
+        scored = rem.join(pen, ["query_id", "did"], "left").select(
+            "query_id",
+            "did",
+            (F.col("rel_ppm") - F.coalesce(F.col("mj"), F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+        wsel = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("did"))
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wsel))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id", "did", F.lit(t).cast("long").alias("pick_order"), "score"
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id",
+        F.col("did").cast("long").alias("doc_id"),
+        "pick_order",
+        "score",
+    ).orderBy("query_id", "pick_order")
+
+
+def _mmr_sql(k: int = 4) -> str:
+    bm25 = _bm25_sql()
+    body = bm25.strip()
+    assert body.startswith("WITH ")
+    inner = body[len("WITH ") :]
+    head, _select = inner.rsplit("SELECT query_id,", 1)
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(
+            f""",
+rem{t} AS (SELECT c.* FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} s
+                             WHERE s.query_id = c.query_id AND s.did = c.did)),
+pen{t} AS (SELECT p.query_id, p.a AS did, MAX(p.j_ppm) AS mj
+           FROM pairs p JOIN sel{t - 1} s
+             ON s.query_id = p.query_id AND s.did = p.b
+           GROUP BY p.query_id, p.a),
+sc{t} AS (SELECT r.query_id, r.did,
+                 r.rel_ppm - COALESCE(p.mj, 0) AS score
+          FROM rem{t} r LEFT JOIN pen{t} p
+            ON p.query_id = r.query_id AND p.did = r.did),
+pick{t} AS (SELECT query_id, did, {t} AS pick_order, score FROM (
+              SELECT sc{t}.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, did ASC) AS rn FROM sc{t}) x
+            WHERE rn = 1),
+sel{t} AS MATERIALIZED (
+    SELECT query_id, did, pick_order, score FROM sel{t - 1}
+    UNION ALL
+    SELECT query_id, did, pick_order, score FROM pick{t})"""
+        )
+    return f"""
+WITH {head.rstrip()},
+cand AS MATERIALIZED (
+    SELECT query_id, CAST(_id AS BIGINT) AS did, rnk,
+           CAST((11 - rnk) * 100000 AS BIGINT) AS rel_ppm
+    FROM ranked WHERE rnk <= 10),
+mtoks AS (SELECT doc_id,
+                 generate_subscripts(regexp_split_to_array(TRIM(text), '\\s+'), 1) AS i,
+                 UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS w
+          FROM documents
+          WHERE doc_id IN (SELECT did FROM cand)),
+mgrams AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+           FROM mtoks a
+           JOIN mtoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+           JOIN mtoks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+msz AS (SELECT doc_id, COUNT(*) AS n FROM mgrams GROUP BY doc_id),
+mit AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS c
+        FROM mgrams ga JOIN mgrams gb ON gb.g = ga.g AND ga.doc_id < gb.doc_id
+        GROUP BY 1, 2),
+jp AS (SELECT mit.a, mit.b,
+              CAST(mit.c * 1000000 // (na.n + nb.n - mit.c) AS BIGINT) AS j_ppm
+       FROM mit JOIN msz na ON na.doc_id = mit.a
+       JOIN msz nb ON nb.doc_id = mit.b),
+jsym AS (SELECT a, b, j_ppm FROM jp UNION ALL SELECT b, a, j_ppm FROM jp),
+pairs AS MATERIALIZED (
+    SELECT x.query_id, x.did AS a, y.did AS b,
+           CAST(COALESCE(jsym.j_ppm, 0) AS BIGINT) AS j_ppm
+    FROM cand x JOIN cand y ON y.query_id = x.query_id AND x.did != y.did
+    LEFT JOIN jsym ON jsym.a = x.did AND jsym.b = y.did),
+sel1 AS MATERIALIZED (
+    SELECT query_id, did, 1 AS pick_order, rel_ppm AS score
+    FROM cand WHERE rnk = 1)
+{''.join(steps)}
+SELECT query_id, CAST(did AS BIGINT) AS doc_id,
+       CAST(pick_order AS BIGINT) AS pick_order, CAST(score AS BIGINT) AS score
+FROM sel{k} ORDER BY query_id, pick_order
+"""
+
+
 ORACLES.update(
     {
         "path3_census": _PATH3_SQL,
         "trophic_levels4": _trophic_sql(4),
         "leiden_refine": _LEIDEN_REFINE_SQL,
+        "scc_condensation": _SCC_CONDENSATION_SQL,
+        "mmr_diversify": _mmr_sql(4),
         "collective_influence2": _CI2_SQL,
         "core_periphery_fit": _CORE_PERIPHERY_SQL,
     }
@@ -14730,6 +15007,8 @@ QUERIES.update(
         "path3_census": q_path3_census,
         "trophic_levels4": q_trophic_levels4,
         "leiden_refine": q_leiden_refine,
+        "scc_condensation": q_scc_condensation,
+        "mmr_diversify": q_mmr_diversify,
         "collective_influence2": q_collective_influence2,
         "core_periphery_fit": q_core_periphery_fit,
     }
@@ -14769,7 +15048,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "path3_census", "collective_influence2", "core_periphery_fit",
-    "trophic_levels4", "leiden_refine",
+    "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "q6_forecast", "q13_order_dist", "q15_top_supplier",
     "q8_market_share", "q17_small_qty", "q19_disjunctive",
     "q4_priority_check", "q21_waiting_supplier", "ams_f2", "hourly_anomaly",
