@@ -14991,6 +14991,197 @@ FROM sel{k} ORDER BY query_id, pick_order
 """
 
 
+def q_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion decomposition (pregel.onion_layers) of the bounded
+    co-order graph (parts < 400): per-vertex (layer, coreness) where
+    the layer is the peel round that removed the vertex — the
+    within-core depth signal coreness alone can't see (Hébert-Dufresne
+    et al. 2016).  Measured peel depth 21/22/13 rounds at
+    sf0.001/0.01/0.1; the SQL oracle unrolls 26 rounds (rounds past
+    drain are no-ops on an empty remainder)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return pregel.onion_layers(und).orderBy("id")
+
+
+_ONION_ROUND = """,
+d{T} AS MATERIALIZED (
+  SELECT r.id, COALESCE(c.cnt, 0) AS d
+  FROM rem{TM1} r LEFT JOIN (
+    SELECT e.src AS id, COUNT(*) AS cnt
+    FROM e JOIN rem{TM1} r2 ON r2.id = e.dst
+    GROUP BY e.src) c ON c.id = r.id),
+k{T} AS MATERIALIZED (
+  SELECT GREATEST((SELECT k FROM k{TM1}),
+                  COALESCE((SELECT MIN(d) FROM d{T}),
+                           (SELECT k FROM k{TM1}))) AS k),
+s{T} AS MATERIALIZED (
+  SELECT id, {T} AS layer, (SELECT k FROM k{T}) AS core
+  FROM d{T} WHERE d <= (SELECT k FROM k{T})),
+rem{T} AS MATERIALIZED (
+  SELECT id FROM rem{TM1} WHERE id NOT IN (SELECT id FROM s{T}))"""
+
+
+def _onion_sql(n_rounds: int = 26) -> str:
+    rounds = "".join(_ONION_ROUND.format(T=t, TM1=t - 1) for t in range(1, n_rounds + 1))
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{t}" for t in range(1, n_rounds + 1))
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+rem0 AS (SELECT DISTINCT src AS id FROM e),
+k0 AS (SELECT 0 AS k)
+{rounds}
+SELECT CAST(id AS BIGINT) AS id, CAST(layer AS BIGINT) AS layer,
+       CAST(core AS BIGINT) AS core
+FROM ({union}) ORDER BY id
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy in nats — the lexical-
+    diversity / repetitiveness signal read next to source_kl when
+    weighing corpus mixtures: H = ln N − (Σ c·ln c)/N from the exact
+    integer token counts, one groupBy cascade, rounded 6 dp so
+    cross-engine float-sum order can't flip a bit."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    cs = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    return (
+        cs.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.round(
+                F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+            ).alias("entropy_r"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOKEN_ENTROPY_SQL = """
+WITH toks AS (SELECT source, t.w AS w
+              FROM (SELECT source, string_split(trim(lower(text)), ' ') AS ws
+                    FROM documents) d, unnest(d.ws) t(w)),
+cs AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy_r
+FROM cs GROUP BY source ORDER BY source
+"""
+
+
+def q_pagerank_residuals6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank convergence curve on the bounded co-order graph
+    (parts < 400 — irregular degrees, so the curve is non-trivial;
+    the copart graph is regular and converges at iteration 0):
+    per-iteration L1 residual ‖r_t − r_{t−1}‖₁ for 6 rounds — the
+    convergence-metrics surface the north rule requires, exposed as a
+    query with cross-engine parity (geometric decay bounded by the
+    0.85 damping contraction is the expected shape).  Each round is
+    one join-aggregate plus a 1-row residual action."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    oa, ob = op.alias("a"), op.alias("b")
+    und = (
+        oa.join(ob, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    e = _sym(und).localCheckpoint(eager=True)
+    verts = e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    n = verts.count()
+    inv = 1.0 / n
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    w = (
+        e.join(deg, "src")
+        .select("src", "dst", (1.0 / F.col("d")).alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    r = verts.select("id", F.lit(inv).alias("r")).localCheckpoint(eager=True)
+    rows = []
+    for t in range(1, 7):
+        s = (
+            w.join(r.select(F.col("id").alias("src"), F.col("r").alias("pr")), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("wt") * F.col("pr")).alias("s"))
+        )
+        rn = (
+            verts.join(s, "id", "left")
+            .select(
+                "id",
+                (0.15 * inv + 0.85 * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        res = (
+            rn.join(r.withColumnRenamed("r", "rp"), "id")
+            .agg(F.round(F.sum(F.abs(F.col("r") - F.col("rp"))), 6).alias("l1"))
+            .collect()[0][0]
+        )
+        rows.append((t, float(res)))
+        r = rn
+    return spark.createDataFrame(rows, "iter long, residual_r double")
+
+
+_PR_RES_ITER = """,
+r{K} AS MATERIALIZED (
+  SELECT v.id,
+         0.15 * inv.x + 0.85 * COALESCE(s.s, 0) AS r
+  FROM verts v
+  CROSS JOIN inv
+  LEFT JOIN (
+    SELECT w.dst AS id, SUM(w.wt * p.r) AS s
+    FROM w JOIN r{KM1} p ON p.id = w.src
+    GROUP BY w.dst
+  ) s ON s.id = v.id
+)"""
+
+
+def _pagerank_residual_sql(n_iter: int = 6) -> str:
+    iters = "".join(_PR_RES_ITER.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {t} AS iter, ROUND((SELECT SUM(ABS(a.r - b.r)) "
+        f"FROM r{t} a JOIN r{t - 1} b ON b.id = a.id), 6) AS residual_r"
+        for t in range(1, n_iter + 1)
+    )
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+{_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+inv AS (SELECT 1.0 / COUNT(*) AS x FROM verts),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+w AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / deg.d AS wt
+                   FROM e JOIN deg ON deg.src = e.src),
+r0 AS MATERIALIZED (SELECT id, (SELECT x FROM inv) AS r FROM verts)
+{iters}
+SELECT CAST(iter AS BIGINT) AS iter, residual_r FROM ({rows}) ORDER BY iter
+"""
+
+
 ORACLES.update(
     {
         "path3_census": _PATH3_SQL,
@@ -14998,6 +15189,9 @@ ORACLES.update(
         "leiden_refine": _LEIDEN_REFINE_SQL,
         "scc_condensation": _SCC_CONDENSATION_SQL,
         "mmr_diversify": _mmr_sql(4),
+        "onion_layers": _onion_sql(26),
+        "token_entropy": _TOKEN_ENTROPY_SQL,
+        "pagerank_residuals6": _pagerank_residual_sql(6),
         "collective_influence2": _CI2_SQL,
         "core_periphery_fit": _CORE_PERIPHERY_SQL,
     }
@@ -15009,6 +15203,9 @@ QUERIES.update(
         "leiden_refine": q_leiden_refine,
         "scc_condensation": q_scc_condensation,
         "mmr_diversify": q_mmr_diversify,
+        "onion_layers": q_onion_layers,
+        "token_entropy": q_token_entropy,
+        "pagerank_residuals6": q_pagerank_residuals6,
         "collective_influence2": q_collective_influence2,
         "core_periphery_fit": q_core_periphery_fit,
     }
@@ -15049,6 +15246,7 @@ _CHECKED_R3_R4 = [
 _ROUND5_PRIORITY = [
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
+    "onion_layers", "token_entropy", "pagerank_residuals6",
     "q6_forecast", "q13_order_dist", "q15_top_supplier",
     "q8_market_share", "q17_small_qty", "q19_disjunctive",
     "q4_priority_check", "q21_waiting_supplier", "ams_f2", "hourly_anomaly",

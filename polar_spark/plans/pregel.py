@@ -4646,6 +4646,71 @@ def trophic_levels(edges: DataFrame, n_iter: int = 4, scale: int = 1_000_000) ->
     return h.select(F.col("id").cast("long"), F.col("h").alias("h_us"))
 
 
+def onion_layers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard, Sci.
+    Rep. 2016): the within-core peel structure that refines coreness.
+    Round ℓ: raise the running core threshold k to the minimum current
+    degree, remove EVERY vertex with degree ≤ k simultaneously — that
+    batch is layer ℓ with coreness k.  Layer index separates a core's
+    boundary from its bulk (same k-core, different depth), the
+    centrality/robustness signal coreness alone can't see.  Exact,
+    integer, deterministic; identical round structure to the SQL
+    oracle's unroll.  Per round: one semi-join degree recount + one
+    1-row min/count action — O(#layers) rounds, each linear in the
+    remaining edge set (the kcore peel discipline).  Raises if the
+    peel hasn't drained within ``max_rounds``."""
+    e0 = normalize_edges(edges)
+    und = (
+        e0.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    out_schema = "id long, layer long, core long"
+    verts = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    if not verts.take(1):
+        return spark.createDataFrame([], out_schema)
+    rem_e = sym
+    rem_v = verts
+    k = 0
+    assigned: DataFrame | None = None
+    for layer in range(1, max_rounds + 1):
+        deg = (
+            rem_v.join(
+                rem_e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        row = deg.agg(F.min("d").alias("mn"), F.count("*").alias("n")).collect()[0]
+        if row["n"] == 0:
+            break
+        k = max(k, int(row["mn"]))
+        batch = deg.where(F.col("d") <= k).select(
+            "id",
+            F.lit(layer).cast("long").alias("layer"),
+            F.lit(k).cast("long").alias("core"),
+        ).localCheckpoint(eager=True)
+        assigned = batch if assigned is None else assigned.unionByName(batch)
+        bv = batch.select("id")
+        rem_v = rem_v.join(bv, "id", "left_anti").localCheckpoint(eager=True)
+        rem_e = (
+            rem_e.join(bv.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(bv.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"onion_layers: peel not drained after {max_rounds} rounds")
+    return assigned.select(
+        F.col("id").cast("long"), F.col("layer"), F.col("core")
+    )
+
+
 def temporal_earliest_arrival(
     edges_t: DataFrame, seeds: list[int], n_iter: int = 4
 ) -> DataFrame:

@@ -1476,3 +1476,81 @@ def test_conversion_lag_monotone(spark):
     r = QUERIES["conversion_lag"](spark, SF).collect()[0]
     assert r["n_converted"] > 0
     assert 0 <= r["p25_days"] <= r["p50_days"] <= r["p75_days"] <= r["p90_days"]
+
+
+# ------------------- onion layers / token entropy / PR residuals
+
+
+def test_onion_layers_k4_with_tail(spark):
+    # K4 on {1,2,3,4} plus tail 4-5-6: peel removes 6 (layer 1, k=1),
+    # then 5 (layer 2, k=1), then the whole K4 at once (layer 3, k=3)
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r["id"]: (r["layer"], r["core"]) for r in pregel.onion_layers(e).collect()}
+    assert got == {
+        6: (1, 1),
+        5: (2, 1),
+        1: (3, 3),
+        2: (3, 3),
+        3: (3, 3),
+        4: (3, 3),
+    }
+
+
+def test_onion_layers_refine_coreness(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["onion_layers"](spark, SF).collect()
+    assert rows, "peel assigned no vertices"
+    # every vertex assigned exactly once; core is non-decreasing in layer
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    by_layer = sorted({(r["layer"], r["core"]) for r in rows})
+    cores = [c for _, c in by_layer]
+    assert cores == sorted(cores)
+    # cross-check coreness against the H-index fixpoint operator on
+    # the same bounded co-order graph
+    from polar_spark.operators.analytics_queries import load_table
+
+    li = load_table(spark, "lineitem", SF)
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") < 400)
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    core_df, _ = pregel.core_numbers(und)
+    core_ref = {r["id"]: r["core"] for r in core_df.collect()}
+    assert set(core_ref) == set(ids)
+    for r in rows:
+        assert r["core"] == core_ref[r["id"]]
+
+
+def test_token_entropy_bounds(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    for r in QUERIES["token_entropy"](spark, SF).collect():
+        assert r["n_tokens"] >= r["vocab"] >= 1
+        assert -1e-6 <= r["entropy_r"] <= math.log(r["vocab"]) + 1e-6
+
+
+def test_pagerank_residuals_contract(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = sorted(
+        QUERIES["pagerank_residuals6"](spark, SF).collect(), key=lambda r: r["iter"]
+    )
+    assert [r["iter"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    res = [r["residual_r"] for r in rows]
+    assert all(v > 0 for v in res)
+    # power iteration is an 0.85-contraction in L1 on this stochastic
+    # update; rounding at 6 dp motivates the epsilon
+    for a, b in zip(res, res[1:]):
+        assert b <= 0.85 * a + 1e-5
