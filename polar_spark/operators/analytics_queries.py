@@ -1855,8 +1855,9 @@ def q_ktruss6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "dst")
 
 
-def _ktruss_sql(k: int, rounds: int) -> str:
-    """Unrolled simultaneous-drop truss peel over the co-order graph.
+def _ktruss_parts(k: int, rounds: int) -> list[str]:
+    """Unrolled simultaneous-drop truss-peel CTE parts over the bounded
+    co-order graph (shared by the ktruss6 and truss_components oracles).
     Support per canonical edge (u<v) counts common neighbors over the
     undirected closure of the CURRENT edge set each round."""
     # MATERIALIZED: every e{i}/s{i} is referenced several times; without
@@ -1888,6 +1889,11 @@ def _ktruss_sql(k: int, rounds: int) -> str:
         f"UNION ALL SELECT dst, src FROM e{rounds})"
     )
     parts.append(f"sup{rounds} AS MATERIALIZED ({sup.format(i=rounds)})")
+    return parts
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    parts = _ktruss_parts(k, rounds)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -15212,6 +15218,199 @@ QUERIES.update(
 )
 
 
+def q_truss_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truss communities (Cohen 2008 / Neo4j GDS follow-on): connected
+    components of the 6-truss subgraph — the dense community CORES that
+    plain CC can't isolate (CC merges everything bridged by a single
+    edge; the truss drops bridges first).  Composition of two existing
+    iterative operators: pregel.ktruss (simultaneous-drop support peel)
+    then pregel.connected_components (hash-min) restricted to surviving
+    edges.  Same parts<600 co-order graph + 8-round unroll as ktruss6;
+    the CC half is the embed_neardup recursive-CTE shape."""
+    e = coorder_edges(spark, sf_dir).where((F.col("src") < 600) & (F.col("dst") < 600))
+    truss, _stats = pregel.ktruss(e, k=6)
+    comp, _ = pregel.connected_components(truss.select("src", "dst"))
+    return comp.select(F.col("id").cast("long"), F.col("comp").cast("long")).orderBy("id")
+
+
+def _truss_cc_sql(k: int, rounds: int) -> str:
+    parts = _ktruss_parts(k, rounds)
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f""",
+        tverts AS (SELECT src AS id FROM e{rounds} UNION SELECT dst FROM e{rounds}),
+        tsym AS (SELECT src, dst FROM e{rounds} UNION ALL SELECT dst, src FROM e{rounds}),
+        reach(id, comp) AS (
+            SELECT id, id FROM tverts
+            UNION
+            SELECT tsym.dst, r.comp FROM reach r JOIN tsym ON tsym.src = r.id
+            WHERE r.comp < tsym.dst
+        )
+        SELECT CAST(id AS BIGINT) AS id, CAST(MIN(comp) AS BIGINT) AS comp
+        FROM reach GROUP BY id ORDER BY id"""
+    )
+
+
+def q_struct_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReFeX-lite structural roles (Henderson et al. KDD'11 posture):
+    per-vertex integer feature vector on the bounded co-order graph —
+    degree, neighbor-degree sum (one recursive aggregation round), and
+    triangle count — bucketed into log₂ role coordinates via the
+    hist_quantiles trick (length(bin(v))−1 == floor(log₂ v); no float
+    log at 2^k edges).  The hub/connector/periphery signature RolX
+    clusters; everything integer-exact end-to-end."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    e = _sym(und)
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    nds = (
+        e.join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dd")), "dst"
+        )
+        .groupBy("src")
+        .agg(F.sum("dd").alias("s"))
+    )
+    tri, _total = pregel.triangle_count(und)
+    feats = (
+        deg.select(F.col("src").alias("id"), "d")
+        .join(nds.select(F.col("src").alias("id"), "s"), "id")
+        .join(tri, "id", "left")
+        .select("id", "d", "s", F.coalesce(F.col("triangles"), F.lit(0)).alias("t"))
+    )
+    return feats.select(
+        F.col("id").cast("long"),
+        F.col("d").cast("long").alias("deg"),
+        F.col("s").cast("long").alias("nbr_deg_sum"),
+        F.col("t").cast("long").alias("tri"),
+        (F.length(F.bin(F.col("d"))) - 1).cast("long").alias("role_d"),
+        (F.length(F.bin(F.col("s") + 1)) - 1).cast("long").alias("role_s"),
+        (F.length(F.bin(F.col("t") + 1)) - 1).cast("long").alias("role_t"),
+    ).orderBy("id")
+
+
+_STRUCT_ROLES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+nds AS (SELECT e.src AS id, SUM(dd.d) AS s
+        FROM e JOIN deg dd ON dd.id = e.dst GROUP BY e.src),
+tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM und a JOIN und b ON b.src = a.dst
+        JOIN und c ON c.src = a.src AND c.dst = b.dst),
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+tcnt AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id)
+SELECT CAST(deg.id AS BIGINT) AS id,
+       CAST(d AS BIGINT) AS deg,
+       CAST(s AS BIGINT) AS nbr_deg_sum,
+       CAST(COALESCE(t, 0) AS BIGINT) AS tri,
+       CAST(LENGTH(BIN(d)) - 1 AS BIGINT) AS role_d,
+       CAST(LENGTH(BIN(s + 1)) - 1 AS BIGINT) AS role_s,
+       CAST(LENGTH(BIN(COALESCE(t, 0) + 1)) - 1 AS BIGINT) AS role_t
+FROM deg JOIN nds ON nds.id = deg.id
+LEFT JOIN tcnt ON tcnt.id = deg.id
+ORDER BY id
+"""
+
+
+def q_ols_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS regression of extended price (integer cents) on
+    quantity — the closed-form normal-equations fit done as ONE
+    aggregation pass (the Spark-first shape: six exact integer sums per
+    group, no per-row Python, no second pass).  slope / intercept / R²
+    derive from the exact BIGINT sums with an identical double-precision
+    expression tree in both engines (n·Σy² overflows int64 at sf≥0.1, so
+    the DERIVED arithmetic is double over exact integer aggregates —
+    deterministic cross-engine because the operand sequence is
+    identical), rounded 6 dp."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    xy = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+    )
+    agg = xy.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sx2d, sy2d = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    num = nd * sxyd - sxd * syd
+    den = nd * sx2d - sxd * sxd
+    deny = nd * sy2d - syd * syd
+    icnum = syd * sx2d - sxd * sxyd
+    return agg.select(
+        "n_name",
+        F.col("n").alias("n_rows"),
+        F.round(num / den, 6).alias("slope_r"),
+        F.round(icnum / den, 6).alias("intercept_r"),
+        F.round((num * num) / (den * deny), 6).alias("r2_r"),
+    ).orderBy("n_name")
+
+
+_OLS_SQL = """
+WITH xy AS (SELECT n_name,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey),
+agg AS (SELECT n_name, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+        FROM xy GROUP BY n_name)
+SELECT n_name,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_r,
+       ROUND((CAST(sy AS DOUBLE) * CAST(sx2 AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept_r,
+       ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2_r
+FROM agg ORDER BY n_name
+"""
+
+
+ORACLES.update(
+    {
+        "truss_components": _truss_cc_sql(6, 8),
+        "struct_roles": _STRUCT_ROLES_SQL,
+        "ols_price_qty": _OLS_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "truss_components": q_truss_components,
+        "struct_roles": q_struct_roles,
+        "ols_price_qty": q_ols_price_qty,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -15244,6 +15443,7 @@ _CHECKED_R3_R4 = [
 # the newest (never driver-checked anywhere), then the VERDICT r4
 # families
 _ROUND5_PRIORITY = [
+    "truss_components", "struct_roles", "ols_price_qty",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -1554,3 +1554,107 @@ def test_pagerank_residuals_contract(spark):
     # update; rounding at 6 dp motivates the epsilon
     for a, b in zip(res, res[1:]):
         assert b <= 0.85 * a + 1e-5
+
+
+# ------------------------------------------------- truss communities
+
+
+def test_truss_components_two_k4s_bridge(spark):
+    # two K4s joined by one bridge edge: the 4-truss drops the bridge
+    # (0 triangles) and keeps both K4s (support 2 each), so CC over the
+    # surviving edges yields TWO communities where plain CC yields one.
+    k4a = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    k4b = [(11, 12), (11, 13), (11, 14), (12, 13), (12, 14), (13, 14)]
+    e = _edges(spark, k4a + k4b + [(4, 11)])
+    truss, _ = pregel.ktruss(e, k=4)
+    comp, _ = pregel.connected_components(truss.select("src", "dst"))
+    got = {r["id"]: r["comp"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 11: 11, 12: 11, 13: 11, 14: 11}
+    whole, _ = pregel.connected_components(e)
+    assert {r["comp"] for r in whole.collect()} == {1}
+
+
+def test_truss_components_query_min_id_property(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["truss_components"](spark, SF).collect()
+    by_comp: dict[int, list[int]] = {}
+    for r in rows:
+        by_comp.setdefault(r["comp"], []).append(r["id"])
+    for comp, ids in by_comp.items():
+        assert comp == min(ids)
+
+
+# ------------------------------------------------- structural roles
+
+
+def test_struct_roles_golden_recompute(spark):
+    """Exact pandas recompute of every feature + role bucket at sf0.001."""
+    from polar_spark.operators.analytics_queries import QUERIES, coorder_edges
+
+    rows = QUERIES["struct_roles"](spark, SF).collect()
+    und = [
+        (r["src"], r["dst"])
+        for r in coorder_edges(spark, SF)
+        .where((F.col("src") < 400) & (F.col("dst") < 400))
+        .collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    # each triangle increments each of its corners exactly once: corner c
+    # is found as the common neighbor of the opposite edge (a, b)
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            tri[c] += 1
+    golden = {
+        v: (
+            len(adj[v]),
+            sum(len(adj[u]) for u in adj[v]),
+            tri[v],
+        )
+        for v in adj
+    }
+    assert len(rows) == len(golden)
+    for r in rows:
+        d, s, t = golden[r["id"]]
+        assert (r["deg"], r["nbr_deg_sum"], r["tri"]) == (d, s, t)
+        assert r["role_d"] == d.bit_length() - 1
+        assert r["role_s"] == (s + 1).bit_length() - 1
+        assert r["role_t"] == (t + 1).bit_length() - 1
+
+
+# ------------------------------------------------- per-group OLS
+
+
+def test_ols_price_qty_golden_numpy(spark):
+    import numpy as np
+
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = {r["n_name"]: r for r in QUERIES["ols_price_qty"](spark, SF).collect()}
+    li = load_table(spark, "lineitem", SF).select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    sup = load_table(spark, "supplier", SF).select("s_suppkey", "s_nationkey").toPandas()
+    nat = load_table(spark, "nation", SF).select("n_nationkey", "n_name").toPandas()
+    df = li.merge(sup, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    df["x"] = df["l_quantity"].astype("int64")
+    df["y"] = (df["l_extendedprice"] * 100).round().astype("int64")
+    n_total = 0
+    for name, g in df.groupby("n_name"):
+        r = rows[name]
+        x, y = g["x"].to_numpy(float), g["y"].to_numpy(float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert r["n_rows"] == len(g)
+        assert abs(r["slope_r"] - slope) < 1e-4
+        assert abs(r["intercept_r"] - intercept) < 1e-2  # cents scale
+        cc = np.corrcoef(x, y)[0, 1]
+        assert abs(r["r2_r"] - cc * cc) < 1e-6
+        assert 0.0 <= r["r2_r"] <= 1.0
+        n_total += len(g)
+    assert n_total == len(df)
