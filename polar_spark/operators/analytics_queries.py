@@ -15395,11 +15395,188 @@ FROM agg ORDER BY n_name
 """
 
 
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term–source association (the classic feature-selection
+    screen for source classifiers / contamination triage): per (source,
+    term) doc-frequency contingency vs the rest of the corpus.  With
+    a = in-source df, ns = source docs, df = global df, nd = corpus
+    docs, the 2×2 chi² collapses to nd·(a·nd − ns·df)² /
+    (ns·(nd−ns)·df·(nd−df)) — all counts exact BIGINTs; the final ratio
+    is double over exact integers with an identical operand sequence in
+    both engines (deterministic), rounded 6 dp; top-5 terms per source
+    ranked (chi2_r desc, term) — the adamic_adar round-then-rank rule."""
+    docs = load_table(spark, "documents", sf_dir)
+    dt = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("w"),
+    )
+    nd = docs.count()
+    st = docs.groupBy("source").agg(F.count("*").cast("long").alias("ns"))
+    ts = dt.groupBy("source", "w").agg(F.count("*").cast("long").alias("a"))
+    tt = dt.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    j = (
+        ts.join(tt, "w")
+        .join(st, "source")
+        .where((F.col("df") >= 5) & (F.col("df") < nd))
+    )
+    adnd = (F.col("a") * F.lit(nd).cast("long") - F.col("ns") * F.col("df")).cast(
+        "double"
+    )
+    ndd = F.lit(float(nd))
+    num = ndd * adnd * adnd
+    den = (
+        F.col("ns").cast("double")
+        * (F.lit(nd).cast("long") - F.col("ns")).cast("double")
+        * F.col("df").cast("double")
+        * (F.lit(nd).cast("long") - F.col("df")).cast("double")
+    )
+    scored = j.select(
+        "source", F.col("w").alias("term"), "a", "df", F.round(num / den, 6).alias("chi2_r")
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("chi2_r").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 5)
+        .select("source", "term", "a", "df", "chi2_r", F.col("rnk").cast("int"))
+        .orderBy("source", "rnk")
+    )
+
+
+_CHI2_SQL = """
+WITH dt AS (SELECT DISTINCT doc_id, source, t.w AS w
+            FROM (SELECT doc_id, source,
+                         string_split(trim(lower(text)), ' ') AS ws
+                  FROM documents) d, unnest(d.ws) t(w)),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+st AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+ts AS (SELECT source, w, COUNT(*) AS a FROM dt GROUP BY source, w),
+tt AS (SELECT w, COUNT(*) AS df FROM dt GROUP BY w),
+j AS (SELECT ts.source, ts.w, ts.a, tt.df, st.ns, n.nd
+      FROM ts JOIN tt ON tt.w = ts.w JOIN st ON st.source = ts.source, n
+      WHERE tt.df >= 5 AND tt.df < n.nd),
+scored AS (SELECT source, w AS term, a, df,
+       ROUND(CAST(nd AS DOUBLE)
+             * CAST(a * nd - ns * df AS DOUBLE)
+             * CAST(a * nd - ns * df AS DOUBLE)
+             / (CAST(ns AS DOUBLE) * CAST(nd - ns AS DOUBLE)
+                * CAST(df AS DOUBLE) * CAST(nd - df AS DOUBLE)), 6) AS chi2_r
+       FROM j),
+ranked AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY source ORDER BY chi2_r DESC, term) AS rnk
+           FROM scored)
+SELECT source, term, CAST(a AS BIGINT) AS a, CAST(df AS BIGINT) AS df,
+       chi2_r, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
+"""
+
+
+def q_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-correlation audit between degree and 5-round PageRank on
+    the bounded co-order graph — does the cheap centrality (degree)
+    predict the expensive one?  Spearman ρ from integer rank
+    differences and Kendall τ from exact concordant/discordant pair
+    counts over the top-100 vertices by (degree desc, id); PageRank is
+    ranked on its 6-dp ROUNDED score with id tie-break (the katz/
+    adamic_adar lesson) so cross-engine float noise cannot reorder.
+    The 100-row rank windows are single-partition by construction
+    (bounded audit set, not a scale path)."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    e = _sym(und)
+    pr = pregel.pagerank_fixed(e, n_iter=5, damping=DAMPING)
+    deg = e.groupBy("src").agg(F.count("*").alias("d")).select(
+        F.col("src").alias("id"), "d"
+    )
+    j = deg.join(pr, "id").select("id", "d", F.round("rank", 6).alias("pr_r"))
+    top = j.orderBy(F.col("d").desc(), F.col("id")).limit(100)
+    ranked = top.select(
+        "id",
+        F.row_number().over(Window.orderBy(F.col("d").desc(), F.col("id"))).alias("rd"),
+        F.row_number()
+        .over(Window.orderBy(F.col("pr_r").desc(), F.col("id")))
+        .alias("rp"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = a.join(b, F.col("a.rd") < F.col("b.rd")).select(
+        F.col("a.rp").alias("pa"), F.col("b.rp").alias("pb")
+    )
+    s1 = pairs.agg(
+        F.sum(F.when(F.col("pa") < F.col("pb"), 1).otherwise(0))
+        .cast("long")
+        .alias("conc"),
+        F.sum(F.when(F.col("pa") > F.col("pb"), 1).otherwise(0))
+        .cast("long")
+        .alias("disc"),
+    )
+    s2 = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("rd") - F.col("rp")) * (F.col("rd") - F.col("rp")))
+        .cast("long")
+        .alias("sum_d2"),
+    )
+    ndc = F.col("n").cast("double")
+    return s2.crossJoin(s1).select(
+        "n",
+        "sum_d2",
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(
+            F.lit(1.0) - F.lit(6.0) * F.col("sum_d2").cast("double") / (ndc * (ndc * ndc - F.lit(1.0))),
+            6,
+        ).alias("spearman_r"),
+        F.round(
+            (F.col("conc").cast("double") - F.col("disc").cast("double"))
+            / (ndc * (ndc - F.lit(1.0)) / F.lit(2.0)),
+            6,
+        ).alias("kendall_r"),
+    )
+
+
+def _rank_corr_sql(n_iter: int = 5) -> str:
+    iters = "".join("," + _PR_ITER.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+verts AS (SELECT DISTINCT src AS id FROM e),
+inv AS (SELECT 1.0 / COUNT(*) AS x FROM verts),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, 1.0 / deg.d AS wt FROM e JOIN deg ON deg.src = e.src),
+r0 AS (SELECT id, (SELECT x FROM inv) AS r FROM verts)
+{iters},
+j AS (SELECT deg.src AS id, deg.d, ROUND(r{n_iter}.r, 6) AS pr_r
+      FROM deg JOIN r{n_iter} ON r{n_iter}.id = deg.src),
+top AS (SELECT * FROM j ORDER BY d DESC, id LIMIT 100),
+ranked AS (SELECT id,
+    ROW_NUMBER() OVER (ORDER BY d DESC, id) AS rd,
+    ROW_NUMBER() OVER (ORDER BY pr_r DESC, id) AS rp FROM top),
+pairs AS (SELECT a.rp AS pa, b.rp AS pb
+          FROM ranked a JOIN ranked b ON a.rd < b.rd),
+s1 AS (SELECT SUM(CASE WHEN pa < pb THEN 1 ELSE 0 END) AS conc,
+              SUM(CASE WHEN pa > pb THEN 1 ELSE 0 END) AS disc FROM pairs),
+s2 AS (SELECT COUNT(*) AS n, SUM((rd - rp) * (rd - rp)) AS sum_d2 FROM ranked)
+SELECT CAST(n AS BIGINT) AS n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+       CAST(conc AS BIGINT) AS concordant, CAST(disc AS BIGINT) AS discordant,
+       ROUND(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
+         AS spearman_r,
+       ROUND((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0), 6) AS kendall_r
+FROM s2, s1
+"""
+
+
 ORACLES.update(
     {
         "truss_components": _truss_cc_sql(6, 8),
         "struct_roles": _STRUCT_ROLES_SQL,
         "ols_price_qty": _OLS_SQL,
+        "chi2_terms": _CHI2_SQL,
+        "rank_corr": _rank_corr_sql(5),
     }
 )
 QUERIES.update(
@@ -15407,6 +15584,8 @@ QUERIES.update(
         "truss_components": q_truss_components,
         "struct_roles": q_struct_roles,
         "ols_price_qty": q_ols_price_qty,
+        "chi2_terms": q_chi2_terms,
+        "rank_corr": q_rank_corr,
     }
 )
 
@@ -15444,6 +15623,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "truss_components", "struct_roles", "ols_price_qty",
+    "chi2_terms", "rank_corr",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -1658,3 +1658,83 @@ def test_ols_price_qty_golden_numpy(spark):
         assert 0.0 <= r["r2_r"] <= 1.0
         n_total += len(g)
     assert n_total == len(df)
+
+
+# ------------------------------------------------- chi-square terms
+
+
+def test_chi2_terms_golden_recompute(spark):
+    """Exact python recompute of the 2x2 chi-square + top-5 selection."""
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["chi2_terms"](spark, SF).collect()
+    docs = load_table(spark, "documents", SF).select("doc_id", "source", "text").collect()
+    nd = len(docs)
+    ns: dict[str, int] = {}
+    a_cnt: dict[tuple[str, str], int] = {}
+    df_cnt: dict[str, int] = {}
+    for r in docs:
+        ns[r["source"]] = ns.get(r["source"], 0) + 1
+        for w in set(r["text"].strip().lower().split()):
+            a_cnt[(r["source"], w)] = a_cnt.get((r["source"], w), 0) + 1
+            df_cnt[w] = df_cnt.get(w, 0) + 1
+    golden: dict[str, list[tuple[float, str, int, int]]] = {}
+    for (src, w), a in a_cnt.items():
+        df = df_cnt[w]
+        if df < 5 or df >= nd:
+            continue
+        adnd = float(a * nd - ns[src] * df)
+        chi2 = round(
+            nd * adnd * adnd / (ns[src] * (nd - ns[src]) * df * (nd - df)), 6
+        )
+        golden.setdefault(src, []).append((chi2, w, a, df))
+    for src, lst in golden.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+    for r in rows:
+        chi2, w, a, df = golden[r["source"]][r["rnk"] - 1]
+        assert (r["term"], r["a"], r["df"]) == (w, a, df)
+        assert abs(r["chi2_r"] - chi2) < 1e-9
+    assert len(rows) == sum(min(5, len(v)) for v in golden.values())
+
+
+# ------------------------------------------------- rank correlation
+
+
+def test_rank_corr_golden_recompute(spark):
+    from polar_spark.operators.analytics_queries import (
+        DAMPING,
+        QUERIES,
+        _sym,
+        coorder_edges,
+    )
+
+    row = QUERIES["rank_corr"](spark, SF).collect()[0]
+    und = coorder_edges(spark, SF).where((F.col("src") < 400) & (F.col("dst") < 400))
+    e = _sym(und)
+    pr = {
+        r["id"]: round(r["rank"], 6)
+        for r in pregel.pagerank_fixed(e, n_iter=5, damping=DAMPING).collect()
+    }
+    deg: dict[int, int] = {}
+    for r in e.collect():
+        deg[r["src"]] = deg.get(r["src"], 0) + 1
+    top = sorted(deg, key=lambda v: (-deg[v], v))[:100]
+    rd = {v: i + 1 for i, v in enumerate(top)}
+    by_pr = sorted(top, key=lambda v: (-pr[v], v))
+    rp = {v: i + 1 for i, v in enumerate(by_pr)}
+    n = len(top)
+    sum_d2 = sum((rd[v] - rp[v]) ** 2 for v in top)
+    conc = disc = 0
+    for i, u in enumerate(top):
+        for v in top[i + 1 :]:
+            if rp[u] < rp[v]:
+                conc += 1
+            else:
+                disc += 1
+    assert (row["n"], row["sum_d2"]) == (n, sum_d2)
+    assert (row["concordant"], row["discordant"]) == (conc, disc)
+    assert row["concordant"] + row["discordant"] == n * (n - 1) // 2
+    assert abs(row["spearman_r"] - round(1 - 6 * sum_d2 / (n * (n * n - 1)), 6)) < 1e-9
+    assert abs(row["kendall_r"] - round((conc - disc) / (n * (n - 1) / 2), 6)) < 1e-9
+    # degree should positively predict PageRank on this graph
+    assert row["spearman_r"] > 0.5 and row["kendall_r"] > 0.3
