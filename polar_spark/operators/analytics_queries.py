@@ -3441,7 +3441,9 @@ def q_sssp_multi4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("source", "id", "dist").orderBy("source", "id")
 
 
-def _sssp_multi_sql(rounds: int, n_sources: int) -> str:
+def _sssp_multi_parts(rounds: int, n_sources: int) -> list[str]:
+    """Unrolled per-landmark Bellman-Ford CTE parts over the weighted
+    undirected demand graph (shared by sssp_multi4 and steiner_tree4)."""
     parts = [
         "dw AS MATERIALIZED (SELECT o_custkey AS src, l_suppkey AS dst, "
         "CAST(COUNT(*) AS BIGINT) AS w "
@@ -3462,6 +3464,11 @@ def _sssp_multi_sql(rounds: int, n_sources: int) -> str:
             f"SELECT d.source, e.dst AS id, d.dist + e.w FROM d{i} d JOIN e ON e.src = d.id"
             f") t GROUP BY source, id)"
         )
+    return parts
+
+
+def _sssp_multi_sql(rounds: int, n_sources: int) -> str:
+    parts = _sssp_multi_parts(rounds, n_sources)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -15570,6 +15577,177 @@ FROM s2, s1
 """
 
 
+def q_steiner_tree4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approximate Steiner tree (Kou-Markowsky-Berman metric-closure
+    construction) connecting the 4 smallest vertices of the weighted
+    demand graph: per-terminal shortest paths (pregel.sssp_per_source,
+    the sssp_multi4 landmark sweep) build the T×T metric closure, then
+    the closure MST (pregel.minimum_spanning_forest, deterministic
+    (w,u,v) Kruskal order) is the classic ≤2·OPT backbone.  Integer
+    distances end-to-end; the oracle replays the identical Bellman-Ford
+    unroll and — because a 3-edge subgraph of K4 touching all 4
+    terminals is necessarily a spanning tree — picks the MST as the
+    lexicographically-minimal rank triple (the matroid characterization
+    of the unique MST under a total edge order).  Returns the chosen
+    closure edges (terminal pair + closure distance)."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    dw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_custkey") != F.col("l_suppkey"))
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    und = (
+        dw.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"), "w"
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    e = und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    srcs = [r[0] for r in e.select("src").distinct().orderBy("src").limit(4).collect()]
+    d, _ = pregel.sssp_per_source(e, srcs)
+    closure = (
+        d.where(F.col("id").isin([int(s) for s in srcs]))
+        .where(F.col("source") < F.col("id"))
+        .select(F.col("source").alias("src"), F.col("id").alias("dst"), F.col("dist").alias("w"))
+    )
+    mst, _ = pregel.minimum_spanning_forest(closure)
+    return mst.select(
+        F.col("u").cast("long"), F.col("v").cast("long"), F.col("w").cast("long")
+    ).orderBy("w", "u", "v")
+
+
+def _steiner_sql(rounds: int = 8, n_sources: int = 4) -> str:
+    parts = _sssp_multi_parts(rounds, n_sources)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+clo AS (SELECT d.source AS u, d.id AS v, d.dist AS w
+        FROM d{rounds} d JOIN srcs s ON s.s = d.id WHERE d.source < d.id),
+ranked AS (SELECT u, v, w, ROW_NUMBER() OVER (ORDER BY w, u, v) AS r FROM clo),
+combos AS (SELECT a.r AS r1, b.r AS r2, c.r AS r3,
+                  a.u AS u1, a.v AS v1, a.w AS w1,
+                  b.u AS u2, b.v AS v2, b.w AS w2,
+                  c.u AS u3, c.v AS v3, c.w AS w3
+           FROM ranked a JOIN ranked b ON a.r < b.r JOIN ranked c ON b.r < c.r),
+trees AS (SELECT * FROM combos
+          WHERE len(list_distinct([u1, v1, u2, v2, u3, v3])) = {n_sources}),
+best AS (SELECT * FROM trees ORDER BY r1, r2, r3 LIMIT 1),
+edges AS (SELECT u1 AS u, v1 AS v, w1 AS w FROM best
+          UNION ALL SELECT u2, v2, w2 FROM best
+          UNION ALL SELECT u3, v3, w3 FROM best)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, CAST(w AS BIGINT) AS w
+FROM edges ORDER BY w, u, v"""
+    )
+
+
+def q_pca_power3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding covariance by THREE
+    distributed power-iteration rounds (y ← C·x, x ← y/‖y‖₂) over the
+    covariance held as (i, j, cov) rows — the declarative companion of
+    similarity.pca_fit: the d×d matrix-vector product is one
+    join-aggregate, never materialized on the driver.  Parity: the
+    matrix is PINNED by rounding each covariance entry to 6 dp first
+    (the embed_covariance precedent), the all-ones start fixes the sign,
+    and the emitted loadings are rounded (eigencentrality4's shape).
+    Output: per-dimension loading + the round-3 Rayleigh quotient
+    (eigenvalue estimate) on every row."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+    ij = (
+        emb.select(F.posexplode("v").alias("i", "x"), F.col("v").alias("v2"))
+        .select("i", "x", F.posexplode("v2").alias("j", "y"))
+        .where(F.col("i") <= F.col("j"))
+    )
+    cov_u = ij.groupBy("i", "j").agg(
+        F.round(
+            (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / F.lit(float(n)))
+            / F.lit(float(n - 1)),
+            6,
+        ).alias("c")
+    )
+    cmat = cov_u.unionByName(
+        cov_u.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).localCheckpoint(eager=True)
+    dims = cmat.select(F.col("i").alias("d")).distinct()
+    x = dims.select("d", F.lit(1.0).alias("x")).localCheckpoint(eager=True)
+    for _ in range(3):
+        y = (
+            cmat.join(x.select(F.col("d").alias("j"), "x"), "j")
+            .groupBy(F.col("i").alias("d"))
+            .agg(F.sum(F.col("c") * F.col("x")).alias("y"))
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        x = (
+            y.crossJoin(F.broadcast(nrm))
+            .select("d", (F.col("y") / F.col("nrm")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    cx = (
+        cmat.join(x.select(F.col("d").alias("j"), "x"), "j")
+        .groupBy(F.col("i").alias("d"))
+        .agg(F.sum(F.col("c") * F.col("x")).alias("cx"))
+    )
+    ray = (
+        x.join(cx, "d")
+        .agg(F.round(F.sum(F.col("x") * F.col("cx")), 6).alias("eig_r"))
+    )
+    return (
+        x.crossJoin(F.broadcast(ray))
+        .select(
+            F.col("d").cast("long").alias("dim"),
+            F.round("x", 6).alias("loading_r"),
+            "eig_r",
+        )
+        .orderBy("dim")
+    )
+
+
+_PCA_ROUND = """,
+y{K} AS MATERIALIZED (
+  SELECT cmat.i AS d, SUM(cmat.c * x{KM1}.x) AS y
+  FROM cmat JOIN x{KM1} ON x{KM1}.d = cmat.j GROUP BY cmat.i),
+nrm{K} AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS nrm FROM y{K}),
+x{K} AS MATERIALIZED (SELECT d, y / (SELECT nrm FROM nrm{K}) AS x FROM y{K})"""
+
+
+def _pca_sql(n_iter: int = 3) -> str:
+    rounds = "".join(_PCA_ROUND.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM emb),
+ij AS (SELECT i - 1 AS i, j - 1 AS j, v[i] AS x, v[j] AS y
+       FROM emb, unnest(range(1, len(v) + 1)) u(i), unnest(range(1, len(v) + 1)) w(j)
+       WHERE i <= j),
+cov_u AS MATERIALIZED (
+  SELECT i, j,
+         ROUND((SUM(x * y) - SUM(x) * SUM(y) / (SELECT n FROM n))
+               / ((SELECT n FROM n) - 1), 6) AS c
+  FROM ij GROUP BY i, j),
+cmat AS MATERIALIZED (SELECT i, j, c FROM cov_u
+                      UNION ALL SELECT j, i, c FROM cov_u WHERE i < j),
+x0 AS (SELECT DISTINCT i AS d, 1.0::DOUBLE AS x FROM cmat)
+{rounds},
+cx AS MATERIALIZED (
+  SELECT cmat.i AS d, SUM(cmat.c * x{n_iter}.x) AS cx
+  FROM cmat JOIN x{n_iter} ON x{n_iter}.d = cmat.j GROUP BY cmat.i),
+ray AS (SELECT ROUND(SUM(x.x * cx.cx), 6) AS eig_r
+        FROM x{n_iter} x JOIN cx ON cx.d = x.d)
+SELECT CAST(x.d AS BIGINT) AS dim, ROUND(x.x, 6) AS loading_r,
+       (SELECT eig_r FROM ray) AS eig_r
+FROM x{n_iter} x ORDER BY dim
+"""
+
+
 ORACLES.update(
     {
         "truss_components": _truss_cc_sql(6, 8),
@@ -15577,6 +15755,8 @@ ORACLES.update(
         "ols_price_qty": _OLS_SQL,
         "chi2_terms": _CHI2_SQL,
         "rank_corr": _rank_corr_sql(5),
+        "steiner_tree4": _steiner_sql(8, 4),
+        "pca_power3": _pca_sql(3),
     }
 )
 QUERIES.update(
@@ -15586,6 +15766,8 @@ QUERIES.update(
         "ols_price_qty": q_ols_price_qty,
         "chi2_terms": q_chi2_terms,
         "rank_corr": q_rank_corr,
+        "steiner_tree4": q_steiner_tree4,
+        "pca_power3": q_pca_power3,
     }
 )
 
@@ -15623,7 +15805,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "truss_components", "struct_roles", "ols_price_qty",
-    "chi2_terms", "rank_corr",
+    "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -1738,3 +1738,74 @@ def test_rank_corr_golden_recompute(spark):
     assert abs(row["kendall_r"] - round((conc - disc) / (n * (n - 1) / 2), 6)) < 1e-9
     # degree should positively predict PageRank on this graph
     assert row["spearman_r"] > 0.5 and row["kendall_r"] > 0.3
+
+
+# ------------------------------------------------- Steiner 2-approx
+
+
+def test_steiner_closure_mst_hand_graph(spark):
+    """Star + detour: terminals {1,2,3,4} around hub 10.  Closure
+    distances via the hub are 1-10 (1), 2-10 (2), 3-10 (3), 4-10 (10);
+    the direct edge 3-4 (4) beats the 13-long hub path, so the closure
+    MST must pick it over the 4-10 leg."""
+    e_dir = [
+        (1, 10, 1), (2, 10, 2), (3, 10, 3), (4, 10, 10), (3, 4, 4),
+    ]
+    e = spark.createDataFrame(
+        e_dir + [(b, a, w) for a, b, w in e_dir], "src long, dst long, w long"
+    )
+    d, _ = pregel.sssp_per_source(e, [1, 2, 3, 4])
+    closure = (
+        d.where(F.col("id").isin([1, 2, 3, 4]))
+        .where(F.col("source") < F.col("id"))
+        .select(F.col("source").alias("src"), F.col("id").alias("dst"), F.col("dist").alias("w"))
+    )
+    got_closure = {(r["src"], r["dst"]): r["w"] for r in closure.collect()}
+    assert got_closure == {
+        (1, 2): 3, (1, 3): 4, (1, 4): 8, (2, 3): 5, (2, 4): 9, (3, 4): 4,
+    }
+    mst, _ = pregel.minimum_spanning_forest(closure)
+    got = sorted((r["u"], r["v"], r["w"]) for r in mst.collect())
+    assert got == [(1, 2, 3), (1, 3, 4), (3, 4, 4)]
+    # 2-approx bound vs the true Steiner tree (hub star 1+2+3+4... the
+    # optimum connects via 10 and the 3-4 edge: 1+2+3+4 = 10)
+    assert sum(w for _, _, w in got) <= 2 * 10
+
+
+def test_steiner_tree4_query_contract(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["steiner_tree4"](spark, SF).collect()
+    assert len(rows) == 3
+    # spanning tree of the 4 terminals: touches exactly 4 distinct ids
+    ids = {r["u"] for r in rows} | {r["v"] for r in rows}
+    assert len(ids) == 4
+    assert all(r["w"] > 0 for r in rows)
+
+
+# ------------------------------------------------- PCA power iteration
+
+
+def test_pca_power3_golden_numpy(spark):
+    import numpy as np
+
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["pca_power3"](spark, SF).collect()
+    emb = np.array(
+        [r["embedding"] for r in load_table(spark, "embeddings", SF).collect()],
+        dtype=np.float64,
+    )
+    n, d = emb.shape
+    c = np.round(np.cov(emb, rowvar=False, ddof=1), 6)
+    x = np.ones(d)
+    for _ in range(3):
+        y = c @ x
+        x = y / np.sqrt((y * y).sum())
+    assert len(rows) == d
+    for r in rows:
+        assert abs(r["loading_r"] - x[r["dim"]]) < 1e-5
+    ray = float(x @ (c @ x))
+    assert abs(rows[0]["eig_r"] - ray) < 1e-4
+    lam_max = float(np.linalg.eigvalsh(c)[-1])
+    assert rows[0]["eig_r"] <= lam_max + 1e-6
