@@ -15748,6 +15748,104 @@ FROM x{n_iter} x ORDER BY dim
 """
 
 
+def q_odd_walk_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex shortest odd closed walk (bipartite double cover —
+    pregel.odd_closed_walks) on the bounded co-order graph: 3 for
+    triangle vertices, larger for vertices whose only odd structure is
+    further out, absent for bipartite-side vertices.  The per-vertex
+    refinement of bipartite_report's component verdict."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    out, _stats = pregel.odd_closed_walks(und, max_len=9)
+    return out.orderBy("id")
+
+
+_ODD_WALK_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+cov AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e
+        UNION ALL SELECT src * 2 + 1, dst * 2 FROM e),
+verts AS (SELECT DISTINCT src AS v FROM e),
+reach(s, id, d) AS (
+    SELECT v * 2, v * 2, 0 FROM verts
+    UNION
+    SELECT r.s, cov.dst, r.d + 1 FROM reach r JOIN cov ON cov.src = r.id
+    WHERE r.d < 9
+),
+dmin AS (SELECT s, id, MIN(d) AS d FROM reach GROUP BY s, id)
+SELECT CAST(s / 2 AS BIGINT) AS id, CAST(d AS BIGINT) AS odd_len
+FROM dmin WHERE id = s + 1 ORDER BY id
+"""
+
+
+def q_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistic over hourly event counts (Page
+    1954), integer-exact: with x_t the hourly count, nh hours and
+    `total` events, the drift-free deviations a_t = nh·x_t − total sum
+    to zero, and the one-sided CUSUM S_t = max(0, S_{t−1} + a_t)
+    rewrites as the PREFIX form S_t = P_t − min(0, min_{s≤t} P_s) —
+    two cumulative windows over the pre-aggregated hour table (bounded
+    by calendar hours, the hourly_anomaly posture), no sequential
+    recurrence.  Alarm when the scaled cumulative excess passes five
+    mean hours (S_t > 5·total ⇔ excess > 5·mean)."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    tot = hourly.agg(
+        F.sum("n_events").cast("long").alias("total"),
+        F.count("*").cast("long").alias("nh"),
+    )
+    h2 = hourly.crossJoin(F.broadcast(tot)).select(
+        "hour",
+        "n_events",
+        "total",
+        (F.col("nh") * F.col("n_events") - F.col("total")).alias("a"),
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    p = h2.select(
+        "hour", "n_events", "total", F.sum("a").over(w).cast("long").alias("p")
+    )
+    p2 = p.select(
+        "hour",
+        "n_events",
+        "total",
+        "p",
+        F.least(F.lit(0).cast("long"), F.min("p").over(w)).alias("pmin"),
+    )
+    return p2.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_events",
+        (F.col("p") - F.col("pmin")).cast("long").alias("cusum_scaled"),
+        F.when(F.col("p") - F.col("pmin") > F.lit(5) * F.col("total"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("alarm"),
+    ).orderBy("hour")
+
+
+_CUSUM_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+tot AS (SELECT SUM(n_events) AS total, COUNT(*) AS nh FROM hourly),
+h2 AS (SELECT hour, n_events, total, nh * n_events - total AS a
+       FROM hourly, tot),
+p AS (SELECT hour, n_events, total,
+             SUM(a) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING) AS p
+      FROM h2),
+p2 AS (SELECT hour, n_events, total, p,
+              LEAST(0, MIN(p) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING)) AS pmin
+       FROM p)
+SELECT STRFTIME(hour, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
+       CAST(p - pmin AS BIGINT) AS cusum_scaled,
+       CAST(CASE WHEN p - pmin > 5 * total THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM p2 ORDER BY hour
+"""
+
+
 ORACLES.update(
     {
         "truss_components": _truss_cc_sql(6, 8),
@@ -15757,6 +15855,8 @@ ORACLES.update(
         "rank_corr": _rank_corr_sql(5),
         "steiner_tree4": _steiner_sql(8, 4),
         "pca_power3": _pca_sql(3),
+        "odd_walk_len": _ODD_WALK_SQL,
+        "cusum_hourly": _CUSUM_SQL,
     }
 )
 QUERIES.update(
@@ -15768,6 +15868,8 @@ QUERIES.update(
         "rank_corr": q_rank_corr,
         "steiner_tree4": q_steiner_tree4,
         "pca_power3": q_pca_power3,
+        "odd_walk_len": q_odd_walk_len,
+        "cusum_hourly": q_cusum_hourly,
     }
 )
 
@@ -15806,6 +15908,7 @@ _CHECKED_R3_R4 = [
 _ROUND5_PRIORITY = [
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
+    "odd_walk_len", "cusum_hourly",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

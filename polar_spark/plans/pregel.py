@@ -5159,3 +5159,40 @@ def coarsen_hem(
         mapping.select(F.col("id").cast("long"), "super"),
         stats,
     )
+
+
+def odd_closed_walks(
+    edges: DataFrame,
+    max_len: int = 9,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Shortest ODD closed walk through each vertex via the bipartite
+    double cover: vertex ``(v, parity)`` is encoded as ``2v + parity``;
+    every undirected edge ``(u, v)`` lifts to ``(2u, 2v+1)`` and
+    ``(2u+1, 2v)``, and the cover distance ``d((v,0), (v,1))`` equals
+    the length of the shortest odd closed walk through ``v`` — finite
+    iff ``v``'s component is non-bipartite (3 exactly when ``v`` lies on
+    a triangle), the per-vertex bipartiteness-violation depth read next
+    to :func:`bipartite_report`.  One keyed multi-source BFS
+    (:func:`bfs_per_source`) bounded at ``max_len``; vertices with no
+    odd walk within the bound are omitted.  Seeds collect the vertex
+    set to the driver — intended for bounded audit subgraphs (the
+    registered query caps the graph), not the 10^9-vertex path."""
+    und = symmetrize(normalize_edges(edges))
+    cover = und.select(
+        (F.col("src") * 2).alias("src"), (F.col("dst") * 2 + 1).alias("dst")
+    ).unionByName(
+        und.select((F.col("src") * 2 + 1).alias("src"), (F.col("dst") * 2).alias("dst"))
+    )
+    verts = sorted(r[0] for r in vertices_of(und).collect())
+    dist, stats = bfs_per_source(
+        cover,
+        [2 * int(v) for v in verts],
+        max_depth=max_len,
+        num_partitions=num_partitions,
+    )
+    out = dist.where(F.col("id") == F.col("source") + 1).select(
+        (F.col("source") / 2).cast("long").alias("id"),
+        F.col("dist").cast("long").alias("odd_len"),
+    )
+    return out, stats

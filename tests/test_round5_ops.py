@@ -1809,3 +1809,53 @@ def test_pca_power3_golden_numpy(spark):
     assert abs(rows[0]["eig_r"] - ray) < 1e-4
     lam_max = float(np.linalg.eigvalsh(c)[-1])
     assert rows[0]["eig_r"] <= lam_max + 1e-6
+
+
+# ------------------------------------------------- odd closed walks
+
+
+def test_odd_closed_walks_hand_graphs(spark):
+    # triangle 1-2-3 + pendant 4 off vertex 3 + disjoint C4 (bipartite)
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11), (11, 12), (12, 13), (13, 10)],
+    )
+    out, _ = pregel.odd_closed_walks(e, max_len=9)
+    got = {r["id"]: r["odd_len"] for r in out.collect()}
+    # triangle vertices: odd walk 3; pendant 4: down to the triangle and
+    # back = 2 + 3 = 5; C4 vertices are bipartite -> absent
+    assert got == {1: 3, 2: 3, 3: 3, 4: 5}
+
+
+def test_odd_closed_walks_c5(spark):
+    # C5: every vertex lies on the 5-cycle -> odd_len 5 everywhere
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)])
+    out, _ = pregel.odd_closed_walks(e, max_len=9)
+    assert {r["odd_len"] for r in out.collect()} == {5}
+    assert out.count() == 5
+
+
+# ------------------------------------------------- CUSUM
+
+
+def test_cusum_hourly_golden_recompute(spark):
+    """Sequential max(0, S+a) recurrence must equal the prefix form."""
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["cusum_hourly"](spark, SF).collect()
+    ev = load_table(spark, "events", SF).select(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).groupBy("hour").count().orderBy("hour").collect()
+    xs = [r["count"] for r in ev]
+    nh, total = len(xs), sum(xs)
+    s = 0
+    golden = []
+    for x in xs:
+        s = max(0, s + nh * x - total)
+        golden.append(s)
+    assert len(rows) == nh
+    for r, g in zip(rows, golden):
+        assert r["cusum_scaled"] == g
+        assert r["alarm"] == (1 if g > 5 * total else 0)
+    # drift-free deviations sum to zero -> the statistic returns to 0
+    assert any(g == 0 for g in golden)
