@@ -762,6 +762,41 @@ def main() -> None:
             "ship_p99_max_days": max(int(r["p99_days"]) for r in lat) if lat else 0,
         }
 
+    def _session14_ops():
+        # session-14 additions: truss communities, structural roles,
+        # Steiner 2-approx, PCA power iteration, rank-correlation audit,
+        # chi-square terms, per-nation OLS, odd-walk depth, CUSUM
+        from polar_spark.operators.analytics_queries import (
+            q_chi2_terms,
+            q_cusum_hourly,
+            q_odd_walk_len,
+            q_ols_price_qty,
+            q_pca_power3,
+            q_rank_corr,
+            q_steiner_tree4,
+            q_struct_roles,
+            q_truss_components,
+        )
+
+        tc = q_truss_components(spark, sf_dir).collect()
+        q_struct_roles(spark, sf_dir).collect()
+        ols = q_ols_price_qty(spark, sf_dir).collect()
+        q_chi2_terms(spark, sf_dir).collect()
+        rc = q_rank_corr(spark, sf_dir).collect()[0]
+        st = q_steiner_tree4(spark, sf_dir).collect()
+        pca = q_pca_power3(spark, sf_dir).collect()
+        ow = q_odd_walk_len(spark, sf_dir).collect()
+        cs = q_cusum_hourly(spark, sf_dir).collect()
+        return {
+            "truss_communities": len({r["comp"] for r in tc}),
+            "ols_max_r2_ppm": max(int(r["r2_r"] * 1e6) for r in ols) if ols else 0,
+            "rank_corr_spearman_ppm": int(rc["spearman_r"] * 1e6),
+            "steiner_total_w": sum(int(r["w"]) for r in st),
+            "pca_eig_r": float(pca[0]["eig_r"]) if pca else 0.0,
+            "odd_walk_vertices": len(ow),
+            "cusum_alarms": sum(int(r["alarm"]) for r in cs),
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -803,6 +838,7 @@ def main() -> None:
         ("session7_graph_ops", _session7_graph, min(REPS, 2)),
         ("session8_ops", _session8_ops, min(REPS, 2)),
         ("session9_ops", _session9_ops, min(REPS, 2)),
+        ("session14_ops", _session14_ops, min(REPS, 2)),
         ("bucketed_join", _bucketed_join, 1),
     ]
 
