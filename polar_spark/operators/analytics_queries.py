@@ -15846,6 +15846,193 @@ FROM p2 ORDER BY hour
 """
 
 
+def q_rake_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    token runs between stopword delimiters ('the'/'a' — present in the
+    synthetic vocabulary) form candidate phrases (1–4 tokens); word
+    degree = Σ phrase length over occurrences, word frequency = #
+    occurrences, phrase score = Σ deg(w)/freq(w) over its words.  Top
+    10 phrases by (rounded score desc, phrase) — deg/freq ratios are
+    exact-integer divisions so the 6-dp round is cross-engine stable.
+    Phrase segmentation is a per-doc cumulative window (partitioned by
+    doc — parallel, not a global sort); everything else is explode +
+    groupBy, fully JVM."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "w"),
+    ).withColumn("is_delim", F.col("w").isin("the", "a"))
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    seg = (
+        toks.withColumn("phrase_id", F.sum(F.col("is_delim").cast("int")).over(wp))
+        .where(~F.col("is_delim"))
+    )
+    phrases = (
+        seg.groupBy("doc_id", "phrase_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("sw"))
+        .select(F.transform("sw", lambda s: s["w"]).alias("words"))
+        .where((F.size("words") >= 1) & (F.size("words") <= 4))
+        .select(F.array_join("words", " ").alias("phrase"), F.size("words").alias("plen"))
+    )
+    wstats = (
+        phrases.select(F.explode(F.split("phrase", " ")).alias("w"), "plen")
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    pcounts = phrases.groupBy("phrase").agg(F.count("*").cast("long").alias("n"))
+    scored = (
+        pcounts.select("phrase", "n", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wstats, "w")
+        .groupBy("phrase", "n")
+        .agg(
+            F.round(F.sum(F.col("deg").cast("double") / F.col("freq").cast("double")), 6).alias(
+                "score_r"
+            )
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.col("score_r").desc(), F.col("phrase"))),
+        )
+        .where(F.col("rnk") <= 10)
+        .select("phrase", "n", "score_r", F.col("rnk").cast("int"))
+        .orderBy("rnk")
+    )
+
+
+_RAKE_SQL = """
+WITH d AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws FROM documents),
+toks AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w,
+                CASE WHEN ws[i] IN ('the', 'a') THEN 1 ELSE 0 END AS is_delim
+         FROM d, unnest(range(1, len(ws) + 1)) u(i)),
+seg AS (SELECT doc_id, pos, w,
+               SUM(is_delim) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS phrase_id
+        FROM toks WHERE TRUE QUALIFY is_delim = 0),
+phr0 AS (SELECT doc_id, phrase_id, list(w ORDER BY pos) AS words
+         FROM seg GROUP BY doc_id, phrase_id),
+phrases AS (SELECT array_to_string(words, ' ') AS phrase, len(words) AS plen
+            FROM phr0 WHERE len(words) BETWEEN 1 AND 4),
+wstats AS (SELECT t.w AS w, COUNT(*) AS freq, SUM(plen) AS deg
+           FROM phrases, unnest(string_split(phrase, ' ')) t(w)
+           GROUP BY t.w),
+pcounts AS (SELECT phrase, COUNT(*) AS n FROM phrases GROUP BY phrase),
+scored AS (SELECT p.phrase, p.n,
+                  ROUND(SUM(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)), 6)
+                    AS score_r
+           FROM pcounts p, unnest(string_split(p.phrase, ' ')) t(w)
+           JOIN wstats ws ON ws.w = t.w
+           GROUP BY p.phrase, p.n),
+ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_r DESC, phrase) AS rnk
+           FROM scored)
+SELECT phrase, CAST(n AS BIGINT) AS n, score_r, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 10 ORDER BY rnk
+"""
+
+
+def q_snn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-nearest-neighbor clustering (Ertöz-Steinbach-Kumar SDM'03,
+    the Jarvis-Patrick family): exact cosine 5-NN lists per vector
+    (ranked on the 7-dp ROUNDED similarity with id tie-break — the
+    cosine_pairs parity margin), an SNN edge where the 5-NN relation is
+    MUTUAL and the two lists share ≥ 2 neighbors, then hash-min
+    connected components over the SNN edges.  Density-based grouping
+    that survives varying cluster density where a global cosine
+    threshold (embed_neardup) can't.  Emits (vec_id, cluster rep) for
+    vertices with at least one SNN edge."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        q.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 7).alias("cos_r"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(), F.col("nid"))
+    knn = (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= 5)
+        .select("qid", "nid")
+        .localCheckpoint(eager=True)
+    )
+    mutual = (
+        knn.alias("f")
+        .join(
+            knn.select(F.col("qid").alias("nid"), F.col("nid").alias("qid")).alias("r"),
+            ["qid", "nid"],
+        )
+        .where(F.col("qid") < F.col("nid"))
+    )
+    shared = (
+        mutual.alias("m")
+        .join(knn.select(F.col("qid").alias("qid"), F.col("nid").alias("x")), "qid")
+        .join(
+            knn.select(F.col("qid").alias("nid"), F.col("nid").alias("y")),
+            "nid",
+        )
+        .where(F.col("x") == F.col("y"))
+        .groupBy("qid", "nid")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    comp, _ = pregel.connected_components(
+        shared.select(F.col("qid").alias("src"), F.col("nid").alias("dst"))
+    )
+    return comp.select(
+        F.col("id").cast("long").alias("vec_id"), F.col("comp").cast("long").alias("cluster")
+    ).orderBy("vec_id")
+
+
+_SNN_SQL = """
+WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  ROUND(list_cosine_similarity(a.v, b.v), 7) AS cos_r
+           FROM emb a JOIN emb b ON a.vec_id != b.vec_id),
+knn AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos_r DESC, nid) AS rn
+          FROM scored) t WHERE rn <= 5),
+mutual AS (SELECT f.qid, f.nid FROM knn f
+           JOIN knn r ON r.qid = f.nid AND r.nid = f.qid
+           WHERE f.qid < f.nid),
+shared AS (SELECT m.qid, m.nid
+           FROM mutual m
+           JOIN knn ka ON ka.qid = m.qid
+           JOIN knn kb ON kb.qid = m.nid AND kb.nid = ka.nid
+           GROUP BY m.qid, m.nid HAVING COUNT(*) >= 2),
+e AS (SELECT qid AS src, nid AS dst FROM shared
+      UNION SELECT nid, qid FROM shared),
+verts AS (SELECT DISTINCT src AS id FROM e),
+reach(id, comp) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+    WHERE r.comp < e.dst
+)
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(comp) AS BIGINT) AS cluster
+FROM reach GROUP BY id ORDER BY id
+"""
+
+
 ORACLES.update(
     {
         "truss_components": _truss_cc_sql(6, 8),
@@ -15857,6 +16044,8 @@ ORACLES.update(
         "pca_power3": _pca_sql(3),
         "odd_walk_len": _ODD_WALK_SQL,
         "cusum_hourly": _CUSUM_SQL,
+        "rake_top10": _RAKE_SQL,
+        "snn_clusters": _SNN_SQL,
     }
 )
 QUERIES.update(
@@ -15870,6 +16059,8 @@ QUERIES.update(
         "pca_power3": q_pca_power3,
         "odd_walk_len": q_odd_walk_len,
         "cusum_hourly": q_cusum_hourly,
+        "rake_top10": q_rake_top10,
+        "snn_clusters": q_snn_clusters,
     }
 )
 
@@ -15908,7 +16099,7 @@ _CHECKED_R3_R4 = [
 _ROUND5_PRIORITY = [
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
-    "odd_walk_len", "cusum_hourly",
+    "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -1859,3 +1859,89 @@ def test_cusum_hourly_golden_recompute(spark):
         assert r["alarm"] == (1 if g > 5 * total else 0)
     # drift-free deviations sum to zero -> the statistic returns to 0
     assert any(g == 0 for g in golden)
+
+
+# ------------------------------------------------- RAKE keyphrases
+
+
+def test_rake_top10_golden_recompute(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["rake_top10"](spark, SF).collect()
+    docs = load_table(spark, "documents", SF).select("text").collect()
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    pcount: dict[str, int] = {}
+    for r in docs:
+        toks = r["text"].strip().lower().split()
+        phrase: list[str] = []
+        segments = []
+        for w in toks:
+            if w in ("the", "a"):
+                segments.append(phrase)
+                phrase = []
+            else:
+                phrase.append(w)
+        segments.append(phrase)
+        for ph in segments:
+            if not 1 <= len(ph) <= 4:
+                continue
+            pcount[" ".join(ph)] = pcount.get(" ".join(ph), 0) + 1
+            for w in ph:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(ph)
+    scored = sorted(
+        (
+            (round(sum(deg[w] / freq[w] for w in p.split()), 6), p, n)
+            for p, n in pcount.items()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert len(rows) == 10
+    for r in rows:
+        s, p, n = scored[r["rnk"] - 1]
+        assert (r["phrase"], r["n"]) == (p, n)
+        assert abs(r["score_r"] - s) < 1e-9
+
+
+# ------------------------------------------------- SNN clustering
+
+
+def test_snn_clusters_golden_recompute(spark):
+    import numpy as np
+
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = {r["vec_id"]: r["cluster"] for r in QUERIES["snn_clusters"](spark, SF).collect()}
+    recs = load_table(spark, "embeddings", SF).select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in recs]
+    m = np.array([r["embedding"] for r in recs], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(m @ m.T, 7)
+    knn: dict[int, set[int]] = {}
+    for i, vid in enumerate(ids):
+        order = sorted(
+            ((-(cos[i, j]), ids[j]) for j in range(len(ids)) if j != i)
+        )[:5]
+        knn[vid] = {nid for _, nid in order}
+    edges = set()
+    for u in ids:
+        for v in knn[u]:
+            if u < v and u in knn.get(v, set()) and len(knn[u] & knn[v]) >= 2:
+                edges.add((u, v))
+    parent = {u: u for e in edges for u in e}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    golden = {u: find(u) for u in parent}
+    assert rows == golden
+    for vid, c in rows.items():
+        assert c <= vid
