@@ -16033,6 +16033,201 @@ FROM reach GROUP BY id ORDER BY id
 """
 
 
+def q_molloy_reed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Molloy-Reed percolation criterion on the co-order graph: κ =
+    ⟨k²⟩/⟨k⟩ from the exact integer degree moments, giant-component
+    existence iff κ > 2, and the random-failure percolation threshold
+    f_c = 1 − 1/(κ−1) — the closed-form robustness number
+    attack_tolerance measures empirically.  One degree aggregation;
+    the only floats are two final divisions of exact BIGINTs."""
+    e = _sym(coorder_edges(spark, sf_dir))
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    agg = deg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sum_d"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+    )
+    kappa = F.col("sum_d2").cast("double") / F.col("sum_d").cast("double")
+    return agg.select(
+        "n",
+        (F.col("sum_d") / 2).cast("long").alias("m"),
+        "sum_d2",
+        F.round(kappa, 6).alias("kappa_r"),
+        F.round(F.lit(1.0) - F.lit(1.0) / (kappa - F.lit(1.0)), 6).alias("fc_r"),
+    )
+
+
+_MOLLOY_REED_SQL = f"""
+WITH {_COORDER_SQL}, {_SYM_SQL},
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+agg AS (SELECT COUNT(*) AS n, SUM(d) AS sum_d, SUM(d * d) AS sum_d2 FROM deg)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sum_d / 2 AS BIGINT) AS m,
+       CAST(sum_d2 AS BIGINT) AS sum_d2,
+       ROUND(CAST(sum_d2 AS DOUBLE) / CAST(sum_d AS DOUBLE), 6) AS kappa_r,
+       ROUND(1.0 - 1.0 / (CAST(sum_d2 AS DOUBLE) / CAST(sum_d AS DOUBLE) - 1.0), 6)
+         AS fc_r
+FROM agg
+"""
+
+
+def q_sbm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-corrected SBM log-likelihood (Karrer-Newman 2011, the
+    unnormalized form 𝓛 = Σ_rs m_rs ln(m_rs/(κ_r κ_s)) over directed
+    block pairs) of the 2-round LPA partition on the sparse co-order
+    graph — the model-selection companion to modularity_lpa /
+    conductance_lpa: higher 𝓛 = the blocks explain the edges better
+    than degree alone.  m_rs and κ_r are exact integers from the SAME
+    deterministic labels the lpa_fixed2 oracle replays; each block-pair
+    term is one deterministic double expression and the final sum is
+    rounded 4 dp."""
+    und = coorder_edges(spark, sf_dir)
+    e = _sym(und)
+    labels, _ = pregel.label_propagation(und, max_iter=2)
+    lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
+    el = (
+        e.join(lab.withColumnRenamed("id", "src").withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("label", "ld"), "dst")
+    )
+    mrs = el.groupBy("ls", "ld").agg(F.count("*").cast("long").alias("m_rs"))
+    kap = el.groupBy("ls").agg(F.count("*").cast("long").alias("kappa"))
+    terms = (
+        mrs.join(kap.select(F.col("ls"), F.col("kappa").alias("kr")), "ls")
+        .join(kap.select(F.col("ls").alias("ld"), F.col("kappa").alias("ks")), "ld")
+        .select(
+            "ls",
+            "ld",
+            "m_rs",
+            (
+                F.col("m_rs").cast("double")
+                * F.log(
+                    F.col("m_rs").cast("double")
+                    / (F.col("kr").cast("double") * F.col("ks").cast("double"))
+                )
+            ).alias("t"),
+        )
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_block_pairs"),
+        F.sum("m_rs").cast("long").alias("m2"),
+        F.round(F.sum("t"), 4).alias("loglik_r"),
+    )
+
+
+def _sbm_sql() -> str:
+    lpa_rounds = "".join("," + _LPA_ROUND.format(K=k, KM1=k - 1) for k in (1, 2))
+    return f"""
+WITH {_COORDER_SQL}, {_SYM_SQL},
+verts AS (SELECT DISTINCT src AS id FROM e),
+l0 AS (SELECT id, id AS label FROM verts)
+{lpa_rounds},
+el AS (SELECT e.src, e.dst, a.label AS ls, b.label AS ld
+       FROM e JOIN l2 a ON a.id = e.src JOIN l2 b ON b.id = e.dst),
+mrs AS (SELECT ls, ld, COUNT(*) AS m_rs FROM el GROUP BY ls, ld),
+kap AS (SELECT ls, COUNT(*) AS kappa FROM el GROUP BY ls),
+terms AS (SELECT mrs.ls, mrs.ld, mrs.m_rs,
+                 CAST(mrs.m_rs AS DOUBLE)
+                 * LN(CAST(mrs.m_rs AS DOUBLE)
+                      / (CAST(kr.kappa AS DOUBLE) * CAST(ks.kappa AS DOUBLE))) AS t
+          FROM mrs JOIN kap kr ON kr.ls = mrs.ls
+                   JOIN kap ks ON ks.ls = mrs.ld)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_block_pairs,
+       CAST(SUM(m_rs) AS BIGINT) AS m2,
+       ROUND(SUM(t), 4) AS loglik_r
+FROM terms
+"""
+
+
+def q_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval #3: Expected Reciprocal Rank @10
+    (Chapelle et al. CIKM'09 cascade model, binary relevance with stop
+    probability θ = 0.5) of the BM25 top-10 against the boolean-AND
+    relevance set — ERR = Σ_{relevant hits} θ(1−θ)^k / rank with k the
+    number of relevant hits ranked above.  Unlike MRR it credits
+    multiple hits, unlike nDCG it discounts by what the user already
+    saw.  Powers of 0.5 are exact in binary floating point and 1/rank
+    is a deterministic double, so 6-dp rounding is cross-engine safe."""
+    from polar_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    top10 = bm25_topk(docs, qdf)
+    qt = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split(F.trim("qtext"), " "))).alias("term"),
+    )
+    n_terms = qt.groupBy("query_id").agg(F.count("*").cast("long").alias("n_terms"))
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), " "))).alias("term"),
+    )
+    rel = (
+        dt.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("matched"))
+        .join(F.broadcast(n_terms), "query_id")
+        .where(F.col("matched") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    hits = top10.join(rel, ["query_id", "doc_id"]).select("query_id", "rnk")
+    wprev = Window.partitionBy("query_id").orderBy("rnk")
+    scored = hits.select(
+        "query_id",
+        (
+            F.pow(F.lit(0.5), F.row_number().over(wprev).cast("double"))
+            / F.col("rnk").cast("double")
+        ).alias("c"),
+    )
+    err = scored.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("hits10"),
+        F.round(F.sum("c"), 6).alias("err_r"),
+    )
+    base = spark.createDataFrame([(q,) for q, _t in _BM25_QUERIES], "query_id string")
+    return (
+        base.join(err, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits10"), F.lit(0)).cast("long").alias("hits10"),
+            F.coalesce(F.col("err_r"), F.lit(0.0)).alias("err_r"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _err_sql(k1: float = 1.2, b: float = 0.75, scale: int = 1_000_000) -> str:
+    bm25 = _bm25_sql(k1, b, scale)
+    body = bm25.strip()
+    assert body.startswith("WITH ")
+    inner = body[len("WITH ") :]
+    head, _select = inner.rsplit("SELECT query_id,", 1)
+    return f"""
+WITH {head.rstrip()},
+top10 AS (SELECT query_id, CAST(_id AS BIGINT) AS doc_id, rnk
+          FROM ranked WHERE rnk <= 10),
+nt AS (SELECT query_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+       FROM qt GROUP BY query_id),
+rel AS (SELECT qt.query_id, toks._id AS doc_id
+        FROM (SELECT DISTINCT _id, term FROM toks) toks
+        JOIN qt ON qt.term = toks.term
+        JOIN nt ON nt.query_id = qt.query_id
+        GROUP BY qt.query_id, toks._id, nt.n_terms
+        HAVING COUNT(DISTINCT toks.term) = nt.n_terms),
+hits AS (SELECT t.query_id, t.rnk,
+                ROW_NUMBER() OVER (PARTITION BY t.query_id ORDER BY t.rnk) AS k1
+         FROM top10 t JOIN rel r ON r.query_id = t.query_id
+                              AND r.doc_id = t.doc_id),
+err AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits10,
+               ROUND(SUM(POWER(0.5, CAST(k1 AS DOUBLE))
+                         / CAST(rnk AS DOUBLE)), 6) AS err_r
+        FROM hits GROUP BY query_id)
+SELECT q.query_id,
+       CAST(COALESCE(err.hits10, 0) AS BIGINT) AS hits10,
+       COALESCE(err.err_r, 0.0) AS err_r
+FROM q LEFT JOIN err ON err.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
 ORACLES.update(
     {
         "truss_components": _truss_cc_sql(6, 8),
@@ -16046,6 +16241,9 @@ ORACLES.update(
         "cusum_hourly": _CUSUM_SQL,
         "rake_top10": _RAKE_SQL,
         "snn_clusters": _SNN_SQL,
+        "molloy_reed": _MOLLOY_REED_SQL,
+        "sbm_likelihood": _sbm_sql(),
+        "err_eval": _err_sql(),
     }
 )
 QUERIES.update(
@@ -16061,6 +16259,9 @@ QUERIES.update(
         "cusum_hourly": q_cusum_hourly,
         "rake_top10": q_rake_top10,
         "snn_clusters": q_snn_clusters,
+        "molloy_reed": q_molloy_reed,
+        "sbm_likelihood": q_sbm_likelihood,
+        "err_eval": q_err_eval,
     }
 )
 
@@ -16100,6 +16301,7 @@ _ROUND5_PRIORITY = [
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",
+    "molloy_reed", "sbm_likelihood", "err_eval",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -1945,3 +1945,91 @@ def test_snn_clusters_golden_recompute(spark):
     assert rows == golden
     for vid, c in rows.items():
         assert c <= vid
+
+
+# ------------------------------------------------- Molloy-Reed
+
+
+def test_molloy_reed_golden_recompute(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, _sym, coorder_edges
+
+    row = QUERIES["molloy_reed"](spark, SF).collect()[0]
+    deg: dict[int, int] = {}
+    for r in _sym(coorder_edges(spark, SF)).collect():
+        deg[r["src"]] = deg.get(r["src"], 0) + 1
+    n = len(deg)
+    sd = sum(deg.values())
+    sd2 = sum(d * d for d in deg.values())
+    kappa = sd2 / sd
+    assert (row["n"], row["m"], row["sum_d2"]) == (n, sd // 2, sd2)
+    assert abs(row["kappa_r"] - round(kappa, 6)) < 1e-9
+    assert abs(row["fc_r"] - round(1 - 1 / (kappa - 1), 6)) < 1e-9
+    # the co-order graph has a giant component -> criterion holds
+    assert row["kappa_r"] > 2.0 and 0.0 < row["fc_r"] < 1.0
+
+
+# ------------------------------------------------- DC-SBM likelihood
+
+
+def test_sbm_likelihood_golden_recompute(spark):
+    import math
+
+    from polar_spark.operators.analytics_queries import QUERIES, _sym, coorder_edges
+
+    row = QUERIES["sbm_likelihood"](spark, SF).collect()[0]
+    und = coorder_edges(spark, SF)
+    labels = {
+        r["id"]: r["label"]
+        for r in pregel.label_propagation(und, max_iter=2)[0].collect()
+    }
+    mrs: dict[tuple[int, int], int] = {}
+    kap: dict[int, int] = {}
+    for r in _sym(und).collect():
+        a, b = labels[r["src"]], labels[r["dst"]]
+        mrs[(a, b)] = mrs.get((a, b), 0) + 1
+        kap[a] = kap.get(a, 0) + 1
+    ll = sum(m * math.log(m / (kap[a] * kap[b])) for (a, b), m in mrs.items())
+    assert row["n_block_pairs"] == len(mrs)
+    assert row["m2"] == sum(mrs.values())
+    assert abs(row["loglik_r"] - round(ll, 4)) < 1e-6
+    # the block structure must beat the single-block null (ll = m2·ln(1/m2)
+    # when every edge is in one block of kappa = m2)
+    m2 = sum(mrs.values())
+    assert row["loglik_r"] > round(m2 * math.log(1 / m2), 4)
+
+
+# ------------------------------------------------- ERR@10
+
+
+def test_err_eval_cascade_properties(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["err_eval"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # ERR is bounded by the all-relevant-from-rank-1 cascade:
+        # sum(0.5^k / k for k = 1..10) and by 0 below
+        # 5e-7: err_r is rounded at 6 dp, so a saturated cascade can sit
+        # half an ulp-of-rounding above the exact bound
+        assert 0.0 <= r["err_r"] <= sum(0.5**k / k for k in range(1, 11)) + 5e-7
+        if r["hits10"] == 0:
+            assert r["err_r"] == 0.0
+        else:
+            # a single hit at rank 10 is the weakest nonzero outcome
+            assert r["err_r"] >= round(0.5 / 10, 6) - 1e-9
+
+
+def test_err_eval_agrees_with_mrr_on_first_hit(spark):
+    """The first-hit ERR term is exactly 0.5/rank_first = 0.5·RR, so
+    ERR ≥ 0.5·(1/rank of first relevant hit) with equality iff there is
+    exactly one relevant hit in the top 10."""
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    err = {r["query_id"]: r for r in QUERIES["err_eval"](spark, SF).collect()}
+    mrr = {r["query_id"]: r for r in QUERIES["mrr_eval"](spark, SF).collect()}
+    for qid, r in err.items():
+        rr_ppm = mrr[qid]["rr_ppm"]
+        if r["hits10"] == 1:
+            assert abs(r["err_r"] - 0.5 * rr_ppm / 1e6) < 2e-6
+        elif r["hits10"] > 1:
+            assert r["err_r"] > 0.5 * rr_ppm / 1e6 - 2e-6
