@@ -16246,6 +16246,80 @@ ORACLES.update(
         "err_eval": _err_sql(),
     }
 )
+
+
+def q_graphlet4_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete induced 4-node graphlet census (P4 / claw / paw / C4 /
+    diamond / K4) of the bounded co-order graph via the PGD/ESCAPE
+    closed-form aggregate inversion (pregel.four_node_census) — no
+    4-subset enumeration; the operator is validated against brute-force
+    enumeration on hand graphs in pytest and the SQL oracle replays the
+    identical integer aggregates + Möbius inversion."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    return pregel.four_node_census(und)
+
+
+_GRAPHLET4_SQL = """
+WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+tri AS MATERIALIZED (SELECT a.src AS x, a.dst AS y, b.dst AS z
+       FROM und a JOIN und b ON b.src = a.dst
+       JOIN und c ON c.src = a.src AND c.dst = b.dst),
+tv AS (SELECT v, COUNT(*) AS t FROM (
+         SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri) GROUP BY v),
+sup AS (SELECT u, w, COUNT(*) AS s FROM (
+          SELECT x AS u, y AS w FROM tri UNION ALL SELECT y, z FROM tri
+          UNION ALL SELECT x, z FROM tri) GROUP BY u, w),
+k4c AS (SELECT COUNT(*) AS k4 FROM tri
+        JOIN und e1 ON e1.src = tri.z
+        JOIN und e2 ON e2.src = tri.y AND e2.dst = e1.dst
+        JOIN und e3 ON e3.src = tri.x AND e3.dst = e1.dst),
+codeg AS (SELECT a.dst AS u, b.dst AS v, COUNT(*) AS c
+          FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+          GROUP BY a.dst, b.dst),
+dstats AS (SELECT COUNT(*) AS n,
+                  CAST(SUM(d) / 2 AS BIGINT) AS m,
+                  CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges,
+                  CAST(SUM(d * (d - 1) * (d - 2) / 6) AS BIGINT) AS claw_ni
+           FROM deg),
+tt AS (SELECT COUNT(*) AS t_total FROM tri),
+pawc AS (SELECT CAST(COALESCE(SUM(tv.t * (deg.d - 2)), 0) AS BIGINT) AS paw_ni
+         FROM tv JOIN deg ON deg.v = tv.v),
+diamc AS (SELECT CAST(COALESCE(SUM(s * (s - 1) / 2), 0) AS BIGINT) AS diam_ni
+          FROM sup),
+p4w AS (SELECT CAST(COALESCE(SUM((du.d - 1) * (dv.d - 1)), 0) AS BIGINT) AS p4_walks
+        FROM und JOIN deg du ON du.v = und.src JOIN deg dv ON dv.v = und.dst),
+c4c AS (SELECT CAST(COALESCE(SUM(c * (c - 1) / 2) / 2, 0) AS BIGINT) AS c4_ni
+        FROM codeg),
+raw AS (SELECT dstats.n, dstats.m, dstats.wedges, dstats.claw_ni,
+               tt.t_total, pawc.paw_ni, diamc.diam_ni,
+               p4w.p4_walks - 3 * tt.t_total AS p4_ni, c4c.c4_ni, k4c.k4
+        FROM dstats, tt, pawc, diamc, p4w, c4c, k4c),
+inv AS (SELECT *,
+               diam_ni - 6 * k4 AS i_diamond,
+               c4_ni - (diam_ni - 6 * k4) - 3 * k4 AS i_c4,
+               paw_ni - 4 * (diam_ni - 6 * k4) - 12 * k4 AS i_paw
+        FROM raw)
+SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+       CAST(wedges AS BIGINT) AS wedges,
+       CAST(t_total AS BIGINT) AS triangles,
+       CAST(p4_ni - 4 * i_c4 - 2 * i_paw - 6 * i_diamond - 12 * k4 AS BIGINT) AS i_p4,
+       CAST(claw_ni - i_paw - 2 * i_diamond - 4 * k4 AS BIGINT) AS i_claw,
+       CAST(i_paw AS BIGINT) AS i_paw,
+       CAST(i_c4 AS BIGINT) AS i_c4,
+       CAST(i_diamond AS BIGINT) AS i_diamond,
+       CAST(k4 AS BIGINT) AS i_k4
+FROM inv
+"""
+
+
+ORACLES.update({"graphlet4_census": _GRAPHLET4_SQL})
+QUERIES.update({"graphlet4_census": q_graphlet4_census})
 QUERIES.update(
     {
         "truss_components": q_truss_components,
@@ -16301,7 +16375,7 @@ _ROUND5_PRIORITY = [
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",
-    "molloy_reed", "sbm_likelihood", "err_eval",
+    "molloy_reed", "sbm_likelihood", "err_eval", "graphlet4_census",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

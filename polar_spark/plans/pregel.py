@@ -5196,3 +5196,145 @@ def odd_closed_walks(
         F.col("dist").cast("long").alias("odd_len"),
     )
     return out, stats
+
+
+def four_node_census(
+    edges: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Complete INDUCED 4-node graphlet census (the connected classes:
+    path P4, claw K1,3, paw = triangle+pendant, cycle C4, diamond =
+    K4−e, clique K4) via the closed-form aggregate inversion used by
+    PGD/ESCAPE (Ahmed et al. ICDM'15; Pinar et al. WWW'17) instead of
+    subgraph enumeration: every non-induced count is a degree /
+    triangle / edge-support / codegree aggregate —
+
+      wedges   = Σ_v C(d_v,2)            claw_ni = Σ_v C(d_v,3)
+      p4_ni    = Σ_e (d_u−1)(d_v−1) − 3T paw_ni  = Σ_v t_v·(d_v−2)
+      diam_ni  = Σ_e C(sup_e,2)          c4_ni   = ½ Σ_{u<v} C(codeg,2)
+
+    and the induced counts follow by Möbius inversion over the
+    containment lattice (K4 ⊃ diamond ⊃ {C4, paw} ⊃ {P4, claw}):
+      i_k4 = k4                i_diamond = diam_ni − 6·k4
+      i_c4 = c4_ni − i_diamond − 3·k4
+      i_paw = paw_ni − 4·i_diamond − 12·k4
+      i_claw = claw_ni − i_paw − 2·i_diamond − 4·k4
+      i_p4 = p4_ni − 4·i_c4 − 2·i_paw − 6·i_diamond − 12·k4
+
+    Everything is exact BIGINT arithmetic over id-ordered triangle /
+    clique joins (each subgraph found once), so the SQL oracle replays
+    it bit-for-bit.  Cost is the triangle-join + codegree-pair cost —
+    the scalable census shape (no 4-subset enumeration)."""
+    und = (
+        symmetrize(normalize_edges(edges))
+        .where(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    spark = und.sparkSession
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+
+    # canonical triangles (a < b < c), each exactly once
+    ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"]).localCheckpoint(eager=True)
+
+    tv = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    sup = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("s"))
+    )
+    # K4: canonical triangle + fourth vertex d > c adjacent to a, b, c
+    cd = und.select(F.col("src").alias("c"), F.col("dst").alias("d"))
+    bd = und.select(F.col("src").alias("b"), F.col("dst").alias("d"))
+    ad = und.select(F.col("src").alias("a"), F.col("dst").alias("d"))
+    k4 = (
+        tri.join(cd, "c").join(bd, ["b", "d"]).join(ad, ["a", "d"]).count()
+    )
+    # codegree pairs via id-ordered wedge enumeration (u < v sharing w)
+    wl = sym.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    wr = sym.select(F.col("dst").alias("w"), F.col("src").alias("v"))
+    codeg = (
+        wl.join(wr, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+    d_stats = deg.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("d") / 2).cast("long").alias("m"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wedges"),
+        F.sum(
+            F.col("d") * (F.col("d") - 1) * (F.col("d") - 2) / 6
+        ).cast("long").alias("claw_ni"),
+    ).collect()[0]
+    t_total = tri.count()
+    paw_ni = (
+        tv.join(deg.withColumnRenamed("src", "v"), "v")
+        .agg(F.sum(F.col("t") * (F.col("d") - 2)).cast("long").alias("x"))
+        .collect()[0]["x"]
+        or 0
+    )
+    diam_ni = (
+        sup.agg(F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("long").alias("x"))
+        .collect()[0]["x"]
+        or 0
+    )
+    p4_walks = (
+        und.join(deg.withColumnRenamed("src", "u_").alias("du"), F.col("src") == F.col("u_"))
+        .join(
+            deg.withColumnRenamed("src", "v_").withColumnRenamed("d", "d2").alias("dv"),
+            F.col("dst") == F.col("v_"),
+        )
+        .agg(F.sum((F.col("d") - 1) * (F.col("d2") - 1)).cast("long").alias("x"))
+        .collect()[0]["x"]
+        or 0
+    )
+    p4_ni = int(p4_walks) - 3 * int(t_total)
+    c4_ni = int(
+        (
+            codeg.agg(
+                (F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2).cast("long").alias("x")
+            ).collect()[0]["x"]
+            or 0
+        )
+    )
+    i_k4 = int(k4)
+    i_diamond = int(diam_ni) - 6 * i_k4
+    i_c4 = c4_ni - i_diamond - 3 * i_k4
+    i_paw = int(paw_ni) - 4 * i_diamond - 12 * i_k4
+    i_claw = int(d_stats["claw_ni"]) - i_paw - 2 * i_diamond - 4 * i_k4
+    i_p4 = p4_ni - 4 * i_c4 - 2 * i_paw - 6 * i_diamond - 12 * i_k4
+    und.unpersist()
+    tri.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(d_stats["n"]),
+                int(d_stats["m"]),
+                int(d_stats["wedges"]),
+                int(t_total),
+                i_p4,
+                i_claw,
+                i_paw,
+                i_c4,
+                i_diamond,
+                i_k4,
+            )
+        ],
+        "n long, m long, wedges long, triangles long, i_p4 long, i_claw long,"
+        " i_paw long, i_c4 long, i_diamond long, i_k4 long",
+    )

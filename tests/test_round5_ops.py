@@ -2033,3 +2033,83 @@ def test_err_eval_agrees_with_mrr_on_first_hit(spark):
             assert abs(r["err_r"] - 0.5 * rr_ppm / 1e6) < 2e-6
         elif r["hits10"] > 1:
             assert r["err_r"] > 0.5 * rr_ppm / 1e6 - 2e-6
+
+
+# ------------------------------------------------- 4-node graphlets
+
+
+def _brute_graphlet4(edges):
+    from itertools import combinations
+
+    es = {tuple(sorted(e)) for e in edges}
+    vs = sorted({x for e in es for x in e})
+    cnt = dict(p4=0, claw=0, paw=0, c4=0, diamond=0, k4=0)
+    for quad in combinations(vs, 4):
+        sub = [e for e in combinations(quad, 2) if e in es]
+        k = len(sub)
+        degs = sorted(sum(1 for e in sub if v in e) for v in quad)
+        if k == 3:
+            if degs == [1, 1, 2, 2]:
+                cnt["p4"] += 1
+            elif degs == [1, 1, 1, 3]:
+                cnt["claw"] += 1
+        elif k == 4:
+            if degs == [1, 2, 2, 3]:
+                cnt["paw"] += 1
+            elif degs == [2, 2, 2, 2]:
+                cnt["c4"] += 1
+        elif k == 5:
+            cnt["diamond"] += 1
+        elif k == 6:
+            cnt["k4"] += 1
+    return cnt
+
+
+def test_four_node_census_vs_bruteforce(spark):
+    cases = {
+        "C5": [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)],
+        "K5": [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],
+        "star5": [(0, i) for i in range(1, 6)],
+        "paw": [(1, 2), (2, 3), (3, 1), (1, 4)],
+        "diamond": [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)],
+        "det25": [
+            (a, b)
+            for a in range(25)
+            for b in range(a + 1, 25)
+            if (a * 31 + b * 17 + a * b) % 7 < 2
+        ],
+    }
+    for name, es in cases.items():
+        got = pregel.four_node_census(_edges(spark, es)).collect()[0]
+        want = _brute_graphlet4(es)
+        assert (
+            got["i_p4"],
+            got["i_claw"],
+            got["i_paw"],
+            got["i_c4"],
+            got["i_diamond"],
+            got["i_k4"],
+        ) == (
+            want["p4"],
+            want["claw"],
+            want["paw"],
+            want["c4"],
+            want["diamond"],
+            want["k4"],
+        ), name
+
+
+def test_graphlet4_census_consistency(spark):
+    """Census scalars must agree with the already-verified standalone
+    motif queries on their shared substructures."""
+    from polar_spark.operators.analytics_queries import QUERIES, coorder_edges
+
+    row = QUERIES["graphlet4_census"](spark, SF).collect()[0]
+    und = coorder_edges(spark, SF).where((F.col("src") < 400) & (F.col("dst") < 400))
+    assert row["m"] == und.count()
+    per_vertex, total = pregel.triangle_count(und)
+    assert row["triangles"] == total
+    assert all(
+        row[k] >= 0
+        for k in ("i_p4", "i_claw", "i_paw", "i_c4", "i_diamond", "i_k4")
+    )
