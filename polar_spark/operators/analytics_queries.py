@@ -16320,6 +16320,126 @@ FROM inv
 
 ORACLES.update({"graphlet4_census": _GRAPHLET4_SQL})
 QUERIES.update({"graphlet4_census": q_graphlet4_census})
+
+
+def q_nbt_centrality3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-backtracking walk centrality (Martin-Zhang-Newman 2014, the
+    Hashimoto-matrix power iteration that fixes eigenvector
+    centrality's hub-self-inflation): state lives on DIRECTED EDGES,
+    x'_{(v,w)} = Σ_{(u,v), u≠w} x_{(u,v)} — each round one
+    join-aggregate with the backtrack-exclusion predicate.  Run 3
+    rounds UNNORMALIZED from x₀ = 1, so x₃ is the exact INTEGER count
+    of non-backtracking walks of length 3 ending on each edge, and the
+    per-vertex centrality Σ_{e into v} x₃(e) is BIGINT-exact
+    cross-engine (bounded graph keeps counts < 2^40)."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    e = _sym(und).localCheckpoint(eager=True)
+    x = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).cast("long").alias("x"))
+    for _ in range(3):
+        x = (
+            x.join(e.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v")
+            .where(F.col("w") != F.col("u"))
+            .groupBy(F.col("v").alias("u"), F.col("w").alias("v"))
+            .agg(F.sum("x").cast("long").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        x.groupBy(F.col("v").alias("id"))
+        .agg(F.sum("x").cast("long").alias("nbt3"))
+        .select(F.col("id").cast("long"), "nbt3")
+        .orderBy("id")
+    )
+
+
+_NBT_ROUND = """,
+x{K} AS MATERIALIZED (
+  SELECT p.v AS u, e.dst AS v, SUM(p.x) AS x
+  FROM x{KM1} p JOIN e ON e.src = p.v AND e.dst != p.u
+  GROUP BY p.v, e.dst)"""
+
+
+def _nbt_sql(n_iter: int = 3) -> str:
+    rounds = "".join(_NBT_ROUND.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+x0 AS (SELECT src AS u, dst AS v, CAST(1 AS BIGINT) AS x FROM e)
+{rounds}
+SELECT CAST(v AS BIGINT) AS id, CAST(SUM(x) AS BIGINT) AS nbt3
+FROM x{n_iter} GROUP BY v ORDER BY id
+"""
+
+
+def q_forman_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forman-Ricci edge-curvature distribution (Sreejith et al. 2016,
+    the triangle-augmented combinatorial form F(e) = 4 − d_u − d_v +
+    3·t_e) over the co-order graph: negatively curved edges are the
+    bridges/bottlenecks information flow crowds through, positive ones
+    sit inside dense communities.  Degrees + per-edge triangle support
+    (the id-ordered triangle join) make it one pass of exact integers;
+    reported as the curvature histogram."""
+    und = coorder_edges(spark, sf_dir)
+    sym = _sym(und)
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    sup = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    curved = (
+        und.join(sup, ["src", "dst"], "left")
+        .join(deg.select(F.col("src"), F.col("d").alias("du")), "src")
+        .join(deg.select(F.col("src").alias("dst"), F.col("d").alias("dv")), "dst")
+        .select(
+            (
+                F.lit(4)
+                - F.col("du")
+                - F.col("dv")
+                + F.lit(3) * F.coalesce(F.col("t"), F.lit(0))
+            ).cast("long").alias("curv")
+        )
+    )
+    return (
+        curved.groupBy("curv")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+        .orderBy("curv")
+    )
+
+
+_FORMAN_SQL = f"""
+WITH {_COORDER_SQL}, {_SYM_SQL},
+deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM und a JOIN und b ON b.src = a.dst
+        JOIN und c ON c.src = a.src AND c.dst = b.dst),
+sup AS (SELECT u, w, COUNT(*) AS t FROM (
+          SELECT x AS u, y AS w FROM tri UNION ALL SELECT y, z FROM tri
+          UNION ALL SELECT x, z FROM tri) GROUP BY u, w),
+curved AS (SELECT 4 - du.d - dv.d + 3 * COALESCE(sup.t, 0) AS curv
+           FROM und
+           LEFT JOIN sup ON sup.u = und.src AND sup.w = und.dst
+           JOIN deg du ON du.v = und.src
+           JOIN deg dv ON dv.v = und.dst)
+SELECT CAST(curv AS BIGINT) AS curv, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM curved GROUP BY curv ORDER BY curv
+"""
+
+
+ORACLES.update(
+    {"nbt_centrality3": _nbt_sql(3), "forman_curvature": _FORMAN_SQL}
+)
+QUERIES.update(
+    {"nbt_centrality3": q_nbt_centrality3, "forman_curvature": q_forman_curvature}
+)
 QUERIES.update(
     {
         "truss_components": q_truss_components,
@@ -16376,6 +16496,7 @@ _ROUND5_PRIORITY = [
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",
     "molloy_reed", "sbm_likelihood", "err_eval", "graphlet4_census",
+    "nbt_centrality3", "forman_curvature",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -2113,3 +2113,76 @@ def test_graphlet4_census_consistency(spark):
         row[k] >= 0
         for k in ("i_p4", "i_claw", "i_paw", "i_c4", "i_diamond", "i_k4")
     )
+
+
+# ------------------------------------------------- non-backtracking
+
+
+def test_nbt_centrality_hand_counts(spark):
+    """Triangle 1-2-3: from any directed edge there is exactly one
+    non-backtracking continuation (go around), so x stays 1 on all 6
+    directed edges for every round -> nbt3(v) = 2 per vertex.  Path
+    1-2-3: every length-3 walk must backtrack -> all zero (vertices
+    absent from the non-empty x3 sums)."""
+    from polar_spark.operators.analytics_queries import QUERIES  # noqa: F401
+
+    def nbt3(pairs):
+        e = _edges(spark, pairs)
+        sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        x = sym.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).cast("long").alias("x"))
+        for _ in range(3):
+            x = (
+                x.join(sym.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v")
+                .where(F.col("w") != F.col("u"))
+                .groupBy(F.col("v").alias("u"), F.col("w").alias("v"))
+                .agg(F.sum("x").cast("long").alias("x"))
+            )
+        return {
+            r["v"]: r["s"]
+            for r in x.groupBy("v").agg(F.sum("x").alias("s")).collect()
+        }
+
+    assert nbt3([(1, 2), (2, 3), (3, 1)]) == {1: 2, 2: 2, 3: 2}
+    assert nbt3([(1, 2), (2, 3)]) == {}
+    # C4: one continuation per step, never closes within 3 -> x stays 1,
+    # every vertex receives 2 incoming directed edges
+    assert nbt3([(1, 2), (2, 3), (3, 4), (4, 1)]) == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_forman_curvature_hand_values(spark):
+    """Star K1,3: every edge has d_u=3, d_v=1, t=0 -> curv 0; triangle:
+    d=2,2,t=1 -> curv 4-2-2+3 = 3."""
+    from polar_spark.operators.analytics_queries import _sym  # noqa: F401
+
+    def curv_hist(pairs):
+        # canonical src < dst edges, as coorder_edges produces
+        und = _edges(spark, pairs)
+        sym = und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+        ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        tri = ab.join(bc, "b").join(ac, ["a", "c"])
+        sup = (
+            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+            .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+            .groupBy("src", "dst").agg(F.count("*").alias("t"))
+        )
+        rows = (
+            und.join(sup, ["src", "dst"], "left")
+            .join(deg.select(F.col("src"), F.col("d").alias("du")), "src")
+            .join(deg.select(F.col("src").alias("dst"), F.col("d").alias("dv")), "dst")
+            .select((F.lit(4) - F.col("du") - F.col("dv") + F.lit(3) * F.coalesce(F.col("t"), F.lit(0))).alias("curv"))
+            .collect()
+        )
+        out: dict[int, int] = {}
+        for r in rows:
+            out[r["curv"]] = out.get(r["curv"], 0) + 1
+        return out
+
+    assert curv_hist([(0, 1), (0, 2), (0, 3)]) == {0: 3}
+    assert curv_hist([(1, 2), (2, 3), (1, 3)]) == {3: 3}
+    # triangle + pendant on 1: edge (1,4): 4-3-1+0 = 0; edges (1,2),(1,3):
+    # 4-3-2+3 = 2; edge (2,3): 4-2-2+3 = 3
+    assert curv_hist([(1, 2), (2, 3), (1, 3), (1, 4)]) == {0: 1, 2: 2, 3: 1}
