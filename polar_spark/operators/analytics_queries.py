@@ -16440,6 +16440,54 @@ ORACLES.update(
 QUERIES.update(
     {"nbt_centrality3": q_nbt_centrality3, "forman_curvature": q_forman_curvature}
 )
+
+
+def q_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granovetter local bridges with span (pregel.local_bridges) on the
+    bounded co-order graph: embeddedness-0 edges (the weak ties
+    tie_overlap histograms) plus HOW weak — the detour distance once
+    the tie is cut, from one simultaneous keyed BFS over G−e per
+    bridge, capped at 8 (span −1 = endpoints ≥ 9 apart or
+    disconnected)."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    out, _stats = pregel.local_bridges(und, max_span=8)
+    return out.orderBy("u", "v")
+
+
+_LOCAL_BRIDGES_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM und a JOIN und b ON b.src = a.dst
+        JOIN und c ON c.src = a.src AND c.dst = b.dst),
+supd AS (SELECT DISTINCT u, w FROM (
+           SELECT x AS u, y AS w FROM tri UNION ALL SELECT y, z FROM tri
+           UNION ALL SELECT x, z FROM tri)),
+bridges AS (SELECT und.src AS bu, und.dst AS bv FROM und
+            LEFT JOIN supd ON supd.u = und.src AND supd.w = und.dst
+            WHERE supd.u IS NULL),
+reach(bu, bv, id, d) AS (
+    SELECT bu, bv, bu, 0 FROM bridges
+    UNION
+    SELECT r.bu, r.bv, e.dst, r.d + 1
+    FROM reach r JOIN e ON e.src = r.id
+    WHERE r.d < 8
+      AND NOT ((e.src = r.bu AND e.dst = r.bv)
+               OR (e.src = r.bv AND e.dst = r.bu))
+),
+dmin AS (SELECT bu, bv, MIN(d) AS span FROM reach WHERE id = bv GROUP BY bu, bv)
+SELECT CAST(b.bu AS BIGINT) AS u, CAST(b.bv AS BIGINT) AS v,
+       CAST(COALESCE(dmin.span, -1) AS BIGINT) AS span
+FROM bridges b LEFT JOIN dmin ON dmin.bu = b.bu AND dmin.bv = b.bv
+ORDER BY u, v
+"""
+
+
+ORACLES.update({"local_bridges": _LOCAL_BRIDGES_SQL})
+QUERIES.update({"local_bridges": q_local_bridges})
 QUERIES.update(
     {
         "truss_components": q_truss_components,
@@ -16496,7 +16544,7 @@ _ROUND5_PRIORITY = [
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",
     "molloy_reed", "sbm_likelihood", "err_eval", "graphlet4_census",
-    "nbt_centrality3", "forman_curvature",
+    "nbt_centrality3", "forman_curvature", "local_bridges",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -5338,3 +5338,83 @@ def four_node_census(
         "n long, m long, wedges long, triangles long, i_p4 long, i_claw long,"
         " i_paw long, i_c4 long, i_diamond long, i_k4 long",
     )
+
+
+def local_bridges(
+    edges: DataFrame,
+    max_span: int = 8,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Local bridges with span (Granovetter; Easley-Kleinberg ch. 3):
+    an edge (u, v) is a LOCAL BRIDGE iff its endpoints share no common
+    neighbor (triangle support 0 — embeddedness 0), and its span is the
+    u→v distance once the edge itself is removed (≥ 3 by definition;
+    the higher the span, the more the tie brokers).  Support comes from
+    the id-ordered triangle join; spans come from ONE keyed BFS — state
+    ``(bu, bv, id, dist)``, every bridge advancing simultaneously, the
+    excluded edge carried in the key so each key relaxes over G − e —
+    bounded at ``max_span`` rounds.  Returns (u, v, span) with span −1
+    when u and v are further than ``max_span`` apart (or disconnected)
+    after removal."""
+    und0 = (
+        symmetrize(normalize_edges(edges))
+        .where(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    spark = und0.sparkSession
+    sym = und0.unionByName(
+        und0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    ab = und0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = und0.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = und0.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    sup = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        .distinct()
+    )
+    bridges = und0.join(sup, ["src", "dst"], "left_anti").select(
+        F.col("src").alias("bu"), F.col("dst").alias("bv")
+    ).localCheckpoint(eager=True)
+    stats = IterationStats(algorithm="local_bridges", edges=sym.count() // 2)
+    frontier = bridges.select("bu", "bv", F.col("bu").alias("id"), F.lit(0).alias("dist"))
+    visited = frontier.localCheckpoint(eager=True)
+    found = None
+    frontier = visited
+    for depth in range(1, max_span + 1):
+        step = (
+            frontier.join(sym.withColumnRenamed("src", "id"), "id")
+            .where(
+                ~(
+                    ((F.col("id") == F.col("bu")) & (F.col("dst") == F.col("bv")))
+                    | ((F.col("id") == F.col("bv")) & (F.col("dst") == F.col("bu")))
+                )
+            )
+            .select("bu", "bv", F.col("dst").alias("id"), F.lit(depth).alias("dist"))
+            .dropDuplicates(["bu", "bv", "id"])
+            .join(visited.select("bu", "bv", "id"), ["bu", "bv", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n = step.count()
+        stats.iterations = depth
+        stats.deltas.append(float(n))
+        if n == 0:
+            stats.converged = True
+            break
+        visited = visited.unionByName(step).localCheckpoint(eager=True)
+        frontier = step
+    found = visited.where(F.col("id") == F.col("bv")).select(
+        "bu", "bv", F.col("dist").alias("span")
+    )
+    out = (
+        bridges.join(found, ["bu", "bv"], "left")
+        .select(
+            F.col("bu").cast("long").alias("u"),
+            F.col("bv").cast("long").alias("v"),
+            F.coalesce(F.col("span"), F.lit(-1)).cast("long").alias("span"),
+        )
+    )
+    und0.unpersist()
+    return out, stats

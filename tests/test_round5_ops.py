@@ -2186,3 +2186,38 @@ def test_forman_curvature_hand_values(spark):
     # triangle + pendant on 1: edge (1,4): 4-3-1+0 = 0; edges (1,2),(1,3):
     # 4-3-2+3 = 2; edge (2,3): 4-2-2+3 = 3
     assert curv_hist([(1, 2), (2, 3), (1, 3), (1, 4)]) == {0: 1, 2: 2, 3: 1}
+
+
+# ------------------------------------------------- local bridges
+
+
+def test_local_bridges_hand_graphs(spark):
+    # two triangles joined by one edge (3,4): that edge has no common
+    # neighbor -> local bridge; removing it leaves 3 and 4 disconnected
+    # -> span -1.  Triangle edges are embedded (support 1) -> not bridges.
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)])
+    out, _ = pregel.local_bridges(e, max_span=8)
+    assert [(r["u"], r["v"], r["span"]) for r in out.collect()] == [(3, 4, -1)]
+
+    # C5: every edge is a local bridge (no triangles) with span 4
+    # (the detour around the cycle)
+    c5 = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)])
+    out5, _ = pregel.local_bridges(c5, max_span=8)
+    rows5 = sorted((r["u"], r["v"], r["span"]) for r in out5.collect())
+    assert len(rows5) == 5 and all(s == 4 for _, _, s in rows5)
+
+    # C5 with max_span 3: the detour exceeds the cap -> -1 everywhere
+    out5c, _ = pregel.local_bridges(c5, max_span=3)
+    assert all(r["span"] == -1 for r in out5c.collect())
+
+
+def test_local_bridges_span_at_least_three(spark):
+    """By definition a local bridge's span is >= 3 when finite: span 2
+    would mean a common neighbor (not a bridge); span 1 would mean a
+    parallel edge."""
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["local_bridges"](spark, "/root/testdata/sf0.01").collect()
+    assert rows, "sf0.01 bounded co-order graph should have bridges"
+    for r in rows:
+        assert r["span"] == -1 or r["span"] >= 3
