@@ -16488,6 +16488,179 @@ ORDER BY u, v
 
 ORACLES.update({"local_bridges": _LOCAL_BRIDGES_SQL})
 QUERIES.update({"local_bridges": q_local_bridges})
+
+
+def q_two_edge_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-edge-connected components of the bounded co-order graph: every
+    support-0 edge whose endpoints stay CONNECTED after removal is a
+    mere local bridge, but the ones that don't are true cut edges —
+    pregel.local_bridges run to CONVERGENCE (max_span 40 ≫ diameter;
+    raises if the keyed BFS didn't drain) makes span = −1 exactly the
+    global bridge set, and hash-min CC over the bridge-free edge set
+    gives the 2-edge-connected components (vertices incident only to
+    bridges become singletons).  The robustness partition: inside a
+    component, NO single link failure can disconnect."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    lb, stats = pregel.local_bridges(und, max_span=40)
+    if not stats.converged and stats.iterations >= 40:
+        raise RuntimeError("bridge BFS did not drain within 40 rounds")
+    bridges = lb.where(F.col("span") == -1).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    rest = und.join(bridges, ["src", "dst"], "left_anti")
+    comp, _ = pregel.connected_components(rest)
+    verts = (
+        und.select(F.col("src").alias("id"))
+        .unionByName(und.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    singles = verts.join(comp.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    return (
+        comp.select("id", "comp")
+        .unionByName(singles)
+        .select(F.col("id").cast("long"), F.col("comp").cast("long"))
+        .orderBy("id")
+    )
+
+
+_TWO_EDGE_CC_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM und a JOIN und b ON b.src = a.dst
+        JOIN und c ON c.src = a.src AND c.dst = b.dst),
+supd AS (SELECT DISTINCT u, w FROM (
+           SELECT x AS u, y AS w FROM tri UNION ALL SELECT y, z FROM tri
+           UNION ALL SELECT x, z FROM tri)),
+cand AS (SELECT und.src AS bu, und.dst AS bv FROM und
+         LEFT JOIN supd ON supd.u = und.src AND supd.w = und.dst
+         WHERE supd.u IS NULL),
+-- reachability only (no depth column): dedup on (bu, bv, id) keeps the
+-- working set <= |cand| x |V| instead of re-admitting every vertex at
+-- every walk parity/depth
+reach(bu, bv, id) AS (
+    SELECT bu, bv, bu FROM cand
+    UNION
+    SELECT r.bu, r.bv, e.dst
+    FROM reach r JOIN e ON e.src = r.id
+    WHERE NOT ((e.src = r.bu AND e.dst = r.bv)
+               OR (e.src = r.bv AND e.dst = r.bu))
+),
+alive AS (SELECT DISTINCT bu, bv FROM reach WHERE id = bv),
+realb AS (SELECT c.bu, c.bv FROM cand c
+          LEFT JOIN alive a ON a.bu = c.bu AND a.bv = c.bv
+          WHERE a.bu IS NULL),
+rest AS (SELECT und.src, und.dst FROM und
+         LEFT JOIN realb ON realb.bu = und.src AND realb.bv = und.dst
+         WHERE realb.bu IS NULL),
+re AS (SELECT src, dst FROM rest UNION ALL SELECT dst, src FROM rest),
+verts AS (SELECT DISTINCT src AS id FROM e),
+cc(id, comp) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT re.dst, c.comp FROM cc c JOIN re ON re.src = c.id
+    WHERE c.comp < re.dst
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(comp) AS BIGINT) AS comp
+FROM cc GROUP BY id ORDER BY id
+"""
+
+
+def q_packing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency CURVE: the seq_packing layout
+    (concatenate-and-chunk with 1 EOD separator, two-phase distributed
+    prefix sum) evaluated at context lengths 128 / 512 / 2048 / 8192 —
+    per length: total sequences, documents split across a boundary
+    (exact ppm), and tail padding waste.  The context-length trade-off
+    table a training-data engineer reads before fixing seq_len; all
+    integers."""
+    from polar_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    outs = []
+    for seq_len in (128, 512, 2048, 8192):
+        out = pack_sequences(toks, seq_len=seq_len, buckets=32)
+        agg = out.agg(
+            F.lit(seq_len).cast("long").alias("seq_len"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("n_tokens") + 1).cast("long").alias("stream_tokens"),
+            F.sum((F.col("first_seq") != F.col("last_seq")).cast("long"))
+            .cast("long")
+            .alias("n_split"),
+        ).select(
+            "seq_len",
+            "n_docs",
+            "stream_tokens",
+            F.ceil(F.col("stream_tokens") / F.lit(float(seq_len)))
+            .cast("long")
+            .alias("n_seqs"),
+            "n_split",
+            F.floor(F.col("n_split") * 1_000_000 / F.col("n_docs"))
+            .cast("long")
+            .alias("split_ppm"),
+        )
+        outs.append(agg)
+    cur = outs[0]
+    for o in outs[1:]:
+        cur = cur.unionByName(o)
+    return cur.select(
+        "seq_len",
+        "n_docs",
+        "stream_tokens",
+        "n_seqs",
+        "n_split",
+        "split_ppm",
+        (F.col("n_seqs") * F.col("seq_len") - F.col("stream_tokens"))
+        .cast("long")
+        .alias("tail_waste"),
+    ).orderBy("seq_len")
+
+
+_PACKING_CURVE_SQL = """
+WITH toks AS (SELECT doc_id,
+                     CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+offs AS (SELECT doc_id, n_tokens,
+                SUM(n_tokens + 1) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                  - (n_tokens + 1) AS start_offset
+         FROM toks),
+lens(seq_len) AS (VALUES (128), (512), (2048), (8192)),
+per AS (SELECT l.seq_len, o.doc_id, o.n_tokens, o.start_offset,
+               CAST(FLOOR(o.start_offset / (l.seq_len * 1.0)) AS BIGINT) AS first_seq,
+               CAST(FLOOR((o.start_offset + GREATEST(o.n_tokens, 1) - 1)
+                          / (l.seq_len * 1.0)) AS BIGINT) AS last_seq
+        FROM lens l CROSS JOIN offs o),
+agg AS (SELECT seq_len,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens + 1) AS stream_tokens,
+               SUM(CASE WHEN first_seq != last_seq THEN 1 ELSE 0 END) AS n_split
+        FROM per GROUP BY seq_len)
+SELECT CAST(seq_len AS BIGINT) AS seq_len,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(stream_tokens AS BIGINT) AS stream_tokens,
+       CAST(CEIL(stream_tokens / (seq_len * 1.0)) AS BIGINT) AS n_seqs,
+       CAST(n_split AS BIGINT) AS n_split,
+       CAST(FLOOR(n_split * 1000000 / n_docs) AS BIGINT) AS split_ppm,
+       CAST(CAST(CEIL(stream_tokens / (seq_len * 1.0)) AS BIGINT) * seq_len
+            - stream_tokens AS BIGINT) AS tail_waste
+FROM agg ORDER BY seq_len
+"""
+
+
+ORACLES.update(
+    {"two_edge_cc": _TWO_EDGE_CC_SQL, "packing_curve": _PACKING_CURVE_SQL}
+)
+QUERIES.update({"two_edge_cc": q_two_edge_cc, "packing_curve": q_packing_curve})
 QUERIES.update(
     {
         "truss_components": q_truss_components,
@@ -16545,6 +16718,7 @@ _ROUND5_PRIORITY = [
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",
     "molloy_reed", "sbm_likelihood", "err_eval", "graphlet4_census",
     "nbt_centrality3", "forman_curvature", "local_bridges",
+    "two_edge_cc", "packing_curve",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -2221,3 +2221,56 @@ def test_local_bridges_span_at_least_three(spark):
     assert rows, "sf0.01 bounded co-order graph should have bridges"
     for r in rows:
         assert r["span"] == -1 or r["span"] >= 3
+
+
+# ------------------------------------------------- 2-edge-connected
+
+
+def test_two_edge_cc_hand_graph(spark):
+    """Two triangles joined by a bridge: the bridge is a cut edge, so
+    the 2ecc partition separates the triangles; a C4 joined by TWO
+    parallel-ish paths stays one component."""
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)])
+    lb, stats = pregel.local_bridges(e, max_span=40)
+    assert stats.converged
+    bridges = {(r["u"], r["v"]) for r in lb.where(F.col("span") == -1).collect()}
+    assert bridges == {(3, 4)}
+    # C5 has local bridges (span 4) but NO cut edges -> one 2ecc
+    c5 = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)])
+    lb5, _ = pregel.local_bridges(c5, max_span=40)
+    assert lb5.where(F.col("span") == -1).count() == 0
+
+
+def test_two_edge_cc_query_partition(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["two_edge_cc"](spark, SF).collect()
+    comp = {r["id"]: r["comp"] for r in rows}
+    # rep is the component minimum
+    by_comp: dict[int, list[int]] = {}
+    for v, c in comp.items():
+        by_comp.setdefault(c, []).append(v)
+    for c, vs in by_comp.items():
+        assert c == min(vs)
+
+
+# ------------------------------------------------- packing curve
+
+
+def test_packing_curve_monotonicity(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = sorted(
+        QUERIES["packing_curve"](spark, SF).collect(), key=lambda r: r["seq_len"]
+    )
+    assert [r["seq_len"] for r in rows] == [128, 512, 2048, 8192]
+    st = {r["seq_len"]: r for r in rows}
+    stream = rows[0]["stream_tokens"]
+    for r in rows:
+        assert r["stream_tokens"] == stream
+        assert r["n_seqs"] == -(-stream // r["seq_len"])
+        assert r["tail_waste"] == r["n_seqs"] * r["seq_len"] - stream
+        assert 0 <= r["split_ppm"] <= 1_000_000
+    # longer contexts split MORE docs (boundaries are rarer but docs
+    # are small): split count must be non-increasing with seq_len
+    assert st[128]["n_split"] >= st[512]["n_split"] >= st[2048]["n_split"] >= st[8192]["n_split"]
