@@ -16661,6 +16661,104 @@ ORACLES.update(
     {"two_edge_cc": _TWO_EDGE_CC_SQL, "packing_curve": _PACKING_CURVE_SQL}
 )
 QUERIES.update({"two_edge_cc": q_two_edge_cc, "packing_curve": q_packing_curve})
+
+
+def q_dbscan_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN* (Campello et al. 2013 — the core-points-only DBSCAN that
+    HDBSCAN generalizes) over the embeddings in cosine distance:
+    core_dist = 4th-NN distance (rounded 7 dp, the cosine_pairs parity
+    margin), core points have core_dist ≤ ε = 0.68, clusters =
+    connected components of core-core pairs within ε, everything else
+    noise (−1).  The density-based family member next to kmeans8
+    (centroidal), snn_clusters (shared-neighbor) and embed_neardup
+    (global threshold); ε measured non-degenerate at sf0.001 AND sf0.01
+    (12/11 clusters, ~20% core).  At scale the pair join is the
+    LSH-bucketed candidate path (similarity.py); exact here for the
+    oracle."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pd_ = (
+        q.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(F.lit(1.0) - dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 7).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wk = Window.partitionBy("qid").orderBy("d", "nid")
+    core = (
+        pd_.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") == 4)
+        .select("qid", F.col("d").alias("core_d"))
+    )
+    cores = core.where(F.col("core_d") <= 0.68).select("qid").localCheckpoint(eager=True)
+    e = (
+        pd_.join(cores, "qid")
+        .join(cores.select(F.col("qid").alias("nid")), "nid")
+        .where(F.col("d") <= 0.68)
+        .select(F.col("qid").alias("src"), F.col("nid").alias("dst"))
+    )
+    comp, _ = pregel.connected_components(e)
+    clustered = comp.select(F.col("id").alias("vec_id"), F.col("comp").alias("cluster"))
+    # core points with no core neighbor within eps are their own cluster
+    lone = cores.join(
+        clustered.select(F.col("vec_id").alias("qid")), "qid", "left_anti"
+    ).select(F.col("qid").alias("vec_id"), F.col("qid").alias("cluster"))
+    noise = emb.select("vec_id").join(
+        cores.select(F.col("qid").alias("vec_id")), "vec_id", "left_anti"
+    ).select("vec_id", F.lit(-1).cast("long").alias("cluster"))
+    return (
+        clustered.unionByName(lone)
+        .unionByName(noise)
+        .select(F.col("vec_id").cast("long"), F.col("cluster").cast("long"))
+        .orderBy("vec_id")
+    )
+
+
+_DBSCAN_SQL = """
+WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+pd AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+              ROUND(1 - list_cosine_similarity(a.v, b.v), 7) AS d
+       FROM emb a JOIN emb b ON a.vec_id != b.vec_id),
+core AS (SELECT qid, d AS core_d FROM (
+           SELECT qid, d, ROW_NUMBER() OVER (PARTITION BY qid
+                                             ORDER BY d, nid) AS rn
+           FROM pd) t WHERE rn = 4),
+cores AS (SELECT qid FROM core WHERE core_d <= 0.68),
+e AS (SELECT pd.qid AS src, pd.nid AS dst FROM pd
+      JOIN cores ca ON ca.qid = pd.qid
+      JOIN cores cb ON cb.qid = pd.nid
+      WHERE pd.d <= 0.68),
+verts AS (SELECT qid AS id FROM cores),
+cc(id, comp) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.dst, c.comp FROM cc c JOIN e ON e.src = c.id
+    WHERE c.comp < e.dst
+),
+fin AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+SELECT CAST(emb.vec_id AS BIGINT) AS vec_id,
+       CAST(COALESCE(fin.comp, -1) AS BIGINT) AS cluster
+FROM emb LEFT JOIN fin ON fin.id = emb.vec_id
+ORDER BY vec_id
+"""
+
+
+ORACLES.update({"dbscan_star": _DBSCAN_SQL})
+QUERIES.update({"dbscan_star": q_dbscan_star})
 QUERIES.update(
     {
         "truss_components": q_truss_components,
@@ -16718,7 +16816,7 @@ _ROUND5_PRIORITY = [
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",
     "molloy_reed", "sbm_likelihood", "err_eval", "graphlet4_census",
     "nbt_centrality3", "forman_curvature", "local_bridges",
-    "two_edge_cc", "packing_curve",
+    "two_edge_cc", "packing_curve", "dbscan_star",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -2274,3 +2274,45 @@ def test_packing_curve_monotonicity(spark):
     # longer contexts split MORE docs (boundaries are rarer but docs
     # are small): split count must be non-increasing with seq_len
     assert st[128]["n_split"] >= st[512]["n_split"] >= st[2048]["n_split"] >= st[8192]["n_split"]
+
+
+# ------------------------------------------------- DBSCAN*
+
+
+def test_dbscan_star_golden_recompute(spark):
+    import numpy as np
+
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = {r["vec_id"]: r["cluster"] for r in QUERIES["dbscan_star"](spark, SF).collect()}
+    recs = load_table(spark, "embeddings", SF).select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in recs]
+    m = np.array([r["embedding"] for r in recs], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    d = np.round(1.0 - m @ m.T, 7)
+    core = set()
+    for i, vid in enumerate(ids):
+        ds = sorted((d[i, j], ids[j]) for j in range(len(ids)) if j != i)
+        if ds[3][0] <= 0.68:
+            core.add(vid)
+    idx = {v: i for i, v in enumerate(ids)}
+    parent = {v: v for v in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    cl = sorted(core)
+    for i, u in enumerate(cl):
+        for v in cl[i + 1 :]:
+            if d[idx[u], idx[v]] <= 0.68:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+    golden = {v: (find(v) if v in core else -1) for v in ids}
+    assert rows == golden
+    n_clusters = len({c for c in rows.values() if c != -1})
+    assert n_clusters >= 2, "eps chosen to be non-degenerate"
+    assert any(c == -1 for c in rows.values()), "noise must exist"
