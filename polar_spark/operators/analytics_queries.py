@@ -16759,6 +16759,139 @@ ORDER BY vec_id
 
 ORACLES.update({"dbscan_star": _DBSCAN_SQL})
 QUERIES.update({"dbscan_star": q_dbscan_star})
+
+
+def q_absorb_funnel6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain funnel: P(user reaches 'purchase' before 'error')
+    from each transient event state, by 6 rounds of value iteration on
+    the empirical per-user transition matrix (consecutive events ordered
+    by ts, event_id) with the two absorbing states pinned at 1/0 — the
+    truncated-horizon lower bound, exact for walks absorbing within 6
+    steps (the hitting_time6 posture).  Transition probabilities are
+    ratios of exact integer counts, so the 6-dp rounded values are
+    cross-engine stable."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = ev.select(
+        F.col("event_type").alias("s"), F.lead("event_type").over(w).alias("t")
+    ).where(F.col("t").isNotNull())
+    cnt = pair.groupBy("s", "t").agg(F.count("*").cast("long").alias("n"))
+    tot = cnt.groupBy("s").agg(F.sum("n").cast("long").alias("ns"))
+    prob = cnt.join(tot, "s").select(
+        "s", "t", (F.col("n").cast("double") / F.col("ns").cast("double")).alias("p")
+    ).localCheckpoint(eager=True)
+    states = prob.select(F.col("s").alias("st")).distinct()
+    val = states.select(
+        "st",
+        F.when(F.col("st") == "purchase", 1.0)
+        .when(F.col("st") == "error", 0.0)
+        .otherwise(0.0)
+        .alias("v"),
+    ).localCheckpoint(eager=True)
+    for _ in range(6):
+        nxt = (
+            prob.join(val.select(F.col("st").alias("t"), "v"), "t")
+            .groupBy(F.col("s").alias("st"))
+            .agg(F.sum(F.col("p") * F.col("v")).alias("v"))
+        )
+        val = (
+            states.join(nxt, "st", "left")
+            .select(
+                "st",
+                F.when(F.col("st") == "purchase", 1.0)
+                .when(F.col("st") == "error", 0.0)
+                .otherwise(F.coalesce(F.col("v"), F.lit(0.0)))
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return val.select(
+        F.col("st").alias("state"), F.round("v", 6).alias("p_purchase_r")
+    ).orderBy("state")
+
+
+_ABSORB_ROUND = """,
+v{K} AS MATERIALIZED (
+  SELECT states.st,
+         CASE WHEN states.st = 'purchase' THEN 1.0
+              WHEN states.st = 'error' THEN 0.0
+              ELSE COALESCE(s.v, 0.0) END AS v
+  FROM states
+  LEFT JOIN (SELECT prob.s AS st, SUM(prob.p * p.v) AS v
+             FROM prob JOIN v{KM1} p ON p.st = prob.t
+             GROUP BY prob.s) s ON s.st = states.st)"""
+
+
+def _absorb_sql(n_iter: int = 6) -> str:
+    rounds = "".join(_ABSORB_ROUND.format(K=k, KM1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH pair AS (SELECT event_type AS s,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS t
+              FROM events),
+cnt AS (SELECT s, t, COUNT(*) AS n FROM pair WHERE t IS NOT NULL GROUP BY s, t),
+tot AS (SELECT s, SUM(n) AS ns FROM cnt GROUP BY s),
+prob AS MATERIALIZED (SELECT cnt.s, cnt.t,
+               CAST(cnt.n AS DOUBLE) / CAST(tot.ns AS DOUBLE) AS p
+        FROM cnt JOIN tot ON tot.s = cnt.s),
+states AS (SELECT DISTINCT s AS st FROM prob),
+v0 AS (SELECT st, CASE WHEN st = 'purchase' THEN 1.0
+                       WHEN st = 'error' THEN 0.0 ELSE 0.0 END AS v
+       FROM states)
+{rounds}
+SELECT st AS state, ROUND(v, 6) AS p_purchase_r
+FROM v{n_iter} ORDER BY state
+"""
+
+
+def q_event_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (lite): the 10 most frequent
+    3-step event-type sequences over per-user timelines (consecutive
+    triples by ts/event_id) — the raw material of funnel discovery;
+    exact integer counts, (count desc, t1, t2, t3) tie-break."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+            ),
+        )
+        .where(F.col("rnk") <= 10)
+        .select("t1", "t2", "t3", "n", F.col("rnk").cast("int"))
+        .orderBy("rnk")
+    )
+
+
+_EVENT_TRIGRAMS_SQL = """
+WITH tri AS (SELECT event_type AS t1,
+                    LEAD(event_type, 1) OVER w AS t2,
+                    LEAD(event_type, 2) OVER w AS t3
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+cnt AS (SELECT t1, t2, t3, COUNT(*) AS n FROM tri
+        WHERE t3 IS NOT NULL GROUP BY t1, t2, t3),
+ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) AS rnk
+           FROM cnt)
+SELECT t1, t2, t3, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 10 ORDER BY rnk
+"""
+
+
+ORACLES.update(
+    {"absorb_funnel6": _absorb_sql(6), "event_trigrams_top": _EVENT_TRIGRAMS_SQL}
+)
+QUERIES.update(
+    {"absorb_funnel6": q_absorb_funnel6, "event_trigrams_top": q_event_trigrams_top}
+)
 QUERIES.update(
     {
         "truss_components": q_truss_components,
@@ -16817,6 +16950,7 @@ _ROUND5_PRIORITY = [
     "molloy_reed", "sbm_likelihood", "err_eval", "graphlet4_census",
     "nbt_centrality3", "forman_curvature", "local_bridges",
     "two_edge_cc", "packing_curve", "dbscan_star",
+    "absorb_funnel6", "event_trigrams_top",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -2316,3 +2316,67 @@ def test_dbscan_star_golden_recompute(spark):
     n_clusters = len({c for c in rows.values() if c != -1})
     assert n_clusters >= 2, "eps chosen to be non-degenerate"
     assert any(c == -1 for c in rows.values()), "noise must exist"
+
+
+# ------------------------------------------------- absorbing funnel
+
+
+def test_absorb_funnel_golden_recompute(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = {r["state"]: r["p_purchase_r"] for r in QUERIES["absorb_funnel6"](spark, SF).collect()}
+    ev = sorted(
+        load_table(spark, "events", SF)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    cnt: dict[tuple[str, str], int] = {}
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"]:
+            cnt[(a["event_type"], b["event_type"])] = cnt.get(
+                (a["event_type"], b["event_type"]), 0
+            ) + 1
+    tot: dict[str, int] = {}
+    for (s, _t), n in cnt.items():
+        tot[s] = tot.get(s, 0) + n
+    states = sorted(tot)
+    pin = lambda st, x: 1.0 if st == "purchase" else (0.0 if st == "error" else x)  # noqa: E731
+    v = {s: pin(s, 0.0) for s in states}
+    for _ in range(6):
+        nv = {}
+        for s in states:
+            nv[s] = pin(
+                s,
+                sum(
+                    (n / tot[s]) * v.get(t, 0.0)
+                    for (s2, t), n in cnt.items()
+                    if s2 == s
+                ),
+            )
+        v = nv
+    assert set(rows) == set(states)
+    for s in states:
+        assert abs(rows[s] - round(v[s], 6)) < 1e-9
+    assert rows["purchase"] == 1.0 and rows["error"] == 0.0
+    for s in ("view", "click", "signup"):
+        assert 0.0 < rows[s] < 1.0
+
+
+def test_event_trigrams_top_golden(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["event_trigrams_top"](spark, SF).collect()
+    ev = sorted(
+        load_table(spark, "events", SF)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    cnt: dict[tuple[str, str, str], int] = {}
+    for a, b, c in zip(ev, ev[1:], ev[2:]):
+        if a["user_id"] == b["user_id"] == c["user_id"]:
+            k = (a["event_type"], b["event_type"], c["event_type"])
+            cnt[k] = cnt.get(k, 0) + 1
+    golden = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [((r["t1"], r["t2"], r["t3"]), r["n"]) for r in rows] == golden
