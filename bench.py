@@ -797,6 +797,54 @@ def main() -> None:
             "cusum_alarms": sum(int(r["alarm"]) for r in cs),
         }
 
+    def _session15_ops():
+        # session-14 later batches: RAKE, SNN/DBSCAN* clustering,
+        # graphlet census, non-backtracking centrality, Forman curvature,
+        # local bridges + 2ecc, packing curve, absorbing funnel, trigrams
+        from polar_spark.operators.analytics_queries import (
+            q_absorb_funnel6,
+            q_dbscan_star,
+            q_event_trigrams_top,
+            q_forman_curvature,
+            q_graphlet4_census,
+            q_local_bridges,
+            q_molloy_reed,
+            q_nbt_centrality3,
+            q_packing_curve,
+            q_rake_top10,
+            q_sbm_likelihood,
+            q_err_eval,
+            q_snn_clusters,
+            q_two_edge_cc,
+        )
+
+        q_rake_top10(spark, sf_dir).collect()
+        snn = q_snn_clusters(spark, sf_dir).collect()
+        db = q_dbscan_star(spark, sf_dir).collect()
+        g4 = q_graphlet4_census(spark, sf_dir).collect()[0]
+        q_nbt_centrality3(spark, sf_dir).collect()
+        fc = q_forman_curvature(spark, sf_dir).collect()
+        lb = q_local_bridges(spark, sf_dir).collect()
+        q_two_edge_cc(spark, sf_dir).collect()
+        q_packing_curve(spark, sf_dir).collect()
+        af = q_absorb_funnel6(spark, sf_dir).collect()
+        q_event_trigrams_top(spark, sf_dir).collect()
+        mr = q_molloy_reed(spark, sf_dir).collect()[0]
+        q_sbm_likelihood(spark, sf_dir).collect()
+        q_err_eval(spark, sf_dir).collect()
+        return {
+            "snn_clusters": len({r["cluster"] for r in snn}),
+            "dbscan_clusters": len({r["cluster"] for r in db if r["cluster"] != -1}),
+            "graphlet_i_c4": int(g4["i_c4"]),
+            "graphlet_i_k4": int(g4["i_k4"]),
+            "forman_neg_edges": sum(int(r["n_edges"]) for r in fc if r["curv"] < 0),
+            "local_bridges": len(lb),
+            "molloy_kappa_ppm": int(mr["kappa_r"] * 1e6),
+            "funnel_p_view_ppm": next(
+                (int(r["p_purchase_r"] * 1e6) for r in af if r["state"] == "view"), 0
+            ),
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -839,6 +887,7 @@ def main() -> None:
         ("session8_ops", _session8_ops, min(REPS, 2)),
         ("session9_ops", _session9_ops, min(REPS, 2)),
         ("session14_ops", _session14_ops, min(REPS, 2)),
+        ("session15_ops", _session15_ops, min(REPS, 2)),
         ("bucketed_join", _bucketed_join, 1),
     ]
 
