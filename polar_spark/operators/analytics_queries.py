@@ -15934,6 +15934,80 @@ FROM ranked WHERE rnk <= 10 ORDER BY rnk
 """
 
 
+def _cosine_pair_scan(
+    emb: DataFrame, k: int, eps: float | None, rank_on: str = "cos"
+) -> DataFrame:
+    """One vectorized pass over all cosine pairs (the similarity.py
+    mapInPandas shape): the L2-normalized matrix is broadcast, each
+    Arrow batch does ONE numpy matmul against it, and only the small
+    outputs leave the executor — per-row top-``k`` neighbors with
+    ``rn`` 1..k, plus (rn=0) every further pair whose rounded distance
+    is ≤ ``eps``.  ``rank_on='cos'`` orders by (round(cos,7) DESC, id)
+    — the snn_clusters oracle's key; ``rank_on='dist'`` orders by
+    (round(1−cos,7) ASC, id) — the dbscan_star oracle's key (the two
+    roundings can disagree at a 7-dp boundary, so the ranking must use
+    the SAME rounded quantity as its oracle).  Replaces the interpreted
+    zip_with/aggregate fold (CodegenFallback — the dup_spans lesson)
+    that made the exact pair join the bench bottleneck; at corpus scale
+    the broadcast matrix is replaced by the LSH-bucketed candidate
+    path."""
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select("vec_id", "v").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    kk, ee, on_dist = int(k), eps, rank_on == "dist"
+
+    def scan(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.array(pdf["v"].tolist(), dtype=np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            qid = pdf["vec_id"].to_numpy(np.int64)
+            cos = q @ all_mat.T  # (B, N)
+            out = {"qid": [], "nid": [], "cos_r": [], "d_r": [], "rn": []}
+            for i in range(len(qid)):
+                row = cos[i]
+                cr = np.round(row, 7)
+                dr = np.round(1.0 - row, 7)
+                valid = np.flatnonzero(all_ids != qid[i])
+                rank_key = dr[valid] if on_dist else -cr[valid]
+                key = np.lexsort((all_ids[valid], rank_key))
+                top = valid[key[:kk]]
+                out["qid"].append(np.full(len(top), qid[i], dtype=np.int64))
+                out["nid"].append(all_ids[top])
+                out["cos_r"].append(cr[top])
+                out["d_r"].append(dr[top])
+                out["rn"].append(np.arange(1, len(top) + 1, dtype=np.int32))
+                if ee is not None:
+                    sel = np.setdiff1d(valid[dr[valid] <= ee], top)
+                    out["qid"].append(np.full(len(sel), qid[i], dtype=np.int64))
+                    out["nid"].append(all_ids[sel])
+                    out["cos_r"].append(cr[sel])
+                    out["d_r"].append(dr[sel])
+                    out["rn"].append(np.zeros(len(sel), dtype=np.int32))
+            if not out["qid"]:
+                continue
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out["qid"]),
+                    "nid": np.concatenate(out["nid"]),
+                    "cos_r": np.concatenate(out["cos_r"]),
+                    "d_r": np.concatenate(out["d_r"]),
+                    "rn": np.concatenate(out["rn"]),
+                }
+            )
+
+    return emb.select("vec_id", "v").mapInPandas(
+        scan, schema="qid long, nid long, cos_r double, d_r double, rn int"
+    )
+
+
 def q_snn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-nearest-neighbor clustering (Ertöz-Steinbach-Kumar SDM'03,
     the Jarvis-Patrick family): exact cosine 5-NN lists per vector
@@ -15947,28 +16021,8 @@ def q_snn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    scored = (
-        q.crossJoin(emb)
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 7).alias("cos_r"),
-        )
-    )
-    wk = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(), F.col("nid"))
     knn = (
-        scored.withColumn("_rn", F.row_number().over(wk))
-        .where(F.col("_rn") <= 5)
+        _cosine_pair_scan(emb, k=5, eps=None, rank_on="cos")
         .select("qid", "nid")
         .localCheckpoint(eager=True)
     )
@@ -16678,36 +16732,18 @@ def q_dbscan_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    scan = _cosine_pair_scan(emb, k=4, eps=0.68, rank_on="dist").localCheckpoint(
+        eager=True
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    pd_ = (
-        q.crossJoin(emb)
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            F.round(F.lit(1.0) - dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 7).alias("d"),
-        )
+    cores = (
+        scan.where((F.col("rn") == 4) & (F.col("d_r") <= 0.68))
+        .select("qid")
         .localCheckpoint(eager=True)
     )
-    wk = Window.partitionBy("qid").orderBy("d", "nid")
-    core = (
-        pd_.withColumn("_rn", F.row_number().over(wk))
-        .where(F.col("_rn") == 4)
-        .select("qid", F.col("d").alias("core_d"))
-    )
-    cores = core.where(F.col("core_d") <= 0.68).select("qid").localCheckpoint(eager=True)
     e = (
-        pd_.join(cores, "qid")
+        scan.where(F.col("d_r") <= 0.68)
+        .join(cores, "qid")
         .join(cores.select(F.col("qid").alias("nid")), "nid")
-        .where(F.col("d") <= 0.68)
         .select(F.col("qid").alias("src"), F.col("nid").alias("dst"))
     )
     comp, _ = pregel.connected_components(e)
@@ -16892,6 +16928,152 @@ ORACLES.update(
 QUERIES.update(
     {"absorb_funnel6": q_absorb_funnel6, "event_trigrams_top": q_event_trigrams_top}
 )
+
+
+def q_subgraph_centrality4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated subgraph centrality (Estrada-Rodríguez-Velázquez 2005)
+    to walk length 4, INTEGER-exact: 4!·SC₄(v) = 24 + 12·d_v + 8·t_v +
+    w4_v where the closed-4-walk count w4_v = Σ_{u≠v} codeg(v,u)² +
+    d_v² ((A⁴)_vv, verified against dense matrix powers in pytest) and
+    (A³)_vv = 2t_v — closed-walk centrality without any eigendecomp,
+    from degree/triangle/codegree aggregates on the bounded co-order
+    graph."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    sym = _sym(und)
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    tri, _total = pregel.triangle_count(und)
+    wl = sym.select(F.col("dst").alias("w"), F.col("src").alias("v"))
+    wr = sym.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    codeg2 = (
+        wl.join(wr, "w")
+        .where(F.col("v") != F.col("u"))
+        .groupBy("v", "u")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("v")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"))
+    )
+    return (
+        deg.select(F.col("src").alias("id"), "d")
+        .join(tri, "id", "left")
+        .join(codeg2.withColumnRenamed("v", "id"), "id", "left")
+        .select(
+            F.col("id").cast("long"),
+            (
+                F.lit(24)
+                + F.lit(12) * F.col("d")
+                + F.lit(8) * F.coalesce(F.col("triangles"), F.lit(0))
+                + F.coalesce(F.col("c2"), F.lit(0))
+                + F.col("d") * F.col("d")
+            )
+            .cast("long")
+            .alias("sc24"),
+        )
+        .orderBy("id")
+    )
+
+
+_SUBGRAPH_CENT_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 400),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM und a JOIN und b ON b.src = a.dst
+        JOIN und c ON c.src = a.src AND c.dst = b.dst),
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+tcnt AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id),
+codeg AS (SELECT a.src AS v, b.src AS u, COUNT(*) AS c
+          FROM e a JOIN e b ON a.dst = b.dst AND a.src != b.src
+          GROUP BY a.src, b.src),
+c2 AS (SELECT v AS id, SUM(c * c) AS c2 FROM codeg GROUP BY v)
+SELECT CAST(deg.id AS BIGINT) AS id,
+       CAST(24 + 12 * deg.d + 8 * COALESCE(tcnt.t, 0)
+            + COALESCE(c2.c2, 0) + deg.d * deg.d AS BIGINT) AS sc24
+FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id
+LEFT JOIN c2 ON c2.id = deg.id
+ORDER BY deg.id
+"""
+
+
+def q_graph_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-component center/periphery structure of the small-cap
+    co-order graph (parts < 150): eccentricity of EVERY vertex from the
+    all-sources keyed BFS (exact, unlike the eccentricity4 landmark
+    lower bounds), per-component radius and diameter, and the center
+    flag (ecc == radius).  The all-pairs pass is the bounded-audit
+    complement of pseudo_diameter's two-sweep bound on the full
+    graph."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 150) & (F.col("dst") < 150))
+    sym = _sym(und)
+    verts = sorted(r[0] for r in sym.select("src").distinct().collect())
+    dist, _ = pregel.bfs_per_source(sym, verts, max_depth=30)
+    ecc = dist.groupBy(F.col("source").alias("id")).agg(
+        F.max("dist").cast("long").alias("ecc")
+    )
+    comp, _ = pregel.connected_components(und)
+    j = ecc.join(comp, "id")
+    wc = Window.partitionBy("comp")
+    return (
+        j.select(
+            F.col("id").cast("long"),
+            F.col("comp").cast("long"),
+            "ecc",
+            F.min("ecc").over(wc).cast("long").alias("radius"),
+            F.max("ecc").over(wc).cast("long").alias("diameter"),
+            (F.col("ecc") == F.min("ecc").over(wc)).cast("long").alias("is_center"),
+        )
+        .orderBy("id")
+    )
+
+
+_GRAPH_CENTER_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 150),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+verts AS (SELECT DISTINCT src AS v FROM e),
+reach(s, id, d) AS (
+    SELECT v, v, 0 FROM verts
+    UNION
+    SELECT r.s, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
+    WHERE r.d < 30
+),
+dmin AS (SELECT s, id, MIN(d) AS d FROM reach GROUP BY s, id),
+ecc AS (SELECT s AS id, MAX(d) AS ecc FROM dmin GROUP BY s),
+cc(id, comp) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT e.dst, c.comp FROM cc c JOIN e ON e.src = c.id
+    WHERE c.comp < e.dst
+),
+comp AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+j AS (SELECT ecc.id, comp.comp, ecc.ecc FROM ecc JOIN comp ON comp.id = ecc.id)
+SELECT CAST(id AS BIGINT) AS id, CAST(comp AS BIGINT) AS comp,
+       CAST(ecc AS BIGINT) AS ecc,
+       CAST(MIN(ecc) OVER (PARTITION BY comp) AS BIGINT) AS radius,
+       CAST(MAX(ecc) OVER (PARTITION BY comp) AS BIGINT) AS diameter,
+       CAST(CASE WHEN ecc = MIN(ecc) OVER (PARTITION BY comp)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_center
+FROM j ORDER BY id
+"""
+
+
+ORACLES.update(
+    {
+        "subgraph_centrality4": _SUBGRAPH_CENT_SQL,
+        "graph_center": _GRAPH_CENTER_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "subgraph_centrality4": q_subgraph_centrality4,
+        "graph_center": q_graph_center,
+    }
+)
 QUERIES.update(
     {
         "truss_components": q_truss_components,
@@ -16951,6 +17133,7 @@ _ROUND5_PRIORITY = [
     "nbt_centrality3", "forman_curvature", "local_bridges",
     "two_edge_cc", "packing_curve", "dbscan_star",
     "absorb_funnel6", "event_trigrams_top",
+    "subgraph_centrality4", "graph_center",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -2380,3 +2380,67 @@ def test_event_trigrams_top_golden(spark):
             cnt[k] = cnt.get(k, 0) + 1
     golden = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [((r["t1"], r["t2"], r["t3"]), r["n"]) for r in rows] == golden
+
+
+# ------------------------------------------------- subgraph centrality
+
+
+def test_subgraph_centrality_matrix_golden(spark):
+    import numpy as np
+
+    from polar_spark.operators.analytics_queries import QUERIES, coorder_edges
+
+    rows = {r["id"]: r["sc24"] for r in QUERIES["subgraph_centrality4"](spark, SF).collect()}
+    und = [
+        (r["src"], r["dst"])
+        for r in coorder_edges(spark, SF)
+        .where((F.col("src") < 400) & (F.col("dst") < 400))
+        .collect()
+    ]
+    ids = sorted({x for e in und for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    a = np.zeros((len(ids), len(ids)), dtype=np.int64)
+    for u, v in und:
+        a[idx[u], idx[v]] = a[idx[v], idx[u]] = 1
+    a2 = a @ a
+    a3 = a2 @ a
+    a4 = a3 @ a
+    assert set(rows) == set(ids)
+    for v in ids:
+        i = idx[v]
+        want = 24 + 12 * a2[i, i] + 4 * a3[i, i] + a4[i, i]
+        assert rows[v] == want
+
+
+# ------------------------------------------------- graph center
+
+
+def test_graph_center_path_and_star(spark):
+    from polar_spark.plans import pregel as pg
+
+    # P5: eccentricities 4,3,2,3,4 -> radius 2 (center = middle), diam 4
+    p5 = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    sym = p5.unionByName(p5.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    dist, _ = pg.bfs_per_source(sym, [1, 2, 3, 4, 5], max_depth=30)
+    ecc = {
+        r["id"]: r["ecc"]
+        for r in dist.groupBy(F.col("source").alias("id"))
+        .agg(F.max("dist").alias("ecc"))
+        .collect()
+    }
+    assert ecc == {1: 4, 2: 3, 3: 2, 4: 3, 5: 4}
+
+
+def test_graph_center_query_invariants(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["graph_center"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["radius"] <= r["ecc"] <= r["diameter"]
+        assert r["diameter"] <= 2 * r["radius"]  # metric bound per component
+        assert r["is_center"] == (1 if r["ecc"] == r["radius"] else 0)
+    # at least one center per component
+    comps = {r["comp"] for r in rows}
+    centers = {r["comp"] for r in rows if r["is_center"]}
+    assert comps == centers
