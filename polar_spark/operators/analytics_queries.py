@@ -17074,6 +17074,103 @@ QUERIES.update(
         "graph_center": q_graph_center,
     }
 )
+
+
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic of the cosine 5-NN graph (Radovanović et al.
+    JMLR'10): the IN-degree histogram of the directed kNN relation —
+    in high dimensions a few 'hub' vectors appear in everyone's
+    neighbor list (in-degree ≫ k) while antihubs appear in none
+    (in-degree 0), which silently skews ANN recall and kNN
+    classification.  One vectorized pair scan (the snn_clusters
+    ranking: round(cos,7) desc, id) then one integer aggregation;
+    vectors appearing in no list enter the 0 bucket."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    knn = _cosine_pair_scan(emb, k=5, eps=None, rank_on="cos").select("qid", "nid")
+    indeg = knn.groupBy(F.col("nid").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("indeg")
+    )
+    full = emb.select("vec_id").join(indeg, "vec_id", "left").select(
+        F.coalesce(F.col("indeg"), F.lit(0)).cast("long").alias("indeg")
+    )
+    return (
+        full.groupBy("indeg")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .orderBy("indeg")
+    )
+
+
+_KNN_HUBNESS_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  ROUND(list_cosine_similarity(a.v, b.v), 7) AS cos_r
+           FROM emb a JOIN emb b ON a.vec_id != b.vec_id),
+knn AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos_r DESC, nid) AS rn
+          FROM scored) t WHERE rn <= 5),
+indeg AS (SELECT nid AS vec_id, COUNT(*) AS indeg FROM knn GROUP BY nid),
+filled AS (SELECT emb.vec_id, COALESCE(indeg.indeg, 0) AS indeg
+           FROM emb LEFT JOIN indeg ON indeg.vec_id = emb.vec_id)
+SELECT CAST(indeg AS BIGINT) AS indeg, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM filled GROUP BY indeg ORDER BY indeg
+"""
+
+
+def q_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy report WITHOUT a pair join: for
+    unit-normalized vectors the mean pairwise cosine equals
+    (‖Σv̂‖² − n) / (n(n−1)) — one per-dimension sum aggregation instead
+    of n² pairs (the identity Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σv̂‖² − Σ‖v̂‖²).  High
+    mean cosine = anisotropic cone (the common 'all embeddings point
+    the same way' pathology that deflates cosine contrast); also
+    reports the mean raw norm.  The scale shape: nothing quadratic
+    anywhere."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select("v", nrm.alias("norm"))
+    n = base.count()
+    comps = base.select(
+        F.posexplode(F.transform("v", lambda x: x / F.col("norm"))).alias("j", "x"),
+        "norm",
+    )
+    dims = comps.groupBy("j").agg(F.sum("x").alias("s"))
+    ssum = dims.agg(F.sum(F.col("s") * F.col("s")).alias("s2")).collect()[0]["s2"]
+    mean_norm = base.agg(F.avg("norm").alias("m")).collect()[0]["m"]
+    avg_cos = (float(ssum) - n) / (n * (n - 1))
+    return spark.createDataFrame(
+        [(int(n), round(float(mean_norm), 6), round(avg_cos, 6))],
+        "n long, mean_norm_r double, avg_cos_r double",
+    )
+
+
+_EMBED_ISOTROPY_SQL = """
+WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+base AS (SELECT v, SQRT(list_dot_product(v, v)) AS norm FROM emb),
+n AS (SELECT COUNT(*) AS n FROM base),
+comps AS (SELECT i - 1 AS j, v[i] / norm AS x
+          FROM base, unnest(range(1, len(v) + 1)) u(i)),
+dims AS (SELECT j, SUM(x) AS s FROM comps GROUP BY j),
+s2 AS (SELECT SUM(s * s) AS s2 FROM dims)
+SELECT CAST(n.n AS BIGINT) AS n,
+       ROUND((SELECT AVG(norm) FROM base), 6) AS mean_norm_r,
+       ROUND((s2.s2 - n.n) / (n.n * (n.n - 1.0)), 6) AS avg_cos_r
+FROM n, s2
+"""
+
+
+ORACLES.update(
+    {"knn_hubness": _KNN_HUBNESS_SQL, "embed_isotropy": _EMBED_ISOTROPY_SQL}
+)
+QUERIES.update(
+    {"knn_hubness": q_knn_hubness, "embed_isotropy": q_embed_isotropy}
+)
 QUERIES.update(
     {
         "truss_components": q_truss_components,
@@ -17133,7 +17230,7 @@ _ROUND5_PRIORITY = [
     "nbt_centrality3", "forman_curvature", "local_bridges",
     "two_edge_cc", "packing_curve", "dbscan_star",
     "absorb_funnel6", "event_trigrams_top",
-    "subgraph_centrality4", "graph_center",
+    "subgraph_centrality4", "graph_center", "knn_hubness", "embed_isotropy",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

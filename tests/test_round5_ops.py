@@ -2444,3 +2444,39 @@ def test_graph_center_query_invariants(spark):
     comps = {r["comp"] for r in rows}
     centers = {r["comp"] for r in rows if r["is_center"]}
     assert comps == centers
+
+
+# ------------------------------------------------- kNN hubness
+
+
+def test_knn_hubness_conservation(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = QUERIES["knn_hubness"](spark, SF).collect()
+    n_vecs = load_table(spark, "embeddings", SF).count()
+    assert sum(r["n_vecs"] for r in rows) == n_vecs
+    # every vector emits exactly 5 edges -> total in-degree = 5n
+    assert sum(r["indeg"] * r["n_vecs"] for r in rows) == 5 * n_vecs
+    # hubness: in high-d some vector exceeds k (measured on this corpus)
+    assert max(r["indeg"] for r in rows) > 5
+
+
+def test_embed_isotropy_golden_numpy(spark):
+    import numpy as np
+
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    row = QUERIES["embed_isotropy"](spark, SF).collect()[0]
+    m = np.array(
+        [r["embedding"] for r in load_table(spark, "embeddings", SF).collect()],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(m, axis=1)
+    mh = m / norms[:, None]
+    n = len(m)
+    cos = mh @ mh.T
+    avg_pair = (cos.sum() - n) / (n * (n - 1))
+    assert row["n"] == n
+    assert abs(row["mean_norm_r"] - norms.mean()) < 1e-5
+    assert abs(row["avg_cos_r"] - avg_pair) < 1e-5
+    assert -1.0 <= row["avg_cos_r"] <= 1.0
