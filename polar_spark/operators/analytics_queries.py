@@ -17171,6 +17171,185 @@ ORACLES.update(
 QUERIES.update(
     {"knn_hubness": q_knn_hubness, "embed_isotropy": q_embed_isotropy}
 )
+
+
+def q_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (the temporal-algebra operator family
+    beside asof_last_signup): each supplier's shipping-activity window
+    [first_shipdate, last_shipdate], then per nation the number of
+    supplier pairs whose windows overlap (a.start ≤ b.end ∧ b.start ≤
+    a.end, a < b) and the pair total — concurrent-activity density.
+    The pair join is keyed on the REGION (same-nation pairs are empty
+    at sf0.001 — 10 suppliers across 10 nations, measured; bounded
+    per-group fan-out either way, the assoc_rules posture); date
+    comparisons are day-exact integers."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey", "l_shipdate")
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    win = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.min("l_shipdate").alias("lo"),
+            F.max("l_shipdate").alias("hi"),
+        )
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", F.col("l_suppkey").alias("sk"), "lo", "hi")
+    )
+    a, b = win.alias("a"), win.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.r_name") == F.col("b.r_name")) & (F.col("a.sk") < F.col("b.sk")),
+    )
+    return (
+        pairs.groupBy(F.col("a.r_name").alias("r_name"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                (
+                    (F.col("a.lo") <= F.col("b.hi")) & (F.col("b.lo") <= F.col("a.hi"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_INTERVAL_OVERLAPS_SQL = """
+WITH win AS (SELECT r_name, l_suppkey AS sk,
+                    MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
+             FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name, l_suppkey)
+SELECT a.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN a.lo <= b.hi AND b.lo <= a.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap
+FROM win a JOIN win b ON a.r_name = b.r_name AND a.sk < b.sk
+GROUP BY a.r_name ORDER BY a.r_name
+"""
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in one pass per table — the validation suite
+    an ingestion engine runs before committing a snapshot: row counts,
+    primary-key duplicate counts, and referential-integrity violation
+    counts across the star joins (lineitem→orders/part/supplier,
+    orders→customer, customer/supplier→nation, nation→region).  Every
+    check one integer; FK checks are left-anti joins (broadcast where
+    the dimension is small)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir)
+
+    def dup(df, cols):
+        return (
+            df.groupBy(*cols).count().where(F.col("count") > 1).count()
+        )
+
+    def fk(child, ckey, parent, pkey):
+        return (
+            child.select(F.col(ckey).alias("k"))
+            .where(F.col("k").isNotNull())
+            .join(parent.select(F.col(pkey).alias("k")).distinct(), "k", "left_anti")
+            .count()
+        )
+
+    checks = [
+        ("rows_lineitem", li.count()),
+        ("rows_orders", orders.count()),
+        ("dup_orders_pk", dup(orders, ["o_orderkey"])),
+        ("dup_lineitem_pk", dup(li, ["l_orderkey", "l_linenumber"])),
+        ("fk_lineitem_orders", fk(li, "l_orderkey", orders, "o_orderkey")),
+        ("fk_lineitem_part", fk(li, "l_partkey", part, "p_partkey")),
+        ("fk_lineitem_supplier", fk(li, "l_suppkey", sup, "s_suppkey")),
+        ("fk_orders_customer", fk(orders, "o_custkey", cust, "c_custkey")),
+        ("fk_customer_nation", fk(cust, "c_nationkey", nat, "n_nationkey")),
+        ("fk_supplier_nation", fk(sup, "s_nationkey", nat, "n_nationkey")),
+        ("fk_nation_region", fk(nat, "n_regionkey", reg, "r_regionkey")),
+        (
+            "neg_quantity",
+            li.where(F.col("l_quantity") <= 0).count(),
+        ),
+        (
+            "ship_before_order",
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .where(F.col("l_shipdate") < F.col("o_orderdate"))
+            .count(),
+        ),
+    ]
+    return spark.createDataFrame(
+        [(name, int(v)) for name, v in checks], "check_name string, n_bad long"
+    ).orderBy("check_name")
+
+
+_DQ_REPORT_SQL = """
+SELECT * FROM (
+  SELECT 'rows_lineitem' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_bad FROM lineitem
+  UNION ALL
+  SELECT 'rows_orders', CAST(COUNT(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'dup_orders_pk', CAST(COUNT(*) AS BIGINT) FROM (
+    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+  UNION ALL
+  SELECT 'dup_lineitem_pk', CAST(COUNT(*) AS BIGINT) FROM (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+  UNION ALL
+  SELECT 'fk_lineitem_orders', CAST(COUNT(*) AS BIGINT) FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'fk_lineitem_part', CAST(COUNT(*) AS BIGINT) FROM lineitem
+  WHERE l_partkey IS NOT NULL
+    AND l_partkey NOT IN (SELECT p_partkey FROM part)
+  UNION ALL
+  SELECT 'fk_lineitem_supplier', CAST(COUNT(*) AS BIGINT) FROM lineitem
+  WHERE l_suppkey IS NOT NULL
+    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+  UNION ALL
+  SELECT 'fk_orders_customer', CAST(COUNT(*) AS BIGINT) FROM orders
+  WHERE o_custkey IS NOT NULL
+    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'fk_customer_nation', CAST(COUNT(*) AS BIGINT) FROM customer
+  WHERE c_nationkey IS NOT NULL
+    AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'fk_supplier_nation', CAST(COUNT(*) AS BIGINT) FROM supplier
+  WHERE s_nationkey IS NOT NULL
+    AND s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'fk_nation_region', CAST(COUNT(*) AS BIGINT) FROM nation
+  WHERE n_regionkey IS NOT NULL
+    AND n_regionkey NOT IN (SELECT r_regionkey FROM region)
+  UNION ALL
+  SELECT 'neg_quantity', CAST(COUNT(*) AS BIGINT) FROM lineitem
+  WHERE l_quantity <= 0
+  UNION ALL
+  SELECT 'ship_before_order', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate < o_orderdate
+) ORDER BY check_name
+"""
+
+
+ORACLES.update(
+    {"interval_overlaps": _INTERVAL_OVERLAPS_SQL, "dq_report": _DQ_REPORT_SQL}
+)
+QUERIES.update(
+    {"interval_overlaps": q_interval_overlaps, "dq_report": q_dq_report}
+)
 QUERIES.update(
     {
         "truss_components": q_truss_components,
@@ -17231,6 +17410,7 @@ _ROUND5_PRIORITY = [
     "two_edge_cc", "packing_curve", "dbscan_star",
     "absorb_funnel6", "event_trigrams_top",
     "subgraph_centrality4", "graph_center", "knn_hubness", "embed_isotropy",
+    "interval_overlaps", "dq_report",
     "path3_census", "collective_influence2", "core_periphery_fit",
     "trophic_levels4", "leiden_refine", "scc_condensation", "mmr_diversify",
     "onion_layers", "token_entropy", "pagerank_residuals6",

@@ -2480,3 +2480,51 @@ def test_embed_isotropy_golden_numpy(spark):
     assert abs(row["mean_norm_r"] - norms.mean()) < 1e-5
     assert abs(row["avg_cos_r"] - avg_pair) < 1e-5
     assert -1.0 <= row["avg_cos_r"] <= 1.0
+
+
+# ------------------------------------------------- interval overlap
+
+
+def test_interval_overlaps_golden_recompute(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, load_table
+
+    rows = {r["r_name"]: r for r in QUERIES["interval_overlaps"](spark, SF).collect()}
+    li = load_table(spark, "lineitem", SF).select("l_suppkey", "l_shipdate").collect()
+    sup = {r["s_suppkey"]: r["s_nationkey"] for r in load_table(spark, "supplier", SF).collect()}
+    nat = {r["n_nationkey"]: r["n_regionkey"] for r in load_table(spark, "nation", SF).collect()}
+    reg = {r["r_regionkey"]: r["r_name"] for r in load_table(spark, "region", SF).collect()}
+    win: dict[int, list] = {}
+    for r in li:
+        w = win.setdefault(r["l_suppkey"], [r["l_shipdate"], r["l_shipdate"]])
+        w[0] = min(w[0], r["l_shipdate"])
+        w[1] = max(w[1], r["l_shipdate"])
+    by_reg: dict[str, list[tuple[int, object, object]]] = {}
+    for sk, (lo, hi) in win.items():
+        by_reg.setdefault(reg[nat[sup[sk]]], []).append((sk, lo, hi))
+    for rname, lst in by_reg.items():
+        lst.sort()
+        pairs = overlaps = 0
+        for i, (sa, la, ha) in enumerate(lst):
+            for sb, lb, hb in lst[i + 1 :]:
+                pairs += 1
+                if la <= hb and lb <= ha:
+                    overlaps += 1
+        if pairs:
+            assert (rows[rname]["n_pairs"], rows[rname]["n_overlap"]) == (pairs, overlaps)
+
+
+def test_dq_report_clean_dataset(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = {r["check_name"]: r["n_bad"] for r in QUERIES["dq_report"](spark, SF).collect()}
+    # the synthetic dataset is referentially clean; row counts positive
+    assert rows["rows_lineitem"] > 0 and rows["rows_orders"] > 0
+    # genuine data properties of the synthetic generator (measured at
+    # sf0.001: 1161 dup (orderkey, linenumber) pairs, 2815 lineitems
+    # shipped before their order date) — the report SURFACES them;
+    # everything referential must be clean
+    findings = {"dup_lineitem_pk", "ship_before_order"}
+    for k, v in rows.items():
+        if not k.startswith("rows_") and k not in findings:
+            assert v == 0, (k, v)
+    assert rows["dup_lineitem_pk"] > 0 and rows["ship_before_order"] > 0
