@@ -17371,6 +17371,185 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# round-5 session-15 additions: Kneser-Ney LM, Markov entropy rate,
+# Kaplan-Meier survival, item-item CF, clique percolation, articulation
+# points, JL projection audit, integer-exact logistic regression.
+
+
+def q_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney bigram
+    LM (Kneser & Ney ICASSP'95; Chen-Goodman 1998 eq. 4.25) — the
+    smoothing that actually ships in n-gram LMs, vs `bigram_ppl`'s
+    add-one: p(w₂|w₁) = max(c−D,0)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) ·
+    p_cont(w₂), with the continuation probability p_cont(w₂) =
+    N₁₊(·w₂)/|bigram types| (how many CONTEXTS a word follows, not how
+    often — the "San Francisco" correction).  D = 0.75 is exact in
+    binary, every count is an exact integer, and the probability is ONE
+    identically-ordered double expression both engines; per-bigram log
+    contributions are floored to 1e6-scaled BIGINTs BEFORE summation
+    (order-independent), bm25 discipline.  Skew discipline: (doc,
+    bigram) collapses before the Zipf-skewed corpus-count joins; the
+    corpus stats are two small aggregates any 100-TB run broadcasts."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w"),
+    )
+    big = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.w").alias("w1"),
+            F.col("b.w").alias("w2"),
+        )
+    )
+    dg = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    cb = dg.groupBy("w1", "w2").agg(F.sum("n").alias("c"))
+    cu = cb.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count("*").alias("n1f")
+    )
+    cont = cb.groupBy("w2").agg(F.count("*").alias("n1b"))
+    nt = cb.count()  # distinct bigram types (1-row scalar)
+    p = (
+        F.greatest(F.col("c").cast("double") - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75)
+        * F.col("n1f").cast("double")
+        * (F.col("n1b").cast("double") / F.lit(float(nt)))
+    ) / F.col("cw1").cast("double")
+    contrib = F.floor(F.lit(1e6) * F.log(p))
+    per_doc = (
+        dg.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .join(cont, "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * contrib).alias("ll_scaled"),
+            F.sum("n").alias("n_bigrams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long"),
+        F.col("ll_scaled").cast("long"),
+        F.round(
+            F.exp(
+                -F.col("ll_scaled").cast("double")
+                / (F.lit(1e6) * F.col("n_bigrams").cast("double"))
+            ),
+            4,
+        ).alias("ppl_r"),
+    ).orderBy("doc_id")
+
+
+_KN_BIGRAM_PPL_SQL = r"""
+WITH toks AS (SELECT doc_id,
+                     generate_subscripts(regexp_split_to_array(TRIM(text), '\s+'), 1) AS i,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+              FROM documents),
+big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+dg AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM big GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, SUM(n) AS c FROM dg GROUP BY w1, w2),
+cu AS (SELECT w1, SUM(c) AS cw1, COUNT(*) AS n1f FROM cb GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS n1b FROM cb GROUP BY w2),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cb),
+per_doc AS (
+  SELECT dg.doc_id,
+         SUM(dg.n * CAST(FLOOR(1e6 * LN(
+           (GREATEST(CAST(cb.c AS DOUBLE) - 0.75, 0.0)
+            + 0.75 * CAST(cu.n1f AS DOUBLE) * (CAST(cont.n1b AS DOUBLE) / nt.v))
+           / CAST(cu.cw1 AS DOUBLE)
+         )) AS BIGINT)) AS ll_scaled,
+         SUM(dg.n) AS n_bigrams
+  FROM dg JOIN cb USING (w1, w2) JOIN cu USING (w1) JOIN cont USING (w2)
+       CROSS JOIN nt
+  GROUP BY dg.doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(ll_scaled AS BIGINT) AS ll_scaled,
+       ROUND(EXP(-CAST(ll_scaled AS DOUBLE) / (1e6 * CAST(n_bigrams AS DOUBLE))), 4)
+         AS ppl_r
+FROM per_doc ORDER BY doc_id
+"""
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy of the first-order event Markov
+    chain (the uncertainty left after seeing the previous event — the
+    information-theoretic companion to `event_transitions`): H(x) =
+    ln n_x − (Σ_y n_xy·ln n_xy)/n_x from exact integer counts, with
+    each n·ln n term floored to a 1e6-scaled BIGINT before the sum so
+    the per-state statistic is order-independent.  The same
+    co-partitioned lag window as event_transitions (25-key aggregate —
+    trivially broadcastable at any scale); states ordered for the
+    driver compare."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    nlogn = F.floor(
+        F.lit(1e6)
+        * (F.col("n").cast("double") * F.log(F.col("n").cast("double")))
+    )
+    per_state = counts.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_x"),
+        F.count("*").cast("long").alias("n_succ"),
+        F.sum(nlogn).cast("long").alias("s_scaled"),
+    )
+    h = F.log(F.col("n_x").cast("double")) - F.col("s_scaled").cast(
+        "double"
+    ) / (F.lit(1e6) * F.col("n_x").cast("double"))
+    return per_state.select(
+        "from_type", "n_x", "n_succ", "s_scaled", F.round(h, 6).alias("h_r")
+    ).orderBy("from_type")
+
+
+_TRANSITION_ENTROPY_SQL = """
+WITH seq AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+per_state AS (
+  SELECT from_type, SUM(n) AS n_x, COUNT(*) AS n_succ,
+         SUM(CAST(FLOOR(1e6 * (CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE))))
+             AS BIGINT)) AS s_scaled
+  FROM counts GROUP BY from_type)
+SELECT from_type, CAST(n_x AS BIGINT) AS n_x, CAST(n_succ AS BIGINT) AS n_succ,
+       CAST(s_scaled AS BIGINT) AS s_scaled,
+       ROUND(LN(CAST(n_x AS DOUBLE))
+             - CAST(s_scaled AS DOUBLE) / (1e6 * CAST(n_x AS DOUBLE)), 6) AS h_r
+FROM per_state ORDER BY from_type
+"""
+
+
+ORACLES.update(
+    {
+        "kn_bigram_ppl": _KN_BIGRAM_PPL_SQL,
+        "transition_entropy": _TRANSITION_ENTROPY_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "kn_bigram_ppl": q_kn_bigram_ppl,
+        "transition_entropy": q_transition_entropy,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -17402,6 +17581,7 @@ _CHECKED_R3_R4 = [
 # the newest (never driver-checked anywhere), then the VERDICT r4
 # families
 _ROUND5_PRIORITY = [
+    "kn_bigram_ppl", "transition_entropy",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

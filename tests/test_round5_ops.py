@@ -2528,3 +2528,106 @@ def test_dq_report_clean_dataset(spark):
         if not k.startswith("rows_") and k not in findings:
             assert v == 0, (k, v)
     assert rows["dup_lineitem_pk"] > 0 and rows["ship_before_order"] > 0
+
+
+# ------------------------------------------------- Kneser-Ney bigram LM
+
+
+def _kn_corpus_stats(spark):
+    """Corpus-level KN inputs recomputed in pure python at sf0.001."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, trim(text) AS t FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    import re
+
+    docs = {d: re.split(r"\s+", t) for d, t in rows}
+    cb: dict[tuple[str, str], int] = {}
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+    cw1: dict[str, int] = {}
+    n1f: dict[str, int] = {}
+    n1b: dict[str, int] = {}
+    for (a, b), c in cb.items():
+        cw1[a] = cw1.get(a, 0) + c
+        n1f[a] = n1f.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    return docs, cb, cw1, n1f, n1b, len(cb)
+
+
+def test_kn_bigram_distribution_sums_to_one(spark):
+    """Interpolated KN is a proper conditional distribution: summed over
+    the full continuation vocabulary it must give exactly 1 per context."""
+    _, cb, cw1, n1f, n1b, nt = _kn_corpus_stats(spark)
+    vocab = set(n1b)
+    for w1 in list(cw1)[:5]:
+        total = sum(
+            (
+                max(cb.get((w1, w2), 0) - 0.75, 0.0)
+                + 0.75 * n1f[w1] * (n1b[w2] / nt)
+            )
+            / cw1[w1]
+            for w2 in vocab
+        )
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_kn_bigram_ppl_golden_recompute(spark):
+    import math
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["kn_bigram_ppl"](spark, SF).where(F.col("doc_id") < 10).collect()
+    }
+    docs, cb, cw1, n1f, n1b, nt = _kn_corpus_stats(spark)
+    for doc_id in list(out)[:10]:
+        toks = docs[doc_id]
+        ll = 0
+        n = 0
+        for a, b in zip(toks, toks[1:]):
+            p = (
+                max(cb[(a, b)] - 0.75, 0.0) + 0.75 * n1f[a] * (n1b[b] / nt)
+            ) / cw1[a]
+            ll += math.floor(1e6 * math.log(p))
+            n += 1
+        row = out[doc_id]
+        assert row["n_bigrams"] == n
+        # per-term floors replayed in python can differ by a ulp on the
+        # ln boundary; bound the accumulated drift, then check the ppl
+        assert abs(row["ll_scaled"] - ll) <= n
+        assert abs(row["ppl_r"] - round(math.exp(-ll / (1e6 * n)), 4)) < 1e-3
+        # KN smoothing of a corpus over its own text: the synthetic corpus
+        # is near-uniform over its 31-word vocab, so per-doc ppl sits close
+        # to |V| (a doc slightly atypical of the corpus can exceed it)
+        assert 1.0 < row["ppl_r"] < 2 * len(n1b)
+
+
+# ------------------------------------------------- transition entropy
+
+
+def test_transition_entropy_golden_and_bounds(spark):
+    import math
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = {r["from_type"]: r for r in QUERIES["transition_entropy"](spark, SF).collect()}
+    trans = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in QUERIES["event_transitions"](spark, SF).collect()
+    }
+    agg: dict[str, dict[str, int]] = {}
+    for (a, b), n in trans.items():
+        agg.setdefault(a, {})[b] = n
+    assert set(rows) == set(agg)
+    for x, succ in agg.items():
+        nx = sum(succ.values())
+        h = math.log(nx) - sum(n * math.log(n) for n in succ.values()) / nx
+        row = rows[x]
+        assert row["n_x"] == nx and row["n_succ"] == len(succ)
+        assert abs(row["h_r"] - round(h, 6)) < 1e-5
+        # 0 <= H(x) <= ln(#successors)
+        assert -1e-9 <= row["h_r"] <= math.log(len(succ)) + 1e-9
