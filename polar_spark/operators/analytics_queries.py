@@ -17535,16 +17535,217 @@ FROM per_state ORDER BY from_type
 """
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve of the time-to-next-
+    order (the churn model behind every retention dashboard), with
+    right-censoring: each order contributes the day-gap to that
+    customer's next order (event) or to the corpus's last order date
+    (censored — the customer may order again after the window).  At
+    each distinct event time t: n_risk = subjects with time ≥ t
+    (censored-at-t still at risk — the standard events-before-censoring
+    tie convention), d = events at t, S(t) = Π(1 − d/n).  The product
+    is computed as exp of a CUMULATIVE INTEGER sum of floor(1e6·ln((n−d)/n))
+    (order-independent, the bm25 discipline); the Nelson-Aalen
+    cumulative hazard rides the exact integer d·10⁹ DIV n.  The heavy
+    lift (gaps) is one customer-partitioned lag window; the survival
+    windows run on the PRE-AGGREGATED distinct-time table (bounded by
+    calendar days, not data volume — the hourly_anomaly posture)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    staged = o.select(
+        "o_orderdate", nxt.alias("nxt")
+    ).crossJoin(F.broadcast(o.agg(F.max("o_orderdate").alias("maxd"))))
+    sub = staged.select(
+        F.when(
+            F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate")
+        )
+        .otherwise(F.datediff("maxd", "o_orderdate"))
+        .alias("t"),
+        F.col("nxt").isNotNull().cast("long").alias("ev"),
+    )
+    agg = sub.groupBy("t").agg(
+        F.count("*").cast("long").alias("r"), F.sum("ev").cast("long").alias("d")
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risked = agg.select(
+        "t",
+        "d",
+        (
+            F.sum("r").over(w_all) - F.coalesce(F.sum("r").over(w_prev), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    ).where(F.col("d") >= 1)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+        ),
+    ).otherwise(F.lit(0))
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = risked.select(
+        "t",
+        "n_risk",
+        "d",
+        F.sum(term).over(w_cum).cast("long").alias("ln_s_scaled"),
+        F.sum(F.expr("d * 1000000000 DIV n_risk")).over(w_cum)
+        .cast("long")
+        .alias("na9"),
+        F.max((F.col("d") >= F.col("n_risk")).cast("int"))
+        .over(w_cum)
+        .alias("dropped"),
+    )
+    return cum.select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_risk",
+        "d",
+        "na9",
+        F.when(F.col("dropped") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("ln_s_scaled").cast("double") / F.lit(1e6)), 6)
+        )
+        .alias("s_r"),
+    ).orderBy("t_days")
+
+
+_KAPLAN_MEIER_SQL = """
+WITH o AS (
+  SELECT o_orderdate,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders),
+mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+sub AS (
+  SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate, mx.maxd) END AS t,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM o CROSS JOIN mx),
+agg AS (SELECT t, COUNT(*) AS r, SUM(ev) AS d FROM sub GROUP BY t),
+risked AS (
+  SELECT t, d,
+         SUM(r) OVER () - COALESCE(SUM(r) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM agg),
+ev AS (SELECT t, d, n_risk FROM risked WHERE d >= 1),
+cum AS (
+  SELECT t, n_risk, d,
+         SUM(CASE WHEN d < n_risk THEN CAST(FLOOR(1e6 * LN(
+               CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+             AS BIGINT) ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ln_s_scaled,
+         SUM(d * 1000000000 // n_risk)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS na9,
+         MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dropped
+  FROM ev)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d, CAST(na9 AS BIGINT) AS na9,
+       CASE WHEN dropped = 1 THEN 0.0
+            ELSE ROUND(EXP(CAST(ln_s_scaled AS DOUBLE) / 1e6), 6) END AS s_r
+FROM cum ORDER BY t_days
+"""
+
+
+def q_item_cf10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. WWW'01): for
+    each part, the top-10 most-similar parts by co-purchase cosine
+    co(a,b)/√(n_a·n_b) over order baskets — the classic "customers who
+    bought this also bought" recommender primitive.  The pair join is
+    keyed on the order (cost Σ basket², baskets ≤ ~10 lines — the
+    assoc_rules shape), part totals join back on the pair table; one
+    shuffle for the pair aggregate.  Ranked on the 6-dp ROUNDED cosine
+    with partner-id tie-break (the adamic_adar ordering lesson) so
+    cross-engine float noise cannot reorder."""
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    na = baskets.groupBy("p").agg(F.count("*").cast("long").alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").cast("long").alias("co"))
+    )
+    sym = co.select("pa", "pb", "co").unionByName(
+        co.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), F.col("co")
+        )
+    )
+    scored = (
+        sym.join(na.select(F.col("p").alias("pa"), F.col("n").alias("nna")), "pa")
+        .join(na.select(F.col("p").alias("pb"), F.col("n").alias("nnb")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "co",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("nna").cast("double") * F.col("nnb").cast("double")),
+                6,
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("cos_r"), F.asc("pb"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select(
+            F.col("pa").cast("long").alias("part"),
+            F.col("pb").cast("long").alias("nbr"),
+            "co",
+            "cos_r",
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("part", "rn")
+    )
+
+
+_ITEM_CF10_SQL = """
+WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+na AS (SELECT p, COUNT(*) AS n FROM baskets GROUP BY p),
+co AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS co
+       FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+       GROUP BY 1, 2),
+sym AS (SELECT pa, pb, co FROM co
+        UNION ALL SELECT pb AS pa, pa AS pb, co FROM co),
+scored AS (
+  SELECT pa, pb, co,
+         ROUND(CAST(co AS DOUBLE) /
+               SQRT(CAST(x.n AS DOUBLE) * CAST(y.n AS DOUBLE)), 6) AS cos_r
+  FROM sym JOIN na x ON x.p = sym.pa JOIN na y ON y.p = sym.pb),
+ranked AS (
+  SELECT pa, pb, co, cos_r,
+         ROW_NUMBER() OVER (PARTITION BY pa ORDER BY cos_r DESC, pb) AS rn
+  FROM scored)
+SELECT CAST(pa AS BIGINT) AS part, CAST(pb AS BIGINT) AS nbr,
+       CAST(co AS BIGINT) AS co, cos_r, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10 ORDER BY part, rn
+"""
+
+
 ORACLES.update(
     {
         "kn_bigram_ppl": _KN_BIGRAM_PPL_SQL,
         "transition_entropy": _TRANSITION_ENTROPY_SQL,
+        "kaplan_meier": _KAPLAN_MEIER_SQL,
+        "item_cf10": _ITEM_CF10_SQL,
     }
 )
 QUERIES.update(
     {
         "kn_bigram_ppl": q_kn_bigram_ppl,
         "transition_entropy": q_transition_entropy,
+        "kaplan_meier": q_kaplan_meier,
+        "item_cf10": q_item_cf10,
     }
 )
 
@@ -17581,7 +17782,7 @@ _CHECKED_R3_R4 = [
 # the newest (never driver-checked anywhere), then the VERDICT r4
 # families
 _ROUND5_PRIORITY = [
-    "kn_bigram_ppl", "transition_entropy",
+    "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

@@ -2631,3 +2631,99 @@ def test_transition_entropy_golden_and_bounds(spark):
         assert abs(row["h_r"] - round(h, 6)) < 1e-5
         # 0 <= H(x) <= ln(#successors)
         assert -1e-9 <= row["h_r"] <= math.log(len(succ)) + 1e-9
+
+
+# ------------------------------------------------- Kaplan-Meier survival
+
+
+def test_kaplan_meier_golden_recompute(spark):
+    import math
+
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    out = QUERIES["kaplan_meier"](spark, SF).collect()
+    rows = duckdb.sql(
+        f"SELECT o_custkey, o_orderdate, o_orderkey FROM '{SF}/orders.parquet' "
+        "ORDER BY o_custkey, o_orderdate, o_orderkey"
+    ).fetchall()
+    maxd = max(r[1] for r in rows)
+    subjects = []  # (time_days, is_event)
+    by_cust: dict[int, list] = {}
+    for c, d, k in rows:
+        by_cust.setdefault(c, []).append(d)
+    for dates in by_cust.values():
+        for cur, nxt in zip(dates, dates[1:]):
+            subjects.append(((nxt.date() - cur.date()).days, True))
+        subjects.append((((maxd.date() - dates[-1].date()).days), False))
+    times = sorted({t for t, ev in subjects if ev})
+    golden = {}
+    s_scaled = 0
+    na9 = 0
+    dropped = False
+    for t in times:
+        n_risk = sum(1 for tt, _ in subjects if tt >= t)
+        d = sum(1 for tt, ev in subjects if tt == t and ev)
+        if d < n_risk:
+            s_scaled += math.floor(1e6 * math.log((n_risk - d) / n_risk))
+        else:
+            dropped = True
+        na9 += d * 1000000000 // n_risk
+        s = 0.0 if dropped else round(math.exp(s_scaled / 1e6), 6)
+        golden[t] = (n_risk, d, na9, s)
+    assert len(out) == len(times)
+    prev_s = 1.0
+    for r in out:
+        n_risk, d, na9_g, s = golden[r["t_days"]]
+        assert (r["n_risk"], r["d"], r["na9"]) == (n_risk, d, na9_g)
+        assert abs(r["s_r"] - s) < 2e-6
+        # survival curve is monotone nonincreasing in [0, 1]
+        assert 0.0 <= r["s_r"] <= prev_s + 1e-9
+        prev_s = r["s_r"]
+
+
+# ------------------------------------------------- item-item CF
+
+
+def test_item_cf10_golden_recompute(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    out = QUERIES["item_cf10"](spark, SF).collect()
+    baskets = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    by_order: dict[int, set] = {}
+    n: dict[int, int] = {}
+    for o, p in baskets:
+        by_order.setdefault(o, set()).add(p)
+        n[p] = n.get(p, 0) + 1
+    co: dict[tuple[int, int], int] = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                co[(a, b)] = co.get((a, b), 0) + 1
+    # golden top-10 for the three lowest part ids present in the output
+    parts_out: dict[int, list] = {}
+    for r in out:
+        parts_out.setdefault(r["part"], []).append(r)
+    for part in sorted(parts_out)[:3]:
+        nbrs = []
+        for (a, b), c in co.items():
+            if a == part:
+                nbrs.append((b, c))
+            elif b == part:
+                nbrs.append((a, c))
+        scored = sorted(
+            ((round(c / (n[part] * n[o]) ** 0.5, 6), o, c) for o, c in nbrs),
+            key=lambda x: (-x[0], x[1]),
+        )[:10]
+        got = parts_out[part]
+        assert [(r["nbr"], r["co"], r["cos_r"]) for r in sorted(got, key=lambda r: r["rn"])] == [
+            (o, c, s) for s, o, c in scored
+        ]
+    for r in out:
+        assert 1 <= r["rn"] <= 10 and 0.0 < r["cos_r"] <= 1.0
