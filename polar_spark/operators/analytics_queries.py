@@ -17750,6 +17750,135 @@ QUERIES.update(
 )
 
 
+_W2_BACKBONE_SQL = """
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+wund AS MATERIALIZED (SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+sub AS MATERIALIZED (SELECT src, dst FROM wund WHERE w >= 2)
+"""
+
+
+def _w2_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-≥2 co-order backbone: part pairs co-ordered at least
+    twice (the `percolation_profile` threshold-2 graph) — sparse with
+    real block structure at every sf, unlike the raw co-order graph
+    whose density inverts between sf0.001 (near-clique neighborhoods)
+    and sf0.01."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+
+
+def q_kclique_comm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-clique percolation communities (Palla et al., Nature 2005 —
+    CPM): communities are connected components of the TRIANGLE
+    adjacency graph (two triangles adjacent iff they share an edge), a
+    vertex belonging to every community whose triangles contain it —
+    the OVERLAPPING community model none of the partition methods
+    (LPA/Louvain/SCAN) can express.  Triangles come from the canonical
+    ordered 3-join on the weight-≥2 co-order backbone; each triangle
+    becomes one vertex keyed a·2⁴² + b·2²¹ + c (exact for ids < 2²¹ —
+    at larger id spaces swap in a dense surrogate from `compact_ids`),
+    adjacency is the self-join of the 3-edge incidence table keyed by
+    the shared edge (cost Σ_e t_e² — the backbone keeps per-edge
+    triangle counts bounded; at corpus scale run CPM after a k-truss
+    or weight screen exactly as here), and hash-min CC labels each
+    community by its minimum triangle key.  Output: (comm, vertex)
+    membership pairs — vertices in several communities appear once per
+    community."""
+    sub = _w2_backbone(spark, sf_dir)
+    return pregel.clique_percolation3(sub).orderBy("comm", "vertex")
+
+
+_KCLIQUE_COMM3_SQL = f"""
+WITH RECURSIVE {_W2_BACKBONE_SQL.strip()},
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,
+         e1.src * 4398046511104 + e1.dst * 2097152 + e2.dst AS tid
+  FROM sub e1 JOIN sub e2 ON e2.src = e1.src AND e2.dst > e1.dst
+       JOIN sub e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+em AS MATERIALIZED (
+  SELECT tid, a * 2097152 + b AS ek FROM tri
+  UNION ALL SELECT tid, a * 2097152 + c FROM tri
+  UNION ALL SELECT tid, b * 2097152 + c FROM tri),
+te AS MATERIALIZED (
+  SELECT x.tid AS src, y.tid AS dst
+  FROM em x JOIN em y ON x.ek = y.ek AND x.tid < y.tid),
+e2 AS MATERIALIZED (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te),
+v AS (SELECT DISTINCT tid AS id FROM tri),
+r(id, comp) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT e.dst, r.comp FROM r JOIN e2 e ON e.src = r.id
+  WHERE r.comp < e.dst),
+c AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM r GROUP BY id)
+SELECT DISTINCT CAST(c.comp AS BIGINT) AS comm, CAST(u.vertex AS BIGINT) AS vertex
+FROM tri JOIN c ON c.id = tri.tid, UNNEST([tri.a, tri.b, tri.c]) AS u(vertex)
+ORDER BY comm, vertex
+"""
+
+
+def q_articulation_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Articulation points of the weight-≥2 co-order backbone
+    (pregel.articulation_points): the single-PART failure analysis
+    beside `two_edge_cc`'s single-link one — per degree-≥2 vertex, the
+    count of its neighbors reachable once the vertex itself is removed,
+    and the cut-vertex flag.  One simultaneous keyed BFS run to
+    convergence (raises rather than reporting from a truncated
+    frontier); the oracle replays the reachability recursion with NO
+    depth column (the two_edge_cc blow-up lesson)."""
+    sub = _w2_backbone(spark, sf_dir)
+    out, stats = pregel.articulation_points(sub, max_rounds=40)
+    if not stats.converged:
+        raise RuntimeError("articulation BFS did not drain")
+    return out.orderBy("id")
+
+
+_ARTICULATION_SQL = f"""
+WITH RECURSIVE {_W2_BACKBONE_SQL.strip()},
+e AS MATERIALIZED (SELECT src, dst FROM sub UNION ALL SELECT dst, src FROM sub),
+deg AS (SELECT src AS v, COUNT(*) AS n_nbrs, MIN(dst) AS x0 FROM e GROUP BY src),
+cand AS MATERIALIZED (SELECT v, n_nbrs, x0 FROM deg WHERE n_nbrs >= 2),
+-- reachability only: state (v, id), the excluded vertex in the key;
+-- no depth column (re-admission blow-up lesson from two_edge_cc)
+reach(v, id) AS (
+  SELECT v, x0 FROM cand
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN e ON e.src = r.id WHERE e.dst <> r.v),
+rc AS (SELECT c.v, COUNT(*) AS reached
+       FROM cand c JOIN e ON e.src = c.v
+            JOIN reach r ON r.v = c.v AND r.id = e.dst
+       GROUP BY c.v)
+SELECT CAST(c.v AS BIGINT) AS id, CAST(c.n_nbrs AS BIGINT) AS n_nbrs,
+       CAST(COALESCE(rc.reached, 0) AS BIGINT) AS reached_nbrs,
+       COALESCE(rc.reached, 0) < c.n_nbrs AS is_articulation
+FROM cand c LEFT JOIN rc ON rc.v = c.v ORDER BY id
+"""
+
+
+ORACLES.update(
+    {
+        "kclique_comm3": _KCLIQUE_COMM3_SQL,
+        "articulation_pts": _ARTICULATION_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "kclique_comm3": q_kclique_comm3,
+        "articulation_pts": q_articulation_pts,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -17783,6 +17912,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
+    "kclique_comm3", "articulation_pts",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

@@ -5418,3 +5418,136 @@ def local_bridges(
     )
     und0.unpersist()
     return out, stats
+
+
+def articulation_points(
+    edges: DataFrame,
+    max_rounds: int = 40,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Articulation points (cut vertices) — the vertex analog of the
+    bridge test behind `two_edge_cc`: v is an articulation point iff
+    its neighbors fall into ≥ 2 components of G − v, i.e. removing v
+    disconnects part of its component.  Exact, via ONE simultaneous
+    keyed BFS: every degree-≥2 vertex v is a key, state ``(v, id)``
+    seeded at v's MINIMUM neighbor, each key relaxing over G − v (the
+    excluded VERTEX carried in the key, the `local_bridges` shape with
+    the exclusion on the endpoint instead of the edge); run to
+    convergence (raises if the frontier didn't drain — never reports
+    from a truncated BFS).  v is articulation iff some neighbor was
+    never reached.  Working set Σ_v |comp(v)| — intended for bounded
+    subgraphs (the `graph_center` posture); at corpus scale run it on
+    the community/backbone subgraph that scoping pass produced.
+
+    Returns ``(df, stats)`` with df = (id, n_nbrs, reached_nbrs,
+    is_articulation) over all degree-≥2 candidates.
+    """
+    und0 = (
+        symmetrize(normalize_edges(edges))
+        .where(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    sym = und0.unionByName(
+        und0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nbrs = sym.select(F.col("src").alias("v"), F.col("dst").alias("nbr"))
+    deg = nbrs.groupBy("v").agg(
+        F.count("*").cast("long").alias("n_nbrs"), F.min("nbr").alias("x0")
+    )
+    cand = deg.where(F.col("n_nbrs") >= 2).localCheckpoint(eager=True)
+    stats = IterationStats(algorithm="articulation_points", edges=sym.count() // 2)
+    visited = cand.select("v", F.col("x0").alias("id")).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_rounds + 1):
+        step = (
+            frontier.join(sym.withColumnRenamed("src", "id"), "id")
+            .where(F.col("dst") != F.col("v"))
+            .select("v", F.col("dst").alias("id"))
+            .dropDuplicates(["v", "id"])
+            .join(visited, ["v", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n = step.count()
+        stats.iterations = depth
+        stats.deltas.append(float(n))
+        if n == 0:
+            stats.converged = True
+            break
+        visited = visited.unionByName(step).localCheckpoint(eager=True)
+        frontier = step
+    if not stats.converged:
+        raise RuntimeError(
+            f"articulation_points: BFS not drained after {max_rounds} rounds"
+        )
+    reached = (
+        nbrs.join(cand.select("v"), "v")
+        .join(
+            visited.withColumnRenamed("id", "nbr"), ["v", "nbr"], "left_semi"
+        )
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("reached_nbrs"))
+    )
+    out = (
+        cand.join(reached, "v", "left")
+        .select(
+            F.col("v").cast("long").alias("id"),
+            "n_nbrs",
+            F.coalesce("reached_nbrs", F.lit(0)).cast("long").alias("reached_nbrs"),
+            (F.coalesce("reached_nbrs", F.lit(0)) < F.col("n_nbrs")).alias(
+                "is_articulation"
+            ),
+        )
+    )
+    und0.unpersist()
+    return out, stats
+
+
+def clique_percolation3(edges: DataFrame) -> DataFrame:
+    """3-clique percolation communities (Palla et al., Nature 2005):
+    connected components of the triangle-adjacency graph (triangles
+    adjacent iff they share an edge); a vertex belongs to every
+    community whose triangles contain it — the OVERLAPPING community
+    model.  Triangle vertex key a·2⁴² + b·2²¹ + c is exact for ids
+    < 2²¹ (swap in a `compact_ids` surrogate beyond that); adjacency
+    cost is Σ_e t_e², so screen the input (weight/truss) first at
+    corpus scale.  Returns (comm, vertex) membership pairs, comm = the
+    minimum member-triangle key."""
+    und = symmetrize(normalize_edges(edges)).where(F.col("src") < F.col("dst"))
+    a = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    b_ = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    c_ = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    k = F.lit(1 << 21)
+    tri = (
+        a.join(b_, "b")
+        .join(c_, ["a", "c"])
+        .select(
+            "a",
+            "b",
+            "c",
+            (F.col("a") * k * k + F.col("b") * k + F.col("c")).alias("tid"),
+        )
+    )
+    em = (
+        tri.select("tid", (F.col("a") * k + F.col("b")).alias("ek"))
+        .unionByName(tri.select("tid", (F.col("a") * k + F.col("c")).alias("ek")))
+        .unionByName(tri.select("tid", (F.col("b") * k + F.col("c")).alias("ek")))
+    )
+    te = (
+        em.alias("x")
+        .join(em.alias("y"), "ek")
+        .where(F.col("x.tid") < F.col("y.tid"))
+        .select(F.col("x.tid").alias("src"), F.col("y.tid").alias("dst"))
+    )
+    comp, _ = connected_components(te)
+    lab = (
+        tri.select("tid")
+        .distinct()
+        .join(comp.withColumnRenamed("id", "tid"), "tid", "left")
+        .select("tid", F.coalesce("comp", F.col("tid")).alias("comm"))
+    )
+    return (
+        tri.join(lab, "tid")
+        .select("comm", F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .distinct()
+        .select(F.col("comm").cast("long"), F.col("vertex").cast("long"))
+    )

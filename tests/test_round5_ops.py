@@ -2727,3 +2727,90 @@ def test_item_cf10_golden_recompute(spark):
         ]
     for r in out:
         assert 1 <= r["rn"] <= 10 and 0.0 < r["cos_r"] <= 1.0
+
+
+# ------------------------------------------------- articulation points
+
+
+def test_articulation_barbell_and_star(spark):
+    # two triangles joined by a path 3-10-4: 3, 10 and 4 are cut vertices
+    rep, stats = pregel.articulation_points(
+        _edges(
+            spark,
+            [(1, 2), (2, 3), (1, 3), (3, 10), (10, 4), (4, 5), (5, 6), (4, 6)],
+        )
+    )
+    rows = {r["id"]: r for r in rep.collect()}
+    assert stats.converged
+    assert {v for v, r in rows.items() if r["is_articulation"]} == {3, 10, 4}
+    # interior triangle vertices reach all their neighbors
+    assert rows[1]["reached_nbrs"] == rows[1]["n_nbrs"] == 2
+
+
+def test_articulation_cycle_and_star(spark):
+    # C4: no articulation; star K1,3: the hub is one
+    rep, _ = pregel.articulation_points(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (20, 21), (20, 22), (20, 23)])
+    )
+    rows = {r["id"]: r["is_articulation"] for r in rep.collect()}
+    assert rows == {1: False, 2: False, 3: False, 4: False, 20: True}
+
+
+def test_articulation_python_replay(spark):
+    from collections import defaultdict, deque
+
+    from polar_spark.operators.analytics_queries import QUERIES, _w2_backbone
+
+    out = {r["id"]: r for r in QUERIES["articulation_pts"](spark, SF).collect()}
+    adj = defaultdict(set)
+    for r in _w2_backbone(spark, SF).collect():
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    for v, nbrs in adj.items():
+        if len(nbrs) < 2:
+            assert v not in out
+            continue
+        x0 = min(nbrs)
+        seen = {x0}
+        q = deque([x0])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w != v and w not in seen:
+                    seen.add(w)
+                    q.append(w)
+        row = out[v]
+        assert row["n_nbrs"] == len(nbrs)
+        assert row["reached_nbrs"] == len(nbrs & seen)
+        assert row["is_articulation"] == (len(nbrs & seen) < len(nbrs))
+
+
+# ------------------------------------------------- 3-clique percolation
+
+
+def _cpm_rows(spark, pairs):
+    out = pregel.clique_percolation3(_edges(spark, pairs)).collect()
+    comms: dict[int, set] = {}
+    for r in out:
+        comms.setdefault(r["comm"], set()).add(r["vertex"])
+    return sorted(comms.values(), key=sorted)
+
+
+def test_cpm_shared_edge_merges(spark):
+    # two triangles sharing edge (2,3): ONE community of 4 vertices
+    comms = _cpm_rows(spark, [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)])
+    assert comms == [{1, 2, 3, 4}]
+
+
+def test_cpm_shared_vertex_overlaps(spark):
+    # two triangles sharing only vertex 3: TWO communities, 3 in both —
+    # the overlap partition methods cannot express
+    comms = _cpm_rows(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)])
+    assert comms == [{1, 2, 3}, {3, 4, 5}]
+
+
+def test_cpm_pendant_and_chain_excluded(spark):
+    # a triangle with a pendant edge and a separate path: only the
+    # triangle's vertices are in any community
+    comms = _cpm_rows(spark, [(1, 2), (2, 3), (1, 3), (3, 9), (20, 21), (21, 22)])
+    assert comms == [{1, 2, 3}]
