@@ -17879,6 +17879,258 @@ QUERIES.update(
 )
 
 
+def _jl_signs(m: int = 16, d: int = 64, seed: int = 11) -> list[list[float]]:
+    """Deterministic ±1 JL projection matrix from the 63-bit LCG
+    (`affine_params` family) — plain literals both engines inline."""
+    s = seed
+    mat = []
+    for _ in range(m):
+        row = []
+        for _ in range(d):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(1.0 if (s >> 32) & 1 else -1.0)
+        mat.append(row)
+    return mat
+
+
+def q_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch-retrieval audit: exact cosine top-3
+    under a 16-dim SIGNED RANDOM PROJECTION (Achlioptas 2003 ±1
+    variant, deterministic matrix) vs top-3 under the full 64-dim
+    embedding, per-query overlap — the dimensionality-reduction
+    companion to `matryoshka_recall` (prefix truncation assumes
+    importance-ordered dims; JL works for ANY embedding).  Every dot
+    product is an index-ORDERED fold (Spark `aggregate` == DuckDB
+    `list_reduce` with the same prepended init), so both engines
+    produce bit-identical doubles and the (cos desc, id) ranking needs
+    no rounding step at all."""
+    signs = _jl_signs()
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def proj(col: F.Column) -> F.Column:
+        comps = [
+            F.aggregate(
+                F.zip_with(
+                    col,
+                    F.array(*[F.lit(x) for x in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for row in signs
+        ]
+        return F.array(*comps)
+
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+    def top3(frame: DataFrame) -> DataFrame:
+        q = frame.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        scored = (
+            q.crossJoin(frame)
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = top3(emb)
+    sk = top3(emb.select("vec_id", proj(F.col("v")).alias("v")))
+    inter = (
+        full.join(sk, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("overlap3"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(inter, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long"),
+            F.coalesce("overlap3", F.lit(0)).cast("long").alias("overlap3"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _jl_recall_sql() -> str:
+    signs = _jl_signs()
+
+    def fold(expr: str, var: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {expr}), "
+            f"(acc{var}, x{var}) -> acc{var} + x{var})"
+        )
+
+    proj_exprs = []
+    for j, row in enumerate(signs):
+        lits = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in row) + "]"
+        prods = (
+            f"list_transform(range(1, 65), p{j} -> "
+            f"CAST(embedding[p{j}] AS DOUBLE) * ({lits})[p{j}])"
+        )
+        proj_exprs.append(fold(prods, f"f{j}"))
+    pv = "[" + ",\n    ".join(proj_exprs) + "]"
+    dot = fold(
+        "list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])", "d"
+    )
+    n1 = fold("list_transform(a.v, e1 -> e1 * e1)", "n1")
+    n2 = fold("list_transform(b.v, e2 -> e2 * e2)", "n2")
+    top3 = f"""
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           ({dot}) / (SQRT({n1}) * SQRT({n2})) DESC, b.vec_id) AS rn
+  FROM {{src}} a JOIN {{src}} b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20"""
+    return f"""
+WITH fullv AS (SELECT vec_id,
+        list_transform(range(1, 65), q -> CAST(embedding[q] AS DOUBLE)) AS v
+      FROM embeddings),
+proj AS (SELECT vec_id, {pv} AS v FROM embeddings),
+ft AS (SELECT query_id, neighbor_id FROM ({top3.format(src='fullv')}) WHERE rn <= 3),
+pt AS (SELECT query_id, neighbor_id FROM ({top3.format(src='proj')}) WHERE rn <= 3),
+ov AS (SELECT ft.query_id, COUNT(*) AS overlap3
+       FROM ft JOIN pt ON pt.query_id = ft.query_id
+                      AND pt.neighbor_id = ft.neighbor_id
+       GROUP BY ft.query_id)
+SELECT q.query_id, CAST(COALESCE(ov.overlap3, 0) AS BIGINT) AS overlap3
+FROM (SELECT DISTINCT query_id FROM ft) q
+LEFT JOIN ov ON ov.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+_LOGREG_M = 1 << 26  # positive-shift for floor division (5e7 < 2·2²⁶ ⇒ scale-free)
+
+
+def q_logreg_gd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression by 3 full-batch gradient-descent rounds,
+    INTEGER-EXACT end to end: predict l_returnflag = 'R' from
+    (1, disc_pct, qty_units).  Weights live as 1e6-scaled BIGINTs; each
+    round's margin is an exact integer dot product, the per-row
+    gradient factor t = floor(1e6·(σ(m) − y)) is floored BEFORE the
+    feature products so every gradient component is an
+    order-independent BIGINT sum, and the update w ← w − mean·lr rides
+    the POSITIVE-SHIFTED floor division (g + M·2n) DIV 2n − M (Spark
+    DIV truncates toward zero, DuckDB // floors — they disagree on
+    negatives, the revenue_mom lesson; the shift keeps the numerator
+    positive, M = 2²⁶ dominates |g|/2n ≤ 2.5e7 at any sf).  Output: the
+    three weights and the 0.5-threshold confusion counts — all BIGINT,
+    zero float parity surface.  Three passes over the fact table, each
+    one map + one partial-aggregated reduce; per-round weights are
+    1-row scalars (the convergence-aggregate collect discipline)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    f = li.select(
+        F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x1"),
+        F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT) DIV 100").alias("x2"),
+    )
+    n = f.count()
+    d = 2 * n  # lr = 1/2 over the mean gradient
+    w = [0, 0, 0]
+    for _ in range(3):
+        m_e6 = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(m_e6.cast("double") / F.lit(1e6)))
+        )
+        t = F.floor(F.lit(1e6) * (p - F.col("y").cast("double")))
+        g = f.agg(
+            F.sum(t).cast("long").alias("g0"),
+            F.sum(t * F.col("x1")).cast("long").alias("g1"),
+            F.sum(t * F.col("x2")).cast("long").alias("g2"),
+        ).collect()[0]
+        w = [
+            w[j] - ((g[f"g{j}"] + _LOGREG_M * d) // d - _LOGREG_M)
+            for j in range(3)
+        ]
+    m_e6 = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    pred = (m_e6 > 0).cast("long")
+    return f.agg(
+        F.lit(w[0]).alias("w0_e6"),
+        F.lit(w[1]).alias("w1_e6"),
+        F.lit(w[2]).alias("w2_e6"),
+        F.sum(pred * F.col("y")).cast("long").alias("tp"),
+        F.sum(pred * (1 - F.col("y"))).cast("long").alias("fp"),
+        F.sum((1 - pred) * F.col("y")).cast("long").alias("fn"),
+        F.sum((1 - pred) * (1 - F.col("y"))).cast("long").alias("tn"),
+    )
+
+
+def _logreg_sql(rounds: int = 3) -> str:
+    m = _LOGREG_M
+    parts = [
+        """f AS MATERIALIZED (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x1,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) // 100 AS x2
+  FROM lineitem)""",
+        "nn AS (SELECT COUNT(*) AS n FROM f)",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""g{k} AS MATERIALIZED (
+  SELECT SUM(t) AS g0, SUM(t * x1) AS g1, SUM(t * x2) AS g2 FROM (
+    SELECT CAST(FLOOR(1e6 * (
+             1.0 / (1.0 + EXP(-(CAST(w.a + w.b * f.x1 + w.c * f.x2 AS DOUBLE) / 1e6)))
+             - CAST(f.y AS DOUBLE))) AS BIGINT) AS t,
+           f.x1, f.x2
+    FROM f CROSS JOIN w{k - 1} w))""",
+        )
+        parts.append(
+            f"""w{k} AS (
+  SELECT w.a - ((g.g0 + {m} * 2 * nn.n) // (2 * nn.n) - {m}) AS a,
+         w.b - ((g.g1 + {m} * 2 * nn.n) // (2 * nn.n) - {m}) AS b,
+         w.c - ((g.g2 + {m} * 2 * nn.n) // (2 * nn.n) - {m}) AS c
+  FROM w{k - 1} w CROSS JOIN g{k} g CROSS JOIN nn)""",
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(w.a AS BIGINT) AS w0_e6, CAST(w.b AS BIGINT) AS w1_e6,
+       CAST(w.c AS BIGINT) AS w2_e6,
+       CAST(SUM(CASE WHEN w.a + w.b * f.x1 + w.c * f.x2 > 0 AND f.y = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN w.a + w.b * f.x1 + w.c * f.x2 > 0 AND f.y = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN NOT (w.a + w.b * f.x1 + w.c * f.x2 > 0) AND f.y = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN NOT (w.a + w.b * f.x1 + w.c * f.x2 > 0) AND f.y = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM f CROSS JOIN w{rounds} w
+GROUP BY w.a, w.b, w.c
+"""
+    )
+
+
+ORACLES.update(
+    {"jl_recall": _jl_recall_sql(), "logreg_gd3": _logreg_sql()}
+)
+QUERIES.update({"jl_recall": q_jl_recall, "logreg_gd3": q_logreg_gd3})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -17912,7 +18164,7 @@ _CHECKED_R3_R4 = [
 # families
 _ROUND5_PRIORITY = [
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
-    "kclique_comm3", "articulation_pts",
+    "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

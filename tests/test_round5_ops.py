@@ -2814,3 +2814,107 @@ def test_cpm_pendant_and_chain_excluded(spark):
     # triangle's vertices are in any community
     comms = _cpm_rows(spark, [(1, 2), (2, 3), (1, 3), (3, 9), (20, 21), (21, 22)])
     assert comms == [{1, 2, 3}]
+
+
+# ------------------------------------------------- JL projection audit
+
+
+def test_jl_recall_python_replay(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES, _jl_signs
+
+    out = {r["query_id"]: r["overlap3"] for r in QUERIES["jl_recall"](spark, SF).collect()}
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: [float(x) for x in v] for vid, v in rows}
+    signs = _jl_signs()
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def proj(v):
+        return [fold_dot(v, row) for row in signs]
+
+    def top3(space):
+        res = {}
+        for q in [i for i in space if i < 20]:
+            scored = sorted(
+                (
+                    (-fold_dot(space[q], space[o])
+                     / (fold_dot(space[q], space[q]) ** 0.5
+                        * fold_dot(space[o], space[o]) ** 0.5), o)
+                    for o in space if o != q
+                ),
+            )[:3]
+            res[q] = {o for _, o in scored}
+        return res
+
+    full = top3(vecs)
+    sk = top3({vid: proj(v) for vid, v in vecs.items()})
+    golden = {q: len(full[q] & sk[q]) for q in full}
+    assert out == golden
+
+
+def test_jl_signs_deterministic_and_balanced(spark):
+    from polar_spark.operators.analytics_queries import _jl_signs
+
+    a, b = _jl_signs(), _jl_signs()
+    assert a == b and len(a) == 16 and all(len(r) == 64 for r in a)
+    flat = [x for r in a for x in r]
+    assert set(flat) == {1.0, -1.0}
+    # sign balance within 4 sigma of a fair coin (LCG sanity)
+    assert abs(sum(flat)) < 4 * (len(flat) ** 0.5)
+
+
+# ------------------------------------------------- logistic regression
+
+
+def test_logreg_gd3_python_replay(spark):
+    import math
+
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import _LOGREG_M, QUERIES
+
+    row = QUERIES["logreg_gd3"](spark, SF).collect()[0]
+    feats = duckdb.sql(
+        f"""SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS x1,
+                   CAST(ROUND(l_quantity * 100) AS BIGINT) // 100 AS x2
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    n = len(feats)
+    d = 2 * n
+    w = [0, 0, 0]
+    for _ in range(3):
+        g = [0, 0, 0]
+        for y, x1, x2 in feats:
+            m = w[0] + w[1] * x1 + w[2] * x2
+            p = 1.0 / (1.0 + math.exp(-(m / 1e6)))
+            t = math.floor(1e6 * (p - y))
+            g[0] += t
+            g[1] += t * x1
+            g[2] += t * x2
+        w = [w[j] - ((g[j] + _LOGREG_M * d) // d - _LOGREG_M) for j in range(3)]
+    tp = fp = fn = tn = 0
+    for y, x1, x2 in feats:
+        pred = 1 if w[0] + w[1] * x1 + w[2] * x2 > 0 else 0
+        if pred and y:
+            tp += 1
+        elif pred:
+            fp += 1
+        elif y:
+            fn += 1
+        else:
+            tn += 1
+    assert (row["w0_e6"], row["w1_e6"], row["w2_e6"]) == tuple(w)
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert tp + fp + fn + tn == n
+    # with ~25% positives and no signal the all-negative bias should win:
+    # the intercept must be negative after 3 rounds
+    assert w[0] < 0
