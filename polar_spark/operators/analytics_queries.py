@@ -18131,6 +18131,225 @@ ORACLES.update(
 QUERIES.update({"jl_recall": q_jl_recall, "logreg_gd3": q_logreg_gd3})
 
 
+_EWMA_K = 20  # dyadic EWMA horizon: weight of lag j is exactly 2^-(j+1)
+
+
+def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead revenue forecasting by EXPONENTIAL smoothing with
+    α = 1/2 — the EWMA control chart / SES forecaster, INTEGER-EXACT:
+    with a dyadic α every weight α(1−α)^j = 2^-(j+1) is exact in
+    binary, so the 20-term truncated EWMA numerator Σ_j lag_j·2^(19−j)
+    is an exact BIGINT over revenue cents (truncation tail < 2⁻²⁰ of
+    total weight).  Forecast error e_t = x_t·2²⁰ − num_{t−1} is again
+    exact — zero float anywhere.  The heavy lift (daily cents) is one
+    distributed aggregate; the 20 lag terms run on the PRE-AGGREGATED
+    day table (bounded by calendar, the hourly_anomaly posture).  Rows
+    start once a full 20-day history exists."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    num = None
+    for j in range(_EWMA_K):
+        term = F.lag("cents", j).over(w) * F.lit(1 << (_EWMA_K - 1 - j))
+        num = term if num is None else num + term
+    hist = F.count("*").over(
+        Window.orderBy("day").rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    staged = daily.select(
+        "day", "cents", num.alias("num"), hist.alias("hist")
+    )
+    return (
+        staged.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            F.col("num").cast("long").alias("ewma_num"),
+            (
+                F.col("cents") * F.lit(1 << _EWMA_K)
+                - F.lag("num").over(Window.orderBy("day"))
+            )
+            .cast("long")
+            .alias("err_num"),
+            "hist",
+        )
+        .where(F.col("hist") >= _EWMA_K + 0)
+        .where(F.col("err_num").isNotNull())
+        .drop("hist")
+        .orderBy("day")
+    )
+
+
+def _ewma_sql() -> str:
+    k = _EWMA_K
+    terms = " + ".join(
+        f"LAG(cents, {j}) OVER (ORDER BY day) * {1 << (k - 1 - j)}"
+        for j in range(1, k)
+    )
+    terms = f"cents * {1 << (k - 1)} + " + terms
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+staged AS (
+  SELECT day, cents, {terms} AS num,
+         COUNT(*) OVER (ORDER BY day ROWS BETWEEN {k - 1} PRECEDING
+                        AND CURRENT ROW) AS hist
+  FROM daily),
+final AS (
+  SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+         CAST(num AS BIGINT) AS ewma_num,
+         CAST(cents * {1 << k} - LAG(num) OVER (ORDER BY day) AS BIGINT)
+           AS err_num,
+         hist
+  FROM staged)
+SELECT day, cents, ewma_num, err_num FROM final
+WHERE hist >= {k} AND err_num IS NOT NULL ORDER BY day
+"""
+
+
+def q_kmeans_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation of the kmeans8 partition against
+    the embeddings' ground-truth labels: normalized mutual information
+    NMI = I(C;L)/√(H(C)·H(L)) plus purity — the pair-counting
+    complement to `ari_partitions` for a centroid clustering.  Every
+    entropy/MI cell term is floored to a 1e6-scaled BIGINT BEFORE
+    summation (the transition_entropy discipline) and purity is the
+    exact integer Σ_c max_l n_cl, so the only float is the one final
+    NMI expression on exact integers.  Contingency is an 8×|labels|
+    aggregate — trivially broadcastable at any corpus size."""
+    from polar_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    asg, _ = kmeans_lloyd(emb, k=8, n_iter=3)
+    lab = emb.select(F.col("vec_id").alias("id"), F.col("label").cast("long"))
+    ct = (
+        asg.select("id", "cluster")
+        .join(lab, "id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").cast("long").alias("n_cl"))
+    )
+    n_c = ct.groupBy("cluster").agg(F.sum("n_cl").alias("nc"))
+    n_l = ct.groupBy("label").agg(F.sum("n_cl").alias("nl"))
+    n_tot = F.sum("n_cl").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cells = (
+        ct.join(n_c, "cluster")
+        .join(n_l, "label")
+        .select(
+            "cluster",
+            "label",
+            "n_cl",
+            "nc",
+            "nl",
+            n_tot.alias("n"),
+        )
+    )
+    i_term = F.floor(
+        F.lit(1e6)
+        * (
+            F.col("n_cl").cast("double")
+            * F.log(
+                F.col("n").cast("double")
+                * F.col("n_cl").cast("double")
+                / (F.col("nc").cast("double") * F.col("nl").cast("double"))
+            )
+        )
+    )
+    maxl = cells.groupBy("cluster").agg(F.max("n_cl").alias("mx"))
+    nlogn = lambda c: F.floor(  # noqa: E731
+        F.lit(1e6) * (F.col(c).cast("double") * F.log(F.col(c).cast("double")))
+    )
+    summary = cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n"),
+        F.sum(i_term).cast("long").alias("i_scaled"),
+    )
+    sc = n_c.agg(F.sum(nlogn("nc")).cast("long").alias("sc_scaled"))
+    sl = n_l.agg(F.sum(nlogn("nl")).cast("long").alias("sl_scaled"))
+    pur = maxl.agg(F.sum("mx").cast("long").alias("purity_num"))
+    out = summary.crossJoin(sc).crossJoin(sl).crossJoin(pur)
+    nd = F.col("n").cast("double")
+    hc = F.log(nd) - F.col("sc_scaled").cast("double") / (F.lit(1e6) * nd)
+    hl = F.log(nd) - F.col("sl_scaled").cast("double") / (F.lit(1e6) * nd)
+    i_val = F.col("i_scaled").cast("double") / (F.lit(1e6) * nd)
+    return out.select(
+        "n_cells",
+        "n",
+        "i_scaled",
+        "sc_scaled",
+        "sl_scaled",
+        F.expr("purity_num * 1000000 DIV n").cast("long").alias("purity_ppm"),
+        F.round(i_val / F.sqrt(hc * hl), 6).alias("nmi_r"),
+    )
+
+
+def _kmeans_nmi_sql(k: int = 8, n_iter: int = 3) -> str:
+    parts, dist = _kmeans_parts(k, n_iter)
+    parts.append(
+        f"asg AS MATERIALIZED (SELECT id, cid FROM ("
+        f"SELECT e.id, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {dist}, c.cid) AS rn "
+        f"FROM e CROSS JOIN c{n_iter} c) x WHERE rn = 1)"
+    )
+    parts += [
+        "lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings)",
+        "ct AS MATERIALIZED (SELECT cid AS cluster, label, COUNT(*) AS n_cl "
+        "FROM asg JOIN lab USING (id) GROUP BY 1, 2)",
+        "nc AS (SELECT cluster, SUM(n_cl) AS nc FROM ct GROUP BY cluster)",
+        "nl AS (SELECT label, SUM(n_cl) AS nl FROM ct GROUP BY label)",
+        "nt AS (SELECT SUM(n_cl) AS n FROM ct)",
+        """cells AS MATERIALIZED (
+  SELECT ct.cluster, ct.label, ct.n_cl, nc.nc, nl.nl, nt.n
+  FROM ct JOIN nc USING (cluster) JOIN nl USING (label) CROSS JOIN nt)""",
+        """summary AS (
+  SELECT COUNT(*) AS n_cells, MAX(n) AS n,
+         SUM(CAST(FLOOR(1e6 * (CAST(n_cl AS DOUBLE) * LN(
+           CAST(n AS DOUBLE) * CAST(n_cl AS DOUBLE)
+           / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE))))) AS BIGINT))
+           AS i_scaled
+  FROM cells)""",
+        "sc AS (SELECT SUM(CAST(FLOOR(1e6 * (CAST(nc AS DOUBLE) * "
+        "LN(CAST(nc AS DOUBLE)))) AS BIGINT)) AS sc_scaled FROM nc)",
+        "sl AS (SELECT SUM(CAST(FLOOR(1e6 * (CAST(nl AS DOUBLE) * "
+        "LN(CAST(nl AS DOUBLE)))) AS BIGINT)) AS sl_scaled FROM nl)",
+        "pur AS (SELECT SUM(mx) AS purity_num FROM "
+        "(SELECT cluster, MAX(n_cl) AS mx FROM cells GROUP BY cluster))",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(s.n_cells AS BIGINT) AS n_cells, CAST(s.n AS BIGINT) AS n,
+       CAST(s.i_scaled AS BIGINT) AS i_scaled,
+       CAST(sc.sc_scaled AS BIGINT) AS sc_scaled,
+       CAST(sl.sl_scaled AS BIGINT) AS sl_scaled,
+       CAST(pur.purity_num * 1000000 // s.n AS BIGINT) AS purity_ppm,
+       ROUND((CAST(s.i_scaled AS DOUBLE) / (1e6 * CAST(s.n AS DOUBLE)))
+             / SQRT((LN(CAST(s.n AS DOUBLE))
+                     - CAST(sc.sc_scaled AS DOUBLE) / (1e6 * CAST(s.n AS DOUBLE)))
+                  * (LN(CAST(s.n AS DOUBLE))
+                     - CAST(sl.sl_scaled AS DOUBLE) / (1e6 * CAST(s.n AS DOUBLE)))),
+             6) AS nmi_r
+FROM summary s CROSS JOIN sc CROSS JOIN sl CROSS JOIN pur
+"""
+    )
+
+
+ORACLES.update(
+    {"ewma_forecast": _ewma_sql(), "kmeans_nmi": _kmeans_nmi_sql()}
+)
+QUERIES.update(
+    {"ewma_forecast": q_ewma_forecast, "kmeans_nmi": q_kmeans_nmi}
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -18165,6 +18384,7 @@ _CHECKED_R3_R4 = [
 _ROUND5_PRIORITY = [
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
+    "ewma_forecast", "kmeans_nmi",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

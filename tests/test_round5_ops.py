@@ -2918,3 +2918,78 @@ def test_logreg_gd3_python_replay(spark):
     # with ~25% positives and no signal the all-negative bias should win:
     # the intercept must be negative after 3 rounds
     assert w[0] < 0
+
+
+# ------------------------------------------------- EWMA forecast
+
+
+def test_ewma_forecast_python_replay(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import _EWMA_K, QUERIES
+
+    out = QUERIES["ewma_forecast"](spark, SF).collect()
+    daily = duckdb.sql(
+        f"""SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    cents = [c for _, c in daily]
+    days = [d for d, _ in daily]
+    golden = {}
+    for t in range(_EWMA_K, len(daily)):
+        num_prev = sum(
+            cents[t - 1 - j] * (1 << (_EWMA_K - 1 - j)) for j in range(_EWMA_K)
+        )
+        num_cur = sum(
+            cents[t - j] * (1 << (_EWMA_K - 1 - j)) for j in range(_EWMA_K)
+        )
+        golden[days[t]] = (cents[t], num_cur, cents[t] * (1 << _EWMA_K) - num_prev)
+    assert len(out) == len(golden)
+    for r in out:
+        c, num, err = golden[r["day"]]
+        assert (r["cents"], r["ewma_num"], r["err_num"]) == (c, num, err)
+        # the EWMA forecast is a convex-ish combination of the trailing
+        # window (tail weight 2^-20 missing): inside its [min, max] span
+        lo = min(cents[max(0, i)] for i in range(len(cents)))
+        assert 0 < r["ewma_num"] < (1 << _EWMA_K) * max(cents)
+        del lo
+
+
+# ------------------------------------------------- k-means NMI
+
+
+def test_kmeans_nmi_golden_recompute(spark):
+    import math
+
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    row = QUERIES["kmeans_nmi"](spark, SF).collect()[0]
+    asg = {r["id"]: r["cluster"] for r in QUERIES["kmeans8"](spark, SF).collect()}
+    labels = dict(
+        duckdb.sql(f"SELECT vec_id, label FROM '{SF}/embeddings.parquet'").fetchall()
+    )
+    ct: dict[tuple[int, int], int] = {}
+    for vid, c in asg.items():
+        ct[(c, labels[vid])] = ct.get((c, labels[vid]), 0) + 1
+    n = sum(ct.values())
+    nc: dict[int, int] = {}
+    nl: dict[int, int] = {}
+    for (c, l), v in ct.items():
+        nc[c] = nc.get(c, 0) + v
+        nl[l] = nl.get(l, 0) + v
+    i_val = sum(
+        v / n * math.log(n * v / (nc[c] * nl[l])) for (c, l), v in ct.items()
+    )
+    hc = -sum(v / n * math.log(v / n) for v in nc.values())
+    hl = -sum(v / n * math.log(v / n) for v in nl.values())
+    purity = sum(
+        max(v for (c2, _), v in ct.items() if c2 == c) for c in nc
+    )
+    assert row["n_cells"] == len(ct) and row["n"] == n
+    assert row["purity_ppm"] == purity * 1000000 // n
+    assert abs(row["nmi_r"] - i_val / math.sqrt(hc * hl)) < 1e-4
+    assert 0.0 <= row["nmi_r"] <= 1.0 + 1e-9
+    assert 1000000 // len(nl) <= row["purity_ppm"] <= 1000000
