@@ -208,3 +208,62 @@ def test_heavy_hitters_streaming_drain(spark, tmp_path):
     assert st is not None and st["version"] >= 1
     top = {r["k"]: r["est"] for r in m.topk(3).collect()}
     assert top == {0: 10, 1: 10, 2: 10}
+
+
+def test_quantile_maintainer_fold_restart_replay(spark, tmp_path):
+    """Streaming log2-histogram quantiles: batch folds sum to the whole,
+    replayed recorded batches are SKIPPED (sum fold is not idempotent —
+    the skip IS the exactly-once mechanism), fresh instances resume."""
+    from polar_spark.operators.sketches import log_hist_quantiles
+    from polar_spark.streaming.quantile_stream import QuantileMaintainer
+
+    m = QuantileMaintainer(spark, str(tmp_path), value_col="v", group_col="g")
+    b1 = spark.range(1, 1001).selectExpr("id AS v", "CAST(id % 2 AS STRING) AS g")
+    b2 = spark.range(1001, 3001).selectExpr("id AS v", "CAST(id % 2 AS STRING) AS g")
+    m.apply_batch(b1, batch_id=0)
+    m.apply_batch(b2, batch_id=1)
+    # fold == whole: histogram equals the batch sketch of the union
+    whole = log_hist_quantiles(
+        b1.unionByName(b2), "v", "g", [0.5, 0.9, 0.99]
+    )
+    got = {(r["g"], r["q"]): r["est"] for r in m.quantiles([0.5, 0.9, 0.99]).collect()}
+    want = {(r["g"], r["q"]): r["est"] for r in whole.collect()}
+    assert got == want
+    # bucket-width error bound vs the true quantile (values 1..3000)
+    for (g, q), est in got.items():
+        true = q * 3000
+        assert true / 2 <= est <= true * 2 + 3
+    # restart from pointer
+    m2 = QuantileMaintainer(spark, str(tmp_path), value_col="v", group_col="g")
+    assert m2.state()["version"] == 2
+    before = {(r["g"], r["bucket"]): r["cnt"] for r in m2.histogram().collect()}
+    # recorded replay skipped — histogram unchanged (sum would double-count)
+    out = m2.apply_batch(b2, batch_id=1)
+    assert out.get("skipped_replay") is True
+    after = {(r["g"], r["bucket"]): r["cnt"] for r in m2.histogram().collect()}
+    assert after == before
+    # total mass equals rows folded exactly once
+    assert sum(after.values()) == 3000
+
+
+def test_quantile_maintainer_streaming_drain(spark, tmp_path):
+    """foreachBatch surface: file backlog drains with availableNow."""
+    import json as _json
+    import os as _os
+
+    from polar_spark.streaming.quantile_stream import (
+        QuantileMaintainer,
+        start_quantile_maintenance,
+    )
+
+    src_dir = str(tmp_path / "vals_in")
+    _os.makedirs(src_dir)
+    with open(_os.path.join(src_dir, "b1.json"), "w") as f:
+        for i in range(1, 101):
+            f.write(_json.dumps({"v": i, "g": "a"}) + "\n")
+    stream = spark.readStream.schema("v long, g string").json(src_dir)
+    m = QuantileMaintainer(spark, str(tmp_path / "state"))
+    start_quantile_maintenance(stream, m, str(tmp_path / "ckpt")).awaitTermination()
+    assert m.state()["batch_rows"] == 100
+    q = {r["q"]: r["est"] for r in m.quantiles([0.5]).collect()}
+    assert 32 <= q[0.5] <= 100  # p50 of 1..100 -> bucket est 1.5*2^5 = 48
