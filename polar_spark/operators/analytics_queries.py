@@ -18350,6 +18350,205 @@ QUERIES.update(
 )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style match report over the winnowing fingerprints
+    (Schleimer-Wilkes-Aiken SIGMOD'03): document pairs sharing ≥ 2
+    selected fingerprints, after dropping fingerprints present in more
+    than 50 documents (the "ignore common code/boilerplate" screen MOSS
+    applies before pairing — it is also the skew guard that keeps the
+    hash-keyed pair join from exploding on a ubiquitous fingerprint).
+    Composes `winnow_fp`'s per-document selection; candidate
+    generation is one fingerprint-keyed self-join, exactly the LSH
+    band-bucket shape.
+
+    The fingerprint arrays are MATERIALIZED (localCheckpoint) before
+    the explode: CollapseProject merges the winnow operator's staged
+    projections into the Generate input, re-inlining the nested
+    higher-order chain so each window position recomputes every
+    upstream transform — measured runaway (minutes for 500 docs,
+    single interpreted task) vs ~5 s materialized.  Same family as the
+    DuckDB multi-referenced-CTE MATERIALIZED lesson, on the Spark
+    side."""
+    from polar_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    wf = winnow_fingerprints(docs, "text", "doc_id", k=4, w=5).localCheckpoint(
+        eager=True
+    )
+    fps = wf.select("doc_id", F.explode("fps").alias("fp")).distinct()
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).where(F.col("df") <= 50)
+    kept = fps.join(rare.select("fp"), "fp")
+    pairs = (
+        kept.alias("x")
+        .join(kept.alias("y"), "fp")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= 2)
+    )
+    return pairs.select(
+        F.col("a").cast("long"), F.col("b").cast("long"), "shared"
+    ).orderBy(F.desc("shared"), "a", "b")
+
+
+def _winnow_pairs_sql() -> str:
+    base = _winnow_sql().rsplit("SELECT CAST(doc_id", 1)[0].rstrip().rstrip(",")
+    return (
+        base
+        + """,
+fpx AS (SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM win),
+rare AS (SELECT fp FROM fpx GROUP BY fp HAVING COUNT(*) <= 50),
+kept AS (SELECT doc_id, fp FROM fpx JOIN rare USING (fp)),
+pr AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+       FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       GROUP BY 1, 2)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(shared AS BIGINT) AS shared
+FROM pr WHERE shared >= 2 ORDER BY shared DESC, a, b
+"""
+    )
+
+
+def q_knn_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label homophily of the exact cosine 5-NN graph — the
+    embedding-quality probe behind every kNN classifier: per label, the
+    fraction of 5-NN edges that stay within the label (exact integer
+    ppm) next to the random-neighbor BASELINE (n_l−1)/(N−1) — a useful
+    embedding separates labels iff same_ppm ≫ base_ppm.  Reuses the
+    snn_clusters kNN construction (7-dp-rounded rank, id tie-break);
+    all ratios integer cross-multiplied."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    knn = _cosine_pair_scan(vecs, k=5, eps=None, rank_on="cos").select("qid", "nid")
+    lab = emb.select(F.col("vec_id"), F.col("label").cast("long"))
+    n_tot = emb.count()
+    scored = (
+        knn.join(lab.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "lq"), "qid")
+        .join(lab.withColumnRenamed("vec_id", "nid").withColumnRenamed("label", "ln"), "nid")
+    )
+    per = scored.groupBy(F.col("lq").alias("label")).agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum((F.col("lq") == F.col("ln")).cast("long")).cast("long").alias("n_same"),
+    )
+    sizes = lab.groupBy("label").agg(F.count("*").cast("long").alias("n_l"))
+    return (
+        per.join(sizes, "label")
+        .select(
+            "label",
+            "n_l",
+            "n_edges",
+            "n_same",
+            F.expr("n_same * 1000000 DIV n_edges").cast("long").alias("same_ppm"),
+            F.expr(f"(n_l - 1) * 1000000 DIV {n_tot - 1}").cast("long").alias("base_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+_KNN_HOMOPHILY_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  ROUND(list_cosine_similarity(a.v, b.v), 7) AS cos_r
+           FROM emb a JOIN emb b ON a.vec_id != b.vec_id),
+knn AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos_r DESC, nid) AS rn
+          FROM scored) t WHERE rn <= 5),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+nt AS (SELECT COUNT(*) AS n FROM lab),
+per AS (SELECT lq.label, COUNT(*) AS n_edges,
+               SUM(CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END) AS n_same
+        FROM knn JOIN lab lq ON lq.vec_id = knn.qid
+                 JOIN lab ln ON ln.vec_id = knn.nid
+        GROUP BY lq.label),
+sizes AS (SELECT label, COUNT(*) AS n_l FROM lab GROUP BY label)
+SELECT p.label, CAST(s.n_l AS BIGINT) AS n_l,
+       CAST(p.n_edges AS BIGINT) AS n_edges,
+       CAST(p.n_same AS BIGINT) AS n_same,
+       CAST(p.n_same * 1000000 // p.n_edges AS BIGINT) AS same_ppm,
+       CAST((s.n_l - 1) * 1000000 // (nt.n - 1) AS BIGINT) AS base_ppm
+FROM per p JOIN sizes s USING (label) CROSS JOIN nt
+ORDER BY p.label
+"""
+
+
+def q_bmatching2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal b-matching (b = 2) on the bounded co-order graph
+    (pregel.b_matching): every part keeps up to its 2 best partners
+    under the deterministic edge-priority order — the
+    degree-constrained overlay/peer-selection primitive that
+    `matching_coorder` (b = 1) can't express.  The oracle unrolls the
+    capacity-tracked mutual-proposal rounds; rounds past the fixpoint
+    are no-ops, so the unroll is padded."""
+    und = coorder_edges(spark, sf_dir).where(
+        (F.col("src") < 400) & (F.col("dst") < 400)
+    )
+    out, stats = pregel.b_matching(und, b=2, max_iter=24)
+    return out.select(
+        F.col("a").cast("long"), F.col("b").cast("long")
+    ).orderBy("a", "b")
+
+
+def _bmatching_sql(rounds: int, cap: int = 2) -> str:
+    parts = [
+        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem WHERE l_partkey < 400)",
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)",
+        "k0 AS (SELECT a, b, a * 2147483648 + b AS key FROM und)",
+        "k1 AS (SELECT a, b, xor(key % 2147483648, (key >> 31) % 2147483648) AS x0 FROM k0)",
+        "k2 AS (SELECT a, b, (x0 * 2654435761) % 2147483648 AS x1 FROM k1)",
+        "k3 AS (SELECT a, b, (xor(x1, x1 >> 13) * 1274126177) % 2147483648 AS x2 FROM k2)",
+        "e0 AS (SELECT a, b, xor(x2, x2 >> 17) AS p FROM k3)",
+        "m0 AS (SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE FALSE)",
+    ]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"used{i} AS (SELECT v, COUNT(*) AS u FROM ("
+            f"SELECT a AS v FROM m{i - 1} UNION ALL SELECT b FROM m{i - 1}) z GROUP BY v)",
+            f"elig{i} AS MATERIALIZED (SELECT e.a, e.b, e.p FROM e{i - 1} e "
+            f"LEFT JOIN used{i} ua ON ua.v = e.a "
+            f"LEFT JOIN used{i} ub ON ub.v = e.b "
+            f"WHERE COALESCE(ua.u, 0) < {cap} AND COALESCE(ub.u, 0) < {cap})",
+            f"inc{i} AS (SELECT a AS v, a, b, p FROM elig{i} "
+            f"UNION ALL SELECT b, a, b, p FROM elig{i})",
+            f"top{i} AS (SELECT v, a, b FROM ("
+            f"SELECT v, a, b, ROW_NUMBER() OVER (PARTITION BY v "
+            f"ORDER BY p DESC, a ASC, b ASC) AS rn FROM inc{i}) t WHERE rn = 1)",
+            f"sel{i} AS MATERIALIZED (SELECT a, b FROM top{i} "
+            f"GROUP BY a, b HAVING COUNT(*) = 2)",
+            f"m{i} AS (SELECT a, b FROM m{i - 1} UNION ALL SELECT a, b FROM sel{i})",
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b, e.p FROM e{i - 1} e "
+            f"LEFT JOIN sel{i} s ON s.a = e.a AND s.b = e.b WHERE s.a IS NULL)",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+        FROM m{rounds} ORDER BY a, b"""
+    )
+
+
+ORACLES.update(
+    {
+        "winnow_pairs": _winnow_pairs_sql(),
+        "knn_homophily": _KNN_HOMOPHILY_SQL,
+        "bmatching2": _bmatching_sql(24),
+    }
+)
+QUERIES.update(
+    {
+        "winnow_pairs": q_winnow_pairs,
+        "knn_homophily": q_knn_homophily,
+        "bmatching2": q_bmatching2,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -18384,7 +18583,8 @@ _CHECKED_R3_R4 = [
 _ROUND5_PRIORITY = [
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
-    "ewma_forecast", "kmeans_nmi",
+    "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",
+    "bmatching2",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

@@ -5551,3 +5551,93 @@ def clique_percolation3(edges: DataFrame) -> DataFrame:
         .distinct()
         .select(F.col("comm").cast("long"), F.col("vertex").cast("long"))
     )
+
+
+def b_matching(
+    edges: DataFrame, b: int = 2, max_iter: int = 60
+) -> tuple[DataFrame, IterationStats]:
+    """Greedy maximal b-matching: like :func:`maximal_matching` but
+    every vertex may take up to ``b`` incident matched edges — the
+    degree-constrained subgraph primitive behind peer sampling /
+    overlay construction (each node keeps its b best partners).  Same
+    deterministic xorshift edge priorities and mutual-proposal rounds;
+    a round's eligible set is the remaining edges whose BOTH endpoints
+    still have spare capacity, so the globally highest-priority
+    eligible edge is always selected (progress guarantee), and rounds
+    past the fixpoint are no-ops (a SQL oracle may unroll extra
+    rounds).  Returns ``((a, b) selected pairs, stats)``; raises if
+    ``max_iter`` rounds leave eligible edges standing."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    stats = IterationStats(algorithm="b_matching")
+    spark = edges.sparkSession
+    if und.rdd.isEmpty():
+        return spark.createDataFrame([], "a long, b long"), stats
+    key = F.col("a") * F.lit(2**31) + F.col("b")
+    x0 = (key % F.lit(2**31)).bitwiseXOR(F.shiftright(key, 31) % F.lit(2**31))
+    x1 = (x0 * F.lit(2654435761)) % F.lit(2**31)
+    x2 = (x1.bitwiseXOR(F.shiftright(x1, 13)) * F.lit(1274126177)) % F.lit(2**31)
+    e = und.select(
+        "a", "b", x2.bitwiseXOR(F.shiftright(x2, 17)).alias("p")
+    ).localCheckpoint(eager=True)
+    stats.edges = e.count()
+    matched = spark.createDataFrame([], "a long, b long")
+    from pyspark.sql.window import Window as _W
+
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        used = (
+            matched.select(F.col("a").alias("v"))
+            .unionByName(matched.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("u"))
+        )
+        elig = (
+            e.join(used.withColumnRenamed("v", "a").withColumnRenamed("u", "ua"), "a", "left")
+            .join(used.withColumnRenamed("v", "b").withColumnRenamed("u", "ub"), "b", "left")
+            .where(
+                (F.coalesce("ua", F.lit(0)) < b) & (F.coalesce("ub", F.lit(0)) < b)
+            )
+            .select("a", "b", "p")
+            .localCheckpoint(eager=True)
+        )
+        m = elig.count()
+        stats.iterations = it
+        if m == 0:
+            stats.converged = True
+            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.deltas.append(0.0)
+            break
+        inc = elig.select(F.col("a").alias("v"), "a", "b", "p").unionByName(
+            elig.select(F.col("b").alias("v"), "a", "b", "p")
+        )
+        w = _W.partitionBy("v").orderBy(F.desc("p"), F.asc("a"), F.asc("b"))
+        top = (
+            inc.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("v", "a", "b")
+        )
+        sel = (
+            top.groupBy("a", "b")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") == 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_sel = sel.count()
+        matched = matched.unionByName(sel).localCheckpoint(eager=True)
+        e = (
+            e.join(sel, ["a", "b"], "left_anti")
+            .select("a", "b", "p")
+            .localCheckpoint(eager=True)
+        )
+        stats.iter_seconds.append(time.monotonic() - t0)
+        stats.deltas.append(float(n_sel))
+    if not stats.converged:
+        raise RuntimeError(f"b_matching left eligible edges after {max_iter} rounds")
+    return matched, stats

@@ -2993,3 +2993,97 @@ def test_kmeans_nmi_golden_recompute(spark):
     assert abs(row["nmi_r"] - i_val / math.sqrt(hc * hl)) < 1e-4
     assert 0.0 <= row["nmi_r"] <= 1.0 + 1e-9
     assert 1000000 // len(nl) <= row["purity_ppm"] <= 1000000
+
+
+# ------------------------------------------------- winnowing pairs
+
+
+def test_winnow_pairs_python_replay(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+    from tests.test_text_multimodal import _py_winnow
+
+    out = {(r["a"], r["b"]): r["shared"] for r in QUERIES["winnow_pairs"](spark, SF).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    fp: dict[int, set] = {}
+    for did, text in docs:
+        _, fps = _py_winnow(text, 4, 5)
+        fp[did] = fps
+    df: dict[int, int] = {}
+    for fps in fp.values():
+        for h in fps:
+            df[h] = df.get(h, 0) + 1
+    kept = {d: {h for h in fps if df[h] <= 50} for d, fps in fp.items()}
+    golden = {}
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            s = len(kept[a] & kept[b])
+            if s >= 2:
+                golden[(a, b)] = s
+    assert out == golden
+
+
+# ------------------------------------------------- kNN homophily
+
+
+def test_knn_homophily_conservation_and_baseline(spark):
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["knn_homophily"](spark, SF).collect()
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r["n_l"] for r in rows) == n_vec
+    assert sum(r["n_edges"] for r in rows) == 5 * n_vec
+    for r in rows:
+        assert 0 <= r["n_same"] <= r["n_edges"]
+        assert r["same_ppm"] == r["n_same"] * 1000000 // r["n_edges"]
+        assert r["base_ppm"] == (r["n_l"] - 1) * 1000000 // (n_vec - 1)
+
+
+# ------------------------------------------------- b-matching
+
+
+def test_bmatching_triangle_and_star(spark):
+    # triangle, b=2: every vertex has capacity for both incident edges
+    out, stats = pregel.b_matching(_edges(spark, [(1, 2), (2, 3), (1, 3)]), b=2)
+    assert stats.converged
+    assert sorted(map(tuple, out.select("a", "b").collect())) == [(1, 2), (1, 3), (2, 3)]
+    # star K1,4, b=2: the hub keeps exactly 2 spokes
+    out2, _ = pregel.b_matching(
+        _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)]), b=2
+    )
+    pairs = sorted(map(tuple, out2.select("a", "b").collect()))
+    assert len(pairs) == 2 and all(a == 0 for a, _ in pairs)
+
+
+def test_bmatching_capacity_and_maximality(spark):
+    from collections import Counter
+
+    from polar_spark.operators.analytics_queries import QUERIES, coorder_edges
+
+    sel = [(r["a"], r["b"]) for r in QUERIES["bmatching2"](spark, SF).collect()]
+    deg = Counter()
+    for a, b in sel:
+        deg[a] += 1
+        deg[b] += 1
+    assert all(d <= 2 for d in deg.values())
+    # maximality: every remaining edge has an endpoint at capacity
+    und = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in coorder_edges(spark, SF)
+        .where((F.col("src") < 400) & (F.col("dst") < 400))
+        .collect()
+    }
+    selected = set(sel)
+    for a, b in und - selected:
+        assert deg[a] >= 2 or deg[b] >= 2, (a, b)
+
+
+def test_bmatching_b1_equals_maximal_matching(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 6), (2, 5)])
+    m1, _ = pregel.b_matching(e, b=1)
+    m2, _ = pregel.maximal_matching(e)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
