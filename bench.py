@@ -845,6 +845,59 @@ def main() -> None:
             ),
         }
 
+    def _session16_ops():
+        # session-15 additions: Kneser-Ney LM, transition entropy,
+        # Kaplan-Meier, item-item CF, clique percolation, articulation
+        # points, JL recall, logistic regression, EWMA, k-means NMI,
+        # winnowing pairs, kNN homophily, b-matching
+        from polar_spark.operators.analytics_queries import (
+            q_articulation_pts,
+            q_bmatching2,
+            q_ewma_forecast,
+            q_item_cf10,
+            q_jl_recall,
+            q_kaplan_meier,
+            q_kclique_comm3,
+            q_kmeans_nmi,
+            q_kn_bigram_ppl,
+            q_knn_homophily,
+            q_logreg_gd3,
+            q_transition_entropy,
+            q_winnow_pairs,
+        )
+
+        q_kn_bigram_ppl(spark, sf_dir).collect()
+        q_transition_entropy(spark, sf_dir).collect()
+        km = q_kaplan_meier(spark, sf_dir).collect()
+        cf = q_item_cf10(spark, sf_dir).collect()
+        cp = q_kclique_comm3(spark, sf_dir).collect()
+        ap = q_articulation_pts(spark, sf_dir).collect()
+        jl = q_jl_recall(spark, sf_dir).collect()
+        lr = q_logreg_gd3(spark, sf_dir).collect()[0]
+        q_ewma_forecast(spark, sf_dir).collect()
+        nmi = q_kmeans_nmi(spark, sf_dir).collect()[0]
+        wp = q_winnow_pairs(spark, sf_dir).collect()
+        hom = q_knn_homophily(spark, sf_dir).collect()
+        bm = q_bmatching2(spark, sf_dir).collect()
+        return {
+            "km_final_surv_ppm": int(km[-1]["s_r"] * 1e6) if km else 0,
+            "item_cf_pairs": len(cf),
+            "cpm_communities": len({r["comm"] for r in cp}),
+            "articulation_count": sum(1 for r in ap if r["is_articulation"]),
+            "jl_mean_overlap_x20": sum(int(r["overlap3"]) for r in jl),
+            "logreg_acc_ppm": int(
+                (lr["tp"] + lr["tn"])
+                * 1000000
+                // (lr["tp"] + lr["fp"] + lr["fn"] + lr["tn"])
+            ),
+            "kmeans_nmi_ppm": int(nmi["nmi_r"] * 1e6),
+            "winnow_pairs": len(wp),
+            "homophily_max_lift_ppm": max(
+                (int(r["same_ppm"] - r["base_ppm"]) for r in hom), default=0
+            ),
+            "bmatching_edges": len(bm),
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -888,6 +941,7 @@ def main() -> None:
         ("session9_ops", _session9_ops, min(REPS, 2)),
         ("session14_ops", _session14_ops, min(REPS, 2)),
         ("session15_ops", _session15_ops, min(REPS, 2)),
+        ("session16_ops", _session16_ops, min(REPS, 2)),
         ("bucketed_join", _bucketed_join, 1),
     ]
 

@@ -93,6 +93,43 @@ AUDITS = [
         "broadcast where small; no check materializes more than a "
         "counter.",
     ),
+    (
+        "kn_bigram_ppl",
+        "(doc, bigram) collapses in a groupBy BEFORE the corpus-count "
+        "joins (skew discipline); the bigram-type scalar rides a 1-row "
+        "literal; all log terms JVM-side, no Python stage.",
+    ),
+    (
+        "item_cf10",
+        "the pair join is keyed on the order (no cartesian); part "
+        "totals join the pair table; the top-10 window is partitioned "
+        "BY PART (parallel, never a global sort).",
+    ),
+    (
+        "kaplan_meier",
+        "the heavy lift (gaps) is a customer-partitioned lag window; "
+        "the survival windows run on the pre-aggregated distinct-time "
+        "table (bounded by calendar days — the single-partition "
+        "WindowExec there is intentional and bounded).",
+    ),
+    (
+        "ewma_forecast",
+        "daily cents is ONE distributed aggregate (partial + final); "
+        "the 20 lag terms run on the bounded day table; zero Python, "
+        "zero floats.",
+    ),
+    (
+        "knn_homophily",
+        "exact 5-NN via the single vectorized mapInPandas pair scan "
+        "(ONE Python stage by design, Arrow-batched); label joins and "
+        "ppm ratios are JVM-side aggregates.",
+    ),
+    (
+        "logreg_gd3",
+        "each GD round is one map + one partially-aggregated reduce "
+        "over the fact table; weights ride as literals (no shuffle of "
+        "model state); no Python stage.",
+    ),
 ]
 
 
