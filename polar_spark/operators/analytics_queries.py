@@ -18549,6 +18549,173 @@ QUERIES.update(
 )
 
 
+def q_transitive_reduction2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortcut-edge removal (bounded transitive reduction, k = 2) of
+    the per-customer order-succession DAG — the `git log`-style
+    history-simplification pass: an edge (u, v) is dropped iff an
+    alternate 2-hop path u→w→v exists (one directed self-join, no
+    reachability closure — at 100 TB the k-bounded rule is the only
+    affordable shape, and on interval-order DAGs like this one it IS
+    the exact transitive reduction: every next-2 shortcut is witnessed
+    by two next-1 hops).  Returns the kept edge set."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = orders.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+    a, b = r.alias("a"), r.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.rn") - F.col("a.rn")).isin(1, 2),
+    ).select(
+        F.col("a.o_orderkey").alias("src"), F.col("b.o_orderkey").alias("dst")
+    )
+    mid = edges.select(F.col("src").alias("w_src"), F.col("dst").alias("w"))
+    tail = edges.select(F.col("src").alias("w"), F.col("dst").alias("w_dst"))
+    two_hop = (
+        mid.join(tail, "w")
+        .select(F.col("w_src").alias("src"), F.col("w_dst").alias("dst"))
+        .distinct()
+    )
+    return (
+        edges.join(two_hop, ["src", "dst"], "left_anti")
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .orderBy("src", "dst")
+    )
+
+
+_TRANSITIVE_REDUCTION_SQL = """
+WITH r AS (SELECT o_custkey, o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders),
+edges AS (SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+          FROM r a JOIN r b ON b.o_custkey = a.o_custkey
+          AND (b.rn - a.rn) IN (1, 2)),
+two_hop AS (SELECT DISTINCT m.src, t.dst
+            FROM edges m JOIN edges t ON t.src = m.dst)
+SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst
+FROM edges e LEFT JOIN two_hop h ON h.src = e.src AND h.dst = e.dst
+WHERE h.src IS NULL ORDER BY e.src, e.dst
+"""
+
+
+def q_triadic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal triadic-closure rate on the weight-≥2 co-order
+    backbone: wedges are grouped by their FORMATION month (the later of
+    the two edges' first-appearance months, the densification_curve
+    machinery), and a wedge counts as closed iff its closing edge
+    first appears in a STRICTLY LATER month — the time-respecting
+    link-prediction ground truth ("friends of friends become friends",
+    Granovetter/Kossinets-Watts); multi-center 2-hop pairs collapse to
+    their EARLIEST formation month.  Wedge enumeration is center-keyed
+    (cost Σ d², bounded by the backbone screen — the node_similarity
+    hub discipline); closure is one join against the dated edge set;
+    exact integer ppm."""
+    li = load_table(spark, "lineitem", sf_dir)
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    op = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"), "m")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    wund = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(
+            F.count("*").alias("wt"),
+            F.min(F.least(F.col("a.m"), F.col("b.m")).cast("date")).alias("fm"),
+        )
+        .where(F.col("wt") >= 2)
+        .select("src", "dst", "fm")
+    )
+    sym = wund.unionByName(
+        wund.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "fm"
+        )
+    )
+    l_, r_ = sym.alias("l"), sym.alias("r")
+    wedges = (
+        l_.join(r_, F.col("l.src") == F.col("r.src"))
+        .where(F.col("l.dst") < F.col("r.dst"))
+        .select(
+            F.col("l.dst").alias("u"),
+            F.col("r.dst").alias("v"),
+            F.greatest(F.col("l.fm"), F.col("r.fm")).alias("wm"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("wm").alias("formed"))
+    )
+    closed = wund.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("fm").alias("cm")
+    )
+    jm = wedges.join(closed, ["u", "v"], "left")
+    per_month = jm.groupBy(F.col("formed").alias("month")).agg(
+        F.count("*").cast("long").alias("n_wedges"),
+        F.sum(
+            (F.col("cm").isNotNull() & (F.col("cm") > F.col("formed"))).cast("long")
+        )
+        .cast("long")
+        .alias("n_closed_later"),
+    )
+    return per_month.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "n_wedges",
+        "n_closed_later",
+        F.expr("n_closed_later * 1000000 DIV n_wedges").cast("long").alias(
+            "close_ppm"
+        ),
+    ).orderBy("month")
+
+
+_TRIADIC_CLOSURE_SQL = """
+WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p,
+                   date_trunc('month', o.o_orderdate) AS m
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+wund AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst,
+         CAST(MIN(LEAST(a.m, b.m)) AS DATE) AS fm
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT src, dst, fm FROM wund
+        UNION ALL SELECT dst, src, fm FROM wund),
+wedges AS (
+  SELECT l.dst AS u, r.dst AS v, MIN(GREATEST(l.fm, r.fm)) AS formed
+  FROM sym l JOIN sym r ON r.src = l.src AND l.dst < r.dst
+  GROUP BY 1, 2),
+jm AS (SELECT w.formed, c.fm AS cm
+       FROM wedges w LEFT JOIN wund c ON c.src = w.u AND c.dst = w.v),
+per_month AS (
+  SELECT formed AS month, COUNT(*) AS n_wedges,
+         SUM(CASE WHEN cm IS NOT NULL AND cm > formed THEN 1 ELSE 0 END)
+           AS n_closed_later
+  FROM jm GROUP BY formed)
+SELECT strftime(month, '%Y-%m') AS month,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_closed_later AS BIGINT) AS n_closed_later,
+       CAST(n_closed_later * 1000000 // n_wedges AS BIGINT) AS close_ppm
+FROM per_month ORDER BY month
+"""
+
+
+ORACLES.update(
+    {
+        "transitive_reduction2": _TRANSITIVE_REDUCTION_SQL,
+        "triadic_closure": _TRIADIC_CLOSURE_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "transitive_reduction2": q_transitive_reduction2,
+        "triadic_closure": q_triadic_closure,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -18584,7 +18751,7 @@ _ROUND5_PRIORITY = [
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",
-    "bmatching2",
+    "bmatching2", "transitive_reduction2", "triadic_closure",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

@@ -3087,3 +3087,82 @@ def test_bmatching_b1_equals_maximal_matching(spark):
     m1, _ = pregel.b_matching(e, b=1)
     m2, _ = pregel.maximal_matching(e)
     assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+
+# ------------------------------------------------- transitive reduction
+
+
+def test_transitive_reduction_closed_form(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    out = {(r["src"], r["dst"]) for r in QUERIES["transitive_reduction2"](spark, SF).collect()}
+    # on the interval-order succession DAG the exact transitive
+    # reduction is precisely the next-1 edges: every next-2 shortcut is
+    # witnessed by two next-1 hops, and next-1 edges are irreducible
+    rows = duckdb.sql(
+        f"""SELECT o_custkey, o_orderkey FROM '{SF}/orders.parquet'
+            ORDER BY o_custkey, o_orderdate, o_orderkey"""
+    ).fetchall()
+    by_cust: dict[int, list] = {}
+    for c, k in rows:
+        by_cust.setdefault(c, []).append(k)
+    golden = set()
+    for seq in by_cust.values():
+        for u, v in zip(seq, seq[1:]):
+            golden.add((u, v))
+        # the LAST next-2 edge (from the second-to-last order) has no
+        # next-1 witness pair only if the chain is length 2 — but then
+        # no next-2 edge exists; all next-2 edges are removed
+    assert out == golden
+
+
+# ------------------------------------------------- triadic closure
+
+
+def test_triadic_closure_bounds_and_replay(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, _w2_backbone
+
+    rows = QUERIES["triadic_closure"](spark, SF).collect()
+    assert rows, "backbone has wedges at sf0.001"
+    for r in rows:
+        assert 0 <= r["n_closed_later"] <= r["n_wedges"]
+        assert r["close_ppm"] == r["n_closed_later"] * 1000000 // r["n_wedges"]
+    # pair-level python replay on the dated backbone
+    import duckdb
+
+    dated = duckdb.sql(
+        f"""WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p,
+                        date_trunc('month', o.o_orderdate) AS m
+                 FROM '{SF}/lineitem.parquet' l
+                 JOIN '{SF}/orders.parquet' o ON o.o_orderkey = l.l_orderkey)
+            SELECT a.p, b.p, CAST(MIN(LEAST(a.m, b.m)) AS DATE)
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+    ).fetchall()
+    adj: dict[int, dict[int, object]] = {}
+    emap = {}
+    for a, b, fm in dated:
+        adj.setdefault(a, {})[b] = fm
+        adj.setdefault(b, {})[a] = fm
+        emap[(a, b)] = fm
+    pairs: dict[tuple[int, int], object] = {}
+    for c, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i, u in enumerate(ns):
+            for v in ns[i + 1 :]:
+                formed = max(nbrs[u], nbrs[v])
+                key = (u, v)
+                if key not in pairs or formed < pairs[key]:
+                    pairs[key] = formed
+    golden: dict[str, list] = {}
+    for (u, v), formed in pairs.items():
+        cm = emap.get((u, v))
+        month = formed.strftime("%Y-%m")
+        golden.setdefault(month, [0, 0])
+        golden[month][0] += 1
+        if cm is not None and cm > formed:
+            golden[month][1] += 1
+    got = {r["month"]: [r["n_wedges"], r["n_closed_later"]] for r in rows}
+    assert got == golden
