@@ -18716,6 +18716,229 @@ QUERIES.update(
 )
 
 
+_EPS_THRESHOLDS = (30, 35, 40, 45)  # cosine thresholds in centi-units
+
+
+def q_eps_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-graph percolation curve over the embedding space: pair /
+    vertex / component / giant counts of the cosine-threshold graph at
+    τ ∈ {0.30, 0.35, 0.40, 0.45} — the threshold-choice report behind
+    `embed_neardup` and `dbscan_star`, exactly what `percolation_profile`
+    is for the weighted co-order graph.  Pairs are computed ONCE at the
+    loosest threshold (bounded exact path) and filtered per τ; every
+    threshold sits far from any pair's cosine (0.35 precedent:
+    ≥ 2.8e-5 margin) so float association-order noise cannot flip
+    membership.  Four hash-min component runs over shrinking pair
+    sets."""
+    from polar_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = cosine_pairs(emb, threshold=0.30, max_rows=500_000).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos"
+    ).localCheckpoint(eager=True)
+    rows = []
+    for t in _EPS_THRESHOLDS:
+        sub = base.where(F.col("cos") >= F.lit(t / 100.0)).select("src", "dst")
+        n_pairs = sub.count()
+        if n_pairs == 0:
+            rows.append((t, 0, 0, 0, 0))
+            continue
+        comp, _ = pregel.connected_components(sub)
+        stats = comp.groupBy("comp").agg(F.count("*").alias("n"))
+        agg = stats.agg(
+            F.sum("n").alias("nv"), F.count("*").alias("nc"), F.max("n").alias("g")
+        ).collect()[0]
+        rows.append((t, n_pairs, int(agg["nv"]), int(agg["nc"]), int(agg["g"])))
+    return spark.createDataFrame(
+        rows, "thr_centi long, n_pairs long, n_vertices long, n_components long, giant long"
+    ).orderBy("thr_centi")
+
+
+def _eps_components_sql() -> str:
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        """p AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst, list_cosine_similarity(a.v, b.v) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.30)""",
+    ]
+    selects = []
+    for t in _EPS_THRESHOLDS:
+        parts += [
+            f"u{t} AS MATERIALIZED (SELECT src, dst FROM p WHERE c >= {t / 100.0})",
+            f"s{t} AS (SELECT src, dst FROM u{t} UNION ALL SELECT dst, src FROM u{t})",
+            f"v{t} AS (SELECT DISTINCT src AS id FROM s{t})",
+            f"""r{t}(id, comp) AS (
+            SELECT id, id FROM v{t}
+            UNION
+            SELECT e.dst, r.comp FROM r{t} r JOIN s{t} e ON e.src = r.id
+            WHERE r.comp < e.dst)""",
+            f"c{t} AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM r{t} GROUP BY id)",
+            f"g{t} AS (SELECT comp, COUNT(*) AS n FROM c{t} GROUP BY comp)",
+        ]
+        selects.append(
+            f"""SELECT {t} AS thr_centi,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM u{t}) AS n_pairs,
+            (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM g{t}) AS n_vertices,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM g{t}) AS n_components,
+            (SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) FROM g{t}) AS giant"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY thr_centi"
+    )
+
+
+_LP_SPLIT = "1998-01-01"
+
+
+def q_lp_auc_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction evaluation with a TEMPORAL split: score every
+    non-adjacent 2-hop pair of the pre-1998 weight-≥2 co-order backbone
+    by its common-neighbor count, label it positive iff the pair IS a
+    backbone edge over the full period but was NOT one before the
+    split (a genuinely new link), and report the exact Mann-Whitney
+    AUC of the score — the honest out-of-time eval the static
+    `link_prediction5` top-k can't give.  INTEGER-EXACT: scores are
+    small integers, 2×-midranks ride a window over the ≤ max-cn-row
+    score histogram (never the data), u2 = ΣR₊·2 − n₊(n₊+1)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_orderdate").alias("odate")
+    )
+    op = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").alias("p"),
+            "odate",
+        )
+        .distinct()
+    )
+
+    def backbone(frame: DataFrame) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        return (
+            a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+            .agg(F.count("*").alias("w"))
+            .where(F.col("w") >= 2)
+            .select("src", "dst")
+        )
+
+    bb_t = backbone(op.where(F.col("odate") < F.lit(_LP_SPLIT))).localCheckpoint(
+        eager=True
+    )
+    bb_full = backbone(op)
+    sym = bb_t.unionByName(
+        bb_t.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    l_, r_ = sym.alias("l"), sym.alias("r")
+    cand = (
+        l_.join(r_, F.col("l.src") == F.col("r.src"))
+        .where(F.col("l.dst") < F.col("r.dst"))
+        .groupBy(F.col("l.dst").alias("u"), F.col("r.dst").alias("v"))
+        .agg(F.count("*").cast("long").alias("cn"))
+        .join(
+            bb_t.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    lab = cand.join(
+        bb_full.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).alias("pos")),
+        ["u", "v"],
+        "left",
+    ).select("cn", F.coalesce("pos", F.lit(0)).cast("long").alias("pos"))
+    g = lab.groupBy("cn").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("np")
+    )
+    w = Window.orderBy("cn").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn("midrank2", F.lit(2) * F.col("cum_before") + F.col("cnt") + F.lit(1))
+    agg = ranked.agg(
+        F.sum(F.col("np") * F.col("midrank2")).alias("r2"),
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("np")).alias("n_neg"),
+    )
+    u2 = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n_pairs"),
+        F.col("n_pos").cast("long"),
+        F.col("n_neg").cast("long"),
+        u2.cast("long").alias("u2"),
+        F.round(
+            u2.cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc_r"),
+    )
+
+
+_LP_AUC_CN_SQL = f"""
+WITH op AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p, o.o_orderdate AS odate
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+bbt AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  WHERE a.odate < DATE '{_LP_SPLIT}' AND b.odate < DATE '{_LP_SPLIT}'
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+bbf AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT src, dst FROM bbt UNION ALL SELECT dst, src FROM bbt),
+cand AS (
+  SELECT l.dst AS u, r.dst AS v, COUNT(*) AS cn
+  FROM sym l JOIN sym r ON r.src = l.src AND l.dst < r.dst
+  GROUP BY 1, 2),
+nonadj AS (SELECT c.u, c.v, c.cn FROM cand c
+           LEFT JOIN bbt t ON t.src = c.u AND t.dst = c.v
+           WHERE t.src IS NULL),
+lab AS (SELECT n.cn,
+               CASE WHEN f.src IS NOT NULL THEN 1 ELSE 0 END AS pos
+        FROM nonadj n LEFT JOIN bbf f ON f.src = n.u AND f.dst = n.v),
+g AS (SELECT cn, COUNT(*) AS cnt, SUM(pos) AS np FROM lab GROUP BY cn),
+ranked AS (
+  SELECT cn, cnt, np,
+         COALESCE(SUM(cnt) OVER (ORDER BY cn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM g),
+agg AS (
+  SELECT SUM(np * (2 * cum_before + cnt + 1)) AS r2,
+         SUM(np) AS n_pos, SUM(cnt - np) AS n_neg
+  FROM ranked)
+SELECT CAST(n_pos + n_neg AS BIGINT) AS n_pairs,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       ROUND(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc_r
+FROM agg
+"""
+
+
+ORACLES.update(
+    {
+        "eps_components": _eps_components_sql(),
+        "lp_auc_cn": _LP_AUC_CN_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "eps_components": q_eps_components,
+        "lp_auc_cn": q_lp_auc_cn,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -18752,6 +18975,7 @@ _ROUND5_PRIORITY = [
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",
     "bmatching2", "transitive_reduction2", "triadic_closure",
+    "eps_components", "lp_auc_cn",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

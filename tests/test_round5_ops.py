@@ -3166,3 +3166,118 @@ def test_triadic_closure_bounds_and_replay(spark):
             golden[month][1] += 1
     got = {r["month"]: [r["n_wedges"], r["n_closed_later"]] for r in rows}
     assert got == golden
+
+
+# ------------------------------------------------- epsilon-graph curve
+
+
+def test_eps_components_monotone_and_replay(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["eps_components"](spark, SF).orderBy("thr_centi").collect()
+    # monotone shrinkage as the threshold tightens
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_vertices"] >= b["n_vertices"]
+        assert a["giant"] >= b["giant"]
+    # python union-find replay per threshold
+    pairs = duckdb.sql(
+        f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                 FROM '{SF}/embeddings.parquet')
+            SELECT a.vec_id, b.vec_id, list_cosine_similarity(a.v, b.v)
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.30"""
+    ).fetchall()
+    for r in rows:
+        t = r["thr_centi"] / 100.0
+        sub = [(a, b) for a, b, c in pairs if c >= t]
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        verts = set()
+        for a, b in sub:
+            verts |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, int] = {}
+        for v in verts:
+            comps[find(v)] = comps.get(find(v), 0) + 1
+        assert r["n_pairs"] == len(sub)
+        assert r["n_vertices"] == len(verts)
+        assert r["n_components"] == len(comps)
+        assert r["giant"] == (max(comps.values()) if comps else 0)
+
+
+# ------------------------------------------------- temporal LP AUC
+
+
+def test_lp_auc_cn_python_replay(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import _LP_SPLIT, QUERIES
+
+    row = QUERIES["lp_auc_cn"](spark, SF).collect()[0]
+
+    def backbone(where=""):
+        return set(
+            map(
+                tuple,
+                duckdb.sql(
+                    f"""WITH op AS (SELECT DISTINCT l.l_orderkey o, l.l_partkey p,
+                              o.o_orderdate odate
+                         FROM '{SF}/lineitem.parquet' l
+                         JOIN '{SF}/orders.parquet' o ON o.o_orderkey = l.l_orderkey)
+                        SELECT a.p, b.p FROM op a JOIN op b
+                        ON a.o = b.o AND a.p < b.p {where}
+                        GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+                ).fetchall(),
+            )
+        )
+
+    bbt = backbone(f"AND a.odate < DATE '{_LP_SPLIT}'")
+    bbf = backbone()
+    adj: dict[int, set] = {}
+    for a, b in bbt:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cand: dict[tuple[int, int], int] = {}
+    for c, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i, u in enumerate(ns):
+            for v in ns[i + 1 :]:
+                cand[(u, v)] = cand.get((u, v), 0) + 1
+    labeled = [
+        (cn, 1 if (u, v) in bbf else 0)
+        for (u, v), cn in cand.items()
+        if (u, v) not in bbt
+    ]
+    n_pos = sum(p for _, p in labeled)
+    n_neg = len(labeled) - n_pos
+    # exact midrank AUC
+    from collections import Counter
+
+    hist = Counter(cn for cn, _ in labeled)
+    cum = 0
+    mid2 = {}
+    for cn in sorted(hist):
+        mid2[cn] = 2 * cum + hist[cn] + 1
+        cum += hist[cn]
+    r2 = sum(mid2[cn] for cn, p in labeled if p)
+    u2 = r2 - n_pos * (n_pos + 1)
+    assert (row["n_pairs"], row["n_pos"], row["n_neg"], row["u2"]) == (
+        len(labeled),
+        n_pos,
+        n_neg,
+        u2,
+    )
+    assert abs(row["auc_r"] - round(u2 / (2 * n_pos * n_neg), 6)) < 1e-9
+    # common neighbors must beat coin-flip on this graph
+    assert row["auc_r"] > 0.5
