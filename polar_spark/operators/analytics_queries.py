@@ -18939,6 +18939,212 @@ QUERIES.update(
 )
 
 
+def q_attribution_markov5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution by REMOVAL EFFECT (Anderl et al. 2016):
+    how much of the overall conversion probability (reach 'purchase'
+    before 'error', 6-round truncated value iteration — the
+    absorb_funnel6 engine) disappears when a channel's state is
+    knocked out (pinned to 0, so any walk entering it is lost)?
+    Conversion is averaged over the EMPIRICAL start distribution
+    (each user's first event).  The data-dependent model fits in a
+    handful of states, so all six value iterations are join-aggregate
+    rounds over ≤ |states|² rows; transition probabilities are ratios
+    of exact integer counts and the output is 6-dp rounded."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = ev.select(
+        F.col("event_type").alias("s"), F.lead("event_type").over(w).alias("t")
+    ).where(F.col("t").isNotNull())
+    cnt = pair.groupBy("s", "t").agg(F.count("*").cast("long").alias("n"))
+    tot = cnt.groupBy("s").agg(F.sum("n").cast("long").alias("ns"))
+    prob = (
+        cnt.join(tot, "s")
+        .select(
+            "s",
+            "t",
+            (F.col("n").cast("double") / F.col("ns").cast("double")).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = prob.select(F.col("s").alias("st")).distinct().localCheckpoint(eager=True)
+    first = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    start = first.groupBy(F.col("event_type").alias("st")).agg(
+        F.count("*").cast("long").alias("nu")
+    ).localCheckpoint(eager=True)
+    n_users = start.agg(F.sum("nu")).collect()[0][0]
+
+    def conv(removed: str | None) -> float:
+        pinned0 = {"error"} | ({removed} if removed else set())
+        val = states.select(
+            "st",
+            F.when(F.col("st") == "purchase", 1.0)
+            .when(F.col("st").isin(list(pinned0)), 0.0)
+            .otherwise(0.0)
+            .alias("v"),
+        ).localCheckpoint(eager=True)
+        for _ in range(6):
+            nxt = (
+                prob.join(val.select(F.col("st").alias("t"), "v"), "t")
+                .groupBy(F.col("s").alias("st"))
+                .agg(F.sum(F.col("p") * F.col("v")).alias("v"))
+            )
+            val = (
+                states.join(nxt, "st", "left")
+                .select(
+                    "st",
+                    F.when(F.col("st") == "purchase", 1.0)
+                    .when(F.col("st").isin(list(pinned0)), 0.0)
+                    .otherwise(F.coalesce(F.col("v"), F.lit(0.0)))
+                    .alias("v"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        got = (
+            start.join(val, "st")
+            .agg(F.sum(F.col("nu").cast("double") * F.col("v")))
+            .collect()[0][0]
+        )
+        return (got or 0.0) / n_users
+
+    base = conv(None)
+    chans = sorted(
+        r["st"] for r in states.collect() if r["st"] not in ("purchase", "error")
+    )
+    rows = []
+    for c in chans:
+        cc = conv(c)
+        rows.append(
+            (c, round(base, 6), round(cc, 6), round((base - cc) / base, 6))
+        )
+    return spark.createDataFrame(
+        rows, "channel string, conv_base_r double, conv_removed_r double, effect_r double"
+    ).orderBy("channel")
+
+
+def _attribution_sql(rounds: int = 6) -> str:
+    # one unrolled value iteration per variant: base + one per removable
+    # channel; channels are data-independent here (the events generator
+    # vocabulary), matching the operator's discovered-state set
+    chans = ["click", "error", "purchase", "signup", "view"]
+    removable = [c for c in chans if c not in ("purchase", "error")]
+    parts = [
+        """seq AS (SELECT event_type AS s,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+        FROM events)""",
+        "cnt AS (SELECT s, t, COUNT(*) AS n FROM seq WHERE t IS NOT NULL GROUP BY s, t)",
+        "tot AS (SELECT s, SUM(n) AS ns FROM cnt GROUP BY s)",
+        """prob AS MATERIALIZED (SELECT cnt.s, cnt.t,
+            CAST(cnt.n AS DOUBLE) / CAST(tot.ns AS DOUBLE) AS p
+        FROM cnt JOIN tot USING (s))""",
+        "st AS MATERIALIZED (SELECT DISTINCT s AS st FROM prob)",
+        """strt AS MATERIALIZED (
+  SELECT event_type AS st, COUNT(*) AS nu FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events) z WHERE rn = 1 GROUP BY event_type)""",
+        "nu AS (SELECT SUM(nu) AS n FROM strt)",
+    ]
+    convs = []
+    for tag, removed in [("base", None)] + [(c, c) for c in removable]:
+        pin0 = "'error'" + (f", '{removed}'" if removed else "")
+        parts.append(
+            f"v_{tag}_0 AS (SELECT st, CASE WHEN st = 'purchase' THEN 1.0 "
+            f"WHEN st IN ({pin0}) THEN 0.0 ELSE 0.0 END AS v FROM st)"
+        )
+        for k in range(1, rounds + 1):
+            parts.append(
+                f"""v_{tag}_{k} AS MATERIALIZED (
+  SELECT st.st, CASE WHEN st.st = 'purchase' THEN 1.0
+                     WHEN st.st IN ({pin0}) THEN 0.0
+                     ELSE COALESCE(nx.v, 0.0) END AS v
+  FROM st LEFT JOIN (
+    SELECT prob.s AS st, SUM(prob.p * pv.v) AS v
+    FROM prob JOIN v_{tag}_{k - 1} pv ON pv.st = prob.t
+    GROUP BY prob.s) nx ON nx.st = st.st)"""
+            )
+        parts.append(
+            f"c_{tag} AS (SELECT SUM(CAST(strt.nu AS DOUBLE) * v.v) "
+            f"/ (SELECT CAST(n AS DOUBLE) FROM nu) AS conv "
+            f"FROM strt JOIN v_{tag}_{rounds} v USING (st))"
+        )
+        if removed:
+            convs.append(
+                f"SELECT '{removed}' AS channel, "
+                f"ROUND((SELECT conv FROM c_base), 6) AS conv_base_r, "
+                f"ROUND((SELECT conv FROM c_{tag}), 6) AS conv_removed_r, "
+                f"ROUND(((SELECT conv FROM c_base) - (SELECT conv FROM c_{tag})) "
+                f"/ (SELECT conv FROM c_base), 6) AS effect_r"
+            )
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(convs)
+        + "\nORDER BY channel"
+    )
+
+
+def q_subseq_support3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern supports (PrefixSpan posture, length-3, gaps
+    allowed): for every ordered event-type triple (a, b, c), the number
+    of users whose timeline CONTAINS it as a subsequence — the
+    non-contiguous upgrade of `event_trigrams_top`.  Uses the
+    EARLIEST-EMBEDDING DP (a subsequence embeds iff the greedy
+    earliest one does): f(u,a) = first a; g(u,a,b) = first b after
+    f(u,a); support(a,b,c) = #users with any c after g(u,a,b).  Each
+    stage is one join + aggregate over |events|·|types| rows — never a
+    3-way event self-join; strict time comparisons make same-timestamp
+    events unchainable identically in both engines."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.col("event_type").alias("ty"), "ts"
+    )
+    f = ev.groupBy("user_id", F.col("ty").alias("a")).agg(F.min("ts").alias("fa"))
+    g = (
+        ev.join(f, "user_id")
+        .where(F.col("ts") > F.col("fa"))
+        .groupBy("user_id", "a", F.col("ty").alias("b"))
+        .agg(F.min("ts").alias("gb"))
+    )
+    h = (
+        ev.join(g, "user_id")
+        .where(F.col("ts") > F.col("gb"))
+        .select("user_id", "a", "b", F.col("ty").alias("c"))
+        .distinct()
+    )
+    return (
+        h.groupBy("a", "b", "c")
+        .agg(F.count("*").cast("long").alias("support"))
+        .orderBy("a", "b", "c")
+    )
+
+
+_SUBSEQ_SUPPORT_SQL = """
+WITH ev AS (SELECT user_id, event_type AS ty, ts FROM events),
+f AS (SELECT user_id, ty AS a, MIN(ts) AS fa FROM ev GROUP BY 1, 2),
+g AS (SELECT ev.user_id, f.a, ev.ty AS b, MIN(ev.ts) AS gb
+      FROM ev JOIN f ON f.user_id = ev.user_id AND ev.ts > f.fa
+      GROUP BY 1, 2, 3),
+h AS (SELECT DISTINCT ev.user_id, g.a, g.b, ev.ty AS c
+      FROM ev JOIN g ON g.user_id = ev.user_id AND ev.ts > g.gb)
+SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support
+FROM h GROUP BY a, b, c ORDER BY a, b, c
+"""
+
+
+ORACLES.update(
+    {
+        "attribution_markov5": _attribution_sql(),
+        "subseq_support3": _SUBSEQ_SUPPORT_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "attribution_markov5": q_attribution_markov5,
+        "subseq_support3": q_subseq_support3,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -18975,7 +19181,7 @@ _ROUND5_PRIORITY = [
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",
     "bmatching2", "transitive_reduction2", "triadic_closure",
-    "eps_components", "lp_auc_cn",
+    "eps_components", "lp_auc_cn", "attribution_markov5", "subseq_support3",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

@@ -3281,3 +3281,109 @@ def test_lp_auc_cn_python_replay(spark):
     assert abs(row["auc_r"] - round(u2 / (2 * n_pos * n_neg), 6)) < 1e-9
     # common neighbors must beat coin-flip on this graph
     assert row["auc_r"] > 0.5
+
+
+# ------------------------------------------------- Markov attribution
+
+
+def test_attribution_markov_python_replay(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = {r["channel"]: r for r in QUERIES["attribution_markov5"](spark, SF).collect()}
+    seq = duckdb.sql(
+        f"""SELECT user_id, event_type FROM '{SF}/events.parquet'
+            ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for u, t in seq:
+        by_user.setdefault(u, []).append(t)
+    starts: dict[str, int] = {}
+    for evs in by_user.values():
+        starts[evs[0]] = starts.get(evs[0], 0) + 1
+    trans: dict[str, dict[str, int]] = {}
+    for evs in by_user.values():
+        for s, t in zip(evs, evs[1:]):
+            d = trans.setdefault(s, {})
+            d[t] = d.get(t, 0) + 1
+    prob = {
+        s: {t: n / sum(ts.values()) for t, n in ts.items()}
+        for s, ts in trans.items()
+    }
+    states = set(prob)
+
+    def conv(removed):
+        pinned0 = {"error"} | ({removed} if removed else set())
+        v = {s: 1.0 if s == "purchase" else 0.0 for s in states}
+        for _ in range(6):
+            nv = {}
+            for s in states:
+                if s == "purchase":
+                    nv[s] = 1.0
+                elif s in pinned0:
+                    nv[s] = 0.0
+                else:
+                    nv[s] = sum(p * v.get(t, 0.0) for t, p in prob[s].items())
+            v = nv
+        n_users = sum(starts.values())
+        return sum(n * v.get(s, 0.0) for s, n in starts.items()) / n_users
+
+    base = conv(None)
+    for c in ("click", "signup", "view"):
+        r = rows[c]
+        cc = conv(c)
+        assert abs(r["conv_base_r"] - round(base, 6)) < 2e-6
+        assert abs(r["conv_removed_r"] - round(cc, 6)) < 2e-6
+        assert abs(r["effect_r"] - round((base - cc) / base, 6)) < 2e-5
+        # knocking out a channel can only lose conversion mass
+        assert r["conv_removed_r"] <= r["conv_base_r"] + 1e-9
+        assert r["effect_r"] >= -1e-9
+
+
+# ------------------------------------------------- subsequence support
+
+
+def test_subseq_support_python_replay(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    out = {
+        (r["a"], r["b"], r["c"]): r["support"]
+        for r in QUERIES["subseq_support3"](spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, ts FROM '{SF}/events.parquet'
+            ORDER BY user_id, ts"""
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for u, t, ts in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    types = sorted({t for _, t, _ in rows})
+    golden: dict[tuple, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        for a in types:
+            fa = next((ts for ts, t in evs if t == a), None)
+            if fa is None:
+                continue
+            for b in types:
+                gb = next((ts for ts, t in evs if t == b and ts > fa), None)
+                if gb is None:
+                    continue
+                for c in types:
+                    if any(t == c and ts > gb for ts, t in evs):
+                        golden[(a, b, c)] = golden.get((a, b, c), 0) + 1
+    assert out == golden
+    # containment is monotone: support(a,b,c) <= support of the prefix pair
+    pair_support: dict[tuple, int] = {}
+    for evs in by_user.values():
+        for a in types:
+            fa = next((ts for ts, t in evs if t == a), None)
+            if fa is not None:
+                for b in types:
+                    if any(t == b and ts > fa for ts, t in evs):
+                        pair_support[(a, b)] = pair_support.get((a, b), 0) + 1
+    for (a, b, c), s in out.items():
+        assert s <= pair_support[(a, b)]
