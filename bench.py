@@ -866,8 +866,23 @@ def main() -> None:
             q_winnow_pairs,
         )
 
+        from polar_spark.operators.analytics_queries import (
+            q_attribution_markov5,
+            q_eps_components,
+            q_lp_auc_cn,
+            q_subseq_support3,
+            q_transitive_reduction2,
+            q_triadic_closure,
+        )
+
         q_kn_bigram_ppl(spark, sf_dir).collect()
         q_transition_entropy(spark, sf_dir).collect()
+        q_transitive_reduction2(spark, sf_dir).collect()
+        tc = q_triadic_closure(spark, sf_dir).collect()
+        ec = q_eps_components(spark, sf_dir).collect()
+        lp = q_lp_auc_cn(spark, sf_dir).collect()[0]
+        at = q_attribution_markov5(spark, sf_dir).collect()
+        q_subseq_support3(spark, sf_dir).collect()
         km = q_kaplan_meier(spark, sf_dir).collect()
         cf = q_item_cf10(spark, sf_dir).collect()
         cp = q_kclique_comm3(spark, sf_dir).collect()
@@ -896,6 +911,16 @@ def main() -> None:
                 (int(r["same_ppm"] - r["base_ppm"]) for r in hom), default=0
             ),
             "bmatching_edges": len(bm),
+            "triadic_close_max_ppm": max(
+                (int(r["close_ppm"]) for r in tc), default=0
+            ),
+            "eps_giant_at_30": next(
+                (int(r["giant"]) for r in ec if r["thr_centi"] == 30), 0
+            ),
+            "lp_auc_ppm": int(lp["auc_r"] * 1e6),
+            "attribution_max_effect_ppm": max(
+                (int(r["effect_r"] * 1e6) for r in at), default=0
+            ),
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side
