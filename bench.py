@@ -869,7 +869,9 @@ def main() -> None:
         from polar_spark.operators.analytics_queries import (
             q_attribution_markov5,
             q_eps_components,
+            q_int8_recall,
             q_lp_auc_cn,
+            q_seasonality_dow,
             q_subseq_support3,
             q_transitive_reduction2,
             q_triadic_closure,
@@ -883,6 +885,8 @@ def main() -> None:
         lp = q_lp_auc_cn(spark, sf_dir).collect()[0]
         at = q_attribution_markov5(spark, sf_dir).collect()
         q_subseq_support3(spark, sf_dir).collect()
+        i8 = q_int8_recall(spark, sf_dir).collect()
+        q_seasonality_dow(spark, sf_dir).collect()
         km = q_kaplan_meier(spark, sf_dir).collect()
         cf = q_item_cf10(spark, sf_dir).collect()
         cp = q_kclique_comm3(spark, sf_dir).collect()
@@ -921,6 +925,7 @@ def main() -> None:
             "attribution_max_effect_ppm": max(
                 (int(r["effect_r"] * 1e6) for r in at), default=0
             ),
+            "int8_overlap_x20": sum(int(r["overlap3"]) for r in i8),
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side

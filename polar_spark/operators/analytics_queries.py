@@ -19145,6 +19145,220 @@ QUERIES.update(
 )
 
 
+def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-retrieval audit completing the trilogy with
+    `matryoshka_recall` (truncation) and `jl_recall` (projection):
+    exact cosine top-3 under the int8-DEQUANTIZED embeddings
+    (similarity.quantize_int8's per-dimension affine codes) vs the full
+    float embedding, per-query overlap — what 4× storage compression
+    costs at serving time.  min/max/scale/codes are all
+    comparison-or-integer derived (no summation), and every dot
+    product is an index-ORDERED fold, so both engines rank identical
+    doubles — no rounding step anywhere (the dequantization is inlined
+    rather than routed through similarity.quantize_int8 so the fold
+    order stays pinned)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    x = emb.select(
+        F.col("vec_id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    dims = x.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    dims = dims.select(
+        "pos",
+        "mn",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
+        .otherwise((F.col("mx") - F.col("mn")) / F.lit(255.0))
+        .alias("scale"),
+    )
+    dq = (
+        x.join(F.broadcast(dims), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            (
+                F.col("mn")
+                + F.least(
+                    F.lit(255),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("x") - F.col("mn")) / F.col("scale") + F.lit(0.5)
+                        ),
+                    ),
+                )
+                * F.col("scale")
+            ).alias("dqv"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dqv"))),
+                lambda s: s["dqv"],
+            ).alias("v")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, t: acc + t * t)
+    )
+
+    def top3(frame: DataFrame) -> DataFrame:
+        q = frame.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        scored = (
+            q.crossJoin(frame)
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = top3(vecs)
+    qz = top3(dq)
+    inter = (
+        full.join(qz, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("overlap3"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(inter, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long"),
+            F.coalesce("overlap3", F.lit(0)).cast("long").alias("overlap3"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _int8_recall_sql() -> str:
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {expr}), "
+        "(acc{v}, t{v}) -> acc{v} + t{v})"
+    )
+    dot = fold.format(
+        expr="list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])", v="d"
+    )
+    n1 = fold.format(expr="list_transform(a.v, e1 -> e1 * e1)", v="n1")
+    n2 = fold.format(expr="list_transform(b.v, e2 -> e2 * e2)", v="n2")
+    top3 = f"""
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           ({dot}) / (SQRT({n1}) * SQRT({n2})) DESC, b.vec_id) AS rn
+  FROM {{src}} a JOIN {{src}} b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20"""
+    return f"""
+WITH fullv AS (SELECT vec_id,
+        list_transform(range(1, 65), q -> CAST(embedding[q] AS DOUBLE)) AS v
+      FROM embeddings),
+x AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+dims AS (SELECT pos, MIN(x) AS mn,
+                CASE WHEN MAX(x) = MIN(x) THEN 1.0
+                     ELSE (MAX(x) - MIN(x)) / 255.0 END AS scale
+         FROM x GROUP BY pos),
+dqrows AS (SELECT vec_id, pos,
+             mn + LEAST(255, GREATEST(0,
+               CAST(FLOOR((x.x - mn) / scale + 0.5) AS BIGINT))) * scale AS dqv
+           FROM x JOIN dims USING (pos)),
+dq AS (SELECT vec_id, list(dqv ORDER BY pos) AS v FROM dqrows GROUP BY vec_id),
+ft AS (SELECT query_id, neighbor_id FROM ({top3.format(src='fullv')}) WHERE rn <= 3),
+qt AS (SELECT query_id, neighbor_id FROM ({top3.format(src='dq')}) WHERE rn <= 3),
+ov AS (SELECT ft.query_id, COUNT(*) AS overlap3
+       FROM ft JOIN qt ON qt.query_id = ft.query_id
+                      AND qt.neighbor_id = ft.neighbor_id
+       GROUP BY ft.query_id)
+SELECT q.query_id, CAST(COALESCE(ov.overlap3, 0) AS BIGINT) AS overlap3
+FROM (SELECT DISTINCT query_id FROM ft) q
+LEFT JOIN ov ON ov.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue seasonality profile: per ISO weekday, day
+    count, exact total cents, integer mean, and the seasonal index
+    (share vs uniform, exact ppm via total·7·10⁶ DIV grand) — the
+    seasonal-profile companion to `hourly_anomaly` (level shifts) /
+    `cusum_hourly` (changepoints) / `ewma_forecast` (trend).  Weekday
+    is Monday-based 1..7 on both engines (Spark weekday()+1 == DuckDB
+    isodow); one distributed day aggregate, then a 7-row rollup."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    per = daily.groupBy((F.weekday("day") + F.lit(1)).alias("dow")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    grand = F.sum("total_cents").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        per.withColumn("grand", grand)
+        .select(
+            F.col("dow").cast("long"),
+            "n_days",
+            "total_cents",
+            F.expr("total_cents DIV n_days").cast("long").alias("mean_cents"),
+            F.expr("total_cents * 7 * 1000000 DIV grand").cast("long").alias(
+                "idx_ppm"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
+_SEASONALITY_DOW_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+per AS (
+  SELECT isodow(day) AS dow, COUNT(*) AS n_days, SUM(cents) AS total_cents
+  FROM daily GROUP BY 1),
+g AS (SELECT SUM(total_cents) AS grand FROM per)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+       CAST(total_cents AS BIGINT) AS total_cents,
+       CAST(total_cents // n_days AS BIGINT) AS mean_cents,
+       CAST(total_cents * 7 * 1000000 // g.grand AS BIGINT) AS idx_ppm
+FROM per CROSS JOIN g ORDER BY dow
+"""
+
+
+ORACLES.update(
+    {
+        "int8_recall": _int8_recall_sql(),
+        "seasonality_dow": _SEASONALITY_DOW_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "int8_recall": q_int8_recall,
+        "seasonality_dow": q_seasonality_dow,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -19182,6 +19396,7 @@ _ROUND5_PRIORITY = [
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",
     "bmatching2", "transitive_reduction2", "triadic_closure",
     "eps_components", "lp_auc_cn", "attribution_markov5", "subseq_support3",
+    "int8_recall", "seasonality_dow",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

@@ -3387,3 +3387,83 @@ def test_subseq_support_python_replay(spark):
                         pair_support[(a, b)] = pair_support.get((a, b), 0) + 1
     for (a, b, c), s in out.items():
         assert s <= pair_support[(a, b)]
+
+
+# ------------------------------------------------- int8 retrieval audit
+
+
+def test_int8_recall_python_replay(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    out = {r["query_id"]: r["overlap3"] for r in QUERIES["int8_recall"](spark, SF).collect()}
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: [float(x) for x in v] for vid, v in rows}
+    d = len(next(iter(vecs.values())))
+    mn = [min(v[i] for v in vecs.values()) for i in range(d)]
+    mx = [max(v[i] for v in vecs.values()) for i in range(d)]
+    scale = [1.0 if mx[i] == mn[i] else (mx[i] - mn[i]) / 255.0 for i in range(d)]
+    import math
+
+    def dq(v):
+        out = []
+        for i, x in enumerate(v):
+            code = min(255, max(0, math.floor((x - mn[i]) / scale[i] + 0.5)))
+            out.append(mn[i] + code * scale[i])
+        return out
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def top3(space):
+        res = {}
+        for q in [i for i in space if i < 20]:
+            res[q] = {
+                o
+                for _, o in sorted(
+                    (
+                        (-fold_dot(space[q], space[o])
+                         / (fold_dot(space[q], space[q]) ** 0.5
+                            * fold_dot(space[o], space[o]) ** 0.5), o)
+                        for o in space if o != q
+                    )
+                )[:3]
+            }
+        return res
+
+    full = top3(vecs)
+    quant = top3({vid: dq(v) for vid, v in vecs.items()})
+    assert out == {q: len(full[q] & quant[q]) for q in full}
+    # int8 with per-dim ranges is a mild distortion: mean overlap high
+    assert sum(out.values()) / len(out) >= 2.0
+
+
+# ------------------------------------------------- day-of-week profile
+
+
+def test_seasonality_dow_conservation(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["seasonality_dow"](spark, SF).collect()
+    assert [r["dow"] for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    total = duckdb.sql(
+        f"SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["total_cents"] for r in rows) == total
+    n_days = duckdb.sql(
+        f"SELECT COUNT(DISTINCT date_trunc('day', o_orderdate)) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_days"] for r in rows) == n_days
+    for r in rows:
+        assert r["mean_cents"] == r["total_cents"] // r["n_days"]
+        # a uniform-ish synthetic calendar: every weekday within 3x of uniform
+        assert 1000000 // 3 <= r["idx_ppm"] <= 3000000
+
