@@ -19359,6 +19359,166 @@ QUERIES.update(
 )
 
 
+def q_wilson_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-sample-aware part ranking by return rate: the Wilson score
+    95% LOWER bound on p(returnflag = 'R') per part — the
+    "sort by rating" correction (a 1/1 part must not outrank a 45/50
+    one, which the raw ratio does).  n and k are exact integers; the
+    bound is ONE identically-written double expression on them, and the
+    ranking is on the 7-dp ROUNDED bound with part-id tie-break (the
+    adamic_adar ordering lesson).  Top-50; one groupBy, no joins."""
+    li = load_table(spark, "lineitem", sf_dir)
+    g = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("k"),
+    )
+    z2 = 3.8415  # z^2 at 95% (1.96^2), exact decimal literal both engines
+    nn = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nn
+    lb = (
+        p
+        + F.lit(z2) / (F.lit(2.0) * nn)
+        - F.sqrt(
+            F.lit(z2)
+            * (p * (F.lit(1.0) - p) + F.lit(z2) / (F.lit(4.0) * nn))
+            / nn
+        )
+    ) / (F.lit(1.0) + F.lit(z2) / nn)
+    scored = g.select("part", "n", "k", F.round(lb, 7).alias("wilson_lb_r"))
+    w = Window.orderBy(F.desc("wilson_lb_r"), F.asc("part"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("part", "n", "k", "wilson_lb_r", F.col("rn").cast("long"))
+        .orderBy("rn")
+    )
+
+
+_WILSON_RETURNS_SQL = """
+WITH g AS (
+  SELECT l_partkey AS part, COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+  FROM lineitem GROUP BY 1),
+scored AS (
+  SELECT part, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+         ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                + 3.8415 / (2.0 * CAST(n AS DOUBLE))
+                - SQRT(3.8415 * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        + 3.8415 / (4.0 * CAST(n AS DOUBLE)))
+                       / CAST(n AS DOUBLE)))
+               / (1.0 + 3.8415 / CAST(n AS DOUBLE)), 7) AS wilson_lb_r
+  FROM g),
+ranked AS (
+  SELECT part, n, k, wilson_lb_r,
+         ROW_NUMBER() OVER (ORDER BY wilson_lb_r DESC, part) AS rn
+  FROM scored)
+SELECT CAST(part AS BIGINT) AS part, n, k, wilson_lb_r, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 50 ORDER BY rn
+"""
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on monthly revenue: S =
+    Σ_{i<j} sign(x_j − x_i) over the ordered month series — EXACT
+    integers end-to-end (revenue in cents, S from a bounded month×month
+    pair join, tie-corrected variance from integer tie-group counts);
+    the z statistic is one final double expression, 6-dp rounded.  The
+    principled "is revenue actually trending" answer beside
+    `revenue_mom`'s raw deltas; everything runs on the ≤ ~100-row
+    month table."""
+    o = load_table(spark, "orders", sf_dir)
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    s = (
+        a.join(b, F.col("a.m") < F.col("b.m"))
+        .agg(
+            F.sum(F.signum(F.col("b.cents") - F.col("a.cents")).cast("long"))
+            .cast("long")
+            .alias("s"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    nrow = monthly.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        monthly.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .where(F.col("t") >= 2)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    out = s.crossJoin(nrow).crossJoin(ties)
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (F.lit(2) * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("long")
+    sd = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, (sd - F.lit(1.0)))\
+        .when(F.col("s") < 0, (sd + F.lit(1.0)))\
+        .otherwise(F.lit(0.0)) / F.sqrt(var18.cast("double") / F.lit(18.0))
+    return out.select(
+        "n",
+        "n_pairs",
+        "s",
+        var18.alias("var18"),
+        F.round(z, 6).alias("z_r"),
+    )
+
+
+_MANN_KENDALL_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+s AS (SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM monthly a JOIN monthly b ON a.m < b.m),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM monthly),
+ties AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                 AS tie_term
+         FROM (SELECT COUNT(*) AS t FROM monthly GROUP BY cents
+               HAVING COUNT(*) >= 2) z)
+SELECT nn.n, s.n_pairs, s.s,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS BIGINT)
+         AS var18,
+       ROUND((CASE WHEN s.s > 0 THEN CAST(s.s AS DOUBLE) - 1.0
+                   WHEN s.s < 0 THEN CAST(s.s AS DOUBLE) + 1.0
+                   ELSE 0.0 END)
+             / SQRT(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                    AS DOUBLE) / 18.0), 6) AS z_r
+FROM s CROSS JOIN nn CROSS JOIN ties
+"""
+
+
+ORACLES.update(
+    {
+        "wilson_returns": _WILSON_RETURNS_SQL,
+        "mann_kendall": _MANN_KENDALL_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "wilson_returns": q_wilson_returns,
+        "mann_kendall": q_mann_kendall,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -19396,7 +19556,7 @@ _ROUND5_PRIORITY = [
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",
     "bmatching2", "transitive_reduction2", "triadic_closure",
     "eps_components", "lp_auc_cn", "attribution_markov5", "subseq_support3",
-    "int8_recall", "seasonality_dow",
+    "int8_recall", "seasonality_dow", "wilson_returns", "mann_kendall",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

@@ -3467,3 +3467,70 @@ def test_seasonality_dow_conservation(spark):
         # a uniform-ish synthetic calendar: every weekday within 3x of uniform
         assert 1000000 // 3 <= r["idx_ppm"] <= 3000000
 
+
+
+# ------------------------------------------------- Wilson LB ranking
+
+
+def test_wilson_returns_python_replay(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    rows = QUERIES["wilson_returns"](spark, SF).collect()
+    stats = duckdb.sql(
+        f"""SELECT l_partkey, COUNT(*), SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)
+            FROM '{SF}/lineitem.parquet' GROUP BY 1"""
+    ).fetchall()
+    z2 = 3.8415
+    scored = []
+    for part, n, k in stats:
+        p = k / n
+        lb = (p + z2 / (2 * n) - ((z2 * (p * (1 - p) + z2 / (4 * n)) / n) ** 0.5)) / (
+            1 + z2 / n
+        )
+        scored.append((round(lb, 7), part, n, k))
+    golden = sorted(scored, key=lambda t: (-t[0], t[1]))[:50]
+    got = [(r["wilson_lb_r"], r["part"], r["n"], r["k"]) for r in rows]
+    for (glb, gp, gn, gk), (olb, op_, on, ok) in zip(golden, got):
+        assert (gp, gn, gk) == (op_, on, ok)
+        assert abs(glb - olb) < 2e-7
+    # small-sample discipline: the bound never exceeds the raw rate
+    for r in rows:
+        assert r["wilson_lb_r"] <= r["k"] / r["n"] + 1e-9
+
+
+# ------------------------------------------------- Mann-Kendall trend
+
+
+def test_mann_kendall_python_replay(spark):
+    import duckdb
+
+    from polar_spark.operators.analytics_queries import QUERIES
+
+    row = QUERIES["mann_kendall"](spark, SF).collect()[0]
+    months = duckdb.sql(
+        f"""SELECT date_trunc('month', o_orderdate) AS m,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    vals = [c for _, c in months]
+    n = len(vals)
+    s = sum(
+        (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(vals)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t >= 2)
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    z = (s - 1 if s > 0 else s + 1 if s < 0 else 0) / (var18 / 18.0) ** 0.5
+    assert (row["n"], row["n_pairs"], row["s"], row["var18"]) == (
+        n,
+        n * (n - 1) // 2,
+        s,
+        var18,
+    )
+    assert abs(row["z_r"] - round(z, 6)) < 1e-9
