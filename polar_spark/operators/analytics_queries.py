@@ -19519,6 +19519,83 @@ QUERIES.update(
 )
 
 
+_CLIQUE_KMAX = 6
+
+
+def q_clique_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-clique census (k = 2..6) of the weight-≥2 co-order
+    backbone — the clique number ω is the largest k with a nonzero
+    count (measured: ω = 5 at sf0.001, 3 at sf0.01), the dense-core
+    readout beside `k4_cliques`/`truss_components`.  Enumeration is the
+    ORDERED extension on canonical (src < dst) edges: a (k+1)-clique is
+    a k-clique (v₁<…<v_k) plus a neighbor of v_k adjacent to every vᵢ
+    — each clique generated exactly once, per-level fan-out bounded by
+    the last vertex's forward degree (Chiba-Nishizeki discipline; the
+    backbone screen keeps level sizes tiny — at corpus scale run the
+    census after exactly this kind of weight/truss screen)."""
+    sub = _w2_backbone(spark, sf_dir).localCheckpoint(eager=True)
+    rows = [(2, sub.count())]
+    cur = sub.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
+    k = 2
+    while k < _CLIQUE_KMAX:
+        ext = cur.join(
+            sub.select(F.col("src").alias(f"v{k}"), F.col("dst").alias(f"v{k + 1}")),
+            f"v{k}",
+        )
+        for i in range(1, k):
+            ext = ext.join(
+                sub.select(
+                    F.col("src").alias(f"v{i}"), F.col("dst").alias(f"v{k + 1}")
+                ),
+                [f"v{i}", f"v{k + 1}"],
+                "left_semi",
+            )
+        cur = ext.select(*[f"v{i}" for i in range(1, k + 2)]).localCheckpoint(
+            eager=True
+        )
+        k += 1
+        n = cur.count()
+        rows.append((k, n))
+        if n == 0:
+            break
+    for kk in range(k + 1, _CLIQUE_KMAX + 1):
+        rows.append((kk, 0))
+    return spark.createDataFrame(rows, "k long, n_cliques long").orderBy("k")
+
+
+def _clique_census_sql() -> str:
+    parts = [_W2_BACKBONE_SQL.strip()]
+    parts.append("c2 AS MATERIALIZED (SELECT src AS v1, dst AS v2 FROM sub)")
+    selects = ["SELECT 2 AS k, (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) AS n_cliques"]
+    for k in range(2, _CLIQUE_KMAX):
+        vs = ", ".join(f"t.v{i}" for i in range(1, k + 1))
+        exists = " AND ".join(
+            f"EXISTS (SELECT 1 FROM sub e{i} WHERE e{i}.src = t.v{i} "
+            f"AND e{i}.dst = s.dst)"
+            for i in range(1, k)
+        )
+        where = f"WHERE {exists}" if exists else ""
+        parts.append(
+            f"c{k + 1} AS MATERIALIZED (SELECT {vs}, s.dst AS v{k + 1} "
+            f"FROM c{k} t JOIN sub s ON s.src = t.v{k} {where})"
+        )
+        selects.append(
+            f"SELECT {k + 1} AS k, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM c{k + 1}) AS n_cliques"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY k"
+    )
+
+
+ORACLES.update({"clique_census": _clique_census_sql()})
+QUERIES.update({"clique_census": q_clique_census})
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
@@ -19557,6 +19634,7 @@ _ROUND5_PRIORITY = [
     "bmatching2", "transitive_reduction2", "triadic_closure",
     "eps_components", "lp_auc_cn", "attribution_markov5", "subseq_support3",
     "int8_recall", "seasonality_dow", "wilson_returns", "mann_kendall",
+    "clique_census",
     "truss_components", "struct_roles", "ols_price_qty",
     "chi2_terms", "rank_corr", "steiner_tree4", "pca_power3",
     "odd_walk_len", "cusum_hourly", "rake_top10", "snn_clusters",

@@ -3534,3 +3534,47 @@ def test_mann_kendall_python_replay(spark):
         var18,
     )
     assert abs(row["z_r"] - round(z, 6)) < 1e-9
+
+
+# ------------------------------------------------- clique census
+
+
+def test_clique_census_hand_graphs(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, _CLIQUE_KMAX
+
+    # identity checks on the sf0.001 backbone census
+    rows = {r["k"]: r["n_cliques"] for r in QUERIES["clique_census"](spark, SF).collect()}
+    assert set(rows) == set(range(2, _CLIQUE_KMAX + 1))
+    tri = QUERIES["triangles"]  # noqa: F841 (presence — same triangle base)
+    # census is monotone-bounded: C(k+1) <= C(k) * max_fanout and once a
+    # level is empty all deeper levels are empty
+    seen_zero = False
+    for k in range(2, _CLIQUE_KMAX + 1):
+        if seen_zero:
+            assert rows[k] == 0
+        if rows[k] == 0:
+            seen_zero = True
+    # python recount of levels 2-4 on the actual backbone edges
+    from polar_spark.operators.analytics_queries import _w2_backbone
+
+    edge_set = {(r["src"], r["dst"]) for r in _w2_backbone(spark, SF).collect()}
+    adj: dict[int, set] = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+    tri = sum(
+        1
+        for (a, b) in edge_set
+        for c in adj.get(b, set())
+        if (a, c) in edge_set
+    )
+    k4 = 0
+    for (a, b) in edge_set:
+        for c in sorted(adj.get(b, set())):
+            if (a, c) not in edge_set:
+                continue
+            for d in adj.get(c, set()):
+                if (a, d) in edge_set and (b, d) in edge_set:
+                    k4 += 1
+    assert rows[2] == len(edge_set)
+    assert rows[3] == tri
+    assert rows[4] == k4
