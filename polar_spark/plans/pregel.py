@@ -5641,3 +5641,109 @@ def b_matching(
     if not stats.converged:
         raise RuntimeError(f"b_matching left eligible edges after {max_iter} rounds")
     return matched, stats
+
+
+def biconnected_components(
+    edges: DataFrame,
+    max_rounds: int = 60,
+) -> tuple[DataFrame, IterationStats]:
+    """Biconnected components (blocks) — the third member of the
+    connectivity family next to bridges (`two_edge_cc`) and cut
+    vertices (`articulation_points`): the edge partition into maximal
+    subgraphs with no internal cut vertex; a bridge is exactly a
+    1-edge block.  Distributed form of the classic characterization —
+    two edges meeting at v lie in the same block iff their far
+    endpoints stay CONNECTED in G − v, and blocks are the transitive
+    closure of that relation:
+
+    1. one simultaneous MULTI-SEED min-label propagation, state
+       ``(v, u, lab)``: every neighbor x of v seeds G − v with label
+       x; at the fixpoint lab(v, u) = the minimum seed that reaches u
+       with v removed (working set Σ_v |comp(v)| · labels — run it on
+       a screened/backbone subgraph at corpus scale, the
+       articulation_points discipline);
+    2. at each v, edges to neighbors with equal labels share a block:
+       each incident edge links to its group's minimum-neighbor
+       representative edge, and hash-min CC over the packed edge keys
+       (a·2²¹ + b, ids < 2²¹ — compact_ids beyond) closes the
+       relation across vertices.
+
+    Returns ``(df, stats)`` with one row per edge:
+    ``(a, b, block)`` where block = the minimum member edge key."""
+    und0 = (
+        symmetrize(normalize_edges(edges))
+        .where(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    spark = und0.sparkSession
+    sym = und0.unionByName(
+        und0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    stats = IterationStats(algorithm="biconnected_components", edges=sym.count() // 2)
+    cur = sym.select(
+        F.col("src").alias("v"), F.col("dst").alias("u"), F.col("dst").alias("lab")
+    ).localCheckpoint(eager=True)
+    for it in range(1, max_rounds + 1):
+        prop = (
+            cur.join(sym.withColumnRenamed("src", "u"), "u")
+            .where(F.col("dst") != F.col("v"))
+            .select("v", F.col("dst").alias("u"), "lab")
+        )
+        merged = (
+            cur.unionByName(prop)
+            .groupBy("v", "u")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            merged.join(
+                cur.select("v", "u", F.col("lab").alias("old")), ["v", "u"], "left"
+            )
+            .where(F.col("old").isNull() | (F.col("lab") < F.col("old")))
+            .count()
+        )
+        stats.iterations = it
+        stats.deltas.append(float(changed))
+        # drop the superseded round's checkpoint blocks — the state is
+        # Σ_v |comp(v)| rows and keeping every round's copy OOMs a
+        # default-sized driver
+        cur.unpersist()
+        cur = merged
+        if changed == 0:
+            stats.converged = True
+            break
+    if not stats.converged:
+        raise RuntimeError(
+            f"biconnected_components: labels not stable after {max_rounds} rounds"
+        )
+    k = F.lit(1 << 21)
+    inc = sym.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+    labeled = inc.join(
+        cur.select("v", F.col("u").alias("x"), "lab"), ["v", "x"]
+    )
+    reps = labeled.groupBy("v", "lab").agg(F.min("x").alias("minx"))
+    ekey = lambda a, b: (  # noqa: E731
+        F.least(a, b) * k + F.greatest(a, b)
+    )
+    links = (
+        labeled.join(reps, ["v", "lab"])
+        .select(
+            ekey(F.col("v"), F.col("x")).alias("src"),
+            ekey(F.col("v"), F.col("minx")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    comp, _ = connected_components(links)
+    all_edges = und0.select(
+        "src", "dst", ekey(F.col("src"), F.col("dst")).alias("key")
+    )
+    out = (
+        all_edges.join(comp.withColumnRenamed("id", "key"), "key", "left")
+        .select(
+            F.col("src").cast("long").alias("a"),
+            F.col("dst").cast("long").alias("b"),
+            F.coalesce("comp", F.col("key")).cast("long").alias("block"),
+        )
+    )
+    und0.unpersist()
+    return out, stats

@@ -3578,3 +3578,103 @@ def test_clique_census_hand_graphs(spark):
     assert rows[2] == len(edge_set)
     assert rows[3] == tri
     assert rows[4] == k4
+
+
+# ------------------------------------------------- biconnected blocks
+
+
+def _py_bcc(edge_list):
+    """Iterative Hopcroft-Tarjan biconnected components (edge stacks)."""
+    adj: dict[int, list] = {}
+    for a, b in edge_list:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for v in adj:
+        adj[v].sort()
+    disc: dict[int, int] = {}
+    low: dict[int, int] = {}
+    comps = []
+    stack: list[tuple[int, int]] = []
+    timer = [0]
+
+    def canon(u, v):
+        return (min(u, v), max(u, v))
+
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        work = [(root, None, iter(adj[root]))]
+        disc[root] = low[root] = timer[0]
+        timer[0] += 1
+        while work:
+            v, parent, it = work[-1]
+            advanced = False
+            for w in it:
+                if w == parent:
+                    continue
+                if w not in disc:
+                    stack.append(canon(v, w))
+                    disc[w] = low[w] = timer[0]
+                    timer[0] += 1
+                    work.append((w, v, iter(adj[w])))
+                    advanced = True
+                    break
+                elif disc[w] < disc[v]:
+                    stack.append(canon(v, w))
+                    low[v] = min(low[v], disc[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+                if low[v] >= disc[pv]:
+                    comp = set()
+                    while stack:
+                        e = stack.pop()
+                        comp.add(e)
+                        if e == canon(pv, v):
+                            break
+                    if comp:
+                        comps.append(comp)
+    return sorted(comps, key=sorted)
+
+
+def test_bcc_hand_graphs(spark):
+    def run(pairs):
+        out, st = pregel.biconnected_components(_edges(spark, pairs))
+        assert st.converged
+        blocks: dict[int, set] = {}
+        for r in out.collect():
+            blocks.setdefault(r["block"], set()).add((r["a"], r["b"]))
+        return sorted(blocks.values(), key=sorted)
+
+    # two triangles at a cut vertex; triangle + bridge + path; C4
+    assert run([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]) == _py_bcc(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+    )
+    assert run([(1, 2), (2, 3), (1, 3), (3, 9), (20, 21), (21, 22)]) == _py_bcc(
+        [(1, 2), (2, 3), (1, 3), (3, 9), (20, 21), (21, 22)]
+    )
+    assert run([(1, 2), (2, 3), (3, 4), (1, 4)]) == [{(1, 2), (1, 4), (2, 3), (3, 4)}]
+
+
+def test_bcc_backbone_python_replay(spark):
+    from polar_spark.operators.analytics_queries import QUERIES, _w2_backbone
+
+    rows = QUERIES["biconnected_blocks"](spark, SF).collect()
+    edges = [
+        (r["src"], r["dst"])
+        for r in _w2_backbone(spark, SF)
+        .where((F.col("src") < 1000) & (F.col("dst") < 1000))
+        .collect()
+    ]
+    golden = _py_bcc(edges)
+    got_sizes = sorted((r["n_edges"], r["n_vertices"]) for r in rows)
+    want_sizes = sorted(
+        (len(c), len({v for e in c for v in e})) for c in golden
+    )
+    assert got_sizes == want_sizes
+    assert sum(r["n_edges"] for r in rows) == len(edges)
+    for r in rows:
+        assert r["is_bridge"] == (r["n_edges"] == 1)
