@@ -18729,11 +18729,13 @@ def q_eps_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold sits far from any pair's cosine (0.35 precedent:
     ≥ 2.8e-5 margin) so float association-order noise cannot flip
     membership.  Four hash-min component runs over shrinking pair
-    sets."""
+    sets.  max_rows covers the 2000-vector fixture's exact path (2M
+    candidate pairs at sf0.1); beyond that route pair generation
+    through the LSH buckets — embed_neardup's scale posture."""
     from polar_spark.operators.similarity import cosine_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
-    base = cosine_pairs(emb, threshold=0.30, max_rows=500_000).select(
+    base = cosine_pairs(emb, threshold=0.30, max_rows=2_100_000).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos"
     ).localCheckpoint(eager=True)
     rows = []
