@@ -19683,6 +19683,586 @@ QUERIES.update({"biconnected_blocks": q_biconnected_blocks})
 
 
 # ---------------------------------------------------------------------------
+# Session-17 batch A: estimation / smoothing / feature-hashing audits.
+
+
+_KMV_K = 64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.
+    RANDOM'02; the DataSketches theta-sketch core) for users per event
+    type — the order-statistics complement of `hll_users` on the same
+    grouping, sharing its replayable xorshift hash family.  The sketch
+    state per group is the K smallest distinct hash values (mergeable
+    by union+trim, the shard-combine at 100 TB); the estimator is
+    (K−1)·2³¹ / h_(K), or the exact distinct-hash count below
+    saturation.  One distinct + one bounded window — no per-key state
+    beyond K values."""
+    ev = load_table(spark, "events", sf_dir)
+    x0 = (F.col("user_id") * F.lit(2654435761) + F.lit(1000003)) % F.lit(2147483648)
+    h0 = ev.select(
+        F.col("event_type").alias("grp"),
+        x0.cast("long").alias("x0"),
+    )
+    h1 = h0.select(
+        "grp",
+        (
+            (F.col("x0").bitwiseXOR(F.shiftright("x0", 13)) * F.lit(1274126177))
+            % F.lit(2147483648)
+        ).alias("x1"),
+    )
+    h = h1.select(
+        "grp", F.col("x1").bitwiseXOR(F.shiftright("x1", 17)).alias("h")
+    ).dropDuplicates(["grp", "h"])
+    wk = Window.partitionBy("grp").orderBy("h")
+    topk = h.withColumn("rnk", F.row_number().over(wk)).where(F.col("rnk") <= _KMV_K)
+    per = topk.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_min"),
+        F.max("h").cast("long").alias("kth"),
+    )
+    tot = h.groupBy("grp").agg(F.count("*").cast("long").alias("n_hashes"))
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return (
+        per.join(tot, "grp")
+        .join(exact, "grp")
+        .select(
+            "grp",
+            "n_users",
+            "n_hashes",
+            F.when(F.col("n_min") < _KMV_K, F.lit(0))
+            .otherwise(F.col("kth"))
+            .cast("long")
+            .alias("kth_min"),
+            F.when(F.col("n_min") < _KMV_K, F.col("n_hashes").cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(float((_KMV_K - 1) * 2147483648))
+                    / F.col("kth").cast("double"),
+                    4,
+                )
+            )
+            .alias("est"),
+        )
+        .orderBy("grp")
+    )
+
+
+_KMV_SQL = f"""
+WITH h0 AS (SELECT event_type AS grp,
+                   (user_id * 2654435761 + 1000003) % 2147483648 AS x0
+            FROM events),
+h1 AS (SELECT grp, (xor(x0, x0 >> 13) * 1274126177) % 2147483648 AS x1 FROM h0),
+h AS (SELECT DISTINCT grp, xor(x1, x1 >> 17) AS h FROM h1),
+rk AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rnk FROM h),
+per AS (SELECT grp, COUNT(*) AS n_min, MAX(h) AS kth
+        FROM rk WHERE rnk <= {_KMV_K} GROUP BY grp),
+tot AS (SELECT grp, COUNT(*) AS n_hashes FROM h GROUP BY grp),
+exact AS (SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_users
+          FROM events GROUP BY event_type)
+SELECT per.grp, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_hashes AS BIGINT) AS n_hashes,
+       CAST(CASE WHEN n_min < {_KMV_K} THEN 0 ELSE kth END AS BIGINT) AS kth_min,
+       CASE WHEN n_min < {_KMV_K} THEN CAST(n_hashes AS DOUBLE)
+            ELSE ROUND(CAST({float((_KMV_K - 1) * 2147483648)!r} AS DOUBLE)
+                       / CAST(kth AS DOUBLE), 4) END AS est
+FROM per JOIN tot ON tot.grp = per.grp JOIN exact ON exact.grp = per.grp
+ORDER BY per.grp
+"""
+
+
+def q_gt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus word-3-gram
+    occurrence counts (Gale & Sampson'95 without the regression arm —
+    the raw Turing estimates for the reliable low-r region; unigrams
+    are useless here: the synthetic vocabulary is 31 types with min
+    count 26, so the mass sits in 3-gram contexts): frequency-of-
+    frequencies N_r for r = 1..6, the adjusted count
+    r* = (r+1)·N_{r+1}/N_r in exact integer micro-units, and the r = 0
+    row carrying the unseen-mass estimate P₀ = N₁/N.  Two integer
+    groupBys over the gram-frequency table (corpus-size invariant
+    ≤7-row output — at 100 TB it is the same reduction off the n-gram
+    count table every LM pipeline already materializes)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w")
+    )
+    a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
+    grams = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .join(
+            c,
+            (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.i") == F.col("a.i") + 2),
+        )
+        .select(F.concat_ws(" ", F.col("a.w"), F.col("b.w"), F.col("c.w")).alias("tok"))
+    )
+    counts = grams.groupBy("tok").agg(F.count("*").cast("long").alias("r"))
+    toks = grams
+    fof = counts.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    w = Window.orderBy("r")
+    star = (
+        fof.withColumn("r_next", F.lead("r").over(w))
+        .withColumn("n_next", F.lead("n_r").over(w))
+        .where(F.col("r") <= 6)
+        .select(
+            "r",
+            "n_r",
+            F.when(
+                (F.col("r_next") == F.col("r") + 1) & (F.col("n_r") > 0),
+                F.expr("(r + 1) * n_next * 1000000 DIV n_r"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("r_star_micro"),
+        )
+    )
+    totals = toks.agg(F.count("*").cast("long").alias("n_tokens")).crossJoin(
+        counts.where(F.col("r") == 1).agg(F.count("*").cast("long").alias("n1"))
+    )
+    zero = totals.select(
+        F.lit(0).cast("long").alias("r"),
+        F.col("n_tokens").alias("n_r"),
+        F.expr("n1 * 1000000 DIV n_tokens").cast("long").alias("r_star_micro"),
+    )
+    return zero.unionByName(star).orderBy("r")
+
+
+_GT_SQL = """
+WITH toks AS (SELECT doc_id,
+                     generate_subscripts(regexp_split_to_array(TRIM(text), '\\s+'), 1) AS i,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS w
+              FROM documents),
+tk AS (SELECT a.w || ' ' || b.w || ' ' || c.w AS tok
+       FROM toks a
+       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+counts AS (SELECT tok, COUNT(*) AS r FROM tk GROUP BY tok),
+fof AS (SELECT r, COUNT(*) AS n_r FROM counts GROUP BY r),
+star AS (
+  SELECT r, n_r,
+         LEAD(r) OVER (ORDER BY r) AS r_next,
+         LEAD(n_r) OVER (ORDER BY r) AS n_next
+  FROM fof),
+rows_r AS (
+  SELECT CAST(r AS BIGINT) AS r, CAST(n_r AS BIGINT) AS n_r,
+         CAST(CASE WHEN r_next = r + 1 AND n_r > 0
+                   THEN (r + 1) * n_next * 1000000 // n_r
+                   ELSE 0 END AS BIGINT) AS r_star_micro
+  FROM star WHERE r <= 6),
+zero AS (
+  SELECT CAST(0 AS BIGINT) AS r,
+         CAST((SELECT COUNT(*) FROM tk) AS BIGINT) AS n_r,
+         CAST((SELECT COUNT(*) FROM counts WHERE r = 1) * 1000000
+              // (SELECT COUNT(*) FROM tk) AS BIGINT) AS r_star_micro)
+SELECT * FROM zero UNION ALL SELECT * FROM rows_r ORDER BY r
+"""
+
+
+_FH_BUCKETS = 1024
+
+
+def q_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit (Weinberger et al. ICML'09): the
+    corpus 3-gram vocabulary with df ≥ 2 hashed into 1024 feature
+    buckets via the replayable polynomial char hash; output is the
+    bucket-load histogram (load → #buckets) with the corpus-level
+    collision rate — colliding feature pairs over all vocabulary
+    pairs, in ppm — on every row.  This is the audit a 100-TB
+    featurizer runs before fixing its hash width: the histogram is
+    bucket-bounded (≤1024 rows) no matter the vocabulary size, and df
+    screening keeps hapax noise out of the load estimate."""
+    from polar_spark.operators.dedup import polyhash
+
+    docs = load_table(spark, "documents", sf_dir)
+    dt = doc_trigrams(docs).select("doc_id", F.col("g").alias("tok"))
+    vocab = (
+        dt.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("tok", (polyhash(F.col("tok")) % F.lit(_FH_BUCKETS)).alias("bucket"))
+    )
+    loads = vocab.groupBy("bucket").agg(F.count("*").cast("long").alias("load"))
+    hist = loads.groupBy("load").agg(F.count("*").cast("long").alias("n_buckets"))
+    tot = loads.agg(
+        F.sum("load").cast("long").alias("n_tokens"),
+        F.sum(F.expr("load * (load - 1) DIV 2")).cast("long").alias("coll_pairs"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "load",
+            "n_buckets",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN n_tokens > 1 THEN coll_pairs * 1000000"
+                " DIV (n_tokens * (n_tokens - 1) DIV 2) ELSE 0 END"
+            )
+            .cast("long")
+            .alias("collision_ppm"),
+        )
+        .orderBy("load")
+    )
+
+
+def _feature_hash_sql() -> str:
+    from polar_spark.operators.dedup import _polyhash_sql
+
+    return f"""
+WITH toks AS (SELECT doc_id,
+                     generate_subscripts(regexp_split_to_array(TRIM(text), '\\s+'), 1) AS i,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS w
+              FROM documents),
+dt AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS tok
+       FROM toks a
+       JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+vocab AS (SELECT tok, {_polyhash_sql('tok')} % {_FH_BUCKETS} AS bucket
+          FROM dt GROUP BY tok HAVING COUNT(*) >= 2),
+loads AS (SELECT bucket, COUNT(*) AS load FROM vocab GROUP BY bucket),
+hist AS (SELECT load, COUNT(*) AS n_buckets FROM loads GROUP BY load),
+tot AS (SELECT SUM(load) AS n_tokens,
+               SUM(load * (load - 1) // 2) AS coll_pairs FROM loads)
+SELECT CAST(load AS BIGINT) AS load, CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN n_tokens > 1 THEN coll_pairs * 1000000
+                 // (n_tokens * (n_tokens - 1) // 2) ELSE 0 END AS BIGINT)
+         AS collision_ppm
+FROM hist CROSS JOIN tot ORDER BY load
+"""
+
+
+ORACLES.update(
+    {
+        "kmv_distinct": _KMV_SQL,
+        "gt_smoothing": _GT_SQL,
+        "feature_hash_audit": _feature_hash_sql(),
+    }
+)
+QUERIES.update(
+    {
+        "kmv_distinct": q_kmv_distinct,
+        "gt_smoothing": q_gt_smoothing,
+        "feature_hash_audit": q_feature_hash_audit,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Session-17 batch B: time-series statistics (autocorrelation, Pettitt
+# changepoint, two-group log-rank survival test).
+
+
+def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1..7 (the
+    weekly-structure diagnostic ahead of any forecasting model):
+    Pearson r over calendar-matched day pairs (d, d+lag), both days
+    present.  Exactness: daily revenue rides exact integer kilodollars
+    (cents DIV 100000 — cents = CAST(ROUND(price·100)), the q1_pricing
+    discipline; kilodollars keep nΣx² ≪ 2⁶³ at any sf where dollars
+    would overflow the BIGINT guard), all five Pearson sufficient statistics are
+    BIGINT sums, and the final r is one double expression with
+    identical operand order in both engines, rounded to 6 dp.  The
+    pair join is calendar-bounded (≤ #days rows) regardless of order
+    volume — the hourly_anomaly posture."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("d"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100000").alias("x"),
+        )
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("d"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.col("d") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("xa").cast("long").alias("sx"),
+            F.sum("xb").cast("long").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+        )
+    )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    return pairs.select(
+        F.col("lag").cast("long"),
+        "n_pairs",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                (
+                    F.col("n_pairs").cast("double") * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("sy").cast("double")
+                )
+                / F.sqrt(
+                    (
+                        F.col("n_pairs").cast("double") * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double") * F.col("sx").cast("double")
+                    )
+                    * (
+                        F.col("n_pairs").cast("double") * F.col("syy").cast("double")
+                        - F.col("sy").cast("double") * F.col("sy").cast("double")
+                    )
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("acf_r"),
+    ).orderBy("lag")
+
+
+_REVENUE_ACF_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000) AS x
+  FROM orders GROUP BY 1),
+lags AS (SELECT UNNEST(range(1, 8)) AS lag),
+pairs AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         SUM(a.x) AS sx, SUM(b.x) AS sy,
+         SUM(a.x * b.x) AS sxy, SUM(a.x * a.x) AS sxx, SUM(b.x * b.x) AS syy
+  FROM lags, daily a JOIN daily b ON b.d = a.d + lag
+  GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf_r
+FROM pairs ORDER BY lag
+"""
+
+
+def q_pettitt_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test (Pettitt'79, the standard nonparametric
+    single-changepoint detector for hydrology/KPI series) on the daily
+    order-count series: U_t = Σ_{i≤t} r_i − t(n+1) in DOUBLED rank
+    units (average ranks with ties are half-integers; doubling keeps
+    the whole statistic BIGINT-exact — r2 = 2·RANK + ties − 1), the
+    test statistic K = max|U_t|, and the changepoint flag where the
+    maximum is attained.  One rank window + one prefix sum over the
+    calendar-bounded daily table."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    wr = Window.orderBy("x")
+    wt = Window.partitionBy("x")
+    ranked = daily.select(
+        "d",
+        "x",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).cast("long").alias("r2"),
+    )
+    n = ranked.agg(F.count("*").cast("long").alias("n"))
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wt_idx = Window.orderBy("d")
+    cum = ranked.crossJoin(F.broadcast(n)).select(
+        "d",
+        "x",
+        (
+            F.sum("r2").over(wd) - F.row_number().over(wt_idx) * (F.col("n") + 1)
+        ).cast("long").alias("u2"),
+    )
+    return cum.select(
+        "d",
+        "x",
+        "u2",
+        F.max(F.abs("u2")).over(wall).cast("long").alias("k2"),
+        (F.abs("u2") == F.max(F.abs("u2")).over(wall)).alias("is_change_point"),
+    ).orderBy("d")
+
+
+_PETTITT_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+         COUNT(*) AS x
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT d, x,
+         2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS r2
+  FROM daily),
+n AS (SELECT COUNT(*) AS n FROM ranked),
+cum AS (
+  SELECT d, x,
+         SUM(r2) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+           - ROW_NUMBER() OVER (ORDER BY d) * ((SELECT n FROM n) + 1) AS u2
+  FROM ranked)
+SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x, CAST(u2 AS BIGINT) AS u2,
+       CAST(MAX(ABS(u2)) OVER () AS BIGINT) AS k2,
+       ABS(u2) = MAX(ABS(u2)) OVER () AS is_change_point
+FROM cum ORDER BY d
+"""
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (Mantel'66) on the kaplan_meier
+    time-to-next-order cohort, split by customer-nation parity: at
+    each distinct event time, observed group-1 events d1 vs expected
+    e1 = d·n1/n under the null, with the hypergeometric variance —
+    the statistical completion of the survival family (kaplan_meier
+    gives the curves; this says whether they differ).  Every per-time
+    term is an exact BIGINT in fixed-point units (e1 in micro-units,
+    the variance in milli-units via staged DIV so no product exceeds
+    2⁶³ at sf0.1), so the cross-engine sums are bit-identical and the
+    final χ² is one double expression over four exact integers."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_nationkey") % 2 == 0).cast("long").alias("g1"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    staged = (
+        o.select("o_custkey", "o_orderdate", nxt.alias("nxt"))
+        .crossJoin(F.broadcast(o.agg(F.max("o_orderdate").alias("maxd"))))
+        .join(F.broadcast(cust), "o_custkey")
+    )
+    sub = staged.select(
+        F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate"))
+        .otherwise(F.datediff("maxd", "o_orderdate"))
+        .alias("t"),
+        F.col("nxt").isNotNull().cast("long").alias("ev"),
+        "g1",
+    )
+    agg = sub.groupBy("t").agg(
+        F.count("*").cast("long").alias("r"),
+        F.sum("g1").cast("long").alias("r1"),
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.col("ev") * F.col("g1")).cast("long").alias("d1"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risked = agg.select(
+        "t",
+        "d",
+        "d1",
+        (F.sum("r").over(w_all) - F.coalesce(F.sum("r").over(w_prev), F.lit(0)))
+        .cast("long")
+        .alias("n"),
+        (F.sum("r1").over(w_all) - F.coalesce(F.sum("r1").over(w_prev), F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+    ).where(F.col("d") >= 1)
+    terms = risked.select(
+        "d",
+        "d1",
+        "n",
+        "n1",
+        F.expr("d * n1 * 1000000 DIV n").alias("e1_micro"),
+        F.expr(
+            "CASE WHEN n > 1 THEN (d * (n - d) DIV (n - 1)) * n1 * (n - n1)"
+            " * 1000 DIV (n * n) ELSE 0 END"
+        ).alias("v_milli"),
+    )
+    tot = terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("n1").cast("long").alias("n1"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_micro").cast("long").alias("e1_micro"),
+        F.sum("v_milli").cast("long").alias("v_milli"),
+    )
+    return tot.select(
+        "n",
+        "n1",
+        "o1",
+        "e1_micro",
+        "v_milli",
+        F.round(
+            F.pow(
+                F.col("o1").cast("double") - F.col("e1_micro").cast("double") / F.lit(1e6),
+                F.lit(2.0),
+            )
+            / (F.col("v_milli").cast("double") / F.lit(1e3)),
+            6,
+        ).alias("chi2_r"),
+    )
+
+
+_LOGRANK_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders),
+mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+cust AS (SELECT c_custkey, CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END AS g1
+         FROM customer),
+sub AS (
+  SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate, mx.maxd) END AS t,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+         cust.g1
+  FROM o CROSS JOIN mx JOIN cust ON cust.c_custkey = o.o_custkey),
+agg AS (SELECT t, COUNT(*) AS r, SUM(g1) AS r1, SUM(ev) AS d,
+               SUM(ev * g1) AS d1
+        FROM sub GROUP BY t),
+risked AS (
+  SELECT t, d, d1,
+         SUM(r) OVER () - COALESCE(SUM(r) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+         SUM(r1) OVER () - COALESCE(SUM(r1) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+  FROM agg),
+terms AS (
+  SELECT d, d1, n, n1,
+         d * n1 * 1000000 // n AS e1_micro,
+         CASE WHEN n > 1 THEN (d * (n - d) // (n - 1)) * n1 * (n - n1)
+                              * 1000 // (n * n) ELSE 0 END AS v_milli
+  FROM risked WHERE d >= 1),
+tot AS (SELECT MAX(n) AS n, MAX(n1) AS n1, SUM(d1) AS o1,
+               SUM(e1_micro) AS e1_micro, SUM(v_milli) AS v_milli
+        FROM terms)
+SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+       CAST(o1 AS BIGINT) AS o1, CAST(e1_micro AS BIGINT) AS e1_micro,
+       CAST(v_milli AS BIGINT) AS v_milli,
+       ROUND(POWER(CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6, 2)
+             / (CAST(v_milli AS DOUBLE) / 1e3), 6) AS chi2_r
+FROM tot
+"""
+
+
+ORACLES.update(
+    {
+        "revenue_acf": _REVENUE_ACF_SQL,
+        "pettitt_change": _PETTITT_SQL,
+        "logrank_test": _LOGRANK_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "revenue_acf": q_revenue_acf,
+        "pettitt_change": q_pettitt_change,
+        "logrank_test": q_logrank_test,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -19714,6 +20294,8 @@ _CHECKED_R3_R4 = [
 # the newest (never driver-checked anywhere), then the VERDICT r4
 # families
 _ROUND5_PRIORITY = [
+    "kmv_distinct", "gt_smoothing", "feature_hash_audit",
+    "revenue_acf", "pettitt_change", "logrank_test",
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",

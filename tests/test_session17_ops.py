@@ -1,0 +1,258 @@
+"""Round-5 session-17 additions: KMV distinct sketch, Good-Turing
+smoothing, feature-hashing collision audit (+ later batches in this
+session).
+
+Each operator also has a registered query + DuckDB oracle
+(test_entry_contract replays those at sf0.001); these tests pin the
+algorithmic properties by python/numpy replay or hand-golden values.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.operators.analytics_queries import QUERIES
+from polar_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def _kmv_hash(uid: int) -> int:
+    x0 = (uid * 2654435761 + 1000003) % 2147483648
+    x1 = ((x0 ^ (x0 >> 13)) * 1274126177) % 2147483648
+    return x1 ^ (x1 >> 17)
+
+
+def test_kmv_distinct_python_replay(spark):
+    rows = {r["grp"]: r for r in QUERIES["kmv_distinct"](spark, SF).collect()}
+    ev = load_table(spark, "events", SF).select("event_type", "user_id").collect()
+    by_grp: dict[str, set[int]] = {}
+    users: dict[str, set[int]] = {}
+    for r in ev:
+        by_grp.setdefault(r["event_type"], set()).add(_kmv_hash(r["user_id"]))
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    assert set(rows) == set(by_grp)
+    for grp, hashes in by_grp.items():
+        row = rows[grp]
+        assert row["n_hashes"] == len(hashes)
+        assert row["n_users"] == len(users[grp])
+        if len(hashes) >= 64:
+            kth = sorted(hashes)[63]
+            assert row["kth_min"] == kth
+            assert row["est"] == round(63 * 2147483648 / kth, 4)
+        else:
+            assert row["kth_min"] == 0
+            assert row["est"] == float(len(hashes))
+
+
+def test_kmv_estimate_tracks_exact(spark):
+    # k=64 gives ~1/sqrt(62) ≈ 13% relative standard error; allow 3 sigma
+    for r in QUERIES["kmv_distinct"](spark, SF).collect():
+        if r["kth_min"] > 0:
+            assert abs(r["est"] - r["n_hashes"]) / r["n_hashes"] < 0.4
+
+
+# ------------------------------------------------------- Good-Turing
+
+
+def _trigram_counts(spark):
+    docs = load_table(spark, "documents", SF).select("doc_id", "text").collect()
+    c: Counter[str] = Counter()
+    for r in docs:
+        toks = r["text"].strip().split()
+        for i in range(len(toks) - 2):
+            c[" ".join(toks[i : i + 3])] += 1
+    return c
+
+
+def test_gt_smoothing_python_replay(spark):
+    out = {r["r"]: r for r in QUERIES["gt_smoothing"](spark, SF).collect()}
+    counts = _trigram_counts(spark)
+    fof = Counter(counts.values())
+    n_total = sum(counts.values())
+    assert out[0]["n_r"] == n_total
+    assert out[0]["r_star_micro"] == fof[1] * 1000000 // n_total
+    for r in range(1, 7):
+        if r in out:
+            assert out[r]["n_r"] == fof[r]
+            if fof.get(r + 1):
+                assert out[r]["r_star_micro"] == (r + 1) * fof[r + 1] * 1000000 // fof[r]
+            else:
+                assert out[r]["r_star_micro"] == 0
+
+
+def test_gt_smoothing_mass_conservation(spark):
+    # Turing adjusted counts redistribute mass downward: r* < r·1e6 for
+    # singletons in a heavy-tailed fof (N_2 < 2·N_1 ⇒ 2·N_2/N_1 < ...),
+    # and every returned row is one of r = 0..6
+    rows = QUERIES["gt_smoothing"](spark, SF).collect()
+    assert {r["r"] for r in rows} <= set(range(7))
+    assert all(r["n_r"] > 0 for r in rows)
+
+
+# ------------------------------------------- feature-hash collision audit
+
+
+def test_feature_hash_audit_python_replay(spark):
+    from polar_spark.operators.dedup import _POLY_B, _P31
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text").collect()
+    seen: dict[str, set[int]] = {}
+    for r in docs:
+        toks = r["text"].strip().split()
+        for i in range(len(toks) - 2):
+            seen.setdefault(" ".join(toks[i : i + 3]), set()).add(r["doc_id"])
+    vocab = [t for t, d in seen.items() if len(d) >= 2]
+
+    def poly(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * _POLY_B + ord(ch)) % _P31
+        return acc
+
+    loads = Counter(poly(t) % 1024 for t in vocab)
+    hist = Counter(loads.values())
+    n_tokens = len(vocab)
+    coll = sum(v * (v - 1) // 2 for v in loads.values())
+    ppm = coll * 1000000 // (n_tokens * (n_tokens - 1) // 2)
+    rows = QUERIES["feature_hash_audit"](spark, SF).collect()
+    assert {(r["load"], r["n_buckets"]) for r in rows} == set(hist.items())
+    for r in rows:
+        assert r["n_tokens"] == n_tokens
+        assert r["collision_ppm"] == ppm
+
+
+def test_feature_hash_histogram_accounts_all_tokens(spark):
+    rows = QUERIES["feature_hash_audit"](spark, SF).collect()
+    total = sum(r["load"] * r["n_buckets"] for r in rows)
+    assert total == rows[0]["n_tokens"]
+    assert sum(r["n_buckets"] for r in rows) <= 1024
+
+
+# ---------------------------------------------------------- revenue ACF
+
+
+def _daily_kdollars(spark):
+    rows = load_table(spark, "orders", SF).select("o_orderdate", "o_totalprice").collect()
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    daily: dict[int, int] = {}
+    for r in rows:
+        d = (r["o_orderdate"].date() - base).days
+        daily[d] = daily.get(d, 0) + int(round(r["o_totalprice"] * 100)) // 100000
+    return daily
+
+
+def test_revenue_acf_python_replay(spark):
+    daily = _daily_kdollars(spark)
+    out = {r["lag"]: r for r in QUERIES["revenue_acf"](spark, SF).collect()}
+    for lag in range(1, 8):
+        pairs = [(x, daily[d + lag]) for d, x in daily.items() if d + lag in daily]
+        n = len(pairs)
+        assert out[lag]["n_pairs"] == n
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx > 0 and vy > 0:
+            r = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+            assert abs(out[lag]["acf_r"] - round(r, 6)) < 1e-9
+        else:
+            assert out[lag]["acf_r"] == 0.0
+        # synthetic orders are calendar-uniform: no weekly structure
+        assert abs(out[lag]["acf_r"]) < 0.3
+
+
+# ------------------------------------------------------ Pettitt test
+
+
+def test_pettitt_python_replay(spark):
+    rows = load_table(spark, "orders", SF).select("o_orderdate").collect()
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    daily: dict[int, int] = {}
+    for r in rows:
+        d = (r["o_orderdate"].date() - base).days
+        daily[d] = daily.get(d, 0) + 1
+    xs = sorted(daily.items())
+    n = len(xs)
+    vals = sorted(v for _, v in daily.items())
+    # doubled average rank: 2*minrank + ties - 1
+    first = {}
+    for i, v in enumerate(vals):
+        first.setdefault(v, i + 1)
+    ties = Counter(vals)
+    r2 = {v: 2 * first[v] + ties[v] - 1 for v in ties}
+    out = {r["d"]: r for r in QUERIES["pettitt_change"](spark, SF).collect()}
+    assert len(out) == n
+    acc = 0
+    kmax = 0
+    us = {}
+    for t, (d, v) in enumerate(xs, start=1):
+        acc += r2[v]
+        u = acc - t * (n + 1)
+        us[d] = u
+        kmax = max(kmax, abs(u))
+    for d, u in us.items():
+        assert out[d]["u2"] == u
+        assert out[d]["k2"] == kmax
+        assert out[d]["is_change_point"] == (abs(u) == kmax)
+    # U_n telescopes to zero: sum of doubled avg ranks is n(n+1)
+    assert us[xs[-1][0]] == 0
+
+
+# ------------------------------------------------------ log-rank test
+
+
+def test_logrank_python_replay(spark):
+    orders = load_table(spark, "orders", SF).select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect()
+    cust = {
+        r["c_custkey"]: 1 if r["c_nationkey"] % 2 == 0 else 0
+        for r in load_table(spark, "customer", SF).collect()
+    }
+    by_c: dict[int, list] = {}
+    maxd = max(r["o_orderdate"] for r in orders)
+    for r in orders:
+        by_c.setdefault(r["o_custkey"], []).append(r)
+    subs = []
+    for ck, rs in by_c.items():
+        rs.sort(key=lambda r: (r["o_orderdate"], r["o_orderkey"]))
+        for cur, nxt in zip(rs, rs[1:] + [None]):
+            if nxt is not None:
+                subs.append(((nxt["o_orderdate"] - cur["o_orderdate"]).days, 1, cust[ck]))
+            else:
+                subs.append(((maxd - cur["o_orderdate"]).days, 0, cust[ck]))
+    times = sorted({t for t, _, _ in subs})
+    o1 = e1m = vm = 0
+    for t in times:
+        at_risk = [s for s in subs if s[0] >= t]
+        n = len(at_risk)
+        n1 = sum(g for _, _, g in at_risk)
+        d = sum(e for tt, e, _ in at_risk if tt == t)
+        d1 = sum(e * g for tt, e, g in at_risk if tt == t)
+        if d >= 1:
+            o1 += d1
+            e1m += d * n1 * 1000000 // n
+            if n > 1:
+                vm += (d * (n - d) // (n - 1)) * n1 * (n - n1) * 1000 // (n * n)
+    row = QUERIES["logrank_test"](spark, SF).collect()[0]
+    assert row["o1"] == o1
+    assert row["e1_micro"] == e1m
+    assert row["v_milli"] == vm
+    chi2 = (o1 - e1m / 1e6) ** 2 / (vm / 1e3)
+    assert abs(row["chi2_r"] - round(chi2, 6)) < 1e-9
+    # nation parity is independent of ordering behavior: the null holds
+    assert row["chi2_r"] < 15.0
