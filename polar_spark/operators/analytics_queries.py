@@ -20263,6 +20263,306 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Session-17 batch C: retrieval/ML evaluation (average precision, linear
+# CKA representation similarity, split-conformal p-values).
+
+
+def q_ap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval #3: average precision at 10 of the BM25
+    ranking against the exact boolean-AND relevance set (the mrr_eval
+    ground truth; ndcg_eval grades gain placement, AP grades precision
+    at every recall step).  For the j-th relevant hit at rank r the
+    precision term is ⌊10⁶·j/r⌋; AP@10 = Σterms DIV min(R,10) — all
+    BIGINT, so the cross-engine grade is exact.  Same broadcast
+    posture as the scorer under audit."""
+    from polar_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    top10 = bm25_topk(docs, qdf)
+
+    qt = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split(F.trim("qtext"), " "))).alias("term"),
+    )
+    n_terms = qt.groupBy("query_id").agg(F.count("*").cast("long").alias("n_terms"))
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), " "))).alias("term"),
+    )
+    rel = (
+        dt.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("matched"))
+        .join(F.broadcast(n_terms), "query_id")
+        .where(F.col("matched") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    n_rel = rel.groupBy("query_id").agg(F.count("*").cast("long").alias("n_relevant"))
+    wj = Window.partitionBy("query_id").orderBy("rnk")
+    hits = (
+        top10.join(rel, ["query_id", "doc_id"])
+        .withColumn("j", F.row_number().over(wj))
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("hits10"),
+            F.sum(F.expr("j * 1000000 DIV rnk")).cast("long").alias("terms_sum"),
+        )
+    )
+    base = spark.createDataFrame([(q,) for q, _t in _BM25_QUERIES], "query_id string")
+    return (
+        base.join(n_rel, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+            F.coalesce("hits10", F.lit(0)).cast("long").alias("hits10"),
+            F.expr(
+                "CASE WHEN COALESCE(n_relevant, 0) = 0 THEN 0"
+                " ELSE COALESCE(terms_sum, 0) DIV LEAST(n_relevant, 10) END"
+            )
+            .cast("long")
+            .alias("ap_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ap_sql(k1: float = 1.2, b: float = 0.75, scale: int = 1_000_000) -> str:
+    bm25 = _bm25_sql(k1, b, scale)
+    body = bm25.strip()
+    assert body.startswith("WITH ")
+    inner = body[len("WITH ") :]
+    head, _select = inner.rsplit("SELECT query_id,", 1)
+    return f"""
+WITH {head.rstrip()},
+top10 AS (SELECT query_id, CAST(_id AS BIGINT) AS doc_id, rnk
+          FROM ranked WHERE rnk <= 10),
+nt AS (SELECT query_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+       FROM qt GROUP BY query_id),
+rel AS (SELECT qt.query_id, toks._id AS doc_id
+        FROM (SELECT DISTINCT _id, term FROM toks) toks
+        JOIN qt ON qt.term = toks.term
+        JOIN nt ON nt.query_id = qt.query_id
+        GROUP BY qt.query_id, toks._id, nt.n_terms
+        HAVING COUNT(DISTINCT toks.term) = nt.n_terms),
+n_rel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+          FROM rel GROUP BY query_id),
+hit AS (SELECT t.query_id, t.rnk,
+               ROW_NUMBER() OVER (PARTITION BY t.query_id ORDER BY t.rnk) AS j
+        FROM top10 t JOIN rel r ON r.query_id = t.query_id
+                               AND r.doc_id = t.doc_id),
+hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits10,
+                SUM(j * 1000000 // rnk) AS terms_sum
+         FROM hit GROUP BY query_id)
+SELECT q.query_id,
+       CAST(COALESCE(n_rel.n_relevant, 0) AS BIGINT) AS n_relevant,
+       CAST(COALESCE(hits.hits10, 0) AS BIGINT) AS hits10,
+       CAST(CASE WHEN COALESCE(n_rel.n_relevant, 0) = 0 THEN 0
+                 ELSE COALESCE(hits.terms_sum, 0)
+                      // LEAST(n_rel.n_relevant, 10) END AS BIGINT) AS ap_ppm
+FROM q LEFT JOIN n_rel ON n_rel.query_id = q.query_id
+       LEFT JOIN hits ON hits.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+def q_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (Kornblith et al. ICML'19) between the two halves of
+    the embedding space (dims 0..31 as view X vs 32..63 as view Y) —
+    the standard representation-similarity score used to compare
+    layers/checkpoints: CKA = ‖C_xy‖²_F / (‖C_xx‖_F·‖C_yy‖_F) over
+    centered cross-covariance blocks.  The covariance entries are the
+    pca_power3/embed_covariance reduction (one groupBy over posexploded
+    (i, j) pairs) PINNED by 6-dp rounding before the Frobenius sums, so
+    the cross-engine block norms agree bit-for-bit at the rounded
+    grid.  At 100 TB the whole computation is one d²-bounded aggregate
+    — data never shuffles, only the 64×64 matrix does."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+    ij = (
+        emb.select(F.posexplode("v").alias("i", "x"), F.col("v").alias("v2"))
+        .select("i", "x", F.posexplode("v2").alias("j", "y"))
+        .where(F.col("i") <= F.col("j"))
+    )
+    cov_u = ij.groupBy("i", "j").agg(
+        F.round(
+            (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / F.lit(float(n)))
+            / F.lit(float(n - 1)),
+            6,
+        ).alias("c")
+    )
+    cmat = cov_u.unionByName(
+        cov_u.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    h = 32
+    blocks = cmat.select(
+        "c",
+        F.when((F.col("i") < h) & (F.col("j") < h), F.lit("xx"))
+        .when((F.col("i") >= h) & (F.col("j") >= h), F.lit("yy"))
+        .otherwise(F.lit("xy"))
+        .alias("blk"),
+    )
+    sums = blocks.groupBy("blk").agg(F.sum(F.col("c") * F.col("c")).alias("s2"))
+    piv = sums.groupBy().pivot("blk", ["xx", "yy", "xy"]).agg(F.first("s2"))
+    return piv.select(
+        F.lit(n).cast("long").alias("n"),
+        F.round(F.col("xy"), 6).alias("fro2_xy"),
+        F.round(F.col("xx"), 6).alias("fro2_xx"),
+        F.round(F.col("yy"), 6).alias("fro2_yy"),
+        F.round(
+            F.col("xy") / F.sqrt(F.col("xx") * F.col("yy")), 6
+        ).alias("cka_r"),
+    )
+
+
+_CKA_SQL = """
+WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM emb),
+ij AS (SELECT i - 1 AS i, j - 1 AS j, v[i] AS x, v[j] AS y
+       FROM emb, unnest(range(1, len(v) + 1)) u(i), unnest(range(1, len(v) + 1)) w(j)
+       WHERE i <= j),
+cov_u AS MATERIALIZED (
+  SELECT i, j,
+         ROUND((SUM(x * y) - SUM(x) * SUM(y) / (SELECT n FROM n))
+               / ((SELECT n FROM n) - 1), 6) AS c
+  FROM ij GROUP BY i, j),
+cmat AS (SELECT i, j, c FROM cov_u
+         UNION ALL SELECT j, i, c FROM cov_u WHERE i < j),
+blocks AS (
+  SELECT c, CASE WHEN i < 32 AND j < 32 THEN 'xx'
+                 WHEN i >= 32 AND j >= 32 THEN 'yy'
+                 ELSE 'xy' END AS blk
+  FROM cmat),
+sums AS (SELECT blk, SUM(c * c) AS s2 FROM blocks GROUP BY blk)
+SELECT CAST((SELECT COUNT(*) FROM emb) AS BIGINT) AS n,
+       ROUND((SELECT s2 FROM sums WHERE blk = 'xy'), 6) AS fro2_xy,
+       ROUND((SELECT s2 FROM sums WHERE blk = 'xx'), 6) AS fro2_xx,
+       ROUND((SELECT s2 FROM sums WHERE blk = 'yy'), 6) AS fro2_yy,
+       ROUND((SELECT s2 FROM sums WHERE blk = 'xy')
+             / SQRT((SELECT s2 FROM sums WHERE blk = 'xx')
+                    * (SELECT s2 FROM sums WHERE blk = 'yy')), 6) AS cka_r
+"""
+
+
+def q_conformal_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal label-conditional p-values (Vovk et al.; the
+    distribution-free uncertainty layer production classifiers bolt
+    on): calibration = even vec_ids, nonconformity = 1 − cos(x,
+    centroid of own label) against centroids fit on calibration only
+    (PINNED at 6 dp, the pca discipline), test panel = vec_id % 50
+    == 1.  p = (1 + #{calib same-label scores ≥ s_test}) / (n_L + 1)
+    in exact ppm — the count compares 6-dp-rounded scores so the
+    cross-engine rank cannot sit on an ulp.  The calib×test join is
+    label-blocked and panel-bounded; at 100 TB the centroids are one
+    broadcast and the p-value a per-label rank lookup."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    calib = emb.where(F.col("vec_id") % 2 == 0)
+    test = emb.where(F.col("vec_id") % 50 == 1)
+    dims = calib.select("label", F.posexplode("v").alias("i", "x"))
+    cent = dims.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("c"))
+
+    def _score(df: DataFrame) -> DataFrame:
+        d = df.select("vec_id", "label", F.posexplode("v").alias("i", "x"))
+        return (
+            d.join(cent, ["label", "i"])
+            .groupBy("vec_id", "label")
+            .agg(
+                F.round(
+                    F.lit(1.0)
+                    - F.sum(F.col("x") * F.col("c"))
+                    / (
+                        F.sqrt(F.sum(F.col("x") * F.col("x")))
+                        * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    ),
+                    6,
+                ).alias("s")
+            )
+        )
+
+    cs = _score(calib).select(
+        F.col("label").alias("lb"), F.col("s").alias("s_cal")
+    )
+    nl = cs.groupBy("lb").agg(F.count("*").cast("long").alias("n_l"))
+    ts = _score(test)
+    counted = (
+        ts.join(cs, ts["label"] == cs["lb"])
+        .groupBy("vec_id", "label", "s")
+        .agg(F.sum((F.col("s_cal") >= F.col("s")).cast("long")).alias("ge"))
+    )
+    return (
+        counted.join(nl, counted["label"] == nl["lb"])
+        .select(
+            "vec_id",
+            counted["label"].cast("long").alias("label"),
+            F.col("s").alias("score_r"),
+            F.expr("(1 + ge) * 1000000 DIV (n_l + 1)").cast("long").alias("p_ppm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_CONFORMAL_SQL = """
+WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+calib AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+test AS (SELECT * FROM emb WHERE vec_id % 50 = 1),
+cent AS (SELECT label, i - 1 AS i, ROUND(AVG(v[i]), 6) AS c
+         FROM calib, unnest(range(1, len(v) + 1)) u(i)
+         GROUP BY label, i - 1),
+cal_d AS (SELECT vec_id, label, u.i AS i, v[u.i + 1] AS x
+          FROM calib, unnest(range(0, len(v))) u(i)),
+cal_s AS (
+  SELECT d.vec_id, d.label,
+         ROUND(1.0 - SUM(d.x * cent.c)
+               / (SQRT(SUM(d.x * d.x)) * SQRT(SUM(cent.c * cent.c))), 6) AS s
+  FROM cal_d d JOIN cent ON cent.label = d.label AND cent.i = d.i
+  GROUP BY d.vec_id, d.label),
+test_d AS (SELECT vec_id, label, u.i AS i, v[u.i + 1] AS x
+           FROM test, unnest(range(0, len(v))) u(i)),
+test_s AS (
+  SELECT d.vec_id, d.label,
+         ROUND(1.0 - SUM(d.x * cent.c)
+               / (SQRT(SUM(d.x * d.x)) * SQRT(SUM(cent.c * cent.c))), 6) AS s
+  FROM test_d d JOIN cent ON cent.label = d.label AND cent.i = d.i
+  GROUP BY d.vec_id, d.label),
+nl AS (SELECT label, COUNT(*) AS n_l FROM cal_s GROUP BY label),
+counted AS (
+  SELECT t.vec_id, t.label, t.s,
+         SUM(CASE WHEN c.s >= t.s THEN 1 ELSE 0 END) AS ge
+  FROM test_s t JOIN cal_s c ON c.label = t.label
+  GROUP BY t.vec_id, t.label, t.s)
+SELECT counted.vec_id, CAST(counted.label AS BIGINT) AS label,
+       s AS score_r,
+       CAST((1 + ge) * 1000000 // (nl.n_l + 1) AS BIGINT) AS p_ppm
+FROM counted JOIN nl ON nl.label = counted.label
+ORDER BY counted.vec_id
+"""
+
+
+ORACLES.update(
+    {
+        "ap_eval": _ap_sql(),
+        "cka_views": _CKA_SQL,
+        "conformal_pvalues": _CONFORMAL_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "ap_eval": q_ap_eval,
+        "cka_views": q_cka_views,
+        "conformal_pvalues": q_conformal_pvalues,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -20296,6 +20596,7 @@ _CHECKED_R3_R4 = [
 _ROUND5_PRIORITY = [
     "kmv_distinct", "gt_smoothing", "feature_hash_audit",
     "revenue_acf", "pettitt_change", "logrank_test",
+    "ap_eval", "cka_views", "conformal_pvalues",
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",

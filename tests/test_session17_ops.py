@@ -256,3 +256,105 @@ def test_logrank_python_replay(spark):
     assert abs(row["chi2_r"] - round(chi2, 6)) < 1e-9
     # nation parity is independent of ordering behavior: the null holds
     assert row["chi2_r"] < 15.0
+
+
+# -------------------------------------------------------- AP@10 eval
+
+
+def test_ap_eval_python_replay(spark):
+    from polar_spark.operators.analytics_queries import _BM25_QUERIES
+    from polar_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", SF)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    top10 = {}
+    for r in bm25_topk(docs, qdf).collect():
+        top10.setdefault(r["query_id"], []).append((r["rnk"], r["doc_id"]))
+    texts = {r["doc_id"]: set(r["text"].strip().split()) for r in docs.collect()}
+    out = {r["query_id"]: r for r in QUERIES["ap_eval"](spark, SF).collect()}
+    for qid, qtext in _BM25_QUERIES:
+        terms = set(qtext.strip().split())
+        rel = {d for d, ts in texts.items() if terms <= ts}
+        row = out[qid]
+        assert row["n_relevant"] == len(rel)
+        hits = sorted(rnk for rnk, d in top10.get(qid, []) if d in rel)
+        assert row["hits10"] == len(hits)
+        if rel:
+            terms_sum = sum(
+                (j + 1) * 1000000 // rnk for j, rnk in enumerate(hits)
+            )
+            assert row["ap_ppm"] == terms_sum // min(len(rel), 10)
+        else:
+            assert row["ap_ppm"] == 0
+        assert 0 <= row["ap_ppm"] <= 1000000
+
+
+def test_ap_consistent_with_ndcg_hits(spark):
+    ap = {r["query_id"]: r for r in QUERIES["ap_eval"](spark, SF).collect()}
+    nd = {r["query_id"]: r for r in QUERIES["ndcg_eval"](spark, SF).collect()}
+    assert set(ap) == set(nd)
+    for q in ap:
+        assert ap[q]["hits10"] == nd[q]["hits10"]
+        assert ap[q]["n_relevant"] == nd[q]["n_relevant"]
+
+
+# -------------------------------------------------------- linear CKA
+
+
+def test_cka_views_numpy_replay(spark):
+    import numpy as np
+
+    vs = np.array(
+        [r["embedding"] for r in load_table(spark, "embeddings", SF).collect()],
+        dtype=np.float64,
+    )
+    n = vs.shape[0]
+    c = np.round((vs.T @ vs - np.outer(vs.sum(0), vs.sum(0)) / n) / (n - 1), 6)
+    # the query's cmat carries both (i,j) and (j,i): the xy block is the
+    # full 32×32 rectangle counted twice
+    fxy = float((c[:32, 32:] ** 2).sum() * 2)
+    fxx = float((c[:32, :32] ** 2).sum())
+    fyy = float((c[32:, 32:] ** 2).sum())
+    row = QUERIES["cka_views"](spark, SF).collect()[0]
+    assert row["n"] == n
+    assert abs(row["fro2_xy"] - round(fxy, 6)) < 1e-4
+    assert abs(row["fro2_xx"] - round(fxx, 6)) < 1e-4
+    assert abs(row["fro2_yy"] - round(fyy, 6)) < 1e-4
+    cka = fxy / math.sqrt(fxx * fyy)
+    assert abs(row["cka_r"] - cka) < 1e-5
+    assert 0.0 <= row["cka_r"] <= 1.0 + 1e-9
+
+
+# ------------------------------------------------ conformal p-values
+
+
+def test_conformal_python_replay(spark):
+    import numpy as np
+
+    rows = load_table(spark, "embeddings", SF).collect()
+    calib = [(r["vec_id"], r["label"], np.array(r["embedding"], dtype=np.float64))
+             for r in rows if r["vec_id"] % 2 == 0]
+    test = [(r["vec_id"], r["label"], np.array(r["embedding"], dtype=np.float64))
+            for r in rows if r["vec_id"] % 50 == 1]
+    cents = {}
+    for lb in {l for _, l, _ in calib}:
+        m = np.stack([v for _, l, v in calib if l == lb]).mean(axis=0)
+        cents[lb] = np.round(m, 6)
+
+    def score(v, lb):
+        c = cents[lb]
+        return round(1.0 - float(v @ c) / (float(np.linalg.norm(v)) * float(np.linalg.norm(c))), 6)
+
+    cal_s = {}
+    for _, lb, v in calib:
+        cal_s.setdefault(lb, []).append(score(v, lb))
+    out = {r["vec_id"]: r for r in QUERIES["conformal_pvalues"](spark, SF).collect()}
+    assert set(out) == {vid for vid, _, _ in test}
+    for vid, lb, v in test:
+        s = score(v, lb)
+        row = out[vid]
+        assert row["label"] == lb
+        assert abs(row["score_r"] - s) < 2e-6
+        ge = sum(1 for x in cal_s[lb] if x >= row["score_r"])
+        assert row["p_ppm"] == (1 + ge) * 1000000 // (len(cal_s[lb]) + 1)
+        assert 0 < row["p_ppm"] <= 1000000
