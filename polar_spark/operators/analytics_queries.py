@@ -20563,6 +20563,227 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Session-17 batch D: graph structure (Eulerian classification,
+# δ-hyperbolicity audit).
+
+
+def q_euler_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component Eulerian classification of the small-cap co-order
+    graph (the route-inspection precondition, and a cheap structural
+    fingerprint): component size, edge count, number of odd-degree
+    vertices, and the circuit/trail verdicts (connected + all even ⇒
+    Eulerian circuit; exactly two odd ⇒ open trail).  Degrees are one
+    groupBy over the symmetric edges; components ride the hash-min
+    fixpoint — both linear, shuffle-bounded stages at any scale."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 150) & (F.col("dst") < 150))
+    sym = _sym(und)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    comp, _ = pregel.connected_components(und)
+    j = deg.join(comp, "id")
+    per = j.groupBy("comp").agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum((F.col("deg") % 2).cast("long")).cast("long").alias("n_odd"),
+    )
+    return per.select(
+        F.col("comp").cast("long"),
+        "n_vertices",
+        "n_edges",
+        "n_odd",
+        (F.col("n_odd") == 0).alias("euler_circuit"),
+        (F.col("n_odd") == 2).alias("euler_trail"),
+    ).orderBy("comp")
+
+
+_EULER_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 150),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+verts AS (SELECT DISTINCT src AS v FROM e),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+cc(id, comp) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT e.dst, c.comp FROM cc c JOIN e ON e.src = c.id
+    WHERE c.comp < e.dst
+),
+comp AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+per AS (
+  SELECT comp.comp, COUNT(*) AS n_vertices,
+         SUM(deg.deg) / 2 AS n_edges,
+         SUM(CASE WHEN deg.deg % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+  FROM deg JOIN comp ON comp.id = deg.id
+  GROUP BY comp.comp)
+SELECT CAST(comp AS BIGINT) AS comp, CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST(n_edges AS BIGINT) AS n_edges, CAST(n_odd AS BIGINT) AS n_odd,
+       n_odd = 0 AS euler_circuit, n_odd = 2 AS euler_trail
+FROM per ORDER BY comp
+"""
+
+
+def q_hyperbolicity4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Gromov δ-hyperbolicity of the small-cap co-order graph
+    (the tree-likeness constant behind hyperbolic-embedding claims):
+    over every 4-subset of a deterministic vertex panel (v ≡ 0 mod 5)
+    with all six pairwise distances finite, the three perfect-matching
+    distance sums are formed and 2δ = (largest − second largest).
+    Output is the 2δ histogram with the panel-wide maximum on every
+    row.  Distances come from the keyed multi-source BFS (exact, the
+    graph_center primitive); the quadruple join is panel-bounded
+    (C(|panel|,4)) regardless of graph size — the standard sampled
+    estimator, made deterministic."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 150) & (F.col("dst") < 150))
+    sym = _sym(und)
+    verts = sorted(
+        r[0] for r in sym.select("src").distinct().where(F.col("src") % 5 == 0).collect()
+    )
+    dist, _ = pregel.bfs_per_source(sym, verts, max_depth=30)
+    panel = set(verts)
+    pd_ = (
+        dist.where(F.col("id").isin(list(panel)))
+        .where(F.col("source") < F.col("id"))
+        .select(
+            F.col("source").alias("a"), F.col("id").alias("b"), F.col("dist").alias("d")
+        )
+        .localCheckpoint(eager=True)
+    )
+    vs = pd_.select(F.col("a").alias("v")).unionByName(
+        pd_.select(F.col("b").alias("v"))
+    ).distinct()
+    quads = (
+        vs.alias("p")
+        .crossJoin(vs.alias("q"))
+        .where(F.expr("p.v < q.v"))
+        .crossJoin(vs.alias("r"))
+        .where(F.expr("q.v < r.v"))
+        .crossJoin(vs.alias("s"))
+        .where(F.expr("r.v < s.v"))
+        .select(
+            F.expr("p.v").alias("a"),
+            F.expr("q.v").alias("b"),
+            F.expr("r.v").alias("c"),
+            F.expr("s.v").alias("dd"),
+        )
+    )
+
+    def dj(x: str, y: str, name: str):
+        return (
+            pd_.select(
+                F.col("a").alias(x), F.col("b").alias(y), F.col("d").alias(name)
+            )
+        )
+
+    full = (
+        quads.join(dj("a", "b", "dab"), ["a", "b"])
+        .join(dj("a", "c", "dac"), ["a", "c"])
+        .join(
+            pd_.select(
+                F.col("a").alias("a"), F.col("b").alias("dd"), F.col("d").alias("dad")
+            ),
+            ["a", "dd"],
+        )
+        .join(dj("b", "c", "dbc"), ["b", "c"])
+        .join(
+            pd_.select(
+                F.col("a").alias("b"), F.col("b").alias("dd"), F.col("d").alias("dbd")
+            ),
+            ["b", "dd"],
+        )
+        .join(
+            pd_.select(
+                F.col("a").alias("c"), F.col("b").alias("dd"), F.col("d").alias("dcd")
+            ),
+            ["c", "dd"],
+        )
+    )
+    sums = full.select(
+        (F.col("dab") + F.col("dcd")).alias("s1"),
+        (F.col("dac") + F.col("dbd")).alias("s2"),
+        (F.col("dad") + F.col("dbc")).alias("s3"),
+    )
+    delta = sums.select(
+        (
+            F.greatest("s1", "s2", "s3")
+            - (
+                F.col("s1")
+                + F.col("s2")
+                + F.col("s3")
+                - F.greatest("s1", "s2", "s3")
+                - F.least("s1", "s2", "s3")
+            )
+        )
+        .cast("long")
+        .alias("delta2")
+    )
+    hist = delta.groupBy("delta2").agg(F.count("*").cast("long").alias("n_quads"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return hist.select(
+        "delta2", "n_quads", F.max("delta2").over(wall).cast("long").alias("max_delta2")
+    ).orderBy("delta2")
+
+
+_HYPER_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 150),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+panel AS (SELECT DISTINCT src AS v FROM e WHERE src % 5 = 0),
+reach(s, id, d) AS (
+    SELECT v, v, 0 FROM panel
+    UNION
+    SELECT r.s, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
+    WHERE r.d < 30
+),
+dmin AS (SELECT s, id, MIN(d) AS d FROM reach GROUP BY s, id),
+pd AS MATERIALIZED (
+  SELECT s AS a, id AS b, d FROM dmin
+  WHERE id IN (SELECT v FROM panel) AND s < id),
+vs AS (SELECT DISTINCT v FROM (SELECT a AS v FROM pd
+                                UNION ALL SELECT b FROM pd) z),
+quads AS (
+  SELECT p.v AS a, q.v AS b, r.v AS c, s.v AS dd
+  FROM vs p JOIN vs q ON p.v < q.v JOIN vs r ON q.v < r.v
+            JOIN vs s ON r.v < s.v),
+full_q AS (
+  SELECT ab.d + cd.d AS s1, ac.d + bd.d AS s2, ad.d + bc.d AS s3
+  FROM quads
+  JOIN pd ab ON ab.a = quads.a AND ab.b = quads.b
+  JOIN pd ac ON ac.a = quads.a AND ac.b = quads.c
+  JOIN pd ad ON ad.a = quads.a AND ad.b = quads.dd
+  JOIN pd bc ON bc.a = quads.b AND bc.b = quads.c
+  JOIN pd bd ON bd.a = quads.b AND bd.b = quads.dd
+  JOIN pd cd ON cd.a = quads.c AND cd.b = quads.dd),
+delta AS (
+  SELECT GREATEST(s1, s2, s3)
+         - (s1 + s2 + s3 - GREATEST(s1, s2, s3) - LEAST(s1, s2, s3)) AS delta2
+  FROM full_q),
+hist AS (SELECT delta2, COUNT(*) AS n_quads FROM delta GROUP BY delta2)
+SELECT CAST(delta2 AS BIGINT) AS delta2, CAST(n_quads AS BIGINT) AS n_quads,
+       CAST(MAX(delta2) OVER () AS BIGINT) AS max_delta2
+FROM hist ORDER BY delta2
+"""
+
+
+ORACLES.update(
+    {
+        "euler_check": _EULER_SQL,
+        "hyperbolicity4": _HYPER_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "euler_check": q_euler_check,
+        "hyperbolicity4": q_hyperbolicity4,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -20597,6 +20818,7 @@ _ROUND5_PRIORITY = [
     "kmv_distinct", "gt_smoothing", "feature_hash_audit",
     "revenue_acf", "pettitt_change", "logrank_test",
     "ap_eval", "cka_views", "conformal_pvalues",
+    "euler_check", "hyperbolicity4",
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",

@@ -358,3 +358,96 @@ def test_conformal_python_replay(spark):
         ge = sum(1 for x in cal_s[lb] if x >= row["score_r"])
         assert row["p_ppm"] == (1 + ge) * 1000000 // (len(cal_s[lb]) + 1)
         assert 0 < row["p_ppm"] <= 1000000
+
+
+# ---------------------------------------------- Eulerian classification
+
+
+def _coorder150(spark):
+    from polar_spark.operators.analytics_queries import coorder_edges
+
+    return [
+        (r["src"], r["dst"])
+        for r in coorder_edges(spark, SF)
+        .where((F.col("src") < 150) & (F.col("dst") < 150))
+        .collect()
+    ]
+
+
+def test_euler_check_python_replay(spark):
+    edges = _coorder150(spark)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for v in deg:
+        comps.setdefault(find(v), []).append(v)
+    out = {r["comp"]: r for r in QUERIES["euler_check"](spark, SF).collect()}
+    # hash-min CC labels components by min member id == union-find min root
+    assert set(out) == set(comps)
+    for root, members in comps.items():
+        row = out[root]
+        assert row["n_vertices"] == len(members)
+        n_odd = sum(1 for v in members if deg[v] % 2 == 1)
+        assert row["n_odd"] == n_odd
+        assert row["euler_circuit"] == (n_odd == 0)
+        assert row["euler_trail"] == (n_odd == 2)
+        assert row["n_edges"] == sum(deg[v] for v in members) // 2
+
+
+# ------------------------------------------------- delta-hyperbolicity
+
+
+def test_hyperbolicity_python_replay(spark):
+    from itertools import combinations
+
+    edges = _coorder150(spark)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    panel = sorted(v for v in adj if v % 5 == 0)
+
+    def bfs(s):
+        dist = {s: 0}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+            frontier = nxt
+        return dist
+
+    d = {s: bfs(s) for s in panel}
+    hist: Counter[int] = Counter()
+    for a, b, c, e in combinations(panel, 4):
+        try:
+            s1 = d[a][b] + d[c][e]
+            s2 = d[a][c] + d[b][e]
+            s3 = d[a][e] + d[b][c]
+        except KeyError:
+            continue
+        ss = sorted((s1, s2, s3))
+        hist[ss[2] - ss[1]] += 1
+    rows = QUERIES["hyperbolicity4"](spark, SF).collect()
+    assert {(r["delta2"], r["n_quads"]) for r in rows} == set(hist.items())
+    mx = max(hist)
+    for r in rows:
+        assert r["max_delta2"] == mx
+        assert r["delta2"] >= 0
