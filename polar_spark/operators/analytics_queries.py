@@ -20784,6 +20784,238 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Session-17 batch E: walk-length spectrum, A/B experiment audit, rank-1 ALS.
+
+
+def q_walk_spectrum8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex walk-length spectrum from fixed sources (v ≡ 0 mod
+    50) on the small-cap co-order graph: the exact set of walk lengths
+    ≤ 8 from source to vertex, encoded as a bitmask (bit d set ⇔ a
+    length-d walk exists) — the generalization of BFS distance
+    (lowest set bit), odd_walk_len's parity reachability (odd bits),
+    and the second-shortest-walk question (second-lowest bit) in one
+    8-round frontier iteration whose per-round state is one distinct
+    (source, id, d) triple per reachable pair — bounded by 9·|V| per
+    source no matter the edge count."""
+    und = coorder_edges(spark, sf_dir).where((F.col("src") < 150) & (F.col("dst") < 150))
+    sym = _sym(und).localCheckpoint(eager=True)
+    srcs = sym.select(F.col("src").alias("s")).where(F.col("s") % 50 == 0).distinct()
+    layer = srcs.select("s", F.col("s").alias("id"), F.lit(0).alias("d"))
+    layers = [layer]
+    for _ in range(8):
+        layer = (
+            layer.join(sym, layer["id"] == sym["src"])
+            .select("s", F.col("dst").alias("id"), (F.col("d") + 1).alias("d"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        layers.append(layer)
+    reach = layers[0]
+    for l in layers[1:]:
+        reach = reach.unionByName(l)
+    return (
+        reach.groupBy("s", "id")
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(d AS INT))"))
+            .cast("long")
+            .alias("mask"),
+            F.count("*").cast("long").alias("n_lens"),
+            F.min("d").cast("long").alias("min_len"),
+            F.max((F.col("d") % 2).cast("long")).cast("long").alias("has_odd"),
+            F.max(
+                F.when((F.col("d") % 2 == 0) & (F.col("d") > 0), 1).otherwise(0)
+            ).cast("long").alias("has_even"),
+        )
+        .select(
+            F.col("s").cast("long").alias("source"),
+            F.col("id").cast("long"),
+            "mask",
+            "n_lens",
+            "min_len",
+            "has_odd",
+            "has_even",
+        )
+        .orderBy("source", "id")
+    )
+
+
+_WALK_SPECTRUM_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 150),
+und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+srcs AS (SELECT DISTINCT src AS s FROM e WHERE src % 50 = 0),
+reach(s, id, d) AS (
+    SELECT s, s, 0 FROM srcs
+    UNION
+    SELECT r.s, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
+    WHERE r.d < 8
+)
+SELECT CAST(s AS BIGINT) AS source, CAST(id AS BIGINT) AS id,
+       CAST(SUM(1::BIGINT << d) AS BIGINT) AS mask,
+       CAST(COUNT(*) AS BIGINT) AS n_lens,
+       CAST(MIN(d) AS BIGINT) AS min_len,
+       CAST(MAX(CASE WHEN d % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS has_odd,
+       CAST(MAX(CASE WHEN d % 2 = 0 AND d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS has_even
+FROM reach GROUP BY s, id ORDER BY source, id
+"""
+
+
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment health + outcome audit on the events stream with
+    event-id parity as the (deterministic 50/50) impression-level
+    assignment (user-level would saturate: the synthetic stream has
+    ~15 users/sf-milli and every one purchases): the sample-ratio-
+    mismatch χ² (the guardrail every experimentation platform checks
+    before reading results) and the two-proportion z-statistic on the
+    purchase rate.  All four sufficient counts are exact integers from
+    one aggregation; both test statistics are single double
+    expressions over them — at 100 TB this is one pass over the
+    exposure log."""
+    ev = load_table(spark, "events", sf_dir)
+    agg = ev.groupBy((F.col("event_id") % 2 == 0).alias("is_a")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).cast("long").alias("x"),
+    )
+    piv = agg.groupBy().pivot("is_a", [True, False]).agg(
+        F.first("n").alias("n"), F.first("x").alias("x")
+    )
+    na, xa = F.col("true_n"), F.col("true_x")
+    nb, xb = F.col("false_n"), F.col("false_x")
+    dna, dxa = na.cast("double"), xa.cast("double")
+    dnb, dxb = nb.cast("double"), xb.cast("double")
+    phat = (dxa + dxb) / (dna + dnb)
+    z = (dxa / dna - dxb / dnb) / F.sqrt(
+        phat * (F.lit(1.0) - phat) * (F.lit(1.0) / dna + F.lit(1.0) / dnb)
+    )
+    return piv.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        xa.alias("x_a"),
+        xb.alias("x_b"),
+        F.round((na - nb).cast("double") * (na - nb).cast("double") / (dna + dnb), 6)
+        .alias("srm_chi2_r"),
+        F.round(z, 6).alias("z_r"),
+    )
+
+
+_AB_SRM_SQL = """
+WITH agg AS (
+  SELECT SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN event_id % 2 = 0 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS x_a,
+         SUM(CASE WHEN event_id % 2 <> 0 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS x_b
+  FROM events)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(x_a AS BIGINT) AS x_a, CAST(x_b AS BIGINT) AS x_b,
+       ROUND(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)), 6) AS srm_chi2_r,
+       ROUND((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / SQRT(((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                    * (1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+         AS z_r
+FROM agg
+"""
+
+
+def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rank-1 ALS alternation pair (Koren/Bell/Volinsky's
+    factorization step stripped to its closed form) on the
+    customer×part quantity matrix: v⁰ = 1, u = R v⁰ / ‖v⁰‖²_obs,
+    v = Rᵀu / ‖u‖²_obs, denominators over each row/column's OBSERVED
+    support (the sparse-ALS convention).  The whole computation is
+    fixed-point BIGINT: u and v in micro-units with explicit floor
+    division, so both alternations — two join-aggregates, the exact
+    shape of a distributed ALS sweep — are engine-exact.  Output: the
+    top-20 parts by the learned item factor."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    r = (
+        li.join(o, "l_orderkey")
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    u = r.groupBy("cust").agg(
+        F.expr("SUM(q) * 1000000 DIV COUNT(*)").cast("long").alias("u_micro")
+    )
+    v = (
+        r.join(u, "cust")
+        .groupBy("part")
+        .agg(
+            F.count("*").cast("long").alias("n_raters"),
+            F.expr(
+                "SUM(q * u_micro) * 1000000"
+                " DIV SUM((u_micro * u_micro) DIV 1000000)"
+            )
+            .cast("long")
+            .alias("v_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("v_micro"), F.asc("part"))
+    return (
+        v.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select(
+            F.col("part").cast("long"),
+            "n_raters",
+            "v_micro",
+            F.col("rnk").cast("long"),
+        )
+        .orderBy("rnk")
+    )
+
+
+_ALS_SQL = """
+WITH r AS (
+  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+         SUM(CAST(l.l_quantity AS BIGINT)) AS q
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey, l.l_partkey),
+u AS (
+  SELECT cust, SUM(q) * 1000000 // COUNT(*) AS u_micro
+  FROM r GROUP BY cust),
+v AS (
+  SELECT part, COUNT(*) AS n_raters,
+         SUM(q * u_micro) * 1000000
+           // SUM((u_micro * u_micro) // 1000000) AS v_micro
+  FROM r JOIN u ON u.cust = r.cust GROUP BY part),
+ranked AS (
+  SELECT part, n_raters, v_micro,
+         ROW_NUMBER() OVER (ORDER BY v_micro DESC, part ASC) AS rnk
+  FROM v)
+SELECT CAST(part AS BIGINT) AS part, CAST(n_raters AS BIGINT) AS n_raters,
+       CAST(v_micro AS BIGINT) AS v_micro, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 20 ORDER BY rnk
+"""
+
+
+ORACLES.update(
+    {
+        "walk_spectrum8": _WALK_SPECTRUM_SQL,
+        "ab_srm": _AB_SRM_SQL,
+        "als_rank1": _ALS_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "walk_spectrum8": q_walk_spectrum8,
+        "ab_srm": q_ab_srm,
+        "als_rank1": q_als_rank1,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -20819,6 +21051,7 @@ _ROUND5_PRIORITY = [
     "revenue_acf", "pettitt_change", "logrank_test",
     "ap_eval", "cka_views", "conformal_pvalues",
     "euler_check", "hyperbolicity4",
+    "walk_spectrum8", "ab_srm", "als_rank1",
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",

@@ -451,3 +451,107 @@ def test_hyperbolicity_python_replay(spark):
     for r in rows:
         assert r["max_delta2"] == mx
         assert r["delta2"] >= 0
+
+
+# ------------------------------------------------ walk-length spectrum
+
+
+def test_walk_spectrum_python_replay(spark):
+    edges = _coorder150(spark)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for r in QUERIES["walk_spectrum8"](spark, SF).collect():
+        out[(r["source"], r["id"])] = r
+    srcs = sorted(v for v in adj if v % 50 == 0)
+    expected = {}
+    for s in srcs:
+        lens: dict[int, set[int]] = {s: {0}}
+        frontier = {s}
+        for d in range(1, 9):
+            nxt = set()
+            for u in frontier:
+                nxt |= adj[u]
+            for v in nxt:
+                lens.setdefault(v, set()).add(d)
+            frontier = nxt
+        for v, ds in lens.items():
+            expected[(s, v)] = ds
+    assert set(out) == set(expected)
+    for key, ds in expected.items():
+        row = out[key]
+        assert row["mask"] == sum(1 << d for d in ds)
+        assert row["n_lens"] == len(ds)
+        assert row["min_len"] == min(ds)
+        assert row["has_odd"] == (1 if any(d % 2 == 1 for d in ds) else 0)
+        assert row["has_even"] == (1 if any(d % 2 == 0 and d > 0 for d in ds) else 0)
+
+
+def test_walk_spectrum_contains_bfs_distance(spark):
+    # the lowest set bit IS the BFS distance; consecutive lengths share
+    # parity with min_len + 2k whenever a neighbor loop exists
+    for r in QUERIES["walk_spectrum8"](spark, SF).collect():
+        assert r["mask"] & (1 << r["min_len"])
+        assert (r["mask"] & ((1 << r["min_len"]) - 1)) == 0
+
+
+# ------------------------------------------------------- A/B SRM audit
+
+
+def test_ab_srm_python_replay(spark):
+    ev = load_table(spark, "events", SF).select("event_id", "event_type").collect()
+    n_a = sum(1 for r in ev if r["event_id"] % 2 == 0)
+    n_b = len(ev) - n_a
+    x_a = sum(1 for r in ev if r["event_id"] % 2 == 0 and r["event_type"] == "purchase")
+    x_b = sum(1 for r in ev if r["event_id"] % 2 != 0 and r["event_type"] == "purchase")
+    row = QUERIES["ab_srm"](spark, SF).collect()[0]
+    assert (row["n_a"], row["n_b"], row["x_a"], row["x_b"]) == (n_a, n_b, x_a, x_b)
+    chi2 = (n_a - n_b) ** 2 / (n_a + n_b)
+    assert abs(row["srm_chi2_r"] - round(chi2, 6)) < 1e-9
+    phat = (x_a + x_b) / (n_a + n_b)
+    z = (x_a / n_a - x_b / n_b) / math.sqrt(
+        phat * (1 - phat) * (1 / n_a + 1 / n_b)
+    )
+    assert abs(row["z_r"] - round(z, 6)) < 1e-9
+    # event-id parity is unconfounded by construction: both stats small
+    assert row["srm_chi2_r"] < 10.84  # chi2_1 at alpha=0.001
+    assert abs(row["z_r"]) < 3.3
+
+
+# -------------------------------------------------------- rank-1 ALS
+
+
+def test_als_rank1_python_replay(spark):
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_partkey", "l_quantity").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, "orders", SF).collect()
+    }
+    ratings: dict[tuple[int, int], int] = {}
+    for r in li:
+        key = (orders[r["l_orderkey"]], r["l_partkey"])
+        ratings[key] = ratings.get(key, 0) + int(r["l_quantity"])
+    by_cust: dict[int, list[int]] = {}
+    for (c, p), q in ratings.items():
+        by_cust.setdefault(c, []).append(q)
+    u = {c: sum(qs) * 1000000 // len(qs) for c, qs in by_cust.items()}
+    num: dict[int, int] = {}
+    den: dict[int, int] = {}
+    cnt: dict[int, int] = {}
+    for (c, p), q in ratings.items():
+        num[p] = num.get(p, 0) + q * u[c]
+        den[p] = den.get(p, 0) + (u[c] * u[c]) // 1000000
+        cnt[p] = cnt.get(p, 0) + 1
+    v = {p: num[p] * 1000000 // den[p] for p in num}
+    top = sorted(v.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = QUERIES["als_rank1"](spark, SF).collect()
+    assert len(rows) == 20
+    for rnk, (row, (p, vm)) in enumerate(zip(rows, top), start=1):
+        assert row["part"] == p
+        assert row["v_micro"] == vm
+        assert row["n_raters"] == cnt[p]
+        assert row["rnk"] == rnk
+    # item factors live on the quantity scale (1..50, micro units)
+    assert all(0 < r["v_micro"] < 100_000_000 for r in rows)
