@@ -928,6 +928,68 @@ def main() -> None:
             "int8_overlap_x20": sum(int(r["overlap3"]) for r in i8),
         }
 
+    def _session17_ops():
+        # session-17 additions: KMV sketch, Good-Turing, feature-hash
+        # audit, revenue ACF, Pettitt, log-rank, AP@10, linear CKA,
+        # conformal p-values, Eulerian check, hyperbolicity, walk
+        # spectrum, A/B SRM, rank-1 ALS
+        from polar_spark.operators.analytics_queries import (
+            q_ab_srm,
+            q_als_rank1,
+            q_ap_eval,
+            q_cka_views,
+            q_conformal_pvalues,
+            q_euler_check,
+            q_feature_hash_audit,
+            q_gt_smoothing,
+            q_hyperbolicity4,
+            q_kmv_distinct,
+            q_logrank_test,
+            q_pettitt_change,
+            q_revenue_acf,
+            q_walk_spectrum8,
+        )
+
+        kmv = q_kmv_distinct(spark, sf_dir).collect()
+        gt = q_gt_smoothing(spark, sf_dir).collect()
+        fh = q_feature_hash_audit(spark, sf_dir).collect()
+        acf = q_revenue_acf(spark, sf_dir).collect()
+        pt = q_pettitt_change(spark, sf_dir).collect()
+        lr = q_logrank_test(spark, sf_dir).collect()[0]
+        ap = q_ap_eval(spark, sf_dir).collect()
+        cka = q_cka_views(spark, sf_dir).collect()[0]
+        cf = q_conformal_pvalues(spark, sf_dir).collect()
+        eu = q_euler_check(spark, sf_dir).collect()
+        hy = q_hyperbolicity4(spark, sf_dir).collect()
+        ws = q_walk_spectrum8(spark, sf_dir).collect()
+        ab = q_ab_srm(spark, sf_dir).collect()[0]
+        als = q_als_rank1(spark, sf_dir).collect()
+        return {
+            "kmv_max_err_ppm": max(
+                (
+                    abs(int(r["est"]) - r["n_hashes"]) * 1000000 // r["n_hashes"]
+                    for r in kmv
+                    if r["kth_min"] > 0
+                ),
+                default=0,
+            ),
+            "gt_p0_micro": next((int(r["r_star_micro"]) for r in gt if r["r"] == 0), 0),
+            "fh_collision_ppm": int(fh[0]["collision_ppm"]) if fh else 0,
+            "acf_lag1_ppm": next(
+                (int(r["acf_r"] * 1e6) for r in acf if r["lag"] == 1), 0
+            ),
+            "pettitt_k2": int(pt[0]["k2"]) if pt else 0,
+            "logrank_chi2_milli": int(lr["chi2_r"] * 1000),
+            "ap_mean_ppm": sum(int(r["ap_ppm"]) for r in ap) // max(len(ap), 1),
+            "cka_ppm": int(cka["cka_r"] * 1e6),
+            "conformal_tests": len(cf),
+            "euler_components": len(eu),
+            "hyper_max_delta2": int(hy[0]["max_delta2"]) if hy else 0,
+            "walk_spectrum_rows": len(ws),
+            "ab_srm_chi2_milli": int(ab["srm_chi2_r"] * 1000),
+            "als_top_part": int(als[0]["part"]) if als else 0,
+        }
+
     # (name, fn, reps) — reps=1 for informational/expensive side
     # configurations (salted = the bounded-reducer insurance path;
     # store ingest writes a fresh store per draw)
@@ -972,6 +1034,7 @@ def main() -> None:
         ("session14_ops", _session14_ops, min(REPS, 2)),
         ("session15_ops", _session15_ops, min(REPS, 2)),
         ("session16_ops", _session16_ops, min(REPS, 2)),
+        ("session17_ops", _session17_ops, min(REPS, 2)),
         ("bucketed_join", _bucketed_join, 1),
     ]
 
