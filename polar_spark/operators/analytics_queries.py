@@ -21016,6 +21016,462 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Session-17 batch F: combinatorial optimization + classical k-sample /
+# contingency statistics.
+
+
+def q_maxcut_sweep2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic max-cut local search on the weight-≥2 co-order
+    backbone: start from the id-parity 2-coloring, then two
+    synchronous improvement sweeps under Luby-style local-minimum
+    scheduling — a vertex WANTS to flip iff its same-side degree
+    exceeds its cross-side degree, and actually flips only if no
+    NEIGHBORING candidate has a smaller id (the flip set is an
+    independent set, so simultaneous flips cannot clash and the cut is
+    provably monotone non-decreasing; plain parity scheduling measured
+    NON-monotone here — adjacent same-parity candidates flip on stale
+    state).  Output: cut size at each stage plus flip counts — the
+    GW-free local-search baseline every graph-partitioning harness
+    starts from.  Each sweep is two join-aggregates over the edges;
+    state is one side bit per vertex."""
+    sub = _w2_backbone(spark, sf_dir).where(
+        (F.col("src") < 2000) & (F.col("dst") < 2000)
+    )
+    sym = _sym(sub).localCheckpoint(eager=True)
+    side = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", (F.col("id") % 2).cast("long").alias("side"))
+        .localCheckpoint(eager=True)
+    )
+
+    def cut_size(s: DataFrame) -> DataFrame:
+        return (
+            sub.join(s.select(F.col("id").alias("src"), F.col("side").alias("sa")), "src")
+            .join(s.select(F.col("id").alias("dst"), F.col("side").alias("sb")), "dst")
+            .agg(F.sum((F.col("sa") != F.col("sb")).cast("long")).cast("long").alias("cut"))
+        )
+
+    cuts = [cut_size(side).collect()[0]["cut"]]
+    nflips = []
+    for _ in range(2):
+        nbr = (
+            sym.join(
+                side.select(F.col("id").alias("dst"), F.col("side").alias("nside")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(
+                F.sum((F.col("nside") == 1).cast("long")).alias("n1"),
+                F.count("*").alias("deg"),
+            )
+        )
+        cand = (
+            side.join(nbr, "id", "left")
+            .select(
+                "id",
+                "side",
+                (
+                    F.when(F.col("side") == 1, F.coalesce("n1", F.lit(0)))
+                    .otherwise(F.coalesce("deg", F.lit(0)) - F.coalesce("n1", F.lit(0)))
+                    * 2
+                    > F.coalesce("deg", F.lit(0))
+                ).alias("want"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        min_cand_nbr = (
+            sym.join(
+                cand.where("want").select(F.col("id").alias("dst")), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("dst").alias("min_cnbr"))
+        )
+        new_side = (
+            cand.join(min_cand_nbr, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("want")
+                    & (F.col("min_cnbr").isNull() | (F.col("id") < F.col("min_cnbr"))),
+                    F.lit(1) - F.col("side"),
+                )
+                .otherwise(F.col("side"))
+                .cast("long")
+                .alias("side"),
+                F.col("side").alias("old_side"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nflips.append(
+            new_side.agg(
+                F.sum((F.col("side") != F.col("old_side")).cast("long")).alias("f")
+            ).collect()[0]["f"]
+        )
+        side = new_side.select("id", "side").localCheckpoint(eager=True)
+        cuts.append(cut_size(side).collect()[0]["cut"])
+    c0, c1, c2 = cuts
+    f1, f2 = nflips
+    m = sub.count()
+    return spark.createDataFrame(
+        [(int(m), int(c0), int(f1), int(c1), int(f2), int(c2))],
+        "n_edges long, cut_init long, flips1 long, cut1 long, flips2 long, cut2 long",
+    )
+
+
+_MAXCUT_SQL = f"""
+WITH {_W2_BACKBONE_SQL.strip()},
+e0 AS (SELECT src, dst FROM sub WHERE src < 2000 AND dst < 2000),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+v AS (SELECT DISTINCT src AS id FROM e),
+s0 AS (SELECT id, id % 2 AS side FROM v),
+cut0 AS (SELECT SUM(CASE WHEN a.side <> b.side THEN 1 ELSE 0 END) AS c
+         FROM e0 JOIN s0 a ON a.id = e0.src JOIN s0 b ON b.id = e0.dst),
+n1_1 AS (SELECT e.src AS id, SUM(s0.side) AS n1, COUNT(*) AS deg
+         FROM e JOIN s0 ON s0.id = e.dst GROUP BY e.src),
+c1 AS (SELECT s0.id, s0.side,
+              2 * (CASE WHEN s0.side = 1 THEN COALESCE(n1_1.n1, 0)
+                        ELSE COALESCE(n1_1.deg, 0) - COALESCE(n1_1.n1, 0) END)
+                > COALESCE(n1_1.deg, 0) AS want
+       FROM s0 LEFT JOIN n1_1 ON n1_1.id = s0.id),
+m1 AS (SELECT e.src AS id, MIN(e.dst) AS min_cnbr
+       FROM e JOIN c1 ON c1.id = e.dst AND c1.want GROUP BY e.src),
+s1 AS (SELECT c1.id,
+              CASE WHEN c1.want AND (m1.min_cnbr IS NULL OR c1.id < m1.min_cnbr)
+                   THEN 1 - c1.side ELSE c1.side END AS side,
+              c1.side AS old_side
+       FROM c1 LEFT JOIN m1 ON m1.id = c1.id),
+cut1 AS (SELECT SUM(CASE WHEN a.side <> b.side THEN 1 ELSE 0 END) AS c
+         FROM e0 JOIN s1 a ON a.id = e0.src JOIN s1 b ON b.id = e0.dst),
+f1 AS (SELECT SUM(CASE WHEN side <> old_side THEN 1 ELSE 0 END) AS f FROM s1),
+n1_2 AS (SELECT e.src AS id, SUM(s1.side) AS n1, COUNT(*) AS deg
+         FROM e JOIN s1 ON s1.id = e.dst GROUP BY e.src),
+c2 AS (SELECT s1.id, s1.side,
+              2 * (CASE WHEN s1.side = 1 THEN COALESCE(n1_2.n1, 0)
+                        ELSE COALESCE(n1_2.deg, 0) - COALESCE(n1_2.n1, 0) END)
+                > COALESCE(n1_2.deg, 0) AS want
+       FROM s1 LEFT JOIN n1_2 ON n1_2.id = s1.id),
+m2 AS (SELECT e.src AS id, MIN(e.dst) AS min_cnbr
+       FROM e JOIN c2 ON c2.id = e.dst AND c2.want GROUP BY e.src),
+s2 AS (SELECT c2.id,
+              CASE WHEN c2.want AND (m2.min_cnbr IS NULL OR c2.id < m2.min_cnbr)
+                   THEN 1 - c2.side ELSE c2.side END AS side,
+              c2.side AS old_side
+       FROM c2 LEFT JOIN m2 ON m2.id = c2.id),
+cut2 AS (SELECT SUM(CASE WHEN a.side <> b.side THEN 1 ELSE 0 END) AS c
+         FROM e0 JOIN s2 a ON a.id = e0.src JOIN s2 b ON b.id = e0.dst),
+f2 AS (SELECT SUM(CASE WHEN side <> old_side THEN 1 ELSE 0 END) AS f FROM s2)
+SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+       CAST((SELECT c FROM cut0) AS BIGINT) AS cut_init,
+       CAST((SELECT f FROM f1) AS BIGINT) AS flips1,
+       CAST((SELECT c FROM cut1) AS BIGINT) AS cut1,
+       CAST((SELECT f FROM f2) AS BIGINT) AS flips2,
+       CAST((SELECT c FROM cut2) AS BIGINT) AS cut2
+"""
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of monthly revenue: the median
+    of all pairwise slopes (kilodollars/month; breakdown point 29%,
+    the robust companion to mann_kendall's sign test and
+    ols_price_qty's least squares).  Slopes are floor-scaled to
+    milli-units via the POSITIVE-SHIFTED floor division (slopes can be
+    negative and Spark DIV truncates toward zero while DuckDB //
+    floors — the logreg_gd3/revenue_mom lesson), the median is the
+    nearest-rank lower median with (slope, i, j) tie-break.  The pair
+    table is month-bounded (≤ C(84,2) rows) regardless of order
+    volume."""
+    o = load_table(spark, "orders", sf_dir)
+    monthly = (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("mi"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100000").alias("x"),
+        )
+        .groupBy("mi")
+        .agg(F.sum("x").cast("long").alias("y"))
+    )
+    a = monthly.select(F.col("mi").alias("i"), F.col("y").alias("yi"))
+    b = monthly.select(F.col("mi").alias("j"), F.col("y").alias("yj"))
+    big = 10_000_000_000_000
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"((yj - yi) * 1000 + CAST({big} AS BIGINT) * (j - i))"
+                f" DIV (j - i) - CAST({big} AS BIGINT)"
+            )
+            .cast("long")
+            .alias("slope_milli"),
+        )
+    )
+    w = Window.orderBy("slope_milli", "i", "j")
+    ranked = pairs.withColumn("rnk", F.row_number().over(w))
+    n = pairs.count()
+    med_rank = (n + 1) // 2
+    med = ranked.where(F.col("rnk") == med_rank).select(
+        F.col("slope_milli").alias("median_slope_milli")
+    )
+    return (
+        med.crossJoin(
+            pairs.agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum((F.col("slope_milli") > 0).cast("long"))
+                .cast("long")
+                .alias("n_positive"),
+            )
+        )
+        .select("n_pairs", "n_positive", "median_slope_milli")
+    )
+
+
+_THEIL_SEN_SQL = """
+WITH monthly AS (
+  SELECT (YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS mi,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000) AS y
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT a.mi AS i, b.mi AS j,
+         ((b.y - a.y) * 1000 + CAST(10000000000000 AS BIGINT) * (b.mi - a.mi))
+           // (b.mi - a.mi) - CAST(10000000000000 AS BIGINT) AS slope_milli
+  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+ranked AS (
+  SELECT slope_milli,
+         ROW_NUMBER() OVER (ORDER BY slope_milli, i, j) AS rnk
+  FROM pairs),
+n AS (SELECT COUNT(*) AS n FROM pairs)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(*) FROM pairs WHERE slope_milli > 0) AS BIGINT)
+         AS n_positive,
+       CAST((SELECT slope_milli FROM ranked
+             WHERE rnk = ((SELECT n FROM n) + 1) // 2) AS BIGINT)
+         AS median_slope_milli
+"""
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of daily revenue across ISO weekdays (the
+    k-group extension of the rank machinery behind pettitt_change and
+    mann_kendall): doubled average ranks keep ties BIGINT-exact, each
+    group's R²/n term is floored to an exact integer before summing
+    (the kmeans_nmi per-cell discipline), and H plus its tie
+    correction are single double expressions over those integers.
+    Output: one row per weekday (n, rank sum) with the global H and
+    tie-corrected H_c on every row."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.select(
+            F.to_date("o_orderdate").alias("day"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100000").alias("x"),
+        )
+        .groupBy("day")
+        .agg(F.sum("x").cast("long").alias("x"))
+        .select((F.weekday("day") + 1).cast("long").alias("wd"), "x")
+    )
+    wr = Window.orderBy("x")
+    wt = Window.partitionBy("x")
+    ranked = daily.select(
+        "wd",
+        "x",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).cast("long").alias("r2"),
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    per = ranked.groupBy("wd").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r2").cast("long").alias("r2_sum"),
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("nn")).crossJoin(ties)
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "wd",
+        "n",
+        "r2_sum",
+        "nn",
+        "tie3",
+        F.expr("r2_sum * r2_sum DIV n").alias("q"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h = (
+        F.lit(3.0)
+        * F.sum("q").over(wall).cast("double")
+        / (F.col("nn").cast("double") * (F.col("nn").cast("double") + F.lit(1.0)))
+        - F.lit(3.0) * (F.col("nn").cast("double") + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (
+        F.col("nn").cast("double") * F.col("nn").cast("double") * F.col("nn").cast("double")
+        - F.col("nn").cast("double")
+    )
+    return terms.select(
+        "wd",
+        "n",
+        "r2_sum",
+        F.round(h, 6).alias("h_r"),
+        F.round(h / corr, 6).alias("h_tie_r"),
+    ).orderBy("wd")
+
+
+_KRUSKAL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000) AS x
+  FROM orders GROUP BY 1),
+wd_t AS (SELECT isodow(day) AS wd, x FROM daily),
+ranked AS (
+  SELECT wd, x,
+         2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS r2
+  FROM wd_t),
+ties AS (SELECT SUM(t * t * t - t) AS tie3
+         FROM (SELECT COUNT(*) AS t FROM wd_t GROUP BY x) z),
+per AS (SELECT wd, COUNT(*) AS n, SUM(r2) AS r2_sum FROM ranked GROUP BY wd),
+tot AS (SELECT SUM(n) AS nn FROM per),
+terms AS (SELECT wd, n, r2_sum, r2_sum * r2_sum // n AS q FROM per),
+agg AS (SELECT SUM(q) AS sq FROM terms)
+SELECT CAST(wd AS BIGINT) AS wd, CAST(n AS BIGINT) AS n,
+       CAST(r2_sum AS BIGINT) AS r2_sum,
+       ROUND(3.0 * CAST((SELECT sq FROM agg) AS DOUBLE)
+             / (CAST((SELECT nn FROM tot) AS DOUBLE)
+                * (CAST((SELECT nn FROM tot) AS DOUBLE) + 1.0))
+             - 3.0 * (CAST((SELECT nn FROM tot) AS DOUBLE) + 1.0), 6) AS h_r,
+       ROUND((3.0 * CAST((SELECT sq FROM agg) AS DOUBLE)
+              / (CAST((SELECT nn FROM tot) AS DOUBLE)
+                 * (CAST((SELECT nn FROM tot) AS DOUBLE) + 1.0))
+              - 3.0 * (CAST((SELECT nn FROM tot) AS DOUBLE) + 1.0))
+             / (1.0 - CAST((SELECT tie3 FROM ties) AS DOUBLE)
+                      / (CAST((SELECT nn FROM tot) AS DOUBLE)
+                         * CAST((SELECT nn FROM tot) AS DOUBLE)
+                         * CAST((SELECT nn FROM tot) AS DOUBLE)
+                         - CAST((SELECT nn FROM tot) AS DOUBLE))), 6) AS h_tie_r
+FROM terms ORDER BY wd
+"""
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence test of event type × ISO weekday (the
+    contingency-table sibling of chi2_terms' feature selection), with
+    Cramér's V effect size: each cell's contribution
+    (o − rc/N)²/(rc/N) is a fixed-operand-order double over exact
+    integer margins FLOORED to micro-units before summation (the
+    kmeans_nmi cell discipline — (oN − rc)² overflows int64 at sf0.1,
+    so the double form is the exact-int-derived one).  Output: one row
+    per event type (row margin + per-type χ² share) with the global
+    χ², degrees of freedom and V on every row."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", (F.weekday(F.to_date("ts")) + 1).cast("long").alias("wd")
+    )
+    cells = ev.groupBy("event_type", "wd").agg(F.count("*").cast("long").alias("o"))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    cols_m = cells.groupBy("wd").agg(F.sum("o").cast("long").alias("c"))
+    nn = cells.agg(F.sum("o").cast("long").alias("nn"))
+    e = (
+        cells.join(rows_m, "event_type")
+        .join(cols_m, "wd")
+        .crossJoin(F.broadcast(nn))
+    )
+    exp = F.col("r").cast("double") * F.col("c").cast("double") / F.col("nn").cast("double")
+    cell_micro = F.floor(
+        F.lit(1e6)
+        * (F.col("o").cast("double") - exp)
+        * (F.col("o").cast("double") - exp)
+        / exp
+    ).cast("long")
+    per_type = (
+        e.select("event_type", "r", "nn", cell_micro.alias("cm"))
+        .groupBy("event_type", "r", "nn")
+        .agg(F.sum("cm").cast("long").alias("chi2_micro_type"))
+    )
+    nr = rows_m.count()
+    ncol = cols_m.count()
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    chi2_tot = F.sum("chi2_micro_type").over(wall).cast("long")
+    dof = (nr - 1) * (ncol - 1)
+    mindim = min(nr - 1, ncol - 1)
+    return per_type.select(
+        "event_type",
+        F.col("r").alias("n_row"),
+        "chi2_micro_type",
+        chi2_tot.alias("chi2_micro"),
+        F.lit(dof).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                chi2_tot.cast("double")
+                / F.lit(1e6)
+                / (F.col("nn").cast("double") * F.lit(float(mindim)))
+            ),
+            6,
+        ).alias("cramers_v_r"),
+    ).orderBy("event_type")
+
+
+_CHI2_IND_SQL = """
+WITH ev AS (SELECT event_type, isodow(CAST(ts AS DATE)) AS wd FROM events),
+cells AS (SELECT event_type, wd, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+rows_m AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+cols_m AS (SELECT wd, SUM(o) AS c FROM cells GROUP BY 1),
+nn AS (SELECT SUM(o) AS nn FROM cells),
+e AS (SELECT cells.event_type, cells.wd, cells.o, rows_m.r, cols_m.c,
+             (SELECT nn FROM nn) AS nn
+      FROM cells JOIN rows_m ON rows_m.event_type = cells.event_type
+                 JOIN cols_m ON cols_m.wd = cells.wd),
+cellv AS (
+  SELECT event_type, r, nn,
+         CAST(FLOOR(1e6 * (CAST(o AS DOUBLE)
+                           - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                             / CAST(nn AS DOUBLE))
+                        * (CAST(o AS DOUBLE)
+                           - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                             / CAST(nn AS DOUBLE))
+                        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                           / CAST(nn AS DOUBLE))) AS BIGINT) AS cm
+  FROM e),
+per_type AS (SELECT event_type, r, nn, SUM(cm) AS chi2_micro_type
+             FROM cellv GROUP BY 1, 2, 3),
+dims AS (SELECT (SELECT COUNT(*) FROM rows_m) AS nr,
+                (SELECT COUNT(*) FROM cols_m) AS nc),
+tot AS (SELECT SUM(chi2_micro_type) AS chi2_micro FROM per_type)
+SELECT event_type, CAST(r AS BIGINT) AS n_row,
+       CAST(chi2_micro_type AS BIGINT) AS chi2_micro_type,
+       CAST((SELECT chi2_micro FROM tot) AS BIGINT) AS chi2_micro,
+       CAST(((SELECT nr FROM dims) - 1) * ((SELECT nc FROM dims) - 1) AS BIGINT)
+         AS dof,
+       ROUND(SQRT(CAST((SELECT chi2_micro FROM tot) AS DOUBLE) / 1e6
+                  / (CAST(nn AS DOUBLE)
+                     * CAST(LEAST((SELECT nr FROM dims) - 1,
+                                  (SELECT nc FROM dims) - 1) AS DOUBLE))), 6)
+         AS cramers_v_r
+FROM per_type ORDER BY event_type
+"""
+
+
+ORACLES.update(
+    {
+        "maxcut_sweep2": _MAXCUT_SQL,
+        "theil_sen": _THEIL_SEN_SQL,
+        "kruskal_wallis": _KRUSKAL_SQL,
+        "chi2_independence": _CHI2_IND_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "maxcut_sweep2": q_maxcut_sweep2,
+        "theil_sen": q_theil_sen,
+        "kruskal_wallis": q_kruskal_wallis,
+        "chi2_independence": q_chi2_independence,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -21052,6 +21508,7 @@ _ROUND5_PRIORITY = [
     "ap_eval", "cka_views", "conformal_pvalues",
     "euler_check", "hyperbolicity4",
     "walk_spectrum8", "ab_srm", "als_rank1",
+    "maxcut_sweep2", "theil_sen", "kruskal_wallis", "chi2_independence",
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",

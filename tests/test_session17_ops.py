@@ -555,3 +555,138 @@ def test_als_rank1_python_replay(spark):
         assert row["rnk"] == rnk
     # item factors live on the quantity scale (1..50, micro units)
     assert all(0 < r["v_micro"] < 100_000_000 for r in rows)
+
+
+# ------------------------------------------------------- max-cut sweeps
+
+
+def test_maxcut_monotone_and_replay(spark):
+    from polar_spark.operators.analytics_queries import _w2_backbone
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in _w2_backbone(spark, SF)
+        .where((F.col("src") < 2000) & (F.col("dst") < 2000))
+        .collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    side = {v: v % 2 for v in adj}
+
+    def cut(s):
+        return sum(1 for a, b in edges if s[a] != s[b])
+
+    c0 = cut(side)
+    flips = []
+    cuts = []
+    for _ in range(2):
+        cand = {
+            v
+            for v in adj
+            if 2 * sum(1 for w in adj[v] if side[w] == side[v]) > len(adj[v])
+        }
+        flip = {v for v in cand if all(v < w for w in adj[v] if w in cand)}
+        for v in flip:
+            side[v] = 1 - side[v]
+        flips.append(len(flip))
+        cuts.append(cut(side))
+    row = QUERIES["maxcut_sweep2"](spark, SF).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["cut_init"] == c0
+    assert row["flips1"] == flips[0]
+    assert row["cut1"] == cuts[0]
+    assert row["flips2"] == flips[1]
+    assert row["cut2"] == cuts[1]
+    # independent-set-scheduled local search is monotone non-decreasing
+    assert row["cut_init"] <= row["cut1"] <= row["cut2"] <= row["n_edges"]
+
+
+# --------------------------------------------------------- Theil-Sen
+
+
+def test_theil_sen_python_replay(spark):
+    rows = load_table(spark, "orders", SF).select("o_orderdate", "o_totalprice").collect()
+    monthly: dict[int, int] = {}
+    for r in rows:
+        mi = r["o_orderdate"].year * 12 + r["o_orderdate"].month - 1
+        monthly[mi] = monthly.get(mi, 0) + int(round(r["o_totalprice"] * 100)) // 100000
+    ms = sorted(monthly.items())
+    slopes = []
+    for i in range(len(ms)):
+        for j in range(i + 1, len(ms)):
+            (mi, yi), (mj, yj) = ms[i], ms[j]
+            slopes.append(((yj - yi) * 1000) // (mj - mi))  # python // floors
+    slopes.sort()
+    row = QUERIES["theil_sen"](spark, SF).collect()[0]
+    assert row["n_pairs"] == len(slopes)
+    assert row["n_positive"] == sum(1 for s in slopes if s > 0)
+    assert row["median_slope_milli"] == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+# --------------------------------------------------- Kruskal-Wallis H
+
+
+def test_kruskal_wallis_python_replay(spark):
+    rows = load_table(spark, "orders", SF).select("o_orderdate", "o_totalprice").collect()
+    daily: dict = {}
+    for r in rows:
+        d = r["o_orderdate"].date()
+        daily[d] = daily.get(d, 0) + int(round(r["o_totalprice"] * 100)) // 100000
+    vals = sorted(daily.values())
+    first = {}
+    for i, v in enumerate(vals):
+        first.setdefault(v, i + 1)
+    ties = Counter(vals)
+    r2 = {v: 2 * first[v] + ties[v] - 1 for v in ties}
+    per: dict[int, list[int]] = {}
+    for d, v in daily.items():
+        per.setdefault(d.isoweekday(), []).append(r2[v])
+    nn = len(daily)
+    sq = sum((sum(g)) ** 2 // len(g) for g in per.values())
+    h = 3.0 * sq / (nn * (nn + 1)) - 3.0 * (nn + 1)
+    tie3 = sum(t**3 - t for t in ties.values())
+    hc = h / (1.0 - tie3 / (nn**3 - nn))
+    out = {r["wd"]: r for r in QUERIES["kruskal_wallis"](spark, SF).collect()}
+    assert set(out) == set(per)
+    for wd, g in per.items():
+        assert out[wd]["n"] == len(g)
+        assert out[wd]["r2_sum"] == sum(g)
+        assert abs(out[wd]["h_r"] - round(h, 6)) < 1e-9
+        assert abs(out[wd]["h_tie_r"] - round(hc, 6)) < 1e-9
+    # uniform synthetic calendar: no weekday effect (chi2_6 at 0.001 = 22.5)
+    assert out[1]["h_tie_r"] < 22.5
+
+
+# ------------------------------------------------- chi2 independence
+
+
+def test_chi2_independence_python_replay(spark):
+    rows = load_table(spark, "events", SF).select("ts", "event_type").collect()
+    cells: Counter = Counter()
+    for r in rows:
+        cells[(r["event_type"], r["ts"].date().isoweekday())] += 1
+    rmarg: Counter = Counter()
+    cmarg: Counter = Counter()
+    for (et, wd), o in cells.items():
+        rmarg[et] += o
+        cmarg[wd] += o
+    nn = sum(cells.values())
+    per_type: dict[str, int] = {}
+    for (et, wd), o in cells.items():
+        e = rmarg[et] * cmarg[wd] / nn
+        per_type[et] = per_type.get(et, 0) + math.floor(1e6 * (o - e) ** 2 / e)
+    chi2 = sum(per_type.values())
+    dof = (len(rmarg) - 1) * (len(cmarg) - 1)
+    v = math.sqrt(chi2 / 1e6 / (nn * min(len(rmarg) - 1, len(cmarg) - 1)))
+    out = {r["event_type"]: r for r in QUERIES["chi2_independence"](spark, SF).collect()}
+    assert set(out) == set(rmarg)
+    for et in rmarg:
+        assert out[et]["n_row"] == rmarg[et]
+        assert out[et]["chi2_micro_type"] == per_type[et]
+        assert out[et]["chi2_micro"] == chi2
+        assert out[et]["dof"] == dof
+        assert abs(out[et]["cramers_v_r"] - round(v, 6)) < 1e-9
+        # event types are calendar-independent by construction
+        assert out[et]["cramers_v_r"] < 0.2
