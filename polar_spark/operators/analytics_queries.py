@@ -21472,6 +21472,221 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Session-17 batch G: B-cubed clustering eval, random-walk entropy rate,
+# k-anonymity audit.
+
+
+def q_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F of the kmeans8 partition against the
+    embedding labels (Bagga & Baldwin'98; the per-ITEM clustering
+    grade that, unlike ari_partitions' pair counting and kmeans_nmi's
+    information terms, weights every element equally and so is the
+    standard for skewed cluster sizes): precision = E_i[|C_i ∩ L_i|/
+    |C_i|], recall = E_i[|C_i ∩ L_i|/|L_i|].  Entirely integer: each
+    contingency cell contributes n_cl²·10⁶ DIV margin, the expectation
+    is one more DIV, and F folds the two ppm values harmonically —
+    zero float surface (no ln, unlike NMI).  Contingency is the same
+    broadcastable 8×|labels| aggregate."""
+    from polar_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    asg, _ = kmeans_lloyd(emb, k=8, n_iter=3)
+    lab = emb.select(F.col("vec_id").alias("id"), F.col("label").cast("long"))
+    ct = (
+        asg.select("id", "cluster")
+        .join(lab, "id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").cast("long").alias("n_cl"))
+    )
+    n_c = ct.groupBy("cluster").agg(F.sum("n_cl").cast("long").alias("nc"))
+    n_l = ct.groupBy("label").agg(F.sum("n_cl").cast("long").alias("nl"))
+    cells = ct.join(n_c, "cluster").join(n_l, "label")
+    agg = cells.agg(
+        F.sum("n_cl").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.expr("n_cl * n_cl * 1000000 DIV nc")).cast("long").alias("p_num"),
+        F.sum(F.expr("n_cl * n_cl * 1000000 DIV nl")).cast("long").alias("r_num"),
+    )
+    return agg.select(
+        "n",
+        "n_cells",
+        F.expr("p_num DIV n").cast("long").alias("bcubed_p_ppm"),
+        F.expr("r_num DIV n").cast("long").alias("bcubed_r_ppm"),
+        F.expr(
+            "CASE WHEN p_num DIV n + r_num DIV n > 0"
+            " THEN 2 * (p_num DIV n) * (r_num DIV n)"
+            " DIV (p_num DIV n + r_num DIV n) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("bcubed_f_ppm"),
+    )
+
+
+def _bcubed_sql(k: int = 8, n_iter: int = 3) -> str:
+    parts, dist = _kmeans_parts(k, n_iter)
+    parts.append(
+        f"asg AS MATERIALIZED (SELECT id, cid FROM ("
+        f"SELECT e.id, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {dist}, c.cid) AS rn "
+        f"FROM e CROSS JOIN c{n_iter} c) x WHERE rn = 1)"
+    )
+    parts += [
+        "lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings)",
+        "ct AS MATERIALIZED (SELECT cid AS cluster, label, COUNT(*) AS n_cl "
+        "FROM asg JOIN lab USING (id) GROUP BY 1, 2)",
+        "nc AS (SELECT cluster, SUM(n_cl) AS nc FROM ct GROUP BY cluster)",
+        "nl AS (SELECT label, SUM(n_cl) AS nl FROM ct GROUP BY label)",
+        """agg AS (
+  SELECT SUM(ct.n_cl) AS n, COUNT(*) AS n_cells,
+         SUM(ct.n_cl * ct.n_cl * 1000000 // nc.nc) AS p_num,
+         SUM(ct.n_cl * ct.n_cl * 1000000 // nl.nl) AS r_num
+  FROM ct JOIN nc USING (cluster) JOIN nl USING (label))""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(p_num // n AS BIGINT) AS bcubed_p_ppm,
+       CAST(r_num // n AS BIGINT) AS bcubed_r_ppm,
+       CAST(CASE WHEN p_num // n + r_num // n > 0
+                 THEN 2 * (p_num // n) * (r_num // n)
+                      // (p_num // n + r_num // n) ELSE 0 END AS BIGINT)
+         AS bcubed_f_ppm
+FROM agg
+"""
+    )
+
+
+def q_walk_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the simple random walk on the weight-≥2
+    co-order backbone (Lovász's h = Σ_v π_v·ln d_v with π_v = d_v/2m —
+    the information-theoretic mixing descriptor that upper-bounds how
+    fast node2vec-style samplers decorrelate), plus the stationary-
+    distribution entropy H(π) = ln 2m − h and the uniform bound ln n̄.
+    Per-vertex cells d·ln d are floored to 1e6-scaled BIGINTs before
+    the single sum (the kmeans_nmi discipline); everything else is
+    exact integer degree algebra — one groupBy at any scale."""
+    sub = _w2_backbone(spark, sf_dir)
+    deg = _sym(sub).groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    agg = deg.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.sum("d").cast("long").alias("deg_sum"),
+        F.sum(
+            F.floor(F.lit(1e6) * F.col("d").cast("double") * F.log(F.col("d").cast("double")))
+        )
+        .cast("long")
+        .alias("dlnd_scaled"),
+    )
+    h_rate = F.col("dlnd_scaled").cast("double") / (
+        F.lit(1e6) * F.col("deg_sum").cast("double")
+    )
+    return agg.select(
+        "n_vertices",
+        (F.col("deg_sum") / 2).cast("long").alias("n_edges"),
+        "dlnd_scaled",
+        F.round(h_rate, 6).alias("h_rate_r"),
+        F.round(F.log(F.col("deg_sum").cast("double")) - h_rate, 6).alias("h_pi_r"),
+        F.round(F.log(F.col("n_vertices").cast("double")), 6).alias("h_uniform_r"),
+    )
+
+
+_WALK_ENTROPY_SQL = f"""
+WITH {_W2_BACKBONE_SQL.strip()},
+e AS (SELECT src, dst FROM sub UNION ALL SELECT dst, src FROM sub),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+agg AS (
+  SELECT COUNT(*) AS n_vertices, SUM(d) AS deg_sum,
+         SUM(CAST(FLOOR(1e6 * CAST(d AS DOUBLE) * LN(CAST(d AS DOUBLE)))
+             AS BIGINT)) AS dlnd_scaled
+  FROM deg)
+SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST(deg_sum / 2 AS BIGINT) AS n_edges,
+       CAST(dlnd_scaled AS BIGINT) AS dlnd_scaled,
+       ROUND(CAST(dlnd_scaled AS DOUBLE) / (1e6 * CAST(deg_sum AS DOUBLE)), 6)
+         AS h_rate_r,
+       ROUND(LN(CAST(deg_sum AS DOUBLE))
+             - CAST(dlnd_scaled AS DOUBLE) / (1e6 * CAST(deg_sum AS DOUBLE)), 6)
+         AS h_pi_r,
+       ROUND(LN(CAST(n_vertices AS DOUBLE)), 6) AS h_uniform_r
+FROM agg
+"""
+
+
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table under the
+    quasi-identifier (nation, market segment) with the account-balance
+    sign as the sensitive attribute (Sweeney'02 / Machanavajjhala'06
+    — the release-readiness check any privacy pipeline runs before
+    publishing an extract): the equivalence-class size histogram
+    (k → #classes, #rows) with the global minima and the re-
+    identifiable mass (rows in classes with k < 5) on every row.
+    Two integer groupBys; the histogram is QI-cardinality-bounded."""
+    c = load_table(spark, "customer", sf_dir)
+    grp = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("k"),
+        F.countDistinct(F.signum("c_acctbal").cast("long")).cast("long").alias("l"),
+    )
+    hist = grp.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.min("l").cast("long").alias("min_l_at_k"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return hist.select(
+        "k",
+        "n_classes",
+        "n_rows",
+        "min_l_at_k",
+        F.min("k").over(wall).cast("long").alias("min_k"),
+        F.min("min_l_at_k").over(wall).cast("long").alias("min_l"),
+        F.expr(
+            "SUM(CASE WHEN k < 5 THEN n_rows ELSE 0 END) OVER"
+            " (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            " * 1000000 DIV SUM(n_rows) OVER"
+            " (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        )
+        .cast("long")
+        .alias("small_class_ppm"),
+    ).orderBy("k")
+
+
+_KANON_SQL = """
+WITH grp AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS k,
+         COUNT(DISTINCT CAST(SIGN(c_acctbal) AS BIGINT)) AS l
+  FROM customer GROUP BY 1, 2),
+hist AS (
+  SELECT k, COUNT(*) AS n_classes, SUM(k) AS n_rows, MIN(l) AS min_l_at_k
+  FROM grp GROUP BY k)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_classes AS BIGINT) AS n_classes,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(min_l_at_k AS BIGINT) AS min_l_at_k,
+       CAST(MIN(k) OVER () AS BIGINT) AS min_k,
+       CAST(MIN(min_l_at_k) OVER () AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN k < 5 THEN n_rows ELSE 0 END) OVER () * 1000000
+            // SUM(n_rows) OVER () AS BIGINT) AS small_class_ppm
+FROM hist ORDER BY k
+"""
+
+
+ORACLES.update(
+    {
+        "bcubed_eval": _bcubed_sql(),
+        "walk_entropy": _WALK_ENTROPY_SQL,
+        "kanon_audit": _KANON_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "bcubed_eval": q_bcubed_eval,
+        "walk_entropy": q_walk_entropy,
+        "kanon_audit": q_kanon_audit,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -21509,6 +21724,7 @@ _ROUND5_PRIORITY = [
     "euler_check", "hyperbolicity4",
     "walk_spectrum8", "ab_srm", "als_rank1",
     "maxcut_sweep2", "theil_sen", "kruskal_wallis", "chi2_independence",
+    "bcubed_eval", "walk_entropy", "kanon_audit",
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",

@@ -690,3 +690,89 @@ def test_chi2_independence_python_replay(spark):
         assert abs(out[et]["cramers_v_r"] - round(v, 6)) < 1e-9
         # event types are calendar-independent by construction
         assert out[et]["cramers_v_r"] < 0.2
+
+
+# ------------------------------------------------------- B-cubed eval
+
+
+def test_bcubed_python_replay(spark):
+    from polar_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, "embeddings", SF)
+    asg, _ = kmeans_lloyd(emb, k=8, n_iter=3)
+    clusters = {r["id"]: r["cluster"] for r in asg.collect()}
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    ct: Counter = Counter()
+    for vid, c in clusters.items():
+        ct[(c, labels[vid])] += 1
+    nc: Counter = Counter()
+    nl: Counter = Counter()
+    for (c, l), n in ct.items():
+        nc[c] += n
+        nl[l] += n
+    n = sum(ct.values())
+    p_num = sum(v * v * 1000000 // nc[c] for (c, l), v in ct.items())
+    r_num = sum(v * v * 1000000 // nl[l] for (c, l), v in ct.items())
+    row = QUERIES["bcubed_eval"](spark, SF).collect()[0]
+    assert row["n"] == n
+    assert row["bcubed_p_ppm"] == p_num // n
+    assert row["bcubed_r_ppm"] == r_num // n
+    p, r = p_num // n, r_num // n
+    assert row["bcubed_f_ppm"] == 2 * p * r // (p + r)
+    # both are averages of fractions in (0, 1]
+    assert 0 < row["bcubed_p_ppm"] <= 1000000
+    assert 0 < row["bcubed_r_ppm"] <= 1000000
+
+
+# -------------------------------------------------- walk entropy rate
+
+
+def test_walk_entropy_python_replay(spark):
+    from polar_spark.operators.analytics_queries import _w2_backbone
+
+    edges = [(r["src"], r["dst"]) for r in _w2_backbone(spark, SF).collect()]
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    dsum = sum(deg.values())
+    dlnd = sum(math.floor(1e6 * d * math.log(d)) for d in deg.values())
+    row = QUERIES["walk_entropy"](spark, SF).collect()[0]
+    assert row["n_vertices"] == len(deg)
+    assert row["n_edges"] == len(edges)
+    assert row["dlnd_scaled"] == dlnd
+    h = dlnd / (1e6 * dsum)
+    assert abs(row["h_rate_r"] - round(h, 6)) < 1e-9
+    assert abs(row["h_pi_r"] - round(math.log(dsum) - h, 6)) < 1e-9
+    # information bounds: 0 ≤ h_rate ≤ ln(max deg); H(pi) ≤ ln n
+    assert 0 <= row["h_rate_r"] <= math.log(max(deg.values())) + 1e-9
+    assert row["h_pi_r"] <= row["h_uniform_r"] + 1e-9
+
+
+# -------------------------------------------------- k-anonymity audit
+
+
+def test_kanon_audit_python_replay(spark):
+    rows = load_table(spark, "customer", SF).collect()
+    grp: dict = {}
+    for r in rows:
+        key = (r["c_nationkey"], r["c_mktsegment"])
+        sign = (r["c_acctbal"] > 0) - (r["c_acctbal"] < 0)
+        grp.setdefault(key, []).append(sign)
+    ks = Counter(len(v) for v in grp.values())
+    out = {r["k"]: r for r in QUERIES["kanon_audit"](spark, SF).collect()}
+    assert set(out) == set(ks)
+    min_k = min(ks)
+    min_l = min(len(set(v)) for v in grp.values())
+    total = len(rows)
+    small = sum(len(v) for v in grp.values() if len(v) < 5)
+    for k, n_classes in ks.items():
+        row = out[k]
+        assert row["n_classes"] == n_classes
+        assert row["n_rows"] == k * n_classes
+        assert row["min_k"] == min_k
+        assert row["min_l"] == min_l
+        assert row["small_class_ppm"] == small * 1000000 // total
+        assert row["min_l_at_k"] == min(
+            len(set(v)) for v in grp.values() if len(v) == k
+        )
