@@ -937,16 +937,23 @@ def main() -> None:
             q_ab_srm,
             q_als_rank1,
             q_ap_eval,
+            q_bcubed_eval,
+            q_chi2_independence,
             q_cka_views,
             q_conformal_pvalues,
             q_euler_check,
             q_feature_hash_audit,
             q_gt_smoothing,
             q_hyperbolicity4,
+            q_kanon_audit,
             q_kmv_distinct,
+            q_kruskal_wallis,
             q_logrank_test,
+            q_maxcut_sweep2,
             q_pettitt_change,
             q_revenue_acf,
+            q_theil_sen,
+            q_walk_entropy,
             q_walk_spectrum8,
         )
 
@@ -964,6 +971,13 @@ def main() -> None:
         ws = q_walk_spectrum8(spark, sf_dir).collect()
         ab = q_ab_srm(spark, sf_dir).collect()[0]
         als = q_als_rank1(spark, sf_dir).collect()
+        mc = q_maxcut_sweep2(spark, sf_dir).collect()[0]
+        ts = q_theil_sen(spark, sf_dir).collect()[0]
+        kw = q_kruskal_wallis(spark, sf_dir).collect()
+        ci = q_chi2_independence(spark, sf_dir).collect()
+        bc = q_bcubed_eval(spark, sf_dir).collect()[0]
+        we = q_walk_entropy(spark, sf_dir).collect()[0]
+        ka = q_kanon_audit(spark, sf_dir).collect()
         return {
             "kmv_max_err_ppm": max(
                 (
@@ -988,6 +1002,14 @@ def main() -> None:
             "walk_spectrum_rows": len(ws),
             "ab_srm_chi2_milli": int(ab["srm_chi2_r"] * 1000),
             "als_top_part": int(als[0]["part"]) if als else 0,
+            "maxcut_gain": int(mc["cut2"] - mc["cut_init"]),
+            "maxcut_edges": int(mc["n_edges"]),
+            "theil_sen_milli": int(ts["median_slope_milli"]),
+            "kruskal_h_milli": int(kw[0]["h_tie_r"] * 1000) if kw else 0,
+            "chi2_ind_micro": int(ci[0]["chi2_micro"]) if ci else 0,
+            "bcubed_f_ppm": int(bc["bcubed_f_ppm"]),
+            "walk_entropy_micro": int(we["h_rate_r"] * 1e6),
+            "kanon_min_k": int(ka[0]["min_k"]) if ka else 0,
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side
