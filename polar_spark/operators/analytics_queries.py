@@ -21687,6 +21687,292 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Session-17 batch H: drift detection, two-sample KS, decision stump.
+
+
+_PH_DELTA_MICRO = 500_000  # δ = 0.5 orders/day drift allowance
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector on the daily order-count series
+    (completing the drift family: cusum_hourly watches a FIXED
+    reference mean, pettitt_change tests retrospectively — PH tracks
+    the RUNNING mean, the streaming-drift formulation): m_t =
+    Σ_{i≤t}(x_i − x̄_i − δ) with x̄_i the prefix mean, PH_t = m_t −
+    min_{s≤t} m_s, alarm when PH exceeds λ = 50·10⁶ micro-units.
+    Every term is exact BIGINT micro-units (prefix mean via S_i·10⁶
+    DIV i); the whole detector is two window passes over the
+    calendar-bounded daily table."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wi = Window.orderBy("d")
+    staged = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(wd).cast("long").alias("s"),
+        F.row_number().over(wi).cast("long").alias("i"),
+    ).select(
+        "d",
+        "x",
+        F.expr(f"x * 1000000 - (s * 1000000 DIV i) - {_PH_DELTA_MICRO}")
+        .cast("long")
+        .alias("term_micro"),
+    )
+    cum = staged.select(
+        "d",
+        "x",
+        F.sum("term_micro").over(wd).cast("long").alias("m_micro"),
+    )
+    return cum.select(
+        "d",
+        "x",
+        "m_micro",
+        (F.col("m_micro") - F.min("m_micro").over(wd)).cast("long").alias("ph_micro"),
+        (
+            (F.col("m_micro") - F.min("m_micro").over(wd)) > F.lit(50_000_000)
+        ).alias("alarm"),
+    ).orderBy("d")
+
+
+_PAGE_HINKLEY_SQL = f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+         COUNT(*) AS x
+  FROM orders GROUP BY 1),
+staged AS (
+  SELECT d, x,
+         x * 1000000
+           - (SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) * 1000000
+              // ROW_NUMBER() OVER (ORDER BY d))
+           - {_PH_DELTA_MICRO} AS term_micro
+  FROM daily),
+cum AS (
+  SELECT d, x,
+         SUM(term_micro) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS m_micro
+  FROM staged)
+SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x,
+       CAST(m_micro AS BIGINT) AS m_micro,
+       CAST(m_micro - MIN(m_micro) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS ph_micro,
+       m_micro - MIN(m_micro) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+         > 50000000 AS alarm
+FROM cum ORDER BY d
+"""
+
+
+def q_ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the first
+    and second calendar halves of the daily-revenue distribution (the
+    distribution-shift check run on every data refresh; the
+    full-distribution sibling of the mean/rank drift detectors):
+    D = max_x |F₁(x) − F₂(x)| held exactly as max |c₁n₂ − c₂n₁| over
+    the pooled value grid — pure BIGINT cross-multiplication, one sort
+    window over the calendar-bounded daily table.  Output: one row
+    with both sample sizes, the scaled D numerator, D in exact ppm,
+    and the value where the maximum gap is attained."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("d"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100000").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").cast("long").alias("x"))
+    )
+    mid = daily.agg(
+        F.expr("(MIN(d) + MAX(d)) DIV 2").cast("long").alias("mid")
+    )
+    tagged = daily.crossJoin(F.broadcast(mid)).select(
+        "x", (F.col("d") <= F.col("mid")).cast("long").alias("g1")
+    )
+    sizes = tagged.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("g1")).cast("long").alias("n2"),
+    )
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        tagged.groupBy("x")
+        .agg(
+            F.sum("g1").cast("long").alias("a1"),
+            F.sum(F.lit(1) - F.col("g1")).cast("long").alias("a2"),
+        )
+        .select(
+            "x",
+            F.sum("a1").over(wv).cast("long").alias("c1"),
+            F.sum("a2").over(wv).cast("long").alias("c2"),
+        )
+    )
+    gaps = cum.crossJoin(F.broadcast(sizes)).select(
+        "x",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        .cast("long")
+        .alias("gap"),
+    )
+    w = Window.orderBy(F.desc("gap"), F.asc("x"))
+    return (
+        gaps.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "n1",
+            "n2",
+            F.col("gap").alias("d_scaled"),
+            F.expr("gap * 1000000 DIV (n1 * n2)").cast("long").alias("d_ppm"),
+            F.col("x").alias("at_value"),
+        )
+    )
+
+
+_KS_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000) AS x
+  FROM orders GROUP BY 1),
+mid AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM daily),
+tagged AS (SELECT x, CASE WHEN d <= (SELECT mid FROM mid) THEN 1 ELSE 0 END AS g1
+           FROM daily),
+sizes AS (SELECT SUM(g1) AS n1, SUM(1 - g1) AS n2 FROM tagged),
+cum AS (
+  SELECT x,
+         SUM(SUM(g1)) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(SUM(1 - g1)) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c2
+  FROM tagged GROUP BY x),
+gaps AS (
+  SELECT x, sizes.n1, sizes.n2,
+         ABS(c1 * sizes.n2 - c2 * sizes.n1) AS gap
+  FROM cum CROSS JOIN sizes),
+best AS (SELECT *, ROW_NUMBER() OVER (ORDER BY gap DESC, x ASC) AS rn FROM gaps)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(gap AS BIGINT) AS d_scaled,
+       CAST(gap * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm,
+       CAST(x AS BIGINT) AS at_value
+FROM best WHERE rn = 1
+"""
+
+
+def q_best_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best decision stump on lineitem: the single split
+    l_discount ≤ θ minimizing weighted Gini impurity for predicting a
+    return (l_returnflag = 'R') — the CART/XGBoost split-search
+    primitive as one pass: candidate thresholds are the distinct
+    discount grid (integer percent), left/right class counts come
+    from one cumulative window over the per-threshold histogram, and
+    each branch's Gini is held exactly as FLOOR(2·10⁶·pos·neg/n²)
+    before the weighted fold (the chi2_independence cell discipline).
+    Output: every candidate's weighted impurity plus the argmin
+    flag."""
+    li = load_table(spark, "lineitem", sf_dir)
+    base = li.select(
+        F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("disc"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    hist = base.groupBy("disc").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wv = Window.orderBy("disc").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "disc",
+        F.sum("n").over(wv).cast("long").alias("nl"),
+        F.sum("pos").over(wv).cast("long").alias("pl"),
+        F.sum("n").over(wall).cast("long").alias("nt"),
+        F.sum("pos").over(wall).cast("long").alias("pt"),
+    ).where(F.col("nl") < F.col("nt"))
+    gini = cum.select(
+        "disc",
+        "nl",
+        "pl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        (F.col("pt") - F.col("pl")).alias("pr"),
+        F.expr(
+            "CAST(FLOOR(2e6 * CAST(pl AS DOUBLE) * CAST(nl - pl AS DOUBLE)"
+            " / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE))) AS BIGINT)"
+        ).alias("gl_micro"),
+        F.expr(
+            "CAST(FLOOR(2e6 * CAST(pt - pl AS DOUBLE)"
+            " * CAST((nt - nl) - (pt - pl) AS DOUBLE)"
+            " / (CAST(nt - nl AS DOUBLE) * CAST(nt - nl AS DOUBLE))) AS BIGINT)"
+        ).alias("gr_micro"),
+        "nt",
+    )
+    weighted = gini.select(
+        "disc",
+        "nl",
+        F.col("nr").cast("long"),
+        "pl",
+        F.col("pr").cast("long"),
+        F.expr("(nl * gl_micro + nr * gr_micro) DIV nt").cast("long").alias("gini_micro"),
+    )
+    return weighted.select(
+        "*",
+        (
+            F.col("gini_micro")
+            == F.min("gini_micro").over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+        ).alias("is_best"),
+    ).orderBy("disc")
+
+
+_BEST_STUMP_SQL = """
+WITH base AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+hist AS (SELECT disc, COUNT(*) AS n, SUM(y) AS pos FROM base GROUP BY disc),
+cum AS (
+  SELECT disc,
+         SUM(n) OVER (ORDER BY disc ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(pos) OVER (ORDER BY disc ROWS UNBOUNDED PRECEDING) AS pl,
+         SUM(n) OVER () AS nt, SUM(pos) OVER () AS pt
+  FROM hist),
+g AS (
+  SELECT disc, nl, pl, nt - nl AS nr, pt - pl AS pr, nt,
+         CAST(FLOOR(2e6 * CAST(pl AS DOUBLE) * CAST(nl - pl AS DOUBLE)
+              / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE))) AS BIGINT) AS gl_micro,
+         CAST(FLOOR(2e6 * CAST(pt - pl AS DOUBLE)
+              * CAST((nt - nl) - (pt - pl) AS DOUBLE)
+              / (CAST(nt - nl AS DOUBLE) * CAST(nt - nl AS DOUBLE))) AS BIGINT)
+           AS gr_micro
+  FROM cum WHERE nl < nt),
+weighted AS (
+  SELECT disc, nl, nr, pl, pr,
+         (nl * gl_micro + nr * gr_micro) // nt AS gini_micro
+  FROM g)
+SELECT CAST(disc AS BIGINT) AS disc, CAST(nl AS BIGINT) AS nl,
+       CAST(nr AS BIGINT) AS nr, CAST(pl AS BIGINT) AS pl,
+       CAST(pr AS BIGINT) AS pr, CAST(gini_micro AS BIGINT) AS gini_micro,
+       gini_micro = MIN(gini_micro) OVER () AS is_best
+FROM weighted ORDER BY disc
+"""
+
+
+ORACLES.update(
+    {
+        "page_hinkley": _PAGE_HINKLEY_SQL,
+        "ks_2samp": _KS_SQL,
+        "best_stump": _BEST_STUMP_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "page_hinkley": q_page_hinkley,
+        "ks_2samp": q_ks_2samp,
+        "best_stump": q_best_stump,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -21725,6 +22011,7 @@ _ROUND5_PRIORITY = [
     "walk_spectrum8", "ab_srm", "als_rank1",
     "maxcut_sweep2", "theil_sen", "kruskal_wallis", "chi2_independence",
     "bcubed_eval", "walk_entropy", "kanon_audit",
+    "page_hinkley", "ks_2samp", "best_stump",
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",

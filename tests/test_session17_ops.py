@@ -776,3 +776,114 @@ def test_kanon_audit_python_replay(spark):
         assert row["min_l_at_k"] == min(
             len(set(v)) for v in grp.values() if len(v) == k
         )
+
+
+# ---------------------------------------------------- Page-Hinkley drift
+
+
+def test_page_hinkley_python_replay(spark):
+    rows = load_table(spark, "orders", SF).select("o_orderdate").collect()
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    daily: dict[int, int] = {}
+    for r in rows:
+        d = (r["o_orderdate"].date() - base).days
+        daily[d] = daily.get(d, 0) + 1
+    out = {r["d"]: r for r in QUERIES["page_hinkley"](spark, SF).collect()}
+    assert set(out) == set(daily)
+    s = 0
+    m = 0
+    mmin = 0
+    first = True
+    for i, (d, x) in enumerate(sorted(daily.items()), start=1):
+        s += x
+        m += x * 1000000 - (s * 1000000 // i) - 500000
+        mmin = m if first else min(mmin, m)
+        first = False
+        row = out[d]
+        assert row["x"] == x
+        assert row["m_micro"] == m
+        assert row["ph_micro"] == m - mmin
+        assert row["alarm"] == (m - mmin > 50_000_000)
+        assert row["ph_micro"] >= 0
+
+
+def test_page_hinkley_stationary_series_quiet(spark):
+    # the synthetic calendar is stationary: no drift alarm should fire
+    rows = QUERIES["page_hinkley"](spark, SF).collect()
+    assert not any(r["alarm"] for r in rows)
+
+
+# ------------------------------------------------- two-sample KS test
+
+
+def test_ks_2samp_python_replay(spark):
+    rows = load_table(spark, "orders", SF).select("o_orderdate", "o_totalprice").collect()
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    daily: dict[int, int] = {}
+    for r in rows:
+        d = (r["o_orderdate"].date() - base).days
+        daily[d] = daily.get(d, 0) + int(round(r["o_totalprice"] * 100)) // 100000
+    mid = (min(daily) + max(daily)) // 2
+    s1 = sorted(v for d, v in daily.items() if d <= mid)
+    s2 = sorted(v for d, v in daily.items() if d > mid)
+    n1, n2 = len(s1), len(s2)
+    grid = sorted(set(s1) | set(s2))
+    best = (-1, None)
+    import bisect
+
+    for x in grid:
+        c1 = bisect.bisect_right(s1, x)
+        c2 = bisect.bisect_right(s2, x)
+        gap = abs(c1 * n2 - c2 * n1)
+        if gap > best[0]:
+            best = (gap, x)
+    row = QUERIES["ks_2samp"](spark, SF).collect()[0]
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["d_scaled"] == best[0]
+    assert row["at_value"] == best[1]
+    assert row["d_ppm"] == best[0] * 1000000 // (n1 * n2)
+    # same underlying distribution in both halves: D should be small
+    # (KS 0.001 critical ~ 1.95*sqrt((n1+n2)/(n1*n2)))
+    crit = 1.95 * math.sqrt((n1 + n2) / (n1 * n2))
+    assert row["d_ppm"] / 1e6 < crit
+
+
+# ------------------------------------------------------ decision stump
+
+
+def test_best_stump_python_replay(spark):
+    rows = load_table(spark, "lineitem", SF).select("l_discount", "l_returnflag").collect()
+    hist: dict[int, list[int]] = {}
+    for r in rows:
+        disc = int(round(r["l_discount"] * 100))
+        hist.setdefault(disc, [0, 0])
+        hist[disc][0] += 1
+        hist[disc][1] += 1 if r["l_returnflag"] == "R" else 0
+    discs = sorted(hist)
+    nt = sum(v[0] for v in hist.values())
+    pt = sum(v[1] for v in hist.values())
+    out = {r["disc"]: r for r in QUERIES["best_stump"](spark, SF).collect()}
+    nl = pl = 0
+    ginis = {}
+    for disc in discs:
+        nl += hist[disc][0]
+        pl += hist[disc][1]
+        if nl >= nt:
+            continue
+        nr, pr = nt - nl, pt - pl
+        gl = math.floor(2e6 * pl * (nl - pl) / (nl * nl))
+        gr = math.floor(2e6 * pr * (nr - pr) / (nr * nr))
+        ginis[disc] = (nl * gl + nr * gr) // nt
+        row = out[disc]
+        assert (row["nl"], row["nr"], row["pl"], row["pr"]) == (nl, nr, pl, pr)
+        assert row["gini_micro"] == ginis[disc]
+    assert set(out) == set(ginis)
+    best = min(ginis.values())
+    for disc, row in out.items():
+        assert row["is_best"] == (ginis[disc] == best)
+    # gini of a split is bounded by the 2p(1-p) maximum of 0.5e6... x2 scale
+    assert all(0 <= r["gini_micro"] <= 1_000_000 for r in out.values())
