@@ -949,6 +949,9 @@ def main() -> None:
             q_kmv_distinct,
             q_kruskal_wallis,
             q_logrank_test,
+            q_ks_2samp,
+            q_page_hinkley,
+            q_best_stump,
             q_maxcut_sweep2,
             q_pettitt_change,
             q_revenue_acf,
@@ -978,6 +981,9 @@ def main() -> None:
         bc = q_bcubed_eval(spark, sf_dir).collect()[0]
         we = q_walk_entropy(spark, sf_dir).collect()[0]
         ka = q_kanon_audit(spark, sf_dir).collect()
+        ph = q_page_hinkley(spark, sf_dir).collect()
+        ks = q_ks_2samp(spark, sf_dir).collect()[0]
+        st = q_best_stump(spark, sf_dir).collect()
         return {
             "kmv_max_err_ppm": max(
                 (
@@ -1010,6 +1016,11 @@ def main() -> None:
             "bcubed_f_ppm": int(bc["bcubed_f_ppm"]),
             "walk_entropy_micro": int(we["h_rate_r"] * 1e6),
             "kanon_min_k": int(ka[0]["min_k"]) if ka else 0,
+            "ph_max_micro": max((int(r["ph_micro"]) for r in ph), default=0),
+            "ks_d_ppm": int(ks["d_ppm"]),
+            "stump_best_disc": next(
+                (int(r["disc"]) for r in st if r["is_best"]), -1
+            ),
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side
