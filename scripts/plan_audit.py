@@ -130,6 +130,44 @@ AUDITS = [
         "over the fact table; weights ride as literals (no shuffle of "
         "model state); no Python stage.",
     ),
+    (
+        "kmv_distinct",
+        "hash chain is pure JVM arithmetic inside codegen; the distinct "
+        "+ per-group top-K window partitions BY GROUP (parallel); exact "
+        "count joins broadcast the 5-row sketch sides.",
+    ),
+    (
+        "logrank_test",
+        "the heavy lift (gaps) is ONE customer-partitioned lag window; "
+        "customer group bits broadcast onto orders; all risk-set windows "
+        "run on the pre-aggregated distinct-time table (bounded by "
+        "calendar days); the χ² is projection-only over one final row.",
+    ),
+    (
+        "cka_views",
+        "the d² covariance reduction is one partial+final aggregate over "
+        "posexploded (i,j) pairs — data never shuffles, only the 64×64 "
+        "matrix; block Frobenius sums are a 3-row pivot; no Python.",
+    ),
+    (
+        "als_rank1",
+        "both alternations are join-aggregates: user factors groupBy "
+        "cust, item factors join u then groupBy part (partial + final "
+        "merges); the top-20 window is the only ordered stage.",
+    ),
+    (
+        "best_stump",
+        "class histogram is ONE distributed groupBy over the fact "
+        "table; cumulative/total windows run on the ≤11-row threshold "
+        "grid (bounded single-partition window is intentional); no "
+        "Python stage.",
+    ),
+    (
+        "ks_2samp",
+        "daily aggregation is the only fact-table pass; half-tagging "
+        "rides a 1-row broadcast; cumulative counts and the argmax "
+        "window run on the bounded daily grid.",
+    ),
 ]
 
 
