@@ -18873,15 +18873,20 @@ def q_lp_auc_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pos").cast("long"),
         F.col("n_neg").cast("long"),
         u2.cast("long").alias("u2"),
-        F.round(
-            u2.cast("double")
-            / (
-                F.lit(2.0)
-                * F.col("n_pos").cast("double")
-                * F.col("n_neg").cast("double")
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                u2.cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_pos").cast("double")
+                    * F.col("n_neg").cast("double")
+                ),
+                6,
             ),
-            6,
-        ).alias("auc_r"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("auc_r"),
     )
 
 
@@ -18921,8 +18926,10 @@ agg AS (
 SELECT CAST(n_pos + n_neg AS BIGINT) AS n_pairs,
        CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
        CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
-       ROUND(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
-             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc_r
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN ROUND(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+            ELSE 0.0 END AS auc_r
 FROM agg
 """
 
