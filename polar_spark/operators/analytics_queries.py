@@ -21980,6 +21980,284 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Session-17 batch I: Simpson's-paradox probe, Lorenz/Gini concentration,
+# popularity-baseline recommender eval.
+
+
+def q_simpson_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox probe on quantity ~ discount: the pooled OLS
+    slope versus the per-returnflag-group slopes (the aggregation
+    pitfall every analytics reviewer checks before trusting a pooled
+    trend).  Slopes ride the ols_price_qty discipline — five exact
+    BIGINT sufficient statistics per group (x = discount in integer
+    percent, y = integer quantity), the slope one identically-written
+    double over them, 6-dp rounded.  Output: per-group n/slope with
+    the pooled slope and the reversal flag on every row."""
+    li = load_table(spark, "lineitem", sf_dir)
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+
+    def stats(df: DataFrame, keys: list[str]) -> DataFrame:
+        g = df.groupBy(*keys) if keys else df.groupBy()
+        return g.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+
+    slope = lambda: F.round(  # noqa: E731
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ),
+        6,
+    )
+    per = stats(base, ["grp"]).select("grp", "n", slope().alias("slope_r"))
+    pooled = stats(base, []).select(slope().alias("pooled_slope_r"))
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            "grp",
+            "n",
+            "slope_r",
+            "pooled_slope_r",
+            ((F.col("slope_r") > 0) != (F.col("pooled_slope_r") > 0)).alias(
+                "sign_reversed"
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
+_SIMPSON_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem),
+per AS (
+  SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM base GROUP BY grp),
+pooled AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM base),
+ps AS (SELECT ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS s
+       FROM pooled)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_r,
+       (SELECT s FROM ps) AS pooled_slope_r,
+       (ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) > 0)
+         <> ((SELECT s FROM ps) > 0) AS sign_reversed
+FROM per ORDER BY grp
+"""
+
+
+def q_lorenz_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve + Gini coefficient of customer revenue (the
+    inequality summary behind `revenue_concentration`'s whale shares
+    and `abc_parts`' Pareto classes, made exact): customers sorted by
+    (revenue, custkey) into revenue deciles, per-decile exact cent
+    totals and cumulative share in ppm, and the exact-rank Gini
+    G = (2Σi·xᵢ − (n+1)Σx)/(n·Σx) — integer numerator/denominator,
+    one double at the end.  The sort is customer-bounded, never
+    order-volume-bounded."""
+    o = load_table(spark, "orders", sf_dir)
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    wr = Window.orderBy("cents", "o_custkey")
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.ntile(10).over(wr).cast("long").alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("ix_sum"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot_c = F.sum("cents").over(wall)
+    tot_n = F.sum("n_cust").over(wall)
+    tot_ix = F.sum("ix_sum").over(wall)
+    return per.select(
+        "decile",
+        "n_cust",
+        "cents",
+        F.expr(
+            "SUM(cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)"
+            " * 1000000 DIV SUM(cents) OVER"
+            " (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        )
+        .cast("long")
+        .alias("cum_share_ppm"),
+        F.round(
+            (
+                F.lit(2.0) * tot_ix.cast("double")
+                - (tot_n.cast("double") + F.lit(1.0)) * tot_c.cast("double")
+            )
+            / (tot_n.cast("double") * tot_c.cast("double")),
+            6,
+        ).alias("gini_r"),
+    ).orderBy("decile")
+
+
+_LORENZ_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+         NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM rev),
+per AS (
+  SELECT decile, COUNT(*) AS n_cust, SUM(cents) AS cents,
+         SUM(i * cents) AS ix_sum
+  FROM ranked GROUP BY decile)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n_cust AS BIGINT) AS n_cust,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(SUM(cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            * 1000000 // SUM(cents) OVER () AS BIGINT) AS cum_share_ppm,
+       ROUND((2.0 * CAST(SUM(ix_sum) OVER () AS DOUBLE)
+              - (CAST(SUM(n_cust) OVER () AS DOUBLE) + 1.0)
+                * CAST(SUM(cents) OVER () AS DOUBLE))
+             / (CAST(SUM(n_cust) OVER () AS DOUBLE)
+                * CAST(SUM(cents) OVER () AS DOUBLE)), 6) AS gini_r
+FROM per ORDER BY decile
+"""
+
+
+def q_popularity_hit10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-baseline recommender evaluation with a leave-last-
+    order-out split (the floor any personalized model — als_rank1,
+    item_cf10 — must beat): each customer's LAST order (by date, then
+    orderkey) is held out; the global top-10 parts by TRAINING order
+    frequency are 'recommended' to everyone; a customer counts as hit
+    if the held-out basket contains any recommended part.  Counts are
+    all exact integers; the top-10 is one aggregate + limit; the
+    eval join is a broadcast semi-join against 10 ids at any scale.
+    Customers with a single order have no training signal and are
+    excluded (reported)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    marked = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_orders", F.count("*").over(Window.partitionBy("o_custkey"))
+    )
+    test = marked.where((F.col("rn") == 1) & (F.col("n_orders") >= 2)).select(
+        "o_custkey", "o_orderkey"
+    )
+    train = marked.where(F.col("rn") > 1).select("o_orderkey")
+    top10 = (
+        li.join(train, li.l_orderkey == train.o_orderkey)
+        .groupBy("l_partkey")
+        .agg(F.countDistinct(li.l_orderkey).cast("long").alias("cnt"))
+    )
+    wt = Window.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+    top10 = top10.withColumn("rnk", F.row_number().over(wt)).where(F.col("rnk") <= 10)
+    held = test.join(li, test.o_orderkey == li.l_orderkey).select(
+        "o_custkey", "l_partkey"
+    )
+    hits = (
+        held.join(F.broadcast(top10.select("l_partkey")), "l_partkey", "left_semi")
+        .select("o_custkey")
+        .distinct()
+    )
+    n_eval = test.count()
+    n_hits = hits.count()
+    n_single = marked.where(
+        (F.col("rn") == 1) & (F.col("n_orders") == 1)
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_eval),
+                int(n_single),
+                int(n_hits),
+                int(n_hits * 1_000_000 // max(n_eval, 1)),
+            )
+        ],
+        "n_eval long, n_excluded long, n_hits long, hit_ppm long",
+    )
+
+
+_POPULARITY_SQL = """
+WITH marked AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders),
+test AS (SELECT o_custkey, o_orderkey FROM marked
+         WHERE rn = 1 AND n_orders >= 2),
+train AS (SELECT o_orderkey FROM marked WHERE rn > 1),
+top10 AS (
+  SELECT l_partkey FROM (
+    SELECT l.l_partkey, COUNT(DISTINCT l.l_orderkey) AS cnt,
+           ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT l.l_orderkey) DESC,
+                              l.l_partkey ASC) AS rnk
+    FROM lineitem l JOIN train t ON t.o_orderkey = l.l_orderkey
+    GROUP BY l.l_partkey) z
+  WHERE rnk <= 10),
+hits AS (
+  SELECT DISTINCT test.o_custkey
+  FROM test JOIN lineitem l ON l.l_orderkey = test.o_orderkey
+  WHERE l.l_partkey IN (SELECT l_partkey FROM top10))
+SELECT CAST((SELECT COUNT(*) FROM test) AS BIGINT) AS n_eval,
+       CAST((SELECT COUNT(*) FROM marked WHERE rn = 1 AND n_orders = 1)
+            AS BIGINT) AS n_excluded,
+       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+       CAST((SELECT COUNT(*) FROM hits) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM test), 1) AS BIGINT) AS hit_ppm
+"""
+
+
+ORACLES.update(
+    {
+        "simpson_probe": _SIMPSON_SQL,
+        "lorenz_revenue": _LORENZ_SQL,
+        "popularity_hit10": _POPULARITY_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "simpson_probe": q_simpson_probe,
+        "lorenz_revenue": q_lorenz_revenue,
+        "popularity_hit10": q_popularity_hit10,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -22019,6 +22297,7 @@ _ROUND5_PRIORITY = [
     "maxcut_sweep2", "theil_sen", "kruskal_wallis", "chi2_independence",
     "bcubed_eval", "walk_entropy", "kanon_audit",
     "page_hinkley", "ks_2samp", "best_stump",
+    "simpson_probe", "lorenz_revenue", "popularity_hit10",
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",

@@ -887,3 +887,117 @@ def test_best_stump_python_replay(spark):
         assert row["is_best"] == (ginis[disc] == best)
     # gini of a split is bounded by the 2p(1-p) maximum of 0.5e6... x2 scale
     assert all(0 <= r["gini_micro"] <= 1_000_000 for r in out.values())
+
+
+# -------------------------------------------------- Simpson's paradox
+
+
+def test_simpson_probe_python_replay(spark):
+    rows = load_table(spark, "lineitem", SF).select(
+        "l_returnflag", "l_discount", "l_quantity"
+    ).collect()
+    per: dict[str, list] = {}
+    pooled = []
+    for r in rows:
+        x = int(round(r["l_discount"] * 100))
+        y = int(r["l_quantity"])
+        per.setdefault(r["l_returnflag"], []).append((x, y))
+        pooled.append((x, y))
+
+    def slope(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        return round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+
+    ps = slope(pooled)
+    out = {r["grp"]: r for r in QUERIES["simpson_probe"](spark, SF).collect()}
+    assert set(out) == set(per)
+    for g, pts in per.items():
+        row = out[g]
+        assert row["n"] == len(pts)
+        assert abs(row["slope_r"] - slope(pts)) < 1e-9
+        assert abs(row["pooled_slope_r"] - ps) < 1e-9
+        assert row["sign_reversed"] == ((slope(pts) > 0) != (ps > 0))
+
+
+# --------------------------------------------------- Lorenz and Gini
+
+
+def test_lorenz_python_replay(spark):
+    rows = load_table(spark, "orders", SF).select("o_custkey", "o_totalprice").collect()
+    rev: dict[int, int] = {}
+    for r in rows:
+        rev[r["o_custkey"]] = rev.get(r["o_custkey"], 0) + int(
+            round(r["o_totalprice"] * 100)
+        )
+    ordered = sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ordered)
+    total = sum(v for _, v in ordered)
+    ix = sum(i * v for i, (_, v) in enumerate(ordered, start=1))
+    gini = round((2.0 * ix - (n + 1.0) * total) / (n * total), 6)
+    # NTILE(10): first (n % 10) deciles get ceil(n/10)
+    sizes = [n // 10 + (1 if d <= n % 10 else 0) for d in range(1, 11)]
+    out = {r["decile"]: r for r in QUERIES["lorenz_revenue"](spark, SF).collect()}
+    pos = 0
+    cum = 0
+    for d, sz in enumerate(sizes, start=1):
+        chunk = ordered[pos : pos + sz]
+        pos += sz
+        cents = sum(v for _, v in chunk)
+        cum += cents
+        row = out[d]
+        assert row["n_cust"] == sz
+        assert row["cents"] == cents
+        assert row["cum_share_ppm"] == cum * 1000000 // total
+        assert abs(row["gini_r"] - gini) < 1e-9
+    # Lorenz curve is convex increasing to exactly 1
+    assert out[10]["cum_share_ppm"] == 1000000
+    shares = [out[d]["cum_share_ppm"] for d in range(1, 11)]
+    assert shares == sorted(shares)
+    assert 0.0 <= out[1]["gini_r"] < 1.0
+
+
+# ------------------------------------------- popularity baseline eval
+
+
+def test_popularity_hit10_python_replay(spark):
+    orders = load_table(spark, "orders", SF).collect()
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_partkey").collect()
+    by_c: dict[int, list] = {}
+    for r in orders:
+        by_c.setdefault(r["o_custkey"], []).append(r)
+    test_orders = {}
+    train_orders = set()
+    n_excluded = 0
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: (r["o_orderdate"], r["o_orderkey"]), reverse=True)
+        if len(rs) == 1:
+            n_excluded += 1
+            continue
+        test_orders[rs[0]["o_orderkey"]] = c
+        train_orders |= {r["o_orderkey"] for r in rs[1:]}
+    cnt: Counter = Counter()
+    for r in li:
+        if r["l_orderkey"] in train_orders:
+            cnt[r["l_partkey"]] += 1
+    # count distinct orders per part
+    seen = set()
+    cnt = Counter()
+    for r in li:
+        if r["l_orderkey"] in train_orders and (r["l_orderkey"], r["l_partkey"]) not in seen:
+            seen.add((r["l_orderkey"], r["l_partkey"]))
+            cnt[r["l_partkey"]] += 1
+    top10 = {p for p, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
+    hit_custs = set()
+    for r in li:
+        if r["l_orderkey"] in test_orders and r["l_partkey"] in top10:
+            hit_custs.add(test_orders[r["l_orderkey"]])
+    row = QUERIES["popularity_hit10"](spark, SF).collect()[0]
+    assert row["n_eval"] == len(test_orders)
+    assert row["n_excluded"] == n_excluded
+    assert row["n_hits"] == len(hit_custs)
+    assert row["hit_ppm"] == len(hit_custs) * 1000000 // max(len(test_orders), 1)
+    assert 0 <= row["hit_ppm"] <= 1000000
