@@ -958,6 +958,9 @@ def main() -> None:
             q_ks_2samp,
             q_page_hinkley,
             q_best_stump,
+            q_simpson_probe,
+            q_lorenz_revenue,
+            q_popularity_hit10,
             q_maxcut_sweep2,
             q_pettitt_change,
             q_revenue_acf,
@@ -990,6 +993,9 @@ def main() -> None:
         ph = q_page_hinkley(spark, sf_dir).collect()
         ks = q_ks_2samp(spark, sf_dir).collect()[0]
         st = q_best_stump(spark, sf_dir).collect()
+        sp = q_simpson_probe(spark, sf_dir).collect()
+        lz = q_lorenz_revenue(spark, sf_dir).collect()
+        pop = q_popularity_hit10(spark, sf_dir).collect()[0]
         return {
             "kmv_max_err_ppm": max(
                 (
@@ -1027,6 +1033,9 @@ def main() -> None:
             "stump_best_disc": next(
                 (int(r["disc"]) for r in st if r["is_best"]), -1
             ),
+            "simpson_reversals": sum(1 for r in sp if r["sign_reversed"]),
+            "revenue_gini_ppm": int(lz[0]["gini_r"] * 1e6) if lz else 0,
+            "popularity_hit_ppm": int(pop["hit_ppm"]),
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side
