@@ -22258,6 +22258,262 @@ QUERIES.update(
 
 
 # ---------------------------------------------------------------------------
+# Session-17 batch J: randomness + long-memory diagnostics of the daily
+# revenue series.
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of the daily-revenue series against
+    its own median (the randomness sanity check completing the
+    drift/trend family — Pettitt/PH/KS look for CHANGE, the runs test
+    looks for serial dependence of any sign): median is the
+    deterministic nearest-rank lower median on the (value, day) total
+    order, tie days (== median) are dropped per the classical
+    procedure, runs are counted with one lag window, and E[R]/Var[R]/z
+    are single double expressions over the exact integer (n₁, n₂, R)."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("d"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100000").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").cast("long").alias("x"))
+    )
+    wv = Window.orderBy("x", "d")
+    n_all = daily.count()
+    med_rank = (n_all + 1) // 2
+    med = (
+        daily.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == med_rank)
+        .select(F.col("x").alias("med"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("x") != F.col("med"))
+        .select("d", (F.col("x") > F.col("med")).cast("long").alias("s"))
+    )
+    wd = Window.orderBy("d")
+    runs = signed.select(
+        "s",
+        (F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")))
+        .cast("long")
+        .alias("new_run"),
+    ).agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("r"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    e_r = F.lit(1.0) + F.lit(2.0) * n1d * n2d / nd
+    var_r = (
+        F.lit(2.0)
+        * n1d
+        * n2d
+        * (F.lit(2.0) * n1d * n2d - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    return runs.select(
+        "n1",
+        "n2",
+        "r",
+        F.round(e_r, 6).alias("expected_r"),
+        F.round((F.col("r").cast("double") - e_r) / F.sqrt(var_r), 6).alias("z_r"),
+    )
+
+
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000) AS x
+  FROM orders GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM daily),
+med AS (SELECT x AS med FROM (
+          SELECT x, ROW_NUMBER() OVER (ORDER BY x, d) AS rn FROM daily) z
+        WHERE rn = ((SELECT n FROM n) + 1) // 2),
+signed AS (SELECT d, CASE WHEN x > (SELECT med FROM med) THEN 1 ELSE 0 END AS s
+           FROM daily WHERE x <> (SELECT med FROM med)),
+runs AS (
+  SELECT SUM(s) AS n1, SUM(1 - s) AS n2,
+         SUM(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END) AS r
+  FROM (SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM signed) z)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(r AS BIGINT) AS r,
+       ROUND(1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)), 6) AS expected_r,
+       ROUND((CAST(r AS DOUBLE)
+              - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+             / SQRT(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))), 6)
+         AS z_r
+FROM runs
+"""
+
+
+_HURST_WINDOWS = (8, 16, 32, 64)
+
+
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range (R/S)
+    analysis (Mandelbrot/Wallis; H ≈ 0.5 = memoryless, > 0.5 =
+    persistent long memory — the long-range complement of
+    revenue_acf's short lags): for block sizes m ∈ {8,16,32,64} the
+    series splits into complete blocks, the within-block cumulative
+    deviation D_j = m·Σ_{i≤j}x_i − j·S_block stays INTEGER (scaling by
+    m avoids the fractional mean), R/S = (max D − min D)/√(m·Σx² − S²)
+    is one double per block floored to micro-units, and the per-m mean
+    is an exact integer DIV.  H is the log-log OLS slope over the four
+    (ln m, ln mean-R/S) points.  Everything is windows over the
+    calendar-bounded daily table."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("d"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100000").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").cast("long").alias("x"))
+    )
+    wi = Window.orderBy("d")
+    idx = daily.select(
+        "x", (F.row_number().over(wi) - 1).cast("long").alias("i")
+    ).localCheckpoint(eager=True)
+    ms = spark.createDataFrame([(m,) for m in _HURST_WINDOWS], "m long")
+    blocks = idx.crossJoin(F.broadcast(ms)).select(
+        "m",
+        "x",
+        F.expr("i DIV m").alias("b"),
+        F.expr("i % m").alias("j"),
+    )
+    wb = (
+        Window.partitionBy("m", "b")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wblk = Window.partitionBy("m", "b")
+    staged = blocks.select(
+        "m",
+        "b",
+        "x",
+        F.sum("x").over(wb).alias("cum"),
+        (F.col("j") + 1).alias("j1"),
+        F.count("*").over(wblk).alias("cnt"),
+        F.sum("x").over(wblk).alias("s_blk"),
+        F.sum(F.col("x") * F.col("x")).over(wblk).alias("sxx_blk"),
+    ).where(F.col("cnt") == F.col("m"))
+    devs = staged.select(
+        "m",
+        "b",
+        (F.col("m") * F.col("cum") - F.col("j1") * F.col("s_blk")).alias("dev"),
+        "s_blk",
+        "sxx_blk",
+    )
+    per_block = devs.groupBy("m", "b", "s_blk", "sxx_blk").agg(
+        F.max("dev").alias("dmax"), F.min("dev").alias("dmin")
+    )
+    rs = per_block.select(
+        "m",
+        F.floor(
+            F.lit(1e6)
+            * (F.col("dmax") - F.col("dmin")).cast("double")
+            / F.sqrt(
+                (
+                    F.col("m") * F.col("sxx_blk") - F.col("s_blk") * F.col("s_blk")
+                ).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("rs_micro"),
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.expr("SUM(rs_micro) DIV COUNT(*)").cast("long").alias("mean_rs_micro"),
+    )
+    pts = per_m.select(
+        "m",
+        "n_blocks",
+        "mean_rs_micro",
+        F.log(F.col("m").cast("double")).alias("lx"),
+        F.log(F.col("mean_rs_micro").cast("double") / F.lit(1e6)).alias("ly"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    k = F.count("*").over(wall).cast("double")
+    sx = F.sum("lx").over(wall)
+    sy = F.sum("ly").over(wall)
+    sxy = F.sum(F.col("lx") * F.col("ly")).over(wall)
+    sxx = F.sum(F.col("lx") * F.col("lx")).over(wall)
+    return pts.select(
+        "m",
+        "n_blocks",
+        "mean_rs_micro",
+        F.round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6).alias("hurst_r"),
+    ).orderBy("m")
+
+
+_HURST_SQL = f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000) AS x
+  FROM orders GROUP BY 1),
+idx AS (SELECT x, ROW_NUMBER() OVER (ORDER BY d) - 1 AS i FROM daily),
+ms AS (SELECT UNNEST(ARRAY{list(_HURST_WINDOWS)}) AS m),
+blocks AS (SELECT m, x, i // m AS b, i % m AS j FROM idx CROSS JOIN ms),
+staged AS (
+  SELECT m, b, x,
+         SUM(x) OVER (PARTITION BY m, b ORDER BY j ROWS UNBOUNDED PRECEDING) AS cum,
+         j + 1 AS j1,
+         COUNT(*) OVER (PARTITION BY m, b) AS cnt,
+         SUM(x) OVER (PARTITION BY m, b) AS s_blk,
+         SUM(x * x) OVER (PARTITION BY m, b) AS sxx_blk
+  FROM blocks),
+devs AS (SELECT m, b, m * cum - j1 * s_blk AS dev, s_blk, sxx_blk
+         FROM staged WHERE cnt = m),
+per_block AS (SELECT m, b, s_blk, sxx_blk,
+                     MAX(dev) AS dmax, MIN(dev) AS dmin
+              FROM devs GROUP BY m, b, s_blk, sxx_blk),
+rs AS (SELECT m,
+              CAST(FLOOR(1e6 * CAST(dmax - dmin AS DOUBLE)
+                   / SQRT(CAST(m * sxx_blk - s_blk * s_blk AS DOUBLE)))
+                AS BIGINT) AS rs_micro
+       FROM per_block),
+per_m AS (SELECT m, COUNT(*) AS n_blocks,
+                 SUM(rs_micro) // COUNT(*) AS mean_rs_micro
+          FROM rs GROUP BY m),
+pts AS (SELECT m, n_blocks, mean_rs_micro,
+               LN(CAST(m AS DOUBLE)) AS lx,
+               LN(CAST(mean_rs_micro AS DOUBLE) / 1e6) AS ly
+        FROM per_m)
+SELECT CAST(m AS BIGINT) AS m, CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(mean_rs_micro AS BIGINT) AS mean_rs_micro,
+       ROUND((COUNT(*) OVER () * SUM(lx * ly) OVER ()
+              - SUM(lx) OVER () * SUM(ly) OVER ())
+             / (COUNT(*) OVER () * SUM(lx * lx) OVER ()
+                - SUM(lx) OVER () * SUM(lx) OVER ()), 6) AS hurst_r
+FROM pts ORDER BY m
+"""
+
+
+ORACLES.update(
+    {
+        "runs_test": _RUNS_SQL,
+        "hurst_rs": _HURST_SQL,
+    }
+)
+QUERIES.update(
+    {
+        "runs_test": q_runs_test,
+        "hurst_rs": q_hurst_rs,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS-window rotation (round 5).  The round driver samples
 # the FIRST 50 entries of queries() for CORRECTNESS_r{N}.json; rounds 3-4
 # checked the identical first-registered 50, leaving every newer query
@@ -22298,6 +22554,7 @@ _ROUND5_PRIORITY = [
     "bcubed_eval", "walk_entropy", "kanon_audit",
     "page_hinkley", "ks_2samp", "best_stump",
     "simpson_probe", "lorenz_revenue", "popularity_hit10",
+    "runs_test", "hurst_rs",
     "kn_bigram_ppl", "transition_entropy", "kaplan_meier", "item_cf10",
     "kclique_comm3", "articulation_pts", "jl_recall", "logreg_gd3",
     "ewma_forecast", "kmeans_nmi", "winnow_pairs", "knn_homophily",

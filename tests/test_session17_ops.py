@@ -1001,3 +1001,79 @@ def test_popularity_hit10_python_replay(spark):
     assert row["n_hits"] == len(hit_custs)
     assert row["hit_ppm"] == len(hit_custs) * 1000000 // max(len(test_orders), 1)
     assert 0 <= row["hit_ppm"] <= 1000000
+
+
+# --------------------------------------------------------- runs test
+
+
+def test_runs_test_python_replay(spark):
+    rows = load_table(spark, "orders", SF).select("o_orderdate", "o_totalprice").collect()
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    daily: dict[int, int] = {}
+    for r in rows:
+        d = (r["o_orderdate"].date() - base).days
+        daily[d] = daily.get(d, 0) + int(round(r["o_totalprice"] * 100)) // 100000
+    ordered = sorted(daily.items(), key=lambda kv: (kv[1], kv[0]))
+    med = ordered[(len(ordered) + 1) // 2 - 1][1]
+    seq = [1 if x > med else 0 for d, x in sorted(daily.items()) if x != med]
+    n1 = sum(seq)
+    n2 = len(seq) - n1
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    row = QUERIES["runs_test"](spark, SF).collect()[0]
+    assert (row["n1"], row["n2"], row["r"]) == (n1, n2, runs)
+    e = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
+    )
+    assert abs(row["expected_r"] - round(e, 6)) < 1e-9
+    assert abs(row["z_r"] - round((runs - e) / math.sqrt(var), 6)) < 1e-9
+    # daily totals from a uniform synthetic calendar are serially random
+    assert abs(row["z_r"]) < 3.3
+
+
+# ------------------------------------------------------ Hurst exponent
+
+
+def test_hurst_rs_python_replay(spark):
+    rows = load_table(spark, "orders", SF).select("o_orderdate", "o_totalprice").collect()
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    daily: dict[int, int] = {}
+    for r in rows:
+        d = (r["o_orderdate"].date() - base).days
+        daily[d] = daily.get(d, 0) + int(round(r["o_totalprice"] * 100)) // 100000
+    xs = [x for _, x in sorted(daily.items())]
+    per_m = {}
+    for m in (8, 16, 32, 64):
+        rss = []
+        for b in range(len(xs) // m):
+            blk = xs[b * m : (b + 1) * m]
+            s = sum(blk)
+            sxx = sum(v * v for v in blk)
+            cum = 0
+            devs = []
+            for j, v in enumerate(blk, start=1):
+                cum += v
+                devs.append(m * cum - j * s)
+            rs = (max(devs) - min(devs)) / math.sqrt(m * sxx - s * s)
+            rss.append(math.floor(1e6 * rs))
+        per_m[m] = (len(rss), sum(rss) // len(rss))
+    pts = [(math.log(m), math.log(mean / 1e6)) for m, (_, mean) in per_m.items()]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    h = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    out = {r["m"]: r for r in QUERIES["hurst_rs"](spark, SF).collect()}
+    assert set(out) == set(per_m)
+    for m, (nb, mean) in per_m.items():
+        assert out[m]["n_blocks"] == nb
+        assert out[m]["mean_rs_micro"] == mean
+        assert abs(out[m]["hurst_r"] - round(h, 6)) < 2e-6
+    # an i.i.d.-like series should sit near H = 0.5, far from 1
+    assert 0.2 < out[8]["hurst_r"] < 0.8
