@@ -961,6 +961,8 @@ def main() -> None:
             q_simpson_probe,
             q_lorenz_revenue,
             q_popularity_hit10,
+            q_runs_test,
+            q_hurst_rs,
             q_maxcut_sweep2,
             q_pettitt_change,
             q_revenue_acf,
@@ -996,6 +998,8 @@ def main() -> None:
         sp = q_simpson_probe(spark, sf_dir).collect()
         lz = q_lorenz_revenue(spark, sf_dir).collect()
         pop = q_popularity_hit10(spark, sf_dir).collect()[0]
+        rt = q_runs_test(spark, sf_dir).collect()[0]
+        hr = q_hurst_rs(spark, sf_dir).collect()
         return {
             "kmv_max_err_ppm": max(
                 (
@@ -1036,6 +1040,8 @@ def main() -> None:
             "simpson_reversals": sum(1 for r in sp if r["sign_reversed"]),
             "revenue_gini_ppm": int(lz[0]["gini_r"] * 1e6) if lz else 0,
             "popularity_hit_ppm": int(pop["hit_ppm"]),
+            "runs_z_milli": int(rt["z_r"] * 1000),
+            "hurst_micro": int(hr[0]["hurst_r"] * 1e6) if hr else 0,
         }
 
     # (name, fn, reps) — reps=1 for informational/expensive side
