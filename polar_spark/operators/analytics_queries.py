@@ -36,21 +36,45 @@ DAMPING = 0.85
 # derived edge tables
 
 
+def _pair_expand(grouped: DataFrame, arr: str = "ps") -> DataFrame:
+    """All (src < dst) pairs from a sorted-distinct array column, as
+    pure JVM codegen (explode over nested ``transform``s).  Replaces
+    the distinct-self-join pair build: the grouped arrays arrive off
+    ONE exchange (map-side partial ``collect_set``), the join's second
+    exchange and its hash build disappear, and only the narrow pair
+    rows hit the final distinct's shuffle (guide §2.3/§2.4 — shuffle
+    fewer bytes, remove shuffles outright).  Group sizes are bounded by
+    the per-key fan-out (TPC-H order baskets ≤ ~10 lines, suppliers per
+    part ≤ ~8), so the quadratic expansion is a constant per group at
+    any scale."""
+    return grouped.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform({arr}, (x, i) -> "
+                f"transform(slice({arr}, i + 2, size({arr})), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("_pr")
+    ).select("_pr.src", "_pr.dst")
+
+
 def copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical undirected supplier co-part edges: (src < dst) supplier
     pairs sharing ≥1 part.  The J4-style content-hash identity join of
     the reference (same key observed in two streams —
     /root/reference/src/agents/build-processor/src/linker.rs:284-297)
-    re-expressed on the test schema."""
+    re-expressed on the test schema.  Built by grouping suppliers per
+    part and expanding pairs JVM-side (see :func:`_pair_expand`) — one
+    exchange feeds the expansion instead of the distinct + self-join's
+    two."""
     li = load_table(spark, "lineitem", sf_dir)
-    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
-    a = ps.alias("a")
-    b = ps.alias("b")
-    return (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .distinct()
+    groups = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .groupBy("p")
+        .agg(F.sort_array(F.collect_set("s")).alias("ps"))
+        .where(F.size("ps") >= 2)
     )
+    return _pair_expand(groups).distinct()
 
 
 _COPART_SQL = """
@@ -60,23 +84,34 @@ und AS (SELECT DISTINCT a.s AS src, b.s AS dst
 """
 
 
-def coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def coorder_edges(
+    spark: SparkSession, sf_dir: str, part_cap: int | None = None
+) -> DataFrame:
     """Canonical undirected part co-order edges: (src < dst) part pairs
     appearing in the same order.  Unlike the supplier co-part graph —
     which is near-COMPLETE at every sf (every supplier pair shares ≥5
     parts), making triangle counts degenerate — this graph is sparse
     (~0.6% density at sf0.1, max degree ~200) with real community
     structure, so the iterative-algorithm benchmarks measure structure,
-    not a clique."""
+    not a clique.
+
+    Built by grouping parts per order and expanding (src < dst) pairs
+    JVM-side (:func:`_pair_expand`): one exchange (map-side partial
+    collect_set) + the pair distinct, vs the former distinct + self-
+    join + distinct (guide §2.4).  ``part_cap`` pre-filters
+    ``l_partkey < part_cap`` at the SCAN (PushedFilters), equivalent to
+    filtering both pair endpoints afterwards — callers that cap the
+    graph pass it here so pushdown survives the rewrite."""
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    return (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .distinct()
+    if part_cap is not None:
+        li = li.where(F.col("l_partkey") < F.lit(part_cap))
+    groups = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .where(F.size("ps") >= 2)
     )
+    return _pair_expand(groups).distinct()
 
 
 _COORDER_SQL = """
@@ -223,7 +258,7 @@ def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse co-order graph — the neighborhood-overlap primitives used to
     score candidate links at corpus scale.  Restricted to pairs < 400 to
     keep the oracle cheap."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     sym = _sym(coorder_edges(spark, sf_dir))
     deg = sym.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
     su = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
@@ -1846,9 +1881,7 @@ def q_ktruss6(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 5 on sf0.01, 1 on sf0.001; rounds past the fixpoint are no-ops);
     emitted support is recomputed on the final edge set by both
     engines."""
-    e = coorder_edges(spark, sf_dir).where(
-        (F.col("src") < 600) & (F.col("dst") < 600)
-    )
+    e = coorder_edges(spark, sf_dir, part_cap=600)
     truss, _stats = pregel.ktruss(e, k=6)
     return truss.select(
         F.col("src").cast("long"), F.col("dst").cast("long"), F.col("support")
@@ -2433,7 +2466,7 @@ def q_betweenness4(spark: SparkSession, sf_dir: str) -> DataFrame:
     same as edge_embeddedness).  Forward σ sweep + backward δ
     accumulation, level-synchronous; the unrolled SQL oracle runs the
     identical truncated recursion."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     sym = _sym(und)
     lm = [int(r[0]) for r in sym.select("src").distinct().orderBy("src").limit(4).collect()]
     bc, _stats = pregel.betweenness_landmarks(sym, lm, max_depth=4)
@@ -10920,7 +10953,7 @@ def q_edge_betweenness4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the GN community algorithm.  Identical σ/δ recursion as
     betweenness4; the per-edge Brandes term is kept BEFORE vertex
     aggregation and folded onto the canonical undirected edge."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     sym = _sym(und)
     lm = [int(r[0]) for r in sym.select("src").distinct().orderBy("src").limit(4).collect()]
     eb, _stats = pregel.edge_betweenness_landmarks(sym, lm, max_depth=4)
@@ -11679,8 +11712,11 @@ def q_ari_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     over those four ints (bit-stable cross-engine), with the
     degenerate both-trivial case handled by an integer predicate."""
     e = coorder_edges(spark, sf_dir)
-    l2, _ = pregel.label_propagation(e, max_iter=2)
-    l3, _ = pregel.label_propagation(e, max_iter=3)
+    # one 3-round LPA run; the round-2 snapshot is bit-identical to a
+    # separate 2-round run (deterministic sweeps) — halves the graph
+    # builds and the loop actions
+    states = pregel.label_propagation_states(e, iters=(2, 3))
+    l2, l3 = states[2], states[3]
     joined = (
         l2.select("id", F.col("label").alias("comp"))
         .join(l3.select("id", "label"), "id")
@@ -11785,15 +11821,57 @@ def q_tie_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor count is the same degree-bounded wedge join as the
     triangle counter (one shuffle class); the decile is pure integer
     DIV so no float boundary flips a bucket."""
-    und = coorder_edges(spark, sf_dir)
+    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = _sym(und)
     deg = sym.groupBy(F.col("src").alias("x")).agg(F.count("*").alias("d"))
-    su = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    sv = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    # per-edge common-neighbor counts = per-edge triangle counts, via
+    # degree-ordered orientation (the triangle_count discipline): each
+    # triangle is found once from its lowest-(deg, id) apex, then each
+    # of its three canonical edges gets +1.  Replaces the u-keyed wedge
+    # join whose intermediate is Σ_u d(u)·deg(u) rows (~143M on the
+    # sf0.1 co-order graph); the oriented wedge table is Σ_v d_out(v)²
+    # with d_out bounded by √(2m) — guide §2.3, measured 20.7 s → ~6 s.
+    rank = F.struct(F.col("d"), F.col("x").alias("_i"))
+    dd = deg.select(F.col("x"), rank.alias("r"))
+    ee = (
+        und.join(dd.select(F.col("x").alias("src"), F.col("r").alias("rs")), "src")
+        .join(dd.select(F.col("x").alias("dst"), F.col("r").alias("rd")), "dst")
+        .select(
+            F.when(F.col("rs") < F.col("rd"), F.col("src")).otherwise(F.col("dst")).alias("a"),
+            F.when(F.col("rs") < F.col("rd"), F.col("dst")).otherwise(F.col("src")).alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = ee.select(F.col("a"), F.col("b").alias("p"))
+    w2 = ee.select(F.col("a"), F.col("b").alias("q"))
+    tri = (
+        w1.join(w2, "a")
+        .where(F.col("p") < F.col("q"))
+        .join(
+            und.select(
+                F.col("src").alias("_cu"), F.col("dst").alias("_cv")
+            ).withColumn("p", F.least("_cu", "_cv")).withColumn(
+                "q", F.greatest("_cu", "_cv")
+            ).select("p", "q"),
+            ["p", "q"],
+            "left_semi",
+        )
+    )
     cn = (
-        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(su, "u")
-        .join(sv, ["v", "w"])
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "p").alias("u"), F.greatest("a", "p").alias("v")
+                    ),
+                    F.struct(
+                        F.least("a", "q").alias("u"), F.greatest("a", "q").alias("v")
+                    ),
+                    F.struct(F.col("p").alias("u"), F.col("q").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .groupBy("u", "v")
         .agg(F.count("*").alias("cn"))
     )
@@ -12283,14 +12361,30 @@ def q_weighted_jaccard20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).agg(F.sum(F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")).alias("q"))
     totals = ps.groupBy("s").agg(F.sum("q").alias("t"))
-    edges = copart_edges(spark, sf_dir)
-    pa = ps.select(F.col("s").alias("src"), "p", F.col("q").alias("qa"))
-    pb = ps.select(F.col("s").alias("dst"), "p", F.col("q").alias("qb"))
+    # the pair set sharing ≥1 part IS the co-part edge set, so Σmin can
+    # be grouped by PART and pair-expanded JVM-side (suppliers per part
+    # are bounded) instead of joining every co-part edge against both
+    # endpoints' full part vectors — the former intermediate was
+    # |edges|·|parts per supplier| (~35M rows at sf0.1), this one is
+    # Σ_p C(|suppliers_p|, 2) (~320k) — guide §2.3.
+    grouped = (
+        ps.groupBy("p")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "q"))).alias("sq"))
+        .where(F.size("sq") >= 2)
+    )
     shared = (
-        edges.join(pa, "src")
-        .join(pb, ["dst", "p"])
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sq, (x, i) -> "
+                    "transform(slice(sq, i + 2, size(sq)), "
+                    "y -> struct(x.s AS src, y.s AS dst, least(x.q, y.q) AS m))))"
+                )
+            ).alias("_t")
+        )
+        .select("_t.src", "_t.dst", "_t.m")
         .groupBy("src", "dst")
-        .agg(F.sum(F.least("qa", "qb")).alias("sum_min"))
+        .agg(F.sum("m").alias("sum_min"))
     )
     ta = totals.select(F.col("s").alias("src"), F.col("t").alias("ta"))
     tb = totals.select(F.col("s").alias("dst"), F.col("t").alias("tb"))
@@ -15234,7 +15328,7 @@ def q_truss_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     then pregel.connected_components (hash-min) restricted to surviving
     edges.  Same parts<600 co-order graph + 8-round unroll as ktruss6;
     the CC half is the embed_neardup recursive-CTE shape."""
-    e = coorder_edges(spark, sf_dir).where((F.col("src") < 600) & (F.col("dst") < 600))
+    e = coorder_edges(spark, sf_dir, part_cap=600)
     truss, _stats = pregel.ktruss(e, k=6)
     comp, _ = pregel.connected_components(truss.select("src", "dst"))
     return comp.select(F.col("id").cast("long"), F.col("comp").cast("long")).orderBy("id")
@@ -15267,7 +15361,7 @@ def q_struct_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_quantiles trick (length(bin(v))−1 == floor(log₂ v); no float
     log at 2^k edges).  The hub/connector/periphery signature RolX
     clusters; everything integer-exact end-to-end."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     e = _sym(und)
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     nds = (
@@ -15490,7 +15584,7 @@ def q_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     adamic_adar lesson) so cross-engine float noise cannot reorder.
     The 100-row rank windows are single-partition by construction
     (bounded audit set, not a scale path)."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     e = _sym(und)
     pr = pregel.pagerank_fixed(e, n_iter=5, damping=DAMPING)
     deg = e.groupBy("src").agg(F.count("*").alias("d")).select(
@@ -15754,7 +15848,7 @@ def q_odd_walk_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle vertices, larger for vertices whose only odd structure is
     further out, absent for bipartite-side vertices.  The per-vertex
     refinement of bipartite_report's component verdict."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     out, _stats = pregel.odd_closed_walks(und, max_len=9)
     return out.orderBy("id")
 
@@ -16309,7 +16403,7 @@ def q_graphlet4_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-subset enumeration; the operator is validated against brute-force
     enumeration on hand graphs in pytest and the SQL oracle replays the
     identical integer aggregates + Möbius inversion."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     return pregel.four_node_census(und)
 
 
@@ -16386,7 +16480,7 @@ def q_nbt_centrality3(spark: SparkSession, sf_dir: str) -> DataFrame:
     of non-backtracking walks of length 3 ending on each edge, and the
     per-vertex centrality Σ_{e into v} x₃(e) is BIGINT-exact
     cross-engine (bounded graph keeps counts < 2^40)."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     e = _sym(und).localCheckpoint(eager=True)
     x = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).cast("long").alias("x"))
     for _ in range(3):
@@ -16503,7 +16597,7 @@ def q_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tie is cut, from one simultaneous keyed BFS over G−e per
     bridge, capped at 8 (span −1 = endpoints ≥ 9 apart or
     disconnected)."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     out, _stats = pregel.local_bridges(und, max_span=8)
     return out.orderBy("u", "v")
 
@@ -16554,7 +16648,7 @@ def q_two_edge_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives the 2-edge-connected components (vertices incident only to
     bridges become singletons).  The robustness partition: inside a
     component, NO single link failure can disconnect."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     lb, stats = pregel.local_bridges(und, max_span=40)
     if not stats.converged and stats.iterations >= 40:
         raise RuntimeError("bridge BFS did not drain within 40 rounds")
@@ -16938,7 +17032,7 @@ def q_subgraph_centrality4(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A³)_vv = 2t_v — closed-walk centrality without any eigendecomp,
     from degree/triangle/codegree aggregates on the bounded co-order
     graph."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 400) & (F.col("dst") < 400))
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     sym = _sym(und)
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("d"))
     tri, _total = pregel.triangle_count(und)
@@ -17006,7 +17100,7 @@ def q_graph_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag (ecc == radius).  The all-pairs pass is the bounded-audit
     complement of pseudo_diameter's two-sweep bound on the full
     graph."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 150) & (F.col("dst") < 150))
+    und = coorder_edges(spark, sf_dir, part_cap=150)
     sym = _sym(und)
     verts = sorted(r[0] for r in sym.select("src").distinct().collect())
     dist, _ = pregel.bfs_per_source(sym, verts, max_depth=30)
@@ -17765,13 +17859,15 @@ def _w2_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose density inverts between sf0.001 (near-clique neighborhoods)
     and sf0.01."""
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
+    groups = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
     return (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        _pair_expand(groups)
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= 2)
         .select("src", "dst")
@@ -18483,9 +18579,7 @@ def q_bmatching2(spark: SparkSession, sf_dir: str) -> DataFrame:
     `matching_coorder` (b = 1) can't express.  The oracle unrolls the
     capacity-tracked mutual-proposal rounds; rounds past the fixpoint
     are no-ops, so the unroll is padded."""
-    und = coorder_edges(spark, sf_dir).where(
-        (F.col("src") < 400) & (F.col("dst") < 400)
-    )
+    und = coorder_edges(spark, sf_dir, part_cap=400)
     out, stats = pregel.b_matching(und, b=2, max_iter=24)
     return out.select(
         F.col("a").cast("long"), F.col("b").cast("long")
@@ -18738,19 +18832,38 @@ def q_eps_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = cosine_pairs(emb, threshold=0.30, max_rows=2_100_000).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos"
     ).localCheckpoint(eager=True)
+    # all four thresholds ride ONE keyed hash-min CC (k = thr_centi):
+    # per-threshold labels/stats are identical to four separate runs,
+    # but 4 × (setup + rounds) driver actions collapse to one loop
+    keyed = base.select(
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(t) for t in _EPS_THRESHOLDS]),
+                lambda t: F.col("cos") >= t.cast("double") / F.lit(100.0),
+            )
+        ).alias("k"),
+        "src",
+        "dst",
+    )
+    pair_counts = {
+        int(r["k"]): int(r["n"])
+        for r in keyed.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    comp, _ = pregel.connected_components_multi(keyed)
+    cstats = comp.groupBy("k", "comp").agg(F.count("*").alias("n"))
+    aggs = {
+        int(r["k"]): r
+        for r in cstats.groupBy("k")
+        .agg(F.sum("n").alias("nv"), F.count("*").alias("nc"), F.max("n").alias("g"))
+        .collect()
+    }
     rows = []
     for t in _EPS_THRESHOLDS:
-        sub = base.where(F.col("cos") >= F.lit(t / 100.0)).select("src", "dst")
-        n_pairs = sub.count()
-        if n_pairs == 0:
+        if pair_counts.get(t, 0) == 0:
             rows.append((t, 0, 0, 0, 0))
-            continue
-        comp, _ = pregel.connected_components(sub)
-        stats = comp.groupBy("comp").agg(F.count("*").alias("n"))
-        agg = stats.agg(
-            F.sum("n").alias("nv"), F.count("*").alias("nc"), F.max("n").alias("g")
-        ).collect()[0]
-        rows.append((t, n_pairs, int(agg["nv"]), int(agg["nc"]), int(agg["g"])))
+        else:
+            a = aggs[t]
+            rows.append((t, pair_counts[t], int(a["nv"]), int(a["nc"]), int(a["g"])))
     return spark.createDataFrame(
         rows, "thr_centi long, n_pairs long, n_vertices long, n_components long, giant long"
     ).orderBy("thr_centi")
@@ -20582,7 +20695,7 @@ def q_euler_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Eulerian circuit; exactly two odd ⇒ open trail).  Degrees are one
     groupBy over the symmetric edges; components ride the hash-min
     fixpoint — both linear, shuffle-bounded stages at any scale."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 150) & (F.col("dst") < 150))
+    und = coorder_edges(spark, sf_dir, part_cap=150)
     sym = _sym(und)
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("long").alias("deg")
@@ -20643,7 +20756,7 @@ def q_hyperbolicity4(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_center primitive); the quadruple join is panel-bounded
     (C(|panel|,4)) regardless of graph size — the standard sampled
     estimator, made deterministic."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 150) & (F.col("dst") < 150))
+    und = coorder_edges(spark, sf_dir, part_cap=150)
     sym = _sym(und)
     verts = sorted(
         r[0] for r in sym.select("src").distinct().where(F.col("src") % 5 == 0).collect()
@@ -20804,7 +20917,7 @@ def q_walk_spectrum8(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-round frontier iteration whose per-round state is one distinct
     (source, id, d) triple per reachable pair — bounded by 9·|V| per
     source no matter the edge count."""
-    und = coorder_edges(spark, sf_dir).where((F.col("src") < 150) & (F.col("dst") < 150))
+    und = coorder_edges(spark, sf_dir, part_cap=150)
     sym = _sym(und).localCheckpoint(eager=True)
     srcs = sym.select(F.col("src").alias("s")).where(F.col("s") % 50 == 0).distinct()
     layer = srcs.select("s", F.col("s").alias("id"), F.lit(0).alias("d"))

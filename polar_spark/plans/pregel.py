@@ -1068,7 +1068,10 @@ def bfs_relabel(
 
     Returns ``(id, level, new_id)``; new_id is 0-based.
     """
-    e = normalize_edges(edges)
+    # materialized once: e feeds the start argmin, the BFS, vertices_of
+    # and the final rank join — several actions that would otherwise
+    # each re-run the caller's edge-construction plan
+    e = normalize_edges(edges).localCheckpoint(eager=True)
     if start is None:
         start = e.agg(F.min("src")).collect()[0][0]
         if start is None:  # empty edge table → empty mapping, not a crash
@@ -1126,7 +1129,12 @@ def wl_colors(
     """
     from polar_spark.operators.text import _dense_rank_pairs
 
-    e = normalize_edges(edges)
+    # materialize the normalized edges ONCE: e is referenced by every
+    # round's neigh join and by several actions per round (the dense-
+    # rank bucket collect + the colors checkpoint) — without the cut
+    # each action re-executes the caller's full edge-construction plan
+    # (measured: the co-order self-join re-ran ~6x, 30 s → 8 s at sf0.1)
+    e = normalize_edges(edges).localCheckpoint(eager=True)
     colors = (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("color"))
@@ -2697,6 +2705,89 @@ def _cc_loop(
     )
 
 
+def connected_components_multi(
+    keyed_edges: DataFrame,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Hash-min connected components over SEVERAL independent edge sets
+    at once, distinguished by a ``k`` column: state is ``(k, id, comp)``
+    and every round is ONE join + ONE min-aggregate for all runs
+    together — n independent CC invocations collapse from n driver
+    loops (n × setup + n × per-round actions) to one (guide §2.6's
+    fill-the-scheduler lesson applied inside a single job instead of
+    threads).  Per-key results are IDENTICAL to per-key
+    :func:`connected_components` — hash-min converges to the minimum
+    member id of each component regardless of what other keys share the
+    rounds; rounds run until every key is quiet (extra rounds are
+    no-ops for already-converged keys, frontier-free by the changed
+    flag).  Input: ``(k, src, dst)``; self-loops dropped, symmetrized
+    internally.  Returns ``((k, id, comp), stats)``."""
+    spark = keyed_edges.sparkSession
+    e0 = (
+        keyed_edges.select("k", F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    sym0 = (
+        e0.unionByName(
+            e0.select("k", F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["k", "src", "dst"])
+        .persist()
+    )
+    m0 = sym0.count()
+    stats = IterationStats(algorithm="connected_components_multi", edges=m0)
+    if m0 == 0:
+        sym0.unpersist()
+        stats.converged = True
+        return spark.createDataFrame([], "k long, id long, comp long"), stats
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    with _shuffle_conf(spark, shuffle):
+        sym = sym0.repartition(shuffle, "k", "src").localCheckpoint(eager=True)
+        sym0.unpersist()
+        verts = (
+            sym.select("k", F.col("src").alias("id"))
+            .dropDuplicates(["k", "id"])
+            .localCheckpoint(eager=True)
+        )
+        stats.vertices = verts.count()
+        comp = verts.select("k", "id", F.col("id").alias("comp")).localCheckpoint(
+            eager=True
+        )
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            nbr_min = (
+                sym.join(comp.withColumnRenamed("id", "src"), ["k", "src"])
+                .groupBy("k", F.col("dst").alias("id"))
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            new_comp = (
+                comp.join(nbr_min, ["k", "id"], "left")
+                .select(
+                    "k",
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    ).alias("comp"),
+                    (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias(
+                        "_chg"
+                    ),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = int(
+                new_comp.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0] or 0
+            )
+            comp = new_comp.select("k", "id", "comp")
+            stats.iterations = it
+            stats.deltas.append(float(changed))
+            stats.iter_seconds.append(time.monotonic() - t0)
+            if changed == 0:
+                stats.converged = True
+                break
+        return comp, stats
+
+
 def connected_components_star(
     edges: DataFrame,
     max_iter: int = 50,
@@ -2904,7 +2995,33 @@ def label_propagation_weighted(
         )
 
 
-def _lpa_loop(spark, sym_in, sym_base, shuffle, max_iter):
+def label_propagation_states(
+    edges: DataFrame,
+    iters: tuple[int, ...] = (2, 3),
+    num_partitions: int | None = None,
+) -> dict[int, DataFrame]:
+    """Snapshots of synchronous LPA after each requested round, from ONE
+    run: LPA rounds are deterministic, so the round-k state of a
+    ``max(iters)``-round run is bit-identical to a separate k-round run
+    — callers comparing successive sweeps (ARI audits) pay one loop and
+    one graph build instead of one per snapshot."""
+    keep = {int(k) for k in iters}
+    spark = edges.sparkSession
+    sym0 = symmetrize(normalize_edges(edges)).persist()
+    m0 = sym0.count()
+    if m0 == 0:
+        sym0.unpersist()
+        empty = spark.createDataFrame([], "id long, label long")
+        return {k: empty for k in keep}
+    shuffle = _auto_partitions(spark, m0, num_partitions)
+    sym_c = compact_ids(sym0, m0)
+    with _shuffle_conf(spark, shuffle):
+        out: dict[int, DataFrame] = {}
+        _lpa_loop(spark, sym_c, sym0, shuffle, max(keep), snapshots=out, keep=keep)
+        return out
+
+
+def _lpa_loop(spark, sym_in, sym_base, shuffle, max_iter, snapshots=None, keep=()):
     # lineage cut: referenced by every iteration (see _pagerank_loop)
     sym = sym_in.repartition(shuffle, "src").localCheckpoint(eager=True)
     verts = vertices_of(sym).localCheckpoint(eager=True)
@@ -2930,6 +3047,11 @@ def _lpa_loop(spark, sym_in, sym_base, shuffle, max_iter):
         )
         stats.iterations = it
         stats.iter_seconds.append(time.monotonic() - t0)
+        if snapshots is not None and it in keep:
+            snapshots[it] = labels.select(
+                F.col("id").cast("long").alias("id"),
+                F.col("label").cast("long").alias("label"),
+            )
     sym.unpersist()
     verts.unpersist()
     return (

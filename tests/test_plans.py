@@ -75,18 +75,50 @@ def test_graph_store_partition_pruned_read(spark, tmp_path):
     assert pruned.count() == 5
 
 
-def test_cosine_pairs_stays_jvm(spark):
-    """The near-dup verify stage must be JVM expressions — no Python
-    (row or Arrow) in the O(pairs) hot path.  (Higher-order array
-    lambdas — aggregate/zip_with — evaluate as Catalyst expressions
-    outside whole-stage codegen, so the gate is the absence of
-    EvalPython nodes, not a codegen span.)"""
+def test_cosine_pairs_stays_batched(spark):
+    """The near-dup verify stage must never evaluate Python row-at-a-
+    time.  Since the r6 optimization round the pair dot products run as
+    ONE numpy accumulation per Arrow batch inside mapInPandas (guide
+    §4.2 — the former zip_with/aggregate fold is CodegenFallback,
+    interpreted per array element, measured 20x slower); the gate is
+    therefore: exactly one batch-level Python node, no scalar
+    BatchEvalPython, and the scan still at the bottom."""
     from polar_spark.operators.similarity import cosine_pairs
 
     emb = load_table(spark, "embeddings", SF_DIR)
     plan = _plan(cosine_pairs(emb, 0.35, max_rows=None))
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "MapInPandas" in plan  # the one vectorized batch stage
     assert "Scan parquet" in plan
+
+
+def test_cosine_pairs_matches_jvm_fold(spark):
+    """The batched numpy path accumulates dimension-by-dimension in
+    ascending order — bit-identical to the JVM left-to-right aggregate
+    fold it replaced.  Golden check against the old expression."""
+    from pyspark.sql import functions as SF
+
+    from polar_spark.operators.similarity import _normalized, cosine_pairs
+
+    emb = load_table(spark, "embeddings", SF_DIR).limit(50)
+    base = _normalized(emb, "embedding", "vec_id")
+    a = base.select(SF.col("_id").alias("id_a"), SF.col("v").alias("va"))
+    b = base.select(SF.col("_id").alias("id_b"), SF.col("v").alias("vb"))
+    dot = SF.aggregate(
+        SF.zip_with("va", "vb", lambda x, y: x * y), SF.lit(0.0), lambda a_, x: a_ + x
+    )
+    old = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.join(b, SF.col("id_a") < SF.col("id_b"))
+        .select("id_a", "id_b", dot.alias("cos"))
+        .where(SF.col("cos") >= 0.2)
+        .collect()
+    }
+    new = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_pairs(emb, 0.2, max_rows=None).collect()
+    }
+    assert old == new  # exact float equality, not approx
 
 
 # --------------------------------------------------------------------------
