@@ -6015,8 +6015,9 @@ def q_conductance_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph communities are defined as φ=0 since cut and the denominator
     are both 0).  Reuses the `lpa_fixed2` unrolled-round SQL replay;
     cut/volume are two aggregates over the labeled symmetric edges."""
-    e = _sym(coorder_edges(spark, sf_dir))
-    labels, _ = pregel.label_propagation(coorder_edges(spark, sf_dir), max_iter=2)
+    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _sym(und)
+    labels, _ = pregel.label_propagation(und, max_iter=2)
     lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
     el = (
         e.join(lab.withColumnRenamed("id", "src").withColumnRenamed("label", "ls"), "src")
@@ -8491,7 +8492,7 @@ def q_label_spread3(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-mass algebra is INTEGER-EXACT (1e9-scaled BIGINTs, per-
     neighbor contribution = f div d), so the oracle replays every
     sweep bit-for-bit — no float parity surface at all."""
-    e = _sym(coorder_edges(spark, sf_dir))
+    e = _sym(coorder_edges(spark, sf_dir)).localCheckpoint(eager=True)
     verts = e.select(F.col("src").alias("id")).distinct()
     seeds = verts.where(F.col("id") % 50 == 0).select(
         "id", ((F.col("id") / 50).cast("long") % 3).cast("int").alias("lbl")
@@ -8930,7 +8931,9 @@ def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is one degree aggregation plus the already-scale-shaped
     triangle count, so this is the census a 100-TB link graph can
     actually afford (no triad enumeration)."""
-    und = coorder_edges(spark, sf_dir)
+    # checkpointed: three actions read und (degree stats, edge count,
+    # triangle count) — was three co-order builds
+    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = _sym(und)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
     stats = deg.agg(
@@ -11824,56 +11827,12 @@ def q_tie_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = _sym(und)
     deg = sym.groupBy(F.col("src").alias("x")).agg(F.count("*").alias("d"))
-    # per-edge common-neighbor counts = per-edge triangle counts, via
-    # degree-ordered orientation (the triangle_count discipline): each
-    # triangle is found once from its lowest-(deg, id) apex, then each
-    # of its three canonical edges gets +1.  Replaces the u-keyed wedge
-    # join whose intermediate is Σ_u d(u)·deg(u) rows (~143M on the
-    # sf0.1 co-order graph); the oriented wedge table is Σ_v d_out(v)²
-    # with d_out bounded by √(2m) — guide §2.3, measured 20.7 s → ~6 s.
-    rank = F.struct(F.col("d"), F.col("x").alias("_i"))
-    dd = deg.select(F.col("x"), rank.alias("r"))
-    ee = (
-        und.join(dd.select(F.col("x").alias("src"), F.col("r").alias("rs")), "src")
-        .join(dd.select(F.col("x").alias("dst"), F.col("r").alias("rd")), "dst")
-        .select(
-            F.when(F.col("rs") < F.col("rd"), F.col("src")).otherwise(F.col("dst")).alias("a"),
-            F.when(F.col("rs") < F.col("rd"), F.col("dst")).otherwise(F.col("src")).alias("b"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    w1 = ee.select(F.col("a"), F.col("b").alias("p"))
-    w2 = ee.select(F.col("a"), F.col("b").alias("q"))
-    tri = (
-        w1.join(w2, "a")
-        .where(F.col("p") < F.col("q"))
-        .join(
-            und.select(
-                F.col("src").alias("_cu"), F.col("dst").alias("_cv")
-            ).withColumn("p", F.least("_cu", "_cv")).withColumn(
-                "q", F.greatest("_cu", "_cv")
-            ).select("p", "q"),
-            ["p", "q"],
-            "left_semi",
-        )
-    )
-    cn = (
-        tri.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.least("a", "p").alias("u"), F.greatest("a", "p").alias("v")
-                    ),
-                    F.struct(
-                        F.least("a", "q").alias("u"), F.greatest("a", "q").alias("v")
-                    ),
-                    F.struct(F.col("p").alias("u"), F.col("q").alias("v")),
-                )
-            ).alias("_e")
-        )
-        .select("_e.u", "_e.v")
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("cn"))
+    # per-edge common-neighbor counts via oriented triangle enumeration
+    # (pregel.edge_common_neighbors) — replaces the u-keyed wedge join
+    # whose intermediate was Σ_u d(u)² rows (~143M at sf0.1); measured
+    # 20.7 s → ~6 s (guide §2.3)
+    cn = pregel.edge_common_neighbors(und).select(
+        F.col("u"), F.col("v"), F.col("cn")
     )
     per_edge = (
         und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -12812,8 +12771,10 @@ def q_partition_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-community) and modularity (null-model) with the pair-counting
     view; everything is closed-form from |V|, |E|, intra-edge count and
     community sizes — exact BIGINT, no pair enumeration anywhere."""
-    und = coorder_edges(spark, sf_dir)
-    labels, _ = pregel.label_propagation(coorder_edges(spark, sf_dir), max_iter=2)
+    # one checkpointed co-order build shared by the LPA run and the
+    # final edge-label plan (was built twice)
+    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels, _ = pregel.label_propagation(und, max_iter=2)
     lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
     el = und.join(
         lab.withColumnRenamed("id", "src").withColumnRenamed("label", "ls"), "src"
@@ -13014,8 +12975,10 @@ def q_partition_cut_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction in exact ppm.  Community-aware placement should cut far
     fewer edges — the measured justification for bucketing the edge
     table by community/range rather than by raw hash."""
-    und = coorder_edges(spark, sf_dir)
-    labels, _ = pregel.label_propagation(coorder_edges(spark, sf_dir), max_iter=2)
+    # one checkpointed co-order build shared by the LPA run, the max-id
+    # aggregate and the final cut plan (was built three times)
+    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels, _ = pregel.label_propagation(und, max_iter=2)
     lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
     mx = und.agg(
         F.greatest(F.max("src"), F.max("dst")).cast("long").alias("mx")
@@ -16229,7 +16192,9 @@ def q_sbm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic labels the lpa_fixed2 oracle replays; each block-pair
     term is one deterministic double expression and the final sum is
     rounded 4 dp."""
-    und = coorder_edges(spark, sf_dir)
+    # checkpointed: und feeds the LPA run (its own actions) AND the
+    # final block-count plan — one co-order build instead of two
+    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
     e = _sym(und)
     labels, _ = pregel.label_propagation(und, max_iter=2)
     lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
@@ -16529,19 +16494,16 @@ def q_forman_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sit inside dense communities.  Degrees + per-edge triangle support
     (the id-ordered triangle join) make it one pass of exact integers;
     reported as the curvature histogram."""
-    und = coorder_edges(spark, sf_dir)
+    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = _sym(und)
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("d"))
-    ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    sup = (
-        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
-        .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("long").alias("t"))
+    # per-edge triangle support via the degree-oriented enumeration
+    # (pregel.edge_common_neighbors) — same triangle set as the former
+    # id-ordered 3-join, found from the lowest-(deg, id) apex instead,
+    # which minimizes the wedge intermediate (guide §2.3); und is
+    # checkpointed so the 4 plan references stop re-running the build
+    sup = pregel.edge_common_neighbors(und).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("cn").cast("long").alias("t")
     )
     curved = (
         und.join(sup, ["src", "dst"], "left")

@@ -245,6 +245,26 @@ def _hard_cut(df: DataFrame) -> DataFrame:
         return ck
 
 
+def _stats_leaf(df: DataFrame) -> DataFrame:
+    """Reset a checkpointed DataFrame's leaf statistics WITHOUT a second
+    materialization pass: rebuild the DataFrame over the SAME (possibly
+    still-lazy) checkpoint RDD via the internal constructor, so the
+    leaf carries the session-default sizeInBytes instead of the origin
+    plan's inherited estimate (the compounding-stats pathology
+    ``_hard_cut`` fixes — but ``_hard_cut`` is eager, costing one job
+    per call; this is the lazy-flow variant for loops whose single
+    per-round action materializes a chain of lazy checkpoints)."""
+    try:
+        spark = df.sparkSession
+        jdf = df._jdf
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jnew, spark)
+    except Exception:  # pragma: no cover - connect/API drift fallback
+        return df
+
+
 def _cut_lineage(
     df: DataFrame,
     it: int,
@@ -685,12 +705,17 @@ def pagerank_fixed(
     the SQL-expressible formulation used for cross-engine oracle
     checks (identical unrolled arithmetic in ANSI SQL).
     """
+    # ew/verts materialized once (katz/hits discipline): both re-enter
+    # every unrolled round, so an uncut plan re-embeds the caller's
+    # edge build n_iter times and the final action re-runs it for each
     e = normalize_edges(edges)
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
-    ew = e.join(out_deg.withColumnRenamed("id", "src"), "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    ew = (
+        e.join(out_deg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .localCheckpoint(eager=True)
     )
-    verts = vertices_of(e)
+    verts = vertices_of(e).localCheckpoint(eager=True)
     n = verts.count()
     ranks = verts.select("id", (F.lit(1.0) / n).alias("rank"))
     for _ in range(n_iter):
@@ -699,12 +724,16 @@ def pagerank_fixed(
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
         )
-        ranks = verts.join(sums.withColumnRenamed("dst", "id"), "id", "left").select(
-            "id",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
+        ranks = (
+            verts.join(sums.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -765,12 +794,15 @@ def personalized_pagerank_fixed(
 
     r_0 = e_S;  r_{k+1} = (1-d)·e_S + d·Pᵀ r_k,  e_S uniform on S.
     """
+    # ew/verts materialized once — the pagerank_fixed discipline
     e = normalize_edges(edges)
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
-    ew = e.join(out_deg.withColumnRenamed("id", "src"), "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    ew = (
+        e.join(out_deg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .localCheckpoint(eager=True)
     )
-    verts = vertices_of(e)
+    verts = vertices_of(e).localCheckpoint(eager=True)
     inv_s = 1.0 / len(sources)
     seed = F.when(F.col("id").isin(sources), F.lit(inv_s)).otherwise(F.lit(0.0))
     ranks = verts.select("id", seed.alias("rank"))
@@ -780,12 +812,16 @@ def personalized_pagerank_fixed(
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
         )
-        ranks = verts.join(sums.withColumnRenamed("dst", "id"), "id", "left").select(
-            "id",
-            (
-                F.lit(1.0 - damping) * seed
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
+        ranks = (
+            verts.join(sums.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * seed
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -813,8 +849,13 @@ def pagerank_weighted_fixed(
         .agg(F.sum("wt").alias("wt"))
     )
     wsum = e.groupBy(F.col("src")).agg(F.sum("wt").alias("ws"))
-    ew = e.join(wsum, "src").select("src", "dst", (F.col("wt") / F.col("ws")).alias("w"))
-    verts = vertices_of(e)
+    # ew/verts materialized once — the pagerank_fixed discipline
+    ew = (
+        e.join(wsum, "src")
+        .select("src", "dst", (F.col("wt") / F.col("ws")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    verts = vertices_of(e).localCheckpoint(eager=True)
     n = verts.count()
     ranks = verts.select("id", (F.lit(1.0) / n).alias("rank"))
     for _ in range(n_iter):
@@ -823,12 +864,16 @@ def pagerank_weighted_fixed(
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
         )
-        ranks = verts.join(sums.withColumnRenamed("dst", "id"), "id", "left").select(
-            "id",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
+        ranks = (
+            verts.join(sums.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -987,6 +1032,12 @@ def densest_subgraph(
         sym0.unpersist()
         peeled: list[DataFrame] = []
         round_stats: list[tuple[int, int, int]] = []  # (round, V, 2E)
+        # ONE action per round: degs is a lazy checkpoint materialized by
+        # the 2-row stats collect; the previous round's verts/e lazy
+        # checkpoints materialize inside the same job (they feed degs),
+        # and the peeled snapshots stay lazy until the final union —
+        # was 5 eager jobs per round (guide §1.2: cut the driver-serial
+        # job floor before touching per-task work)
         for rnd in range(1, max_rounds + 1):
             t0 = time.monotonic()
             degs = (
@@ -998,7 +1049,7 @@ def densest_subgraph(
                     "left",
                 )
                 .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             agg = degs.agg(
                 F.count("*").alias("nv"), F.sum("deg").alias("m2")
@@ -1013,13 +1064,13 @@ def densest_subgraph(
             ).select("id")
             peeled.append(
                 removed.select("id", F.lit(rnd).cast("long").alias("peel_round"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            verts = verts.join(removed, "id", "left_anti").localCheckpoint(eager=True)
+            verts = verts.join(removed, "id", "left_anti").localCheckpoint(eager=False)
             e = (
                 e.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             stats.iterations = rnd
             stats.iter_seconds.append(time.monotonic() - t0)
@@ -3977,6 +4028,14 @@ def louvain(
                 / (F.lit(2.0) * F.lit(float(m_total)) * F.lit(float(m_total)))
             )
             win = Window.partitionBy("id").orderBy(F.desc("g"), F.asc("cand"))
+            # ONE action per sweep (was three _hard_cut jobs + a count +
+            # an isEmpty): moves/comm'/frontier' chain as lazy
+            # checkpoints, the combined 1-row (n_moves × frontier-size)
+            # collect materializes the whole chain, and _stats_leaf
+            # resets the inherited size estimates so Catalyst's stats
+            # arithmetic cannot compound across sweeps (the _hard_cut
+            # pathology) without paying _hard_cut's second pass.
+            all_ids = frontier if frontier is not None else comm.select("id")
             moves = (
                 base.select("id", "cand", gain.alias("g"))
                 .where(F.col("g") > 0)
@@ -3984,31 +4043,42 @@ def louvain(
                 .withColumn("_rn", F.row_number().over(win))
                 .where(F.col("_rn") == 1)
                 .select("id", F.col("cand").alias("comm_new"))
+                .localCheckpoint(eager=False)
             )
-            moves = _hard_cut(moves)
-            comm = _hard_cut(
-                comm.join(moves, "id", "left").select(
-                    "id", F.coalesce(F.col("comm_new"), F.col("comm")).alias("comm")
+            comm_next = _stats_leaf(
+                comm.join(moves, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("comm_new"), F.col("comm")).alias("comm"),
+                    F.col("comm_new").isNotNull().alias("_mv"),
                 )
+                .localCheckpoint(eager=False)
             )
-            n_moves = moves.count()
-            # frontier' = (frontier \ processed-this-parity) U movers U
-            # their neighbors; vertices outside never gain a new option
-            all_ids = (
-                frontier if frontier is not None else comm.select("id")
-            )
+            movers = comm_next.where(F.col("_mv")).select("id")
             unprocessed = all_ids.where(
                 F.pmod(F.col("id"), F.lit(2)) != F.lit(sweep % 2)
             )
-            movers = moves.select("id")
             nbrs = (
                 e.where(F.col("src") != F.col("dst"))
                 .join(movers.withColumnRenamed("id", "src"), "src", "left_semi")
                 .select(F.col("dst").alias("id"))
             )
-            frontier = _hard_cut(
-                unprocessed.unionByName(movers).unionByName(nbrs).distinct()
+            frontier_next = _stats_leaf(
+                unprocessed.unionByName(movers)
+                .unionByName(nbrs)
+                .distinct()
+                .localCheckpoint(eager=False)
             )
+            row = (
+                comm_next.agg(F.sum(F.col("_mv").cast("long")).alias("mv"))
+                .crossJoin(
+                    F.broadcast(frontier_next.agg(F.count("*").alias("fr")))
+                )
+                .collect()[0]
+            )
+            n_moves, frontier_n = int(row["mv"] or 0), int(row["fr"])
+            comm = comm_next.select("id", "comm")
+            frontier = frontier_next
             stats.iterations += 1
             stats.iter_seconds.append(time.monotonic() - t0)
             stats.deltas.append(float(n_moves))
@@ -4016,7 +4086,7 @@ def louvain(
             idle_pair = idle_pair + 1 if n_moves == 0 else 0
             if idle_pair >= 2:  # both parities idle -> phase-1 fixpoint
                 break
-            if frontier.rdd.isEmpty():
+            if frontier_n == 0:
                 break
         if level_moves == 0:
             stats.converged = True
@@ -4463,6 +4533,11 @@ def ppr_sweep(
     e.g. src/agents/graph queries); this is the density-aware version
     that finds the seed's community boundary instead of a fixed-depth
     ball."""
+    # materialize the symmetrized input ONCE: it feeds the push (its own
+    # action), the vol_total count, and the deg/und joins of the final
+    # plan — without the cut each of those re-runs the caller's full
+    # graph-construction plan
+    edges_sym = edges_sym.localCheckpoint(eager=True)
     out = ppr_push(edges_sym, source=source, alpha=alpha, n_iter=n_iter)
     deg = edges_sym.groupBy("src").agg(F.count("*").alias("d"))
     vol_total = edges_sym.count()  # sum of degrees = 2m
@@ -4539,7 +4614,10 @@ def harmonic_labels(
     known classification (e.g. vulnerability state) from a few labeled
     nodes across the dependency graph."""
     spark = edges_sym.sparkSession
-    e = edges_sym.select("src", "dst")
+    # materialized once: e feeds deg, verts and every round's inm join —
+    # without the cut each round's action re-runs the caller's full
+    # graph-construction plan
+    e = edges_sym.select("src", "dst").localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     verts = vertices_of(e)
     onehot = [
@@ -4969,6 +5047,53 @@ def influence_seeds(edges: DataFrame, k: int = 5) -> DataFrame:
     return chosen.select("rank", "id", "dd")
 
 
+def edge_common_neighbors(und: DataFrame) -> DataFrame:
+    """Per-edge common-neighbor counts ``(u, v, cn)`` for a canonical
+    (src < dst) undirected edge table, by degree-ordered triangle
+    enumeration: cn(u,v) = number of triangles through the edge, and
+    each triangle is found exactly once from its lowest-(degree, id)
+    apex, then credited to its three canonical edges.  Replaces the
+    u-keyed wedge join whose intermediate is Σ_u d(u)² rows (~143M on
+    the sf0.1 co-order graph) with the Σ_v d_out(v)² oriented wedge
+    table, d_out ≤ √(2m) — the triangle_count orientation applied to
+    the per-EDGE statistic (guide §2.3).  Edges in no triangle are
+    absent (callers coalesce to 0)."""
+    sym = symmetrize(und)
+    deg = sym.groupBy(F.col("src").alias("x")).agg(F.count("*").alias("d"))
+    rank = F.struct(F.col("d"), F.col("x").alias("_i"))
+    dd = deg.select(F.col("x"), rank.alias("r"))
+    oriented = (
+        und.join(dd.select(F.col("x").alias("src"), F.col("r").alias("rs")), "src")
+        .join(dd.select(F.col("x").alias("dst"), F.col("r").alias("rd")), "dst")
+        .select(
+            F.when(F.col("rs") < F.col("rd"), F.col("src")).otherwise(F.col("dst")).alias("a"),
+            F.when(F.col("rs") < F.col("rd"), F.col("dst")).otherwise(F.col("src")).alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.select(F.col("a"), F.col("b").alias("p"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("q"))
+    tri = (
+        w1.join(w2, "a")
+        .where(F.col("p") < F.col("q"))
+        .join(und.select(F.col("src").alias("p"), F.col("dst").alias("q")), ["p", "q"], "left_semi")
+    )
+    return (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.least("a", "p").alias("u"), F.greatest("a", "p").alias("v")),
+                    F.struct(F.least("a", "q").alias("u"), F.greatest("a", "q").alias("v")),
+                    F.struct(F.col("p").alias("u"), F.col("q").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+
+
 def scan_clusters(
     edges: DataFrame,
     eps_num: int = 7,
@@ -4997,9 +5122,10 @@ def scan_clusters(
     und = sym.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    su = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    sv = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    cn = und.join(su, "u").join(sv, ["v", "w"]).groupBy("u", "v").agg(F.count("*").alias("cn"))
+    # oriented-triangle per-edge counts instead of the Σd² wedge join
+    cn = edge_common_neighbors(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
     sig = (
         und.join(cn, ["u", "v"], "left")
         .join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
@@ -5634,7 +5760,15 @@ def clique_percolation3(edges: DataFrame) -> DataFrame:
     cost is Σ_e t_e², so screen the input (weight/truss) first at
     corpus scale.  Returns (comm, vertex) membership pairs, comm = the
     minimum member-triangle key."""
-    und = symmetrize(normalize_edges(edges)).where(F.col("src") < F.col("dst"))
+    # und/tri materialized once: und is referenced by three join arms
+    # and tri by the incidence union + the final membership join, each
+    # consumed by several actions (the CC run, the final collect) — the
+    # cuts stop the caller's backbone build re-running per action
+    und = (
+        symmetrize(normalize_edges(edges))
+        .where(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     a = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     b_ = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     c_ = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -5648,6 +5782,7 @@ def clique_percolation3(edges: DataFrame) -> DataFrame:
             "c",
             (F.col("a") * k * k + F.col("b") * k + F.col("c")).alias("tid"),
         )
+        .localCheckpoint(eager=True)
     )
     em = (
         tri.select("tid", (F.col("a") * k + F.col("b")).alias("ek"))
