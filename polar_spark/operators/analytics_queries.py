@@ -3066,13 +3066,15 @@ def q_msf_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier network.  Oracle replays the identical unique MSF with
     a recursive-CTE Kruskal under the same edge order."""
     li = load_table(spark, "lineitem", sf_dir)
-    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    wund = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .agg(F.count("*").alias("w"))
+    # grouped pair expansion (the copart_edges rewrite): one exchange
+    # feeds the per-part supplier pairs instead of distinct + self-join
+    groups = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .groupBy("p")
+        .agg(F.sort_array(F.collect_set("s")).alias("ps"))
+        .where(F.size("ps") >= 2)
     )
+    wund = _pair_expand(groups).groupBy("src", "dst").agg(F.count("*").alias("w"))
     msf, _ = pregel.minimum_spanning_forest(wund)
     return msf.select(
         F.col("u").cast("long"), F.col("v").cast("long"), F.col("w").cast("long")
@@ -6015,7 +6017,7 @@ def q_conductance_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph communities are defined as φ=0 since cut and the denominator
     are both 0).  Reuses the `lpa_fixed2` unrolled-round SQL replay;
     cut/volume are two aggregates over the labeled symmetric edges."""
-    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = pregel._hard_cut(coorder_edges(spark, sf_dir))
     e = _sym(und)
     labels, _ = pregel.label_propagation(und, max_iter=2)
     lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
@@ -8492,7 +8494,7 @@ def q_label_spread3(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-mass algebra is INTEGER-EXACT (1e9-scaled BIGINTs, per-
     neighbor contribution = f div d), so the oracle replays every
     sweep bit-for-bit — no float parity surface at all."""
-    e = _sym(coorder_edges(spark, sf_dir)).localCheckpoint(eager=True)
+    e = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))
     verts = e.select(F.col("src").alias("id")).distinct()
     seeds = verts.where(F.col("id") % 50 == 0).select(
         "id", ((F.col("id") / 50).cast("long") % 3).cast("int").alias("lbl")
@@ -8933,7 +8935,7 @@ def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually afford (no triad enumeration)."""
     # checkpointed: three actions read und (degree stats, edge count,
     # triangle count) — was three co-order builds
-    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = pregel._hard_cut(coorder_edges(spark, sf_dir))
     sym = _sym(und)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
     stats = deg.agg(
@@ -9119,7 +9121,7 @@ def k4_per_vertex(und: DataFrame) -> DataFrame:
     """Exact per-vertex 4-clique counts of a canonical (src < dst)
     undirected edge list — see q_k4_cliques for the orientation
     argument."""
-    und = und.persist()
+    und = pregel._hard_cut(und)
     sym = _sym(und)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
     keyed = (
@@ -9130,22 +9132,39 @@ def k4_per_vertex(und: DataFrame) -> DataFrame:
             (F.col("dd") * F.lit(4294967296) + F.col("dst")).alias("kd"),
         )
     )
-    o = keyed.select(
-        F.least("ks", "kd").alias("a"), F.greatest("ks", "kd").alias("b")
-    ).persist()
+    # materialized with a stats cut + shuffle_hash hints on every
+    # closure join: A/B-measured fastest (2.8 s vs 5.6 s persist/auto
+    # and 6.2 s sort-merge at sf0.1) — no broadcast rebuilds of the
+    # oriented table, no per-join sorts (guide §3.1); semi-joins for
+    # the membership checks (o is a set, so inner ≡ semi)
+    o = pregel._hard_cut(
+        keyed.select(F.least("ks", "kd").alias("a"), F.greatest("ks", "kd").alias("b"))
+    )
     e1 = o.select("a", F.col("b").alias("v"))
     e2 = o.select("a", F.col("b").alias("w"))
     tri = (
-        e1.join(e2, "a")
+        e1.join(e2.hint("shuffle_hash"), "a")
         .where(F.col("v") < F.col("w"))
-        .join(o.select(F.col("a").alias("v"), F.col("b").alias("w")), ["v", "w"])
+        .join(
+            o.select(F.col("a").alias("v"), F.col("b").alias("w")).hint("shuffle_hash"),
+            ["v", "w"],
+            "left_semi",
+        )
     )
     ext = o.select("a", F.col("b").alias("x"))
     k4 = (
-        tri.join(ext, "a")
+        tri.join(ext.hint("shuffle_hash"), "a")
         .where(F.col("x") > F.col("w"))
-        .join(o.select(F.col("a").alias("v"), F.col("b").alias("x")), ["v", "x"])
-        .join(o.select(F.col("a").alias("w"), F.col("b").alias("x")), ["w", "x"])
+        .join(
+            o.select(F.col("a").alias("v"), F.col("b").alias("x")).hint("shuffle_hash"),
+            ["v", "x"],
+            "left_semi",
+        )
+        .join(
+            o.select(F.col("a").alias("w"), F.col("b").alias("x")).hint("shuffle_hash"),
+            ["w", "x"],
+            "left_semi",
+        )
     )
     out = (
         k4.select(F.explode(F.array("a", "v", "w", "x")).alias("key"))
@@ -9155,10 +9174,7 @@ def k4_per_vertex(und: DataFrame) -> DataFrame:
         .select(F.col("id").cast("long"), F.col("k4").cast("long"))
         .orderBy("id")
     )
-    out = out.localCheckpoint(eager=True)
-    o.unpersist()
-    und.unpersist()
-    return out
+    return out.localCheckpoint(eager=True)
 
 
 _K4_SQL = f"""
@@ -9511,6 +9527,9 @@ def q_cascade_lt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = deg.orderBy(F.desc("d"), "id").limit(2).select("id")
     act = seeds.select("id", F.lit(0).alias("act_round"))
+    # rounds chain lazily (fixed count, no per-round decision): the
+    # caller's single action materializes the whole chain — was one
+    # eager checkpoint job per round
     for r in range(1, 5):
         cnt = (
             sym.join(act.select(F.col("id").alias("src")), "src")
@@ -9523,8 +9542,7 @@ def q_cascade_lt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(act.select("id"), "id", "left_anti")
             .select("id", F.lit(r).alias("act_round"))
         )
-        act = act.unionByName(newly).localCheckpoint(eager=True)
-    sym.unpersist()
+        act = act.unionByName(newly).localCheckpoint(eager=False)
     return act.select(F.col("id").cast("long"), F.col("act_round").cast("int")).orderBy(
         "id"
     )
@@ -10646,7 +10664,9 @@ def q_hitting_time6(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependency-closeness ranking on link graphs.  The SQL oracle
     unrolls the identical recursion; the single float surface is the
     per-round mean, rounded 6 d.p. only at output (Parity rules)."""
-    sym = _sym(coorder_edges(spark, sf_dir))
+    # checkpointed: the targets collect and the hitting-time run each
+    # consumed a separate co-order build otherwise
+    sym = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))
     targets = [
         int(r["src"]) for r in sym.select("src").distinct().orderBy("src").limit(4).collect()
     ]
@@ -10716,7 +10736,7 @@ def q_temporal_reach4(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachability over-approximates (a path through an EARLIER contact
     is not a causal path).  Exact integer arithmetic end-to-end; the
     oracle replays the relaxation round-for-round."""
-    et = temporal_edges(spark, sf_dir)
+    et = pregel._hard_cut(temporal_edges(spark, sf_dir))
     seeds = [
         int(r["src"])
         for r in et.where(F.col("src") < 1_000_000)
@@ -11824,7 +11844,7 @@ def q_tie_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor count is the same degree-bounded wedge join as the
     triangle counter (one shuffle class); the decile is pure integer
     DIV so no float boundary flips a bucket."""
-    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = pregel._hard_cut(coorder_edges(spark, sf_dir))
     sym = _sym(und)
     deg = sym.groupBy(F.col("src").alias("x")).agg(F.count("*").alias("d"))
     # per-edge common-neighbor counts via oriented triangle enumeration
@@ -12773,7 +12793,7 @@ def q_partition_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     community sizes — exact BIGINT, no pair enumeration anywhere."""
     # one checkpointed co-order build shared by the LPA run and the
     # final edge-label plan (was built twice)
-    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = pregel._hard_cut(coorder_edges(spark, sf_dir))
     labels, _ = pregel.label_propagation(und, max_iter=2)
     lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
     el = und.join(
@@ -12977,7 +12997,7 @@ def q_partition_cut_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table by community/range rather than by raw hash."""
     # one checkpointed co-order build shared by the LPA run, the max-id
     # aggregate and the final cut plan (was built three times)
-    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = pregel._hard_cut(coorder_edges(spark, sf_dir))
     labels, _ = pregel.label_propagation(und, max_iter=2)
     lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
     mx = und.agg(
@@ -15178,7 +15198,7 @@ def q_pagerank_residuals6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
         .distinct()
     )
-    e = _sym(und).localCheckpoint(eager=True)
+    e = pregel._hard_cut(_sym(und))
     verts = e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
     n = verts.count()
     inv = 1.0 / n
@@ -15548,7 +15568,7 @@ def q_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100-row rank windows are single-partition by construction
     (bounded audit set, not a scale path)."""
     und = coorder_edges(spark, sf_dir, part_cap=400)
-    e = _sym(und)
+    e = pregel._hard_cut(_sym(und))
     pr = pregel.pagerank_fixed(e, n_iter=5, damping=DAMPING)
     deg = e.groupBy("src").agg(F.count("*").alias("d")).select(
         F.col("src").alias("id"), "d"
@@ -16194,7 +16214,7 @@ def q_sbm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded 4 dp."""
     # checkpointed: und feeds the LPA run (its own actions) AND the
     # final block-count plan — one co-order build instead of two
-    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = pregel._hard_cut(coorder_edges(spark, sf_dir))
     e = _sym(und)
     labels, _ = pregel.label_propagation(und, max_iter=2)
     lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
@@ -16446,7 +16466,7 @@ def q_nbt_centrality3(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vertex centrality Σ_{e into v} x₃(e) is BIGINT-exact
     cross-engine (bounded graph keeps counts < 2^40)."""
     und = coorder_edges(spark, sf_dir, part_cap=400)
-    e = _sym(und).localCheckpoint(eager=True)
+    e = pregel._hard_cut(_sym(und))
     x = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).cast("long").alias("x"))
     for _ in range(3):
         x = (
@@ -16494,7 +16514,7 @@ def q_forman_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sit inside dense communities.  Degrees + per-edge triangle support
     (the id-ordered triangle join) make it one pass of exact integers;
     reported as the curvature histogram."""
-    und = coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = pregel._hard_cut(coorder_edges(spark, sf_dir))
     sym = _sym(und)
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("d"))
     # per-edge triangle support via the degree-oriented enumeration
@@ -17814,13 +17834,20 @@ sub AS MATERIALIZED (SELECT src, dst FROM wund WHERE w >= 2)
 """
 
 
-def _w2_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _w2_backbone(
+    spark: SparkSession, sf_dir: str, part_cap: int | None = None
+) -> DataFrame:
     """Weight-≥2 co-order backbone: part pairs co-ordered at least
     twice (the `percolation_profile` threshold-2 graph) — sparse with
     real block structure at every sf, unlike the raw co-order graph
     whose density inverts between sf0.001 (near-clique neighborhoods)
     and sf0.01."""
     li = load_table(spark, "lineitem", sf_dir)
+    if part_cap is not None:
+        # scan-level pushdown (the coorder_edges part_cap discipline):
+        # capping l_partkey before grouping is equivalent to filtering
+        # both pair endpoints afterwards
+        li = li.where(F.col("l_partkey") < F.lit(part_cap))
     groups = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .groupBy("o")
@@ -19692,9 +19719,7 @@ def q_biconnected_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     — ~12M rows uncapped at sf0.01, which busts a default 1 GB driver;
     the cap keeps it < 1M while the label structure stays rich: same
     bounded-subgraph discipline as `graph_center`)."""
-    sub = _w2_backbone(spark, sf_dir).where(
-        (F.col("src") < 1000) & (F.col("dst") < 1000)
-    )
+    sub = _w2_backbone(spark, sf_dir, part_cap=1000)
     out, stats = pregel.biconnected_components(sub)
     if not stats.converged:
         raise RuntimeError("biconnected label propagation did not converge")
@@ -21116,9 +21141,7 @@ def q_maxcut_sweep2(spark: SparkSession, sf_dir: str) -> DataFrame:
     GW-free local-search baseline every graph-partitioning harness
     starts from.  Each sweep is two join-aggregates over the edges;
     state is one side bit per vertex."""
-    sub = _w2_backbone(spark, sf_dir).where(
-        (F.col("src") < 2000) & (F.col("dst") < 2000)
-    )
+    sub = pregel._hard_cut(_w2_backbone(spark, sf_dir, part_cap=2000))
     sym = _sym(sub).localCheckpoint(eager=True)
     side = (
         sym.select(F.col("src").alias("id"))

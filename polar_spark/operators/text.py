@@ -877,10 +877,12 @@ def suffix_ranks(
             .join(nxt, "pos", "left")
             .withColumn("r2", F.coalesce("r2", F.lit(0)))
         )
+        # lazy: the next round's convergence aggregate materializes it
+        # (one job per doubling round instead of two)
         cur = (
             _dense_rank_pairs(paired)
             .select("pos", "doc_id", "tok", F.col("new_rank").alias("rank"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         shift *= 2
         if shift >= n:
@@ -937,17 +939,21 @@ def bpe_train(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        # argmax as ONE aggregate (min of (-count, a, b) — identical
+        # winner and tie-break to the former global sort + limit 1,
+        # without the sort's extra exchange); this collect is also the
+        # action that materializes the previous round's lazy fold
         top = (
             words.select("cnt", F.explode(pairs).alias("pr"))
             .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
             .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "a", "b")).alias("m"))
             .collect()
         )
-        if not top:
+        if not top or top[0]["m"] is None:
             break
-        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        m = top[0]["m"]
+        a, b, c = m["a"], m["b"], int(-m["nc"])
         merges.append((a, b, c))
         merged = a + b
         fold = F.aggregate(
@@ -964,7 +970,9 @@ def bpe_train(
             )
             .otherwise(F.concat(acc, F.lit(sep), s)),
         )
-        words = words.withColumn("cur", fold).localCheckpoint(eager=True)
+        # lazy: the next round's argmax collect (or the caller's final
+        # action) materializes the fold — halves the per-merge job count
+        words = words.withColumn("cur", fold).localCheckpoint(eager=False)
     out = words.select(
         "word",
         F.col("cnt").cast("long"),

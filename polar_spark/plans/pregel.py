@@ -352,11 +352,10 @@ def _pagerank_loop(
     # datasets are referenced by EVERY iteration's plan — truncating to
     # a LogicalRDD keeps per-iteration analysis cost independent of how
     # the edges were produced.
-    ew = (
+    ew = _hard_cut(
         e.join(out_deg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
         .repartition(shuffle, "src")
-        .localCheckpoint(eager=True)
     )
     # dangling flag folded into the vertex state: the per-iteration
     # dangling mass is then a by-product of the SAME aggregate that
@@ -603,7 +602,7 @@ def hits(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     map-side, one shuffle per half-step).  Returns
     ``(id, hub, authority)`` for every vertex."""
     spark = edges.sparkSession
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     verts = vertices_of(e).localCheckpoint(eager=True)
     state = verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
     for _ in range(n_iter):
@@ -650,7 +649,7 @@ def salsa(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     lost dangling mass so halves stay comparable).  Same plan shape as
     :func:`hits`: one join-aggregate per half-step, degree dimensions
     broadcast.  Returns ``(id, hub, authority)``."""
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     verts = vertices_of(e).localCheckpoint(eager=True)
     outd = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outd"))
     ind = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("ind"))
@@ -710,10 +709,9 @@ def pagerank_fixed(
     # edge build n_iter times and the final action re-runs it for each
     e = normalize_edges(edges)
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
-    ew = (
+    ew = _hard_cut(
         e.join(out_deg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .localCheckpoint(eager=True)
     )
     verts = vertices_of(e).localCheckpoint(eager=True)
     n = verts.count()
@@ -758,7 +756,7 @@ def katz(
     ``alpha`` must stay below 1/λ_max for the infinite series to
     converge; truncated fixed iterations are well-defined for any α.
     Returns (id, katz)."""
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     verts = vertices_of(e).localCheckpoint(eager=True)
     x = verts.select("id", F.lit(beta).alias("katz"))
     for _ in range(n_iter):
@@ -797,10 +795,9 @@ def personalized_pagerank_fixed(
     # ew/verts materialized once — the pagerank_fixed discipline
     e = normalize_edges(edges)
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
-    ew = (
+    ew = _hard_cut(
         e.join(out_deg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .localCheckpoint(eager=True)
     )
     verts = vertices_of(e).localCheckpoint(eager=True)
     inv_s = 1.0 / len(sources)
@@ -850,10 +847,9 @@ def pagerank_weighted_fixed(
     )
     wsum = e.groupBy(F.col("src")).agg(F.sum("wt").alias("ws"))
     # ew/verts materialized once — the pagerank_fixed discipline
-    ew = (
+    ew = _hard_cut(
         e.join(wsum, "src")
         .select("src", "dst", (F.col("wt") / F.col("ws")).alias("w"))
-        .localCheckpoint(eager=True)
     )
     verts = vertices_of(e).localCheckpoint(eager=True)
     n = verts.count()
@@ -897,7 +893,7 @@ def bfs_distances(
     e_c = compact_ids(e0, m0)
     id_type = dict(e_c.dtypes)["src"]
     with _shuffle_conf(spark, shuffle):
-        e = e_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(e_c.repartition(shuffle, "src"))
         e0.unpersist()
         stats = IterationStats(algorithm="bfs", edges=m0)
         frontier = (
@@ -922,7 +918,9 @@ def bfs_distances(
             if n == 0:
                 stats.converged = True
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            # lazy: the next round's frontier count materializes it (one
+            # job per round instead of two)
+            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt
         return visited.select(F.col("id").cast("long").alias("id"), "dist"), stats
 
@@ -1027,7 +1025,7 @@ def densest_subgraph(
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(sym0.repartition(shuffle, "src"))
         verts = vertices_of(e).localCheckpoint(eager=True)
         sym0.unpersist()
         peeled: list[DataFrame] = []
@@ -1122,7 +1120,7 @@ def bfs_relabel(
     # materialized once: e feeds the start argmin, the BFS, vertices_of
     # and the final rank join — several actions that would otherwise
     # each re-run the caller's edge-construction plan
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     if start is None:
         start = e.agg(F.min("src")).collect()[0][0]
         if start is None:  # empty edge table → empty mapping, not a crash
@@ -1185,7 +1183,7 @@ def wl_colors(
     # rank bucket collect + the colors checkpoint) — without the cut
     # each action re-executes the caller's full edge-construction plan
     # (measured: the co-order self-join re-ran ~6x, 30 s → 8 s at sf0.1)
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     colors = (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("color"))
@@ -1229,7 +1227,7 @@ def bfs_per_source(
     e_c = compact_ids(e0, m0)
     id_type = dict(e_c.dtypes)["src"]
     with _shuffle_conf(spark, shuffle):
-        e = e_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(e_c.repartition(shuffle, "src"))
         e0.unpersist()
         stats = IterationStats(algorithm="bfs_per_source", edges=m0)
         frontier = (
@@ -1260,7 +1258,9 @@ def bfs_per_source(
             if n == 0:
                 stats.converged = True
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            # lazy: the next round's frontier count materializes it (one
+            # job per round instead of two)
+            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt
         return (
             visited.select(
@@ -1326,7 +1326,7 @@ def kcore(
     shuffle = _auto_partitions(spark, m0, num_partitions)
     sym_c = compact_ids(sym0, m0)
     with _shuffle_conf(spark, shuffle):
-        e = sym_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(sym_c.repartition(shuffle, "src"))
         sym0.unpersist()
         stats = IterationStats(algorithm="kcore", edges=m0)
         prev_m = e.count()
@@ -1416,7 +1416,7 @@ def core_numbers(
         # fused-PageRank alignment).  Each round pays exactly TWO stage
         # barriers: the contrib shuffle to src for the H-aggregate, and
         # the chunk's action; everything else pipelines.
-        e_dst = sym_c.repartition(shuffle, "dst").localCheckpoint(eager=True)
+        e_dst = _hard_cut(sym_c.repartition(shuffle, "dst"))
         sym0.unpersist()
         h = (
             e_dst.groupBy(F.col("src").alias("id"))
@@ -1539,7 +1539,7 @@ def ktruss(
     shuffle = _auto_partitions(spark, m0, num_partitions)
     e_c = compact_ids(und0, m0)
     with _shuffle_conf(spark, shuffle):
-        cur = e_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        cur = _hard_cut(e_c.repartition(shuffle, "src"))
         und0.unpersist()
         stats = IterationStats(algorithm="ktruss", edges=m0)
         prev_m = cur.count()
@@ -1758,7 +1758,7 @@ def strongly_connected_components(
     e_c = compact_ids(e0, m0)
     id_type = dict(e_c.dtypes)["src"]
     with _shuffle_conf(spark, shuffle):
-        e = e_c.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(e_c.repartition(shuffle, "src"))
         e0.unpersist()
         remaining = vertices_of(e).localCheckpoint(eager=True)
         stats = IterationStats(algorithm="scc", edges=m0, vertices=remaining.count())
@@ -1889,7 +1889,7 @@ def anf(
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(e0.repartition(shuffle, "src"))
         verts = vertices_of(e).localCheckpoint(eager=True)
         e0.unpersist()
         stats = IterationStats(algorithm="anf", edges=m0, vertices=verts.count())
@@ -1980,7 +1980,7 @@ def betweenness_landmarks(
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(sym0.repartition(shuffle, "src"))
         verts = vertices_of(e).localCheckpoint(eager=True)
         sym0.unpersist()
         stats = IterationStats(algorithm="betweenness", edges=m0, vertices=verts.count())
@@ -2085,7 +2085,7 @@ def sssp(
     m0 = e0.count()
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(e0.repartition(shuffle, "src"))
         e0.unpersist()
         stats = IterationStats(algorithm="sssp", edges=m0)
         dist = spark.createDataFrame(
@@ -2162,7 +2162,7 @@ def widest_paths(
     m0 = e0.count()
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(e0.repartition(shuffle, "src"))
         e0.unpersist()
         stats = IterationStats(algorithm="widest_paths", edges=m0)
         cap = spark.createDataFrame(
@@ -2232,7 +2232,7 @@ def sssp_per_source(
     m0 = e0.count()
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(e0.repartition(shuffle, "src"))
         e0.unpersist()
         stats = IterationStats(algorithm="sssp_per_source", edges=m0)
         dist = spark.createDataFrame(
@@ -2312,7 +2312,7 @@ def maximal_independent_set(
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(sym0.repartition(shuffle, "src"))
         verts = vertices_of(e).localCheckpoint(eager=True)
         sym0.unpersist()
         vrow = verts.agg(
@@ -2416,7 +2416,7 @@ def greedy_coloring(
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(sym0.repartition(shuffle, "src"))
         verts = vertices_of(e).localCheckpoint(eager=True)
         sym0.unpersist()
         vrow = verts.agg(
@@ -2561,13 +2561,16 @@ def minimum_spanning_forest(
             t0 = time.monotonic()
             ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
             cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("cb"))
+            # lazy: the active-count action materializes sel AND the
+            # previous round's lazily-checkpointed comp/hop chain — one
+            # job per round instead of one per sub-step
             sel = (
                 sym.join(ca, "a")
                 .join(cb, "b")
                 .where(F.col("ca") != F.col("cb"))
                 .groupBy("ca")
                 .agg(F.min(F.struct("w", "u", "v", "cb")).alias("m"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             active = sel.count()
             stats.iterations = rnd
@@ -2615,6 +2618,11 @@ def minimum_spanning_forest(
                 for _ in range(k):
                     hop = p.select(F.col("id").alias("p"), F.col("p").alias("pp"))
                     p = p.join(hop, "p").select("id", F.col("pp").alias("p"))
+                # eager _hard_cut: A/B-measured faster than the lazy
+                # _stats_leaf chain here (13.0 vs 14.7 s at sf0.1) — the
+                # pointer-doubling self-joins re-enter the plan twice per
+                # hop, so deferring materialization deepens the analyzed
+                # tree faster than it saves jobs
                 p = _hard_cut(p)
                 done_h += k
             comp = _hard_cut(
@@ -2685,7 +2693,7 @@ def _cc_loop(
 ):
     id_type = dict(sym_in.dtypes)["src"]  # 'int' when compact_ids applied
     # lineage cut: referenced by every iteration (see _pagerank_loop)
-    sym = sym_in.repartition(shuffle, "src").localCheckpoint(eager=True)
+    sym = _hard_cut(sym_in.repartition(shuffle, "src"))
     verts = vertices_of(sym).localCheckpoint(eager=True)
     stats = IterationStats(
         algorithm="connected_components", edges=sym.count(), vertices=verts.count()
@@ -2717,13 +2725,16 @@ def _cc_loop(
     # least-compare) — without the cut the analyzed plan doubles per round
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.monotonic()
+        # shuffle_hash: both sides are hash-partitioned state tables —
+        # SMJ would sort the edge table every round (the pagerank hint
+        # discipline, guide §3.1)
         nbr_min = (
-            sym.join(comp.withColumnRenamed("id", "src"), "src")
+            sym.join(comp.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
         new_comp = (
-            comp.join(nbr_min, "id", "left")
+            comp.join(nbr_min.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
@@ -2794,7 +2805,7 @@ def connected_components_multi(
         return spark.createDataFrame([], "k long, id long, comp long"), stats
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        sym = sym0.repartition(shuffle, "k", "src").localCheckpoint(eager=True)
+        sym = _hard_cut(sym0.repartition(shuffle, "k", "src"))
         sym0.unpersist()
         verts = (
             sym.select("k", F.col("src").alias("id"))
@@ -2808,12 +2819,15 @@ def connected_components_multi(
         for it in range(1, max_iter + 1):
             t0 = time.monotonic()
             nbr_min = (
-                sym.join(comp.withColumnRenamed("id", "src"), ["k", "src"])
+                sym.join(
+                    comp.withColumnRenamed("id", "src").hint("shuffle_hash"),
+                    ["k", "src"],
+                )
                 .groupBy("k", F.col("dst").alias("id"))
                 .agg(F.min("comp").alias("nbr_comp"))
             )
             new_comp = (
-                comp.join(nbr_min, ["k", "id"], "left")
+                comp.join(nbr_min.hint("shuffle_hash"), ["k", "id"], "left")
                 .select(
                     "k",
                     "id",
@@ -3021,7 +3035,7 @@ def label_propagation_weighted(
         for it in range(1, max_iter + 1):
             t0 = time.monotonic()
             votes = (
-                sym.join(labels.withColumnRenamed("id", "src"), "src")
+                sym.join(labels.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
                 .groupBy(F.col("dst").alias("id"), "label")
                 .agg(F.sum("w").alias("wsum"))
             )
@@ -3074,7 +3088,7 @@ def label_propagation_states(
 
 def _lpa_loop(spark, sym_in, sym_base, shuffle, max_iter, snapshots=None, keep=()):
     # lineage cut: referenced by every iteration (see _pagerank_loop)
-    sym = sym_in.repartition(shuffle, "src").localCheckpoint(eager=True)
+    sym = _hard_cut(sym_in.repartition(shuffle, "src"))
     verts = vertices_of(sym).localCheckpoint(eager=True)
     stats = IterationStats(algorithm="label_propagation", edges=sym.count(), vertices=verts.count())
     sym_base.unpersist()
@@ -3082,7 +3096,7 @@ def _lpa_loop(spark, sym_in, sym_base, shuffle, max_iter, snapshots=None, keep=(
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
         counts = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            sym.join(labels.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count("*").alias("n"))
         )
@@ -3210,7 +3224,7 @@ def node_similarity(
     missed; exact when None).  Returns (id, other, sim, rnk ≤ k)."""
     from pyspark.sql.window import Window
 
-    sym = symmetrize(normalize_edges(edges)).localCheckpoint(eager=True)
+    sym = _hard_cut(symmetrize(normalize_edges(edges)))
     centers = sym
     if max_center_degree is not None:
         heavy = (
@@ -3277,12 +3291,11 @@ def personalized_pagerank_multi(
     replays identical unrolled arithmetic per group.  Returns
     (gid, id, rank)."""
     spark = edges.sparkSession
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
-    ew = (
+    ew = _hard_cut(
         e.join(out_deg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .localCheckpoint(eager=True)
     )
     verts = vertices_of(e).localCheckpoint(eager=True)
     seeds = spark.createDataFrame(
@@ -3365,7 +3378,7 @@ def betweenness_weighted(
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(e0.repartition(shuffle, "src"))
         e0.unpersist()
         verts = vertices_of(e).localCheckpoint(eager=True)
         stats = IterationStats(
@@ -3500,7 +3513,7 @@ def eigenvector_centrality(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     arithmetic unrollable in ANSI SQL for the cross-engine oracle; each
     round is one join-aggregate shuffle plus a 1-row broadcast norm —
     the HITS half-step shape without the mutual reinforcement."""
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     verts = vertices_of(e).localCheckpoint(eager=True)
     if verts.rdd.isEmpty():
         spark = edges.sparkSession
@@ -3559,7 +3572,7 @@ def score(
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = e0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(e0.repartition(shuffle, "src"))
         e0.unpersist()
         stats = IterationStats(algorithm="score", edges=m0)
         prev_m = e.count()
@@ -3623,7 +3636,7 @@ def simrank(
 
     Returns ``((a, b, s) with the diagonal included, stats)``.
     """
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     stats = IterationStats(algorithm="simrank")
     spark = edges.sparkSession
     if e.rdd.isEmpty():
@@ -3694,7 +3707,7 @@ def dag_longest_path(
     fixpoint the input has a cycle — raises instead of returning wrong
     levels (a cycle makes 'longest path' unbounded).
     """
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     stats = IterationStats(algorithm="dag_longest_path", fused=probe_every > 1)
     spark = edges.sparkSession
     if e.rdd.isEmpty():
@@ -3757,7 +3770,7 @@ def square_counts(sym_edges: DataFrame) -> DataFrame:
     triangle counting's 2-path stage; bound the input (degree cap or
     subgraph scope) the same way.
     """
-    e = normalize_edges(sym_edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(sym_edges))
     spark = sym_edges.sparkSession
     if e.rdd.isEmpty():
         return spark.createDataFrame([], "id long, squares long")
@@ -4153,7 +4166,7 @@ def dag_path_counts(
     source reaches never enters any frontier (zero counts inside it —
     a valid fixpoint, not an error), and its vertices report 0.
     """
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     stats = IterationStats(algorithm="dag_path_counts")
     spark = edges.sparkSession
     if e.rdd.isEmpty():
@@ -4299,7 +4312,7 @@ def shortest_path_counts(
     rounds).  Rounds past the last frontier are no-ops (empty
     frontier), so a SQL oracle may over-unroll safely.
     """
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     spark = edges.sparkSession
     stats = IterationStats(algorithm="shortest_path_counts")
     if e.rdd.isEmpty():
@@ -4325,7 +4338,9 @@ def shortest_path_counts(
         if n == 0:
             stats.converged = True
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # lazy: the next round's frontier count materializes it (one
+        # job per round instead of two)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     # if max_depth truncated the sweep, stats.converged stays False and
     # the table covers vertices within max_depth hops only
@@ -4359,15 +4374,17 @@ def ppr_push(
     story; the fixed round count keeps the arithmetic unrollable for
     the SQL oracle).  Returns ``(id, p, r)`` over all vertices.
     """
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     spark = edges.sparkSession
     if e.rdd.isEmpty():
         return spark.createDataFrame([], "id long, p double, r double")
     verts = vertices_of(e).localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
-    w = e.join(deg.withColumnRenamed("id", "src"), "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("d")).alias("wt")
-    ).localCheckpoint(eager=True)
+    w = _hard_cut(
+        e.join(deg.withColumnRenamed("id", "src"), "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("d")).alias("wt")
+        )
+    )
     state = verts.select(
         "id",
         F.lit(0.0).alias("p"),
@@ -4474,7 +4491,9 @@ def bipartite_report(
             )
             if nxt.count() == 0:
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            # lazy: the next round's frontier count materializes it (one
+            # job per round instead of two)
+            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt
         parity = visited.select("id", (F.col("dist") % 2).alias("par"))
         edge_par = (
@@ -4537,7 +4556,7 @@ def ppr_sweep(
     # action), the vol_total count, and the deg/und joins of the final
     # plan — without the cut each of those re-runs the caller's full
     # graph-construction plan
-    edges_sym = edges_sym.localCheckpoint(eager=True)
+    edges_sym = _hard_cut(edges_sym)
     out = ppr_push(edges_sym, source=source, alpha=alpha, n_iter=n_iter)
     deg = edges_sym.groupBy("src").agg(F.count("*").alias("d"))
     vol_total = edges_sym.count()  # sum of degrees = 2m
@@ -4617,7 +4636,7 @@ def harmonic_labels(
     # materialized once: e feeds deg, verts and every round's inm join —
     # without the cut each round's action re-runs the caller's full
     # graph-construction plan
-    e = edges_sym.select("src", "dst").localCheckpoint(eager=True)
+    e = _hard_cut(edges_sym.select("src", "dst"))
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     verts = vertices_of(e)
     onehot = [
@@ -4642,7 +4661,7 @@ def harmonic_labels(
             *[F.expr(f"m{i} div d").cast("long").alias(f"c{i}") for i in range(n_labels)],
         )
         inm = (
-            e.join(contrib, e.src == F.col("_u"))
+            e.join(contrib.hint("shuffle_hash"), e.src == F.col("_u"))
             .groupBy(F.col("dst").alias("id"))
             .agg(*[F.sum(f"c{i}").alias(f"m{i}") for i in range(n_labels)])
         )
@@ -4767,7 +4786,7 @@ def hitting_time(edges: DataFrame, targets: list[int], n_iter: int = 6) -> DataF
     arithmetic unrollable in ANSI SQL for the cross-engine oracle.
     Each round is one join-aggregate shuffle on the pre-partitioned
     edge table — the eigenvector_centrality plan shape."""
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     spark = edges.sparkSession
     verts = vertices_of(e)
     deg = (
@@ -4812,7 +4831,7 @@ def trophic_levels(edges: DataFrame, n_iter: int = 4, scale: int = 1_000_000) ->
     edge table; the level vector is the hierarchy/layering signal a
     dependency graph reads for build staging (reference graph queries:
     /root/reference/src/agents/graph/queries — layering family)."""
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     spark = edges.sparkSession
     verts = vertices_of(e)
     indeg = e.groupBy(F.col("dst").alias("id")).agg(
@@ -4926,12 +4945,11 @@ def temporal_earliest_arrival(
     Min-propagation is monotone: rounds past the fixpoint are no-ops.
     Input: ``(src, dst, t)`` with integer t ≥ 0."""
     spark = edges_t.sparkSession
-    e = (
+    e = _hard_cut(
         edges_t.select(
             F.col("src").cast("long"), F.col("dst").cast("long"), F.col("t").cast("long")
         )
         .dropDuplicates(["src", "dst", "t"])
-        .localCheckpoint(eager=True)
     )
     arr = spark.createDataFrame([(int(s), 0) for s in seeds], "id long, arr long")
     for _ in range(n_iter):
@@ -4963,7 +4981,7 @@ def fiedler_vector(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     arithmetic unrollable in ANSI SQL for the cross-engine oracle.
     Caller symmetrizes.  Returns ``(id, f)``; sign is determined by the
     deterministic start, not meaningful on its own."""
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     spark = edges.sparkSession
     deg = (
         e.groupBy(F.col("src").alias("id"))
@@ -5015,7 +5033,7 @@ def influence_seeds(edges: DataFrame, k: int = 5) -> DataFrame:
     semi-join discount aggregate plus a global top-1 (TakeOrdered — no
     driver-side loop over collect()ed data).  Caller symmetrizes.
     Returns ``(rank, id, dd)`` for the k seeds."""
-    e = normalize_edges(edges).localCheckpoint(eager=True)
+    e = _hard_cut(normalize_edges(edges))
     spark = edges.sparkSession
     deg = (
         e.groupBy(F.col("src").alias("id"))
@@ -5069,8 +5087,8 @@ def edge_common_neighbors(und: DataFrame) -> DataFrame:
             F.when(F.col("rs") < F.col("rd"), F.col("src")).otherwise(F.col("dst")).alias("a"),
             F.when(F.col("rs") < F.col("rd"), F.col("dst")).otherwise(F.col("src")).alias("b"),
         )
-        .localCheckpoint(eager=True)
     )
+    oriented = _hard_cut(oriented)
     w1 = oriented.select(F.col("a"), F.col("b").alias("p"))
     w2 = oriented.select(F.col("a"), F.col("b").alias("q"))
     tri = (
@@ -5115,7 +5133,7 @@ def scan_clusters(
     component; outliers carry cluster −1.  Caller may pass either
     orientation; edges are symmetrized internally."""
     spark = edges.sparkSession
-    sym = symmetrize(normalize_edges(edges)).localCheckpoint(eager=True)
+    sym = _hard_cut(symmetrize(normalize_edges(edges)))
     if not sym.take(1):
         return spark.createDataFrame([], "id long, role string, cluster long")
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
@@ -5211,7 +5229,7 @@ def edge_betweenness_landmarks(
         )
     shuffle = _auto_partitions(spark, m0, num_partitions)
     with _shuffle_conf(spark, shuffle):
-        e = sym0.repartition(shuffle, "src").localCheckpoint(eager=True)
+        e = _hard_cut(sym0.repartition(shuffle, "src"))
         und = e.where(F.col("src") < F.col("dst")).select(
             F.col("src").alias("u"), F.col("dst").alias("v")
         )
@@ -5473,10 +5491,8 @@ def four_node_census(
     clique joins (each subgraph found once), so the SQL oracle replays
     it bit-for-bit.  Cost is the triangle-join + codegree-pair cost —
     the scalable census shape (no 4-subset enumeration)."""
-    und = (
-        symmetrize(normalize_edges(edges))
-        .where(F.col("src") < F.col("dst"))
-        .localCheckpoint(eager=True)
+    und = _hard_cut(
+        symmetrize(normalize_edges(edges)).where(F.col("src") < F.col("dst"))
     )
     spark = und.sparkSession
     sym = und.unionByName(
@@ -5604,15 +5620,15 @@ def local_bridges(
     bounded at ``max_span`` rounds.  Returns (u, v, span) with span −1
     when u and v are further than ``max_span`` apart (or disconnected)
     after removal."""
-    und0 = (
-        symmetrize(normalize_edges(edges))
-        .where(F.col("src") < F.col("dst"))
-        .localCheckpoint(eager=True)
+    und0 = _hard_cut(
+        symmetrize(normalize_edges(edges)).where(F.col("src") < F.col("dst"))
     )
     spark = und0.sparkSession
-    sym = und0.unionByName(
-        und0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    sym = _hard_cut(
+        und0.unionByName(
+            und0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     ab = und0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = und0.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = und0.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -5651,7 +5667,8 @@ def local_bridges(
         if n == 0:
             stats.converged = True
             break
-        visited = visited.unionByName(step).localCheckpoint(eager=True)
+        # lazy: the next round's frontier count materializes it
+        visited = visited.unionByName(step).localCheckpoint(eager=False)
         frontier = step
     found = visited.where(F.col("id") == F.col("bv")).select(
         "bu", "bv", F.col("dist").alias("span")
@@ -5690,14 +5707,14 @@ def articulation_points(
     Returns ``(df, stats)`` with df = (id, n_nbrs, reached_nbrs,
     is_articulation) over all degree-≥2 candidates.
     """
-    und0 = (
-        symmetrize(normalize_edges(edges))
-        .where(F.col("src") < F.col("dst"))
-        .localCheckpoint(eager=True)
+    und0 = _hard_cut(
+        symmetrize(normalize_edges(edges)).where(F.col("src") < F.col("dst"))
     )
-    sym = und0.unionByName(
-        und0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    sym = _hard_cut(
+        und0.unionByName(
+            und0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     nbrs = sym.select(F.col("src").alias("v"), F.col("dst").alias("nbr"))
     deg = nbrs.groupBy("v").agg(
         F.count("*").cast("long").alias("n_nbrs"), F.min("nbr").alias("x0")
@@ -5721,7 +5738,8 @@ def articulation_points(
         if n == 0:
             stats.converged = True
             break
-        visited = visited.unionByName(step).localCheckpoint(eager=True)
+        # lazy: the next round's frontier count materializes it
+        visited = visited.unionByName(step).localCheckpoint(eager=False)
         frontier = step
     if not stats.converged:
         raise RuntimeError(
@@ -5764,10 +5782,8 @@ def clique_percolation3(edges: DataFrame) -> DataFrame:
     # and tri by the incidence union + the final membership join, each
     # consumed by several actions (the CC run, the final collect) — the
     # cuts stop the caller's backbone build re-running per action
-    und = (
-        symmetrize(normalize_edges(edges))
-        .where(F.col("src") < F.col("dst"))
-        .localCheckpoint(eager=True)
+    und = _hard_cut(
+        symmetrize(normalize_edges(edges)).where(F.col("src") < F.col("dst"))
     )
     a = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     b_ = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -5782,8 +5798,8 @@ def clique_percolation3(edges: DataFrame) -> DataFrame:
             "c",
             (F.col("a") * k * k + F.col("b") * k + F.col("c")).alias("tid"),
         )
-        .localCheckpoint(eager=True)
     )
+    tri = _hard_cut(tri)
     em = (
         tri.select("tid", (F.col("a") * k + F.col("b")).alias("ek"))
         .unionByName(tri.select("tid", (F.col("a") * k + F.col("c")).alias("ek")))
@@ -5927,15 +5943,15 @@ def biconnected_components(
 
     Returns ``(df, stats)`` with one row per edge:
     ``(a, b, block)`` where block = the minimum member edge key."""
-    und0 = (
-        symmetrize(normalize_edges(edges))
-        .where(F.col("src") < F.col("dst"))
-        .localCheckpoint(eager=True)
+    und0 = _hard_cut(
+        symmetrize(normalize_edges(edges)).where(F.col("src") < F.col("dst"))
     )
     spark = und0.sparkSession
-    sym = und0.unionByName(
-        und0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    sym = _hard_cut(
+        und0.unionByName(
+            und0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     stats = IterationStats(algorithm="biconnected_components", edges=sym.count() // 2)
     cur = sym.select(
         F.col("src").alias("v"), F.col("dst").alias("u"), F.col("dst").alias("lab")
