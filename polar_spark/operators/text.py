@@ -787,7 +787,8 @@ def span_corruption(
 
 
 def _dense_rank_pairs(
-    pairs: DataFrame, c1: str = "r1", c2: str = "r2", n_buckets: int = 512
+    pairs: DataFrame, c1: str = "r1", c2: str = "r2", n_buckets: int = 512,
+    hi: int | None = None,
 ) -> DataFrame:
     """Dense rank of (c1, c2) pairs WITHOUT a single-partition global
     window: distinct pairs are bucketed by a monotone range function of
@@ -795,9 +796,16 @@ def _dense_rank_pairs(
     only sequential pass runs over ≤ n_buckets rows), and the in-bucket
     row_number is a window partitioned BY BUCKET — the two-phase
     distributed prefix-sum pattern shared with ``packing`` and
-    ``pregel.bfs_relabel``.  Adds ``new_rank`` (1-based, dense)."""
+    ``pregel.bfs_relabel``.  Adds ``new_rank`` (1-based, dense).
+
+    ``hi``: optional UPPER BOUND on ``max(c1)``.  The final rank is the
+    global (c1, c2) order rank and is identical for ANY bucket width —
+    a loose bound only leaves some buckets empty — so callers that know
+    a bound (vertex count, token count) pass it and skip the per-call
+    max aggregate action, letting fixed-round loops chain lazily."""
     d = pairs.select(c1, c2).distinct()
-    hi = d.agg(F.max(c1).alias("hi")).collect()[0]["hi"]
+    if hi is None:
+        hi = d.agg(F.max(c1).alias("hi")).collect()[0]["hi"]
     if hi is None:
         return pairs.withColumn("new_rank", F.lit(None).cast("long"))
     width = max(1, (int(hi) + n_buckets) // n_buckets)
@@ -878,9 +886,11 @@ def suffix_ranks(
             .withColumn("r2", F.coalesce("r2", F.lit(0)))
         )
         # lazy: the next round's convergence aggregate materializes it
-        # (one job per doubling round instead of two)
+        # (one job per doubling round instead of two); ranks are bounded
+        # by the token count, so hi=n skips the per-round max aggregate
+        # inside _dense_rank_pairs (rank is bucket-width-invariant)
         cur = (
-            _dense_rank_pairs(paired)
+            _dense_rank_pairs(paired, hi=max(int(n), 1))
             .select("pos", "doc_id", "tok", F.col("new_rank").alias("rank"))
             .localCheckpoint(eager=False)
         )

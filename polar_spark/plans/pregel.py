@@ -1189,6 +1189,13 @@ def wl_colors(
         .agg(F.count("*").alias("color"))
         .localCheckpoint(eager=True)
     )
+    # colors are degrees (round 0) then dense ranks — both bounded by the
+    # vertex count, so one count on the checkpointed init replaces the
+    # per-round max-aggregate inside _dense_rank_pairs, and the fixed
+    # rounds chain LAZILY into the caller's single action (no per-round
+    # driver round-trip; the rank is bucket-width-invariant, see
+    # _dense_rank_pairs).
+    n_verts = colors.count()
     for _ in range(rounds):
         neigh = e.join(
             colors.select(F.col("id").alias("dst"), F.col("color").alias("nc")),
@@ -1201,9 +1208,9 @@ def wl_colors(
             "id", F.col("color").alias("r1"), F.col("sig").alias("r2")
         )
         colors = (
-            _dense_rank_pairs(paired)
+            _dense_rank_pairs(paired, hi=max(int(n_verts), 1))
             .select("id", F.col("new_rank").alias("color"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return colors.select(F.col("id").cast("long"), F.col("color").cast("long"))
 
@@ -1416,7 +1423,13 @@ def core_numbers(
         # fused-PageRank alignment).  Each round pays exactly TWO stage
         # barriers: the contrib shuffle to src for the H-aggregate, and
         # the chunk's action; everything else pipelines.
-        e_dst = _hard_cut(sym_c.repartition(shuffle, "dst"))
+        # plain localCheckpoint (NOT _hard_cut): the leaf inherits the
+        # origin plan's size estimate, which keeps the frontier semi-join
+        # (nbr ⨝ cand) broadcastable — with the default huge estimate the
+        # planner shuffles nbr every round (A/B: 27.6 s vs 37.1 s at
+        # sf0.1).  The loop's other joins are pinned by shuffle_hash
+        # hints, so the small estimate cannot mis-broadcast the edge side.
+        e_dst = sym_c.repartition(shuffle, "dst").localCheckpoint(eager=True)
         sym0.unpersist()
         h = (
             e_dst.groupBy(F.col("src").alias("id"))
@@ -2239,36 +2252,49 @@ def sssp_per_source(
             [(int(s), int(s), 0) for s in sources], "source long, id long, dist long"
         ).localCheckpoint(eager=True)
         frontier = dist
-        for it in range(1, max_iter + 1):
+        # fused chunks (the core_numbers discipline): rounds chain
+        # lazily, one improved-count action per chunk.  Rounds past the
+        # fixpoint are no-ops (empty frontier ⇒ empty cand ⇒ _imp all
+        # false), so the chunk's LAST round having zero improvements is
+        # a sound convergence test — identical distances, at most
+        # chunk-1 no-op rounds run past the fixpoint.
+        it = 0
+        fuse_rounds = 4
+        while it < max_iter:
+            chunk = min(fuse_rounds, max_iter - it)
             t0 = time.monotonic()
-            cand = (
-                e.join(frontier.withColumnRenamed("id", "src"), "src")
-                .groupBy("source", F.col("dst").alias("id"))
-                .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
-            )
-            merged = (
-                dist.join(cand, ["source", "id"], "full")
-                .select(
-                    "source",
-                    "id",
-                    F.least(
-                        F.coalesce(F.col("dist"), F.col("nd")),
-                        F.coalesce(F.col("nd"), F.col("dist")),
-                    ).alias("dist"),
-                    (
-                        F.col("dist").isNull()
-                        | (F.coalesce(F.col("nd"), F.col("dist")) < F.col("dist"))
-                    ).alias("_imp"),
+            merged = None
+            for _ in range(chunk):
+                cand = (
+                    e.join(frontier.withColumnRenamed("id", "src"), "src")
+                    .groupBy("source", F.col("dst").alias("id"))
+                    .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
                 )
-                .localCheckpoint(eager=False)
-            )
+                merged = (
+                    dist.join(cand, ["source", "id"], "full")
+                    .select(
+                        "source",
+                        "id",
+                        F.least(
+                            F.coalesce(F.col("dist"), F.col("nd")),
+                            F.coalesce(F.col("nd"), F.col("dist")),
+                        ).alias("dist"),
+                        (
+                            F.col("dist").isNull()
+                            | (F.coalesce(F.col("nd"), F.col("dist")) < F.col("dist"))
+                        ).alias("_imp"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                frontier = merged.where(F.col("_imp")).select("source", "id", "dist")
+                dist = merged.select("source", "id", "dist")
             improved = int(
                 merged.agg(F.sum(F.col("_imp").cast("long"))).collect()[0][0] or 0
             )
-            frontier = merged.where(F.col("_imp")).select("source", "id", "dist")
-            dist = merged.select("source", "id", "dist")
+            wall = time.monotonic() - t0
+            it += chunk
             stats.iterations = it
-            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.iter_seconds.extend([wall / chunk] * chunk)
             stats.deltas.append(float(improved))
             if improved == 0:
                 stats.converged = True
@@ -3045,7 +3071,8 @@ def label_propagation_weighted(
             labels = (
                 labels.join(winner, "id", "left")
                 .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
-                .localCheckpoint(eager=True)
+                # lazy: fixed rounds, caller's first action materializes
+                .localCheckpoint(eager=False)
             )
             stats.iterations = it
             stats.iter_seconds.append(time.monotonic() - t0)
@@ -3108,7 +3135,10 @@ def _lpa_loop(spark, sym_in, sym_base, shuffle, max_iter, snapshots=None, keep=(
         labels = (
             labels.join(winner, "id", "left")
             .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: fixed rounds need no per-round decision — the
+            # caller's first action materializes the chain (snapshot
+            # references materialize their prefix identically)
+            .localCheckpoint(eager=False)
         )
         stats.iterations = it
         stats.iter_seconds.append(time.monotonic() - t0)
@@ -4557,21 +4587,27 @@ def ppr_sweep(
     # plan — without the cut each of those re-runs the caller's full
     # graph-construction plan
     edges_sym = _hard_cut(edges_sym)
-    out = ppr_push(edges_sym, source=source, alpha=alpha, n_iter=n_iter)
-    deg = edges_sym.groupBy("src").agg(F.count("*").alias("d"))
     vol_total = edges_sym.count()  # sum of degrees = 2m
-    cand = (
-        out.join(deg, out.id == deg.src)
-        .where(F.col("p") > 0)
-        .select("id", "d", F.round(F.col("p") / F.col("d"), 7).alias("score"))
-    )
-    wt = Window.orderBy(F.desc("score"), F.asc("id"))
-    rk = (
-        cand.withColumn("t", F.row_number().over(wt))
-        .where(F.col("t") <= top)
-        .select("id", "d", "t")
-        .localCheckpoint(eager=True)  # <= top rows; reused by three joins
-    )
+    spark = edges_sym.sparkSession
+    # pinned partitions + AQE off for the push rounds and the candidate
+    # materialization (_shuffle_conf, the iterative-loop discipline):
+    # AQE's per-stage replanning on the many small push/rank stages was
+    # measured 9.8 s vs 5.7 s for the whole nibble query at sf0.1
+    with _shuffle_conf(spark, _auto_partitions(spark, vol_total, None)):
+        out = ppr_push(edges_sym, source=source, alpha=alpha, n_iter=n_iter)
+        deg = edges_sym.groupBy("src").agg(F.count("*").alias("d"))
+        cand = (
+            out.join(deg, out.id == deg.src)
+            .where(F.col("p") > 0)
+            .select("id", "d", F.round(F.col("p") / F.col("d"), 7).alias("score"))
+        )
+        wt = Window.orderBy(F.desc("score"), F.asc("id"))
+        rk = (
+            cand.withColumn("t", F.row_number().over(wt))
+            .where(F.col("t") <= top)
+            .select("id", "d", "t")
+            .localCheckpoint(eager=True)  # <= top rows; reused by three joins
+        )
     # cut(t) = vol(t) - 2*internal(t): internal edges have BOTH
     # endpoints at rank <= t, so edges leaving the prefix to
     # non-candidate vertices are counted through vol automatically
@@ -4679,7 +4715,9 @@ def harmonic_labels(
                     for i in range(n_labels)
                 ],
             )
-            .localCheckpoint(eager=True)
+            # lazy: fixed rounds need no per-round decision — the
+            # caller's single action materializes the whole chain
+            .localCheckpoint(eager=False)
         )
     total = sum(F.col(f"m{i}") for i in range(n_labels))
     best = F.lit(-1)
