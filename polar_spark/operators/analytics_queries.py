@@ -224,7 +224,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-hop reachability (Cypher's ``-[*1..k]->``): BFS hop
     distances from the smallest part id over the undirected co-order
     graph, depth-bounded at 8."""
-    e = _sym(coorder_edges(spark, sf_dir))
+    e = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     src0 = e.agg(F.min("src")).collect()[0][0]
     dist, _ = pregel.bfs_distances(e, sources=[int(src0)], max_depth=8)
     return dist.select(F.col("id").cast("long"), F.col("dist").cast("int")).orderBy("id")
@@ -2091,7 +2091,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the undirected co-order graph: Pearson
     correlation of endpoint degrees over the symmetric edge list (one
     scalar — the classic mixing-pattern diagnostic)."""
-    e = _sym(coorder_edges(spark, sf_dir))
+    e = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     paired = (
         e.join(deg, "src")
@@ -2226,7 +2226,7 @@ def q_eccentricity4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark eccentricities on the undirected co-order graph: BFS
     from the 4 smallest part ids, depth-bounded at 12; the max over
     landmarks is the standard diameter lower bound."""
-    e = _sym(coorder_edges(spark, sf_dir))
+    e = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     sources = [int(r["src"]) for r in e.select("src").distinct().orderBy("src").limit(4).collect()]
     dist, _stats = pregel.bfs_per_source(e, sources=sources, max_depth=12)
     return (
@@ -2261,7 +2261,7 @@ def q_link_prediction5(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent) and keep the top-5 candidates per vertex — the
     neighborhood-overlap recommender the reference's modeling docs
     motivate for dependency discovery."""
-    sym = _sym(coorder_edges(spark, sf_dir))
+    sym = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     su = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     sv = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
     two_hop = (
@@ -3945,7 +3945,7 @@ def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     α̂ = 1 + n / Σ ln(dᵢ/(x_min − ½)) on the co-order graph — the
     skew diagnostic that tells you whether hub salting will matter
     before you run the iterative job."""
-    e = _sym(coorder_edges(spark, sf_dir))
+    e = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     dmin = deg.agg(F.min("d").alias("m"))
     return (
@@ -4385,7 +4385,7 @@ def q_adamic_adar5(spark: SparkSession, sf_dir: str) -> DataFrame:
     every common neighbor has deg ≥ 2, so ln never vanishes), top-5 per
     vertex ranked on the 6-dp-rounded score so cross-engine summation
     noise cannot reorder."""
-    sym = _sym(coorder_edges(spark, sf_dir))
+    sym = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     deg = sym.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
     su = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     sv = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
@@ -5235,7 +5235,7 @@ def q_spam_mass3(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vertex's rank NOT flowing from trusted sources, the canonical
     link-spam demotion signal.  Both rank vectors unroll in the SQL
     oracle with identical arithmetic."""
-    e = _sym(copart_edges(spark, sf_dir))
+    e = pregel._hard_cut(_sym(copart_edges(spark, sf_dir)))  # materialize once: multiple consumers
     pr = pregel.pagerank_fixed(e, n_iter=3, damping=DAMPING)
     tr = pregel.personalized_pagerank_fixed(e, sources=[1, 2, 3], n_iter=3, damping=DAMPING)
     return (
@@ -6290,7 +6290,7 @@ def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freeman degree centralization of the co-order graph: Σ(maxdeg −
     deg) / ((n−1)(n−2)) — one number separating hub-and-spoke from
     egalitarian topologies; plus n, edges, max degree for context."""
-    e = _sym(coorder_edges(spark, sf_dir))
+    e = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
     # Σ(maxdeg − deg) = n·maxdeg − Σdeg, so one aggregate suffices
     return deg.agg(
@@ -6459,7 +6459,7 @@ def q_wedge_sample_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges; at 100 TB that is the difference between feasible and not.
     Output: total wedges, sampled, closed, cc estimate, and the implied
     triangle estimate."""
-    e = _sym(coorder_edges(spark, sf_dir))
+    e = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     wedges = (
         e.select(F.col("src").alias("v"), F.col("dst").alias("a"))
         .join(e.select(F.col("src").alias("v"), F.col("dst").alias("b")), "v")
@@ -6931,7 +6931,7 @@ def q_adamic_adar5(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact (floor(1e9/ln d) summed as BIGINT) so ranking ties
     break identically across engines and partitionings — float sums
     are order-dependent; scaled-integer sums are not."""
-    sym = _sym(coorder_edges(spark, sf_dir))
+    sym = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     deg = sym.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
     su = sym.select(F.col("src").alias("w"), F.col("dst").alias("u"))
     sv = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
@@ -7000,7 +7000,7 @@ def q_pseudo_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph: eccentricity of the farthest vertex from the minimum id —
     the diameter lower bound two O(E) sweeps buy instead of all-pairs
     BFS."""
-    e = _sym(coorder_edges(spark, sf_dir))
+    e = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     return pregel.pseudo_diameter(e, max_depth=12)
 
 
@@ -16171,7 +16171,7 @@ def q_molloy_reed(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_c = 1 − 1/(κ−1) — the closed-form robustness number
     attack_tolerance measures empirically.  One degree aggregation;
     the only floats are two final divisions of exact BIGINTs."""
-    e = _sym(coorder_edges(spark, sf_dir))
+    e = pregel._hard_cut(_sym(coorder_edges(spark, sf_dir)))  # materialize once: multiple consumers
     deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
     agg = deg.agg(
         F.count("*").cast("long").alias("n"),

@@ -902,26 +902,37 @@ def bfs_distances(
             .localCheckpoint(eager=True)
         )
         visited = frontier
-        for depth in range(1, max_depth + 1):
+        # fused chunks (the core_numbers discipline): BFS depths chain
+        # lazily, one frontier-count action per chunk; an empty frontier
+        # makes later depths no-ops, so the chunk's LAST count being 0
+        # is a sound drain test.  dist = frontier.dist + 1 (not
+        # F.lit(depth)) keeps every round's plan textually identical so
+        # whole-stage codegen compiles once per shape.
+        depth = 0
+        while depth < max_depth:
+            chunk = min(4, max_depth - depth)
             t0 = time.monotonic()
-            nxt = (
-                e.join(frontier.withColumnRenamed("id", "src"), "src")
-                .select(F.col("dst").alias("id"), F.lit(depth).alias("dist"))
-                .dropDuplicates(["id"])
-                .join(visited.select("id"), "id", "left_anti")
-                .localCheckpoint(eager=True)
-            )
+            nxt = None
+            for _ in range(chunk):
+                depth += 1
+                nxt = (
+                    e.join(frontier.withColumnRenamed("id", "src"), "src")
+                    .select(F.col("dst").alias("id"), (F.col("dist") + F.lit(1)).alias("dist"))
+                    .dropDuplicates(["id"])
+                    .join(visited.select("id"), "id", "left_anti")
+                    .localCheckpoint(eager=False)
+                )
+                visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+                frontier = nxt
             n = nxt.count()
+            wall = time.monotonic() - t0
             stats.iterations = depth
-            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.iter_seconds.extend([wall / chunk] * chunk)
             stats.deltas.append(float(n))
             if n == 0:
                 stats.converged = True
                 break
-            # lazy: the next round's frontier count materializes it (one
-            # job per round instead of two)
-            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-            frontier = nxt
+            visited = visited.localCheckpoint(eager=True)
         return visited.select(F.col("id").cast("long").alias("id"), "dist"), stats
 
 
@@ -1249,26 +1260,36 @@ def bfs_per_source(
             .localCheckpoint(eager=True)
         )
         visited = frontier
-        for depth in range(1, max_depth + 1):
+        # fused chunks + shape-stable dist (see bfs_distances): one
+        # frontier-count action per 4 depths, codegen compiled once
+        depth = 0
+        while depth < max_depth:
+            chunk = min(4, max_depth - depth)
             t0 = time.monotonic()
-            nxt = (
-                e.join(frontier.withColumnRenamed("id", "src"), "src")
-                .select("source", F.col("dst").alias("id"), F.lit(depth).alias("dist"))
-                .dropDuplicates(["source", "id"])
-                .join(visited.select("source", "id"), ["source", "id"], "left_anti")
-                .localCheckpoint(eager=True)
-            )
+            nxt = None
+            for _ in range(chunk):
+                depth += 1
+                nxt = (
+                    e.join(frontier.withColumnRenamed("id", "src"), "src")
+                    .select(
+                        "source", F.col("dst").alias("id"),
+                        (F.col("dist") + F.lit(1)).alias("dist"),
+                    )
+                    .dropDuplicates(["source", "id"])
+                    .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+                    .localCheckpoint(eager=False)
+                )
+                visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+                frontier = nxt
             n = nxt.count()
+            wall = time.monotonic() - t0
             stats.iterations = depth
-            stats.iter_seconds.append(time.monotonic() - t0)
+            stats.iter_seconds.extend([wall / chunk] * chunk)
             stats.deltas.append(float(n))
             if n == 0:
                 stats.converged = True
                 break
-            # lazy: the next round's frontier count materializes it (one
-            # job per round instead of two)
-            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-            frontier = nxt
+            visited = visited.localCheckpoint(eager=True)
         return (
             visited.select(
                 F.col("source").cast("long").alias("source"),
@@ -4023,6 +4044,14 @@ def louvain(
         strength = _hard_cut(
             e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
         )
+        # vertex-bounded side tables (comm / strength / tot / moves) are
+        # broadcast when the LEVEL's vertex count is measured small —
+        # every sweep join but the vc aggregate then runs map-side, no
+        # exchange of the edge table or the vertex state (guide §3.1).
+        # Levels above the gate (cluster-scale level 0) keep shuffle
+        # joins; contraction shrinks later levels under it quickly.
+        n_vl = comm.count()
+        bb = F.broadcast if n_vl <= 2_000_000 else (lambda df: df)
         level_moves = 0
         idle_pair = 0
         frontier: DataFrame | None = None  # None => every vertex
@@ -4030,7 +4059,7 @@ def louvain(
             t0 = time.monotonic()
             # community totals under the current assignment
             tot = (
-                comm.join(strength, "id")
+                comm.join(bb(strength), "id")
                 .groupBy("comm")
                 .agg(F.sum("k").alias("ktot"))
             )
@@ -4039,12 +4068,14 @@ def louvain(
             e_live = e.where(F.col("src") != F.col("dst"))
             if frontier is not None:
                 e_live = e_live.join(
-                    frontier.withColumnRenamed("id", "src"), "src", "left_semi"
+                    bb(frontier.withColumnRenamed("id", "src")), "src", "left_semi"
                 )
             vc = (
                 e_live.join(
-                    comm.withColumnRenamed("id", "dst").withColumnRenamed(
-                        "comm", "c_dst"
+                    bb(
+                        comm.withColumnRenamed("id", "dst").withColumnRenamed(
+                            "comm", "c_dst"
+                        )
                     ),
                     "dst",
                 )
@@ -4052,17 +4083,26 @@ def louvain(
                 .agg(F.sum("w").alias("w_vc"))
             )
             cur = comm.withColumnRenamed("comm", "c_cur")
-            own = vc.join(
-                cur.withColumnRenamed("c_cur", "cand"), ["id", "cand"], "left_semi"
-            ).select("id", F.col("w_vc").alias("w_own"))
+            # w_own folded into a window over the single vc⨝cur join
+            # (was: a semi-join to build own + a left join back — two
+            # extra vertex-table joins per sweep); the window partitions
+            # by id over at most one matching row, so the sum IS the
+            # old w_own value, rows and results identical.
+            vcj = vc.join(bb(cur), "id")
             base = (
-                vc.join(cur, "id")
+                vcj.withColumn(
+                    "w_own",
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("cand") == F.col("c_cur"), F.col("w_vc"))
+                        ).over(Window.partitionBy("id")),
+                        F.lit(0.0),
+                    ),
+                )
                 .where(F.col("cand") != F.col("c_cur"))
-                .join(own, "id", "left")
-                .na.fill({"w_own": 0.0})
-                .join(strength.withColumnRenamed("k", "kv"), "id")
-                .join(tot.withColumnRenamed("comm", "cand").withColumnRenamed("ktot", "t_cand"), "cand")
-                .join(tot.withColumnRenamed("comm", "c_cur").withColumnRenamed("ktot", "t_cur"), "c_cur")
+                .join(bb(strength.withColumnRenamed("k", "kv")), "id")
+                .join(bb(tot.withColumnRenamed("comm", "cand").withColumnRenamed("ktot", "t_cand")), "cand")
+                .join(bb(tot.withColumnRenamed("comm", "c_cur").withColumnRenamed("ktot", "t_cur")), "c_cur")
             )
             gain = (
                 (F.col("w_vc") - F.col("w_own")) / F.lit(float(m_total))
@@ -4089,7 +4129,7 @@ def louvain(
                 .localCheckpoint(eager=False)
             )
             comm_next = _stats_leaf(
-                comm.join(moves, "id", "left")
+                comm.join(bb(moves), "id", "left")
                 .select(
                     "id",
                     F.coalesce(F.col("comm_new"), F.col("comm")).alias("comm"),
@@ -4103,7 +4143,7 @@ def louvain(
             )
             nbrs = (
                 e.where(F.col("src") != F.col("dst"))
-                .join(movers.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(bb(movers.withColumnRenamed("id", "src")), "src", "left_semi")
                 .select(F.col("dst").alias("id"))
             )
             frontier_next = _stats_leaf(
@@ -4137,19 +4177,19 @@ def louvain(
         # relabel each community to its min member id (stable ids across
         # levels; keeps labels in vertex-id space)
         rep = comm.groupBy("comm").agg(F.min("id").alias("rep"))
-        comm = comm.join(rep, "comm").select("id", F.col("rep").alias("comm"))
+        comm = comm.join(bb(rep), "comm").select("id", F.col("rep").alias("comm"))
         comm = _hard_cut(comm)
         # compose the orig->comm mapping
         mapping = _hard_cut(
             mapping.join(
-                comm.select(F.col("id").alias("comm"), F.col("comm").alias("comm_new")),
+                bb(comm.select(F.col("id").alias("comm"), F.col("comm").alias("comm_new"))),
                 "comm",
             ).select("id", F.col("comm_new").alias("comm"))
         )
         # phase 2: contract communities (intra mass -> self-loops, 2x)
         e_new = (
-            e.join(comm.withColumnRenamed("id", "src").withColumnRenamed("comm", "cs"), "src")
-            .join(comm.withColumnRenamed("id", "dst").withColumnRenamed("comm", "cd"), "dst")
+            e.join(bb(comm.withColumnRenamed("id", "src").withColumnRenamed("comm", "cs")), "src")
+            .join(bb(comm.withColumnRenamed("id", "dst").withColumnRenamed("comm", "cd")), "dst")
             .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
             .agg(F.sum("w").alias("w"))
         )
@@ -5681,33 +5721,56 @@ def local_bridges(
         F.col("src").alias("bu"), F.col("dst").alias("bv")
     ).localCheckpoint(eager=True)
     stats = IterationStats(algorithm="local_bridges", edges=sym.count() // 2)
+    # pinned partitions + AQE off, sized to the (often tiny, cap-bounded)
+    # graph: the keyed BFS at session partitions pays ~20 rounds of
+    # 32-task stages over a few-hundred-edge graph — pure scheduling
     frontier = bridges.select("bu", "bv", F.col("bu").alias("id"), F.lit(0).alias("dist"))
     visited = frontier.localCheckpoint(eager=True)
     found = None
     frontier = visited
-    for depth in range(1, max_span + 1):
-        step = (
-            frontier.join(sym.withColumnRenamed("src", "id"), "id")
-            .where(
-                ~(
-                    ((F.col("id") == F.col("bu")) & (F.col("dst") == F.col("bv")))
-                    | ((F.col("id") == F.col("bv")) & (F.col("dst") == F.col("bu")))
+    # fused chunks (the core_numbers discipline): BFS depths chain
+    # lazily, one frontier-count action per chunk.  An empty frontier
+    # makes every later depth a no-op, so the chunk's LAST step being
+    # empty is a sound drain test — identical spans, at most chunk-1
+    # empty joins run past the drain.
+    with _shuffle_conf(
+        spark, _auto_partitions(spark, stats.edges * 2, num_partitions)
+    ):
+        depth = 0
+        while depth < max_span:
+            chunk = min(4, max_span - depth)
+            step = None
+            for _ in range(chunk):
+                depth += 1
+                step = (
+                    frontier.join(sym.withColumnRenamed("src", "id"), "id")
+                    .where(
+                        ~(
+                            ((F.col("id") == F.col("bu")) & (F.col("dst") == F.col("bv")))
+                            | ((F.col("id") == F.col("bv")) & (F.col("dst") == F.col("bu")))
+                        )
+                    )
+                    # dist+1 from the carried frontier column (not
+                    # F.lit(depth)): every round's plan is then
+                    # TEXTUALLY identical, so whole-stage codegen
+                    # compiles once and every later round hits the cache
+                    .select(
+                        "bu", "bv", F.col("dst").alias("id"),
+                        (F.col("dist") + F.lit(1)).alias("dist"),
+                    )
+                    .dropDuplicates(["bu", "bv", "id"])
+                    .join(visited.select("bu", "bv", "id"), ["bu", "bv", "id"], "left_anti")
+                    .localCheckpoint(eager=False)
                 )
-            )
-            .select("bu", "bv", F.col("dst").alias("id"), F.lit(depth).alias("dist"))
-            .dropDuplicates(["bu", "bv", "id"])
-            .join(visited.select("bu", "bv", "id"), ["bu", "bv", "id"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        n = step.count()
-        stats.iterations = depth
-        stats.deltas.append(float(n))
-        if n == 0:
-            stats.converged = True
-            break
-        # lazy: the next round's frontier count materializes it
-        visited = visited.unionByName(step).localCheckpoint(eager=False)
-        frontier = step
+                visited = visited.unionByName(step).localCheckpoint(eager=False)
+                frontier = step
+            n = step.count()
+            stats.iterations = depth
+            stats.deltas.append(float(n))
+            if n == 0:
+                stats.converged = True
+                break
+            visited = visited.localCheckpoint(eager=True)
     found = visited.where(F.col("id") == F.col("bv")).select(
         "bu", "bv", F.col("dist").alias("span")
     )
