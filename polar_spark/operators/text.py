@@ -321,23 +321,59 @@ def dup_spans(
     th = toks.select(
         "_id", F.transform(F.col("_t"), tok_h).alias("_th")
     )
-    n_win = F.size("_th") - F.lit(k - 1)
-    spans = th.select(
-        "_id",
-        F.explode(
-            F.when(
-                n_win >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n_win),
-                    lambda i: F.aggregate(
-                        F.slice(F.col("_th"), i, F.lit(k)),
-                        F.lit(0).cast("long"),
-                        lambda acc, hv: (acc * SPAN_B + hv) % F.lit(_P31),
+
+    # Window folding runs as k vectorized numpy passes per Arrow batch
+    # (guide §4.2: batch the native work) instead of the former
+    # interpreted transform(sequence)/aggregate(slice) expression —
+    # higher-order functions are CodegenFallback, and the per-window
+    # fold burned ~k interpreted ops per window (A/B at 100k docs:
+    # 17.4 s → see OPTIMIZATION_r06.md).  The arithmetic is the SAME
+    # integer recurrence (acc·SPAN_B + hv) mod P31 in int64 — acc < 2³¹
+    # and SPAN_B < 2²⁰ keep every product < 2⁵¹, so numpy int64 matches
+    # the JVM fold bit-for-bit.  Only (_id, _th) cross the boundary
+    # (project before the opaque op, guide §4.1); all documents in a
+    # batch are folded TOGETHER over one concatenated token array with
+    # a ragged-range index selecting in-document windows.
+    import numpy as np
+    import pandas as pd
+
+    def fold_windows(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # null text → null token array: the old expression emitted no
+            # windows for it; preserve that by treating it as empty
+            arrs = [
+                np.asarray(t, dtype=np.int64) if t is not None else np.zeros(0, np.int64)
+                for t in pdf["_th"]
+            ]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            counts = np.maximum(lens - (k - 1), 0)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            flat = np.concatenate(arrs) if arrs else np.zeros(0, np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # ragged ranges: global start positions of every in-doc window
+            sel = counts > 0
+            starts = np.repeat(offs[sel], counts[sel])
+            seq = np.arange(total, dtype=np.int64)
+            starts = starts + seq - np.repeat(
+                np.concatenate(([0], np.cumsum(counts[sel])[:-1])), counts[sel]
+            )
+            h = np.zeros(total, dtype=np.int64)
+            for j in range(k):
+                h = (h * SPAN_B + flat[starts + j]) % _P31
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(
+                        pdf["_id"].to_numpy(np.int64)[sel], counts[sel]
                     ),
-                ),
-            ).otherwise(F.array().cast("array<bigint>"))
-        ).alias("h"),
-    )
+                    "h": h,
+                }
+            )
+
+    spans = th.mapInPandas(fold_windows, schema="_id long, h long")
     return (
         spans.groupBy("h")
         .agg(
